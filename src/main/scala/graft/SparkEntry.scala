@@ -1,13 +1,433 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Text, Vectors}
+import graft.ops.GroupReduce
+import graft.tap.FanOut
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2,
+  * each with a DuckDB-equivalent `oracleSql` over the same parquet tables.
+  *
+  * Oracle-determinism conventions used throughout:
+  *  - sums of doubles go through DECIMAL(18,4) per element (exact, order-
+  *    independent) and cast back to double — a partition-order-dependent
+  *    float sum would hash-mismatch a sequential oracle;
+  *  - every rank/limit has a total tie-break order;
+  *  - hashes are md5 (identical in every engine), never murmur3/xxhash;
+  *  - timestamps are emitted as formatted strings, never raw.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
+    // nanosAsLong (see Sessions.base). Restore a typed timestamp column via
+    // integer division (nanos are ~1e18 — double division would lose
+    // precision); truncation to micros matches DuckDB's ns→us cast.
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** sum of doubles made exact + order-independent via decimal. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val nat = t(spark, dir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // ------------------------------------------------------------------
+  // q01 — grouped aggregation with map-side partial agg (hadron reducer +
+  // combiner, SURVEY §2.3). TPC-H Q1 shape.
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus"""
+
+  // ------------------------------------------------------------------
+  // q02 — wordcount: hadron's canonical example (examples/WordCount.hs):
+  // tokenize → (word, 1) → fold-reduce.
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .select(lower(col("tok")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+
+  private val q02Sql =
+    """SELECT lower(tok) AS word, COUNT(*) AS n FROM (
+         SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+         FROM documents) GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q03 — 2-way join + agg (joinMR analog, Controller.hs:1325-1354).
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders"))
+
+  private val q03Sql =
+    """SELECT c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment"""
+
+  // ------------------------------------------------------------------
+  // q04 — multi-way join (joinStep analog, Controller.hs:1165-1222):
+  // lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, dims broadcast.
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q04Sql =
+    """SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name"""
+
+  // ------------------------------------------------------------------
+  // q05 — optional-side monoidal join (JOptional ⇒ mempty, Join.hs:96-100):
+  // every customer, order stats coalesced to the monoid zero.
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val stats = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("tot"))
+    t(s, dir, "customer")
+      .join(stats, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("tot"), lit(0.0)).as("total_price"))
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey,
+       COALESCE(cnt, 0) AS n_orders,
+       COALESCE(tot, 0.0) AS total_price
+       FROM customer LEFT JOIN (
+         SELECT o_custkey, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS tot
+         FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey"""
+
+  // ------------------------------------------------------------------
+  // q06 — secondary-sort grouped reduce (Basic.hs:255-268 semantics): per
+  // order, stream lineitems in l_linenumber order through a sequential
+  // reducer. Runs through GroupReduce.secondarySort (repartition +
+  // sortWithinPartitions + streaming group split), not a SQL agg.
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GroupReduce.secondarySort[(Long, String, Long)](
+      t(s, dir, "lineitem"),
+      groupCols = Seq("l_orderkey"),
+      sortCols = Seq(col("l_linenumber"))) { (key, rows) =>
+      val ok = key.getAs[Long]("l_orderkey")
+      val sb = new StringBuilder
+      var n = 0L
+      rows.foreach { r =>
+        if (n > 0) sb.append(',')
+        sb.append(r.getAs[Int]("l_linenumber"))
+        n += 1
+      }
+      Iterator((ok, sb.toString, n))
+    }.toDF("l_orderkey", "line_seq", "n_lines")
+  }
+
+  private val q06Sql =
+    """SELECT l_orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_seq,
+       COUNT(*) AS n_lines
+       FROM lineitem GROUP BY l_orderkey"""
+
+  // ------------------------------------------------------------------
+  // q07 — top-k per group (absent in reference, SURVEY §2.5 built-in).
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+  }
+
+  private val q07Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+         FROM orders) WHERE rank <= 5"""
+
+  // ------------------------------------------------------------------
+  // q08 — fan-out sink stats (fanOutTap, Controller.hs:479-514: the job's
+  // regular output is counts-per-target).
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    FanOut.stats(t(s, dir, "lineitem"), col("l_returnflag"))
+
+  private val q08Sql =
+    """SELECT l_returnflag AS route, COUNT(*) AS n_records
+       FROM lineitem GROUP BY l_returnflag"""
+
+  // ------------------------------------------------------------------
+  // q09 — distinct (SURVEY §2.3: absent in reference, built-in here).
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .dropDuplicates()
+
+  private val q09Sql =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  // ------------------------------------------------------------------
+  // q10 — composite keys via mkKey (Types.hs:25-26: join segments with "|").
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(concat_ws("|", col("user_id"), col("event_type")).as("mkkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  private val q10Sql =
+    """SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS mkkey,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q11 — numeric-comparator sort + limit (NumericComp,
+  // Run/Hadoop.hs:145-150): top 100 events by value, deterministic ties.
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(100)
+      .select("event_id", "value")
+
+  private val q11Sql =
+    """SELECT event_id, value FROM events
+       ORDER BY value DESC, event_id ASC LIMIT 100"""
+
+  // ------------------------------------------------------------------
+  // q12 — time-typed keys (MRKey UTCTime, Controller.hs:254-266: the
+  // reference formats timestamps so string order = time order; typed
+  // columns make that hold by construction).
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour_key"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  private val q12Sql =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_key,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q13 — mergeTaps tagged union (Controller.hs:422-439).
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      lit("customer").as("side"), col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val su = t(s, dir, "supplier").select(
+      lit("supplier").as("side"), col("s_suppkey").as("id"),
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    c.unionByName(su)
+  }
+
+  private val q13Sql =
+    """SELECT 'customer' AS side, c_custkey AS id, c_name AS name, c_acctbal AS acctbal FROM customer
+       UNION ALL
+       SELECT 'supplier' AS side, s_suppkey AS id, s_name AS name, s_acctbal AS acctbal FROM supplier"""
+
+  // ------------------------------------------------------------------
+  // q14 — window functions: per-user running sum + row number over time
+  // (absent in reference; SURVEY §2.5).
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select("user_id", "event_id", "rn", "running_value")
+  }
+
+  private val q14Sql =
+    """SELECT user_id, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+       FROM events"""
+
+  // ------------------------------------------------------------------
+  // q15 — set ops (absent in reference; SURVEY §2.5): customers holding
+  // orders but none above 300k.
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_custkey").as("custkey")).distinct()
+      .except(
+        o.filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey")).distinct())
+  }
+
+  private val q15Sql =
+    """SELECT DISTINCT o_custkey AS custkey FROM orders
+       EXCEPT
+       SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000"""
+
+  // ------------------------------------------------------------------
+  // q16 — rollup (absent in reference; SURVEY §2.3 built-in).
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  private val q16Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+  // ------------------------------------------------------------------
+  // q17 — gap-based sessionization via windows (batch form of the
+  // streaming extension; SURVEY §2.8).
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  private val q17Sql =
+    """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+       FROM (
+         SELECT user_id,
+           CASE WHEN prev_ts IS NULL THEN 1
+                WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1
+                ELSE 0 END AS new_session
+         FROM (
+           SELECT user_id, ts,
+             LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+           FROM events))
+       GROUP BY user_id"""
+
+  // ------------------------------------------------------------------
+  // q24 — exact dedup via content hash (extension: Dedup.exact).
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
+
+  private val q24Sql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       FROM documents GROUP BY md5(text)"""
+
+  // ------------------------------------------------------------------
+  // q25 — fingerprint dedup (normalized near-exact; Dedup.fingerprint).
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.fingerprint(
+      t(s, dir, "documents"), col("doc_id"), col("text"))
+
+  private val q25Sql =
+    """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       FROM documents GROUP BY 1"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_group_agg" -> (q01 _),
+    "q02_wordcount" -> (q02 _),
+    "q03_join_mr" -> (q03 _),
+    "q04_join_multiway" -> (q04 _),
+    "q05_join_optional" -> (q05 _),
+    "q06_secondary_sort" -> (q06 _),
+    "q07_topk_per_group" -> (q07 _),
+    "q08_fanout_stats" -> (q08 _),
+    "q09_distinct" -> (q09 _),
+    "q10_composite_key" -> (q10 _),
+    "q11_numeric_sort" -> (q11 _),
+    "q12_time_keys" -> (q12 _),
+    "q13_merge_taps" -> (q13 _),
+    "q14_window_running" -> (q14 _),
+    "q15_set_ops" -> (q15 _),
+    "q16_rollup" -> (q16 _),
+    "q17_sessionize" -> (q17 _),
+    "q24_dedup_exact" -> (q24 _),
+    "q25_dedup_fingerprint" -> (q25 _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_group_agg" -> q01Sql,
+    "q02_wordcount" -> q02Sql,
+    "q03_join_mr" -> q03Sql,
+    "q04_join_multiway" -> q04Sql,
+    "q05_join_optional" -> q05Sql,
+    "q06_secondary_sort" -> q06Sql,
+    "q07_topk_per_group" -> q07Sql,
+    "q08_fanout_stats" -> q08Sql,
+    "q09_distinct" -> q09Sql,
+    "q10_composite_key" -> q10Sql,
+    "q11_numeric_sort" -> q11Sql,
+    "q12_time_keys" -> q12Sql,
+    "q13_merge_taps" -> q13Sql,
+    "q14_window_running" -> q14Sql,
+    "q15_set_ops" -> q15Sql,
+    "q16_rollup" -> q16Sql,
+    "q17_sessionize" -> q17Sql,
+    "q24_dedup_exact" -> q24Sql,
+    "q25_dedup_fingerprint" -> q25Sql,
+  )
 }

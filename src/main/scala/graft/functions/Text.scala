@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-corpus pipelines (tokenize, quality,
+  * language-ID, fingerprinting). All are compositions of built-in codegen'd
+  * expressions — no UDFs — so they stay inside whole-stage codegen and
+  * their filters/projections push down to the scan.
+  *
+  * The reference has no scalar-function catalog (every transform is host-
+  * language code in a conduit — SURVEY §2.7); these are the Spark-native
+  * equivalents of the transforms its examples perform (`B.words`
+  * tokenization, examples/WordCount.hs:24; MD5 hashing,
+  * Controller.hs:518-522) plus the text-pipeline set a 100 TB training-data
+  * corpus needs.
+  */
+object Text {
+
+  /** Whitespace tokenization — `B.words` analog: split on runs of
+    * whitespace, drop empty tokens (leading/trailing whitespace artifacts).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword split: letters runs, digit runs, single punctuation —
+    * a deterministic regex proxy for tokenizer-sized units.
+    */
+  def subwordTokens(c: Column): Column =
+    filter(split(c, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t.rlike("\\S"))
+
+  /** Character k-shingles. Guarded so short strings yield an empty array
+    * (Spark's `sequence(1, 0)` would count DOWN, not produce empty).
+    */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word n-grams over a token array. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(c: Column): Column = {
+    val stripped = regexp_replace(c, "[\\p{Punct}]", "")
+    when(length(c) > 0,
+      (length(c) - length(stripped)).cast("double") / length(c).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Ratio of alphabetic characters. */
+  def alphaRatio(c: Column): Column =
+    when(length(c) > 0,
+      length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /
+        length(c).cast("double"))
+      .otherwise(lit(0.0))
+
+  private val enStop =
+    Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for")
+  private val deStop =
+    Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
+  private val frStop =
+    Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "que")
+
+  private def stopHits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => lower(t).isInCollection(stops)))
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal for web-scraped corpora.
+    */
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0, stopHits(t, enStop).cast("double") / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** N-gram-heuristic language ID over {en, de, fr}: highest stopword-hit
+    * count wins, ties broken by that fixed order, no hits ⇒ "und"
+    * (undetermined). Deterministic and oracle-expressible.
+    */
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    val en = stopHits(t, enStop)
+    val de = stopHits(t, deStop)
+    val fr = stopHits(t, frStop)
+    when(en === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Composite quality score in [0,1]: penalize very short docs, high
+    * punctuation density, low stopword mass. Weights are arbitrary but
+    * fixed; the value is a deterministic pure-arithmetic column.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(c) * 4, lit(0.0))
+    val stopScore = least(stopwordRatio(c) * 5, lit(1.0))
+    lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
+  }
+
+  /** Document fingerprint: md5 of case-folded, whitespace/punct-normalized
+    * text — the standard exact-near-exact dedup key (casing/spacing
+    * variants collapse). md5 rather than a bespoke rolling hash: identical
+    * in every engine, so results are verifiable cross-engine.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]+", " ").cast("binary"))
+}

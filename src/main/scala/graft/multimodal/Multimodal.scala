@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct alongside. Decode /
+  * feature-extract stages run per-partition over batches so a real decoder
+  * (JNI/ffmpeg/JPEG lib) drops in without changing the plan shape.
+  *
+  * The decode kernels themselves are STUBBED with deterministic fakes
+  * (this environment has no media libraries); everything Spark-side —
+  * schema, batching, partition sizing, null handling — is real and tested.
+  *
+  * Scale notes: media rows are wide (MBs); `maxRecordsPerBatch`-style
+  * batching happens naturally via mapPartitions chunks, and repartitioning
+  * by a size-bucket column before decode keeps tasks balanced when payload
+  * sizes are skewed. Never collect payloads to the driver.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Load a directory of media files as (path, length, content, meta). */
+  def loadMediaDir(spark: SparkSession, dir: String, glob: String = "*")
+      : DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        col("path"),
+        col("length"),
+        col("content"),
+        struct(
+          lower(regexp_extract(col("path"), "\\.(\\w+)$", 1)).as("media_type"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+
+  /** STUB image decode: a real implementation parses the codec header and
+    * emits (width, height, channels, pixels). The deterministic fake reads
+    * pseudo-dimensions from the payload's first bytes so downstream
+    * plumbing (schema, joins, aggregations over decoded metadata) is
+    * exercised honestly at full scale.
+    */
+  def decodeImageMeta(df: DataFrame, contentCol: String = "content")
+      : DataFrame = {
+    val fakeW = (abs(xxhash64(col(contentCol))) % 1920 + 1).cast("int")
+    val fakeH = (abs(xxhash64(col(contentCol), lit(1))) % 1080 + 1).cast("int")
+    df.withColumn("decoded", struct(
+      fakeW.as("width"), fakeH.as("height"), lit(3).as("channels")))
+  }
+
+  /** STUB feature extraction: batch-shaped per-partition kernel. A real
+    * kernel would hand each batch of payloads to a native decoder and
+    * return fixed-length feature vectors; the fake derives a deterministic
+    * vector from payload bytes. The mapPartitions shape (batched pull,
+    * vector output) is exactly what a JNI bridge needs.
+    */
+  def extractFeatures(
+      df: DataFrame,
+      contentCol: String = "content",
+      dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add("features", ArrayType(FloatType, false))
+    val idx = df.schema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch => // batch boundary = decoder call
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](idx)
+          val feats = Array.tabulate(dim) { i =>
+            // ??? real decoder goes here; deterministic fake:
+            val h = java.util.Arrays.hashCode(bytes) * 31 + i
+            (h % 1000) / 1000.0f
+          }
+          Row.fromSeq(r.toSeq :+ feats.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame-sampling plan for video rows: one output row per sampled frame
+    * index (decode stub). Emits (every nth frame) positions from duration
+    * metadata — the explode shape a real frame sampler produces.
+    */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
+    df.withColumn("frame_ms",
+        explode(sequence(lit(0L),
+          greatest(coalesce(col("meta.duration_ms"), lit(0L)) - 1, lit(0L)),
+          lit(everyMs))))
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming extension of the pipeline algebra.
+  *
+  * The reference is batch-only (SURVEY §2.8) — its conduits process
+  * incrementally *within* a task but have no watermarks/event-time. This
+  * module exposes the same keyed-aggregation algebra over unbounded input:
+  * the `events` fixture schema (event_id, ts, user_id, event_type, value,
+  * props) is the stream row type.
+  */
+object Streaming {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionUpdate(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Tumbling-window counts with a watermark — the canonical windowed agg.
+    * Works identically on a batch DataFrame (Spark unifies the APIs), which
+    * is how the oracle checks it.
+    */
+  def windowedCounts(events: DataFrame, window: String, watermark: String)
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Session windows via custom state — `flatMapGroupsWithState`, the
+    * Spark-native port target for hadron-style stateful per-key reducers
+    * on unbounded data. Gap-based sessionization per user.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Timestamp, Timestamp, Long, Double), SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[(Timestamp, Timestamp, Long, Double)]) =>
+          // Batch-mode friendly: fold sorted events into gap-split sessions.
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          val sessions = scala.collection.mutable.ListBuffer.empty[SessionUpdate]
+          var cur: Option[(Timestamp, Timestamp, Long, Double)] = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some((s, last, n, v)) if e.ts.getTime - last.getTime <= gapMs =>
+                cur = Some((s, e.ts, n + 1, v + e.value))
+              case Some((s, last, n, v)) =>
+                sessions += SessionUpdate(uid, s, last, n, v)
+                cur = Some((e.ts, e.ts, 1L, e.value))
+              case None =>
+                cur = Some((e.ts, e.ts, 1L, e.value))
+            }
+          }
+          // close the final session in batch mode; in streaming, keep state
+          cur.foreach { case (s, last, n, v) =>
+            sessions += SessionUpdate(uid, s, last, n, v)
+          }
+          state.update(cur.get)
+          sessions.iterator
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.tap
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Typed source/sink binding: (paths, format, options[, schema]) — the
+  * Spark-native analog of the reference's `Tap` (a `[FilePath]` plus a
+  * `Protocol` codec, /root/reference/src/Hadron/Controller.hs:334-338).
+  *
+  * Where hadron pairs paths with a byte-level codec (`Protocol`,
+  * Protocol.hs:84-88), Spark pairs paths with a DataSource format whose
+  * reader/writer already handles framing, compression and schema; the
+  * `Protocol` catalog (lines/CSV/base64-binary/gzip, Protocol.hs:138-183)
+  * collapses into `format` + `options`.
+  *
+  * Design for scale: a Tap is pure metadata — constructing one does no IO;
+  * `read` produces a lazy DataFrame whose scan supports predicate pushdown
+  * and column pruning (keep filters relational so they reach the scan).
+  */
+final case class Tap(
+    paths: Seq[String],
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty,
+    schema: Option[StructType] = None) {
+
+  def read(spark: SparkSession): DataFrame = {
+    val r0 = spark.read.format(format).options(options)
+    val r = schema.fold(r0)(r0.schema)
+    r.load(paths: _*)
+  }
+
+  def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(paths.size == 1, s"write target must be a single path, got $paths")
+    df.write.format(format).options(options).mode(mode).save(paths.head)
+  }
+
+  /** Equality by location, like the reference (Controller.hs:342-343). */
+  def sameLocation(other: Tap): Boolean = paths.toSet == other.paths.toSet
+}
+
+object Tap {
+  def parquet(paths: String*): Tap = Tap(paths, "parquet")
+  def csv(paths: String*): Tap =
+    Tap(paths, "csv", Map("header" -> "true", "inferSchema" -> "true"))
+  def text(paths: String*): Tap = Tap(paths, "text")
+  def json(paths: String*): Tap = Tap(paths, "json")
+
+  /** `binaryDirTap` analog (Controller.hs:701-707): read every file under a
+    * directory matching a glob as (path, length, content) rows. Replaces the
+    * reference's file-list-of-paths workaround for binary inputs
+    * (`fileListTap`, Controller.hs:463-471) — Spark's binaryFile source
+    * splits on files, never on newlines, so no workaround is needed.
+    */
+  def binaryDir(dir: String, glob: String = "*"): Tap =
+    Tap(Seq(dir), "binaryFile", Map("pathGlobFilter" -> glob))
+
+  /** `concatTaps` analog (Controller.hs:364-376): several same-schema taps
+    * read as one DataFrame. Multi-path load keeps per-file parallelism and
+    * partition pruning; no per-file decoder dispatch is needed because the
+    * format carries its own schema.
+    */
+  def concat(spark: SparkSession, taps: Seq[Tap]): DataFrame = {
+    require(taps.nonEmpty, "concat of zero taps")
+    if (taps.map(t => (t.format, t.options, t.schema)).distinct.size == 1)
+      taps.head.copy(paths = taps.flatMap(_.paths)).read(spark)
+    else taps.map(_.read(spark)).reduce(_ unionByName _)
+  }
+
+  /** `mergeTaps` analog (Controller.hs:422-439): two taps of different
+    * schemas merged into one tagged union. Hadron dispatches per-file on
+    * decode and per-record on encode; relationally this is a `side` tag
+    * column + null-padded `unionByName` — downstream code filters on the tag
+    * (the `Either` pattern) and Catalyst prunes the untouched columns.
+    */
+  def merge(
+      spark: SparkSession,
+      left: Tap,
+      right: Tap,
+      tagCol: String = "side"): DataFrame = {
+    val l = left.read(spark).withColumn(tagCol, lit("left"))
+    val r = right.read(spark).withColumn(tagCol, lit("right"))
+    l.unionByName(r, allowMissingColumns = true)
+  }
+}
