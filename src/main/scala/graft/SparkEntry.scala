@@ -387,7 +387,210 @@ object SparkEntry {
        MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
        FROM documents GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q18 — MinHash + LSH near-dup candidate pairs with exact-Jaccard
+  // verification (extension: Dedup.minhashLsh). Params mirror the oracle:
+  // 8-char shingles, 12 hashes, 3 bands, threshold 0.3.
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashLsh(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+      maxBucketSize = Int.MaxValue)
+
+  private val q18Sql =
+    """WITH docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       based AS (
+         SELECT id, shingles,
+           [CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles] AS vms
+         FROM docs),
+       sigs AS (
+         SELECT id, shingles,
+           [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM based),
+       bands AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       pairs AS (
+         SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id),
+       verified AS (
+         SELECT id1, id2,
+           len(list_intersect(d1.shingles, d2.shingles)) AS common,
+           len(d1.shingles) AS n1, len(d2.shingles) AS n2
+         FROM pairs JOIN sigs d1 ON id1 = d1.id JOIN sigs d2 ON id2 = d2.id)
+       SELECT id1, id2, CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard
+       FROM verified WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.3"""
+
+  // ------------------------------------------------------------------
+  // q19 — exact n-gram Jaccard via inverted index, df-filtered space
+  // (extension: Dedup.ngramJaccard).
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.ngramJaccard(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      shingleK = 8, threshold = 0.3, maxDf = 100)
+
+  private val q19Sql =
+    """WITH docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       posting AS (SELECT id, unnest(shingles) AS sh FROM docs),
+       rare AS (SELECT sh FROM posting GROUP BY sh HAVING COUNT(*) <= 100),
+       fp AS (SELECT id, p.sh FROM posting p JOIN rare r ON p.sh = r.sh),
+       sizes AS (SELECT id, COUNT(*) AS nsh FROM fp GROUP BY id),
+       common AS (
+         SELECT a.id AS id1, b.id AS id2, COUNT(*) AS common
+         FROM fp a JOIN fp b ON a.sh = b.sh AND a.id < b.id
+         GROUP BY a.id, b.id)
+       SELECT id1, id2, CAST(common AS DOUBLE) / (s1.nsh + s2.nsh - common) AS jaccard
+       FROM common JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+       WHERE CAST(common AS DOUBLE) / (s1.nsh + s2.nsh - common) >= 0.3"""
+
+  // ------------------------------------------------------------------
+  // q20 — SimHash exact-match near-dup groups (extension:
+  // Dedup.simhashGroups; 32-bit simhash from md5 prefixes).
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simhashGroups(
+      t(s, dir, "documents"), col("doc_id"), col("text"))
+
+  private val q20Sql =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk FROM documents),
+       hashes AS (
+         SELECT doc_id, [substr(md5(t), 1, 8) for t in tk] AS hs FROM toks WHERE len(tk) > 0),
+       simhashed AS (
+         SELECT doc_id,
+           CAST(list_sum([
+             CASE WHEN 2 * list_sum([
+                 (strpos('0123456789abcdef', substr(h, b//4 + 1, 1)) - 1) // CAST(pow(2, 3 - (b % 4)) AS INTEGER) % 2
+               for h in hs]) >= len(hs)
+             THEN CAST(pow(2, 31 - b) AS BIGINT) ELSE 0 END
+           for b in range(0, 32)]) AS BIGINT) AS sh
+         FROM hashes)
+       SELECT sh, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       FROM simhashed GROUP BY sh HAVING COUNT(*) > 1"""
+
+  // ------------------------------------------------------------------
+  // q21 — per-document text-quality metrics (extension: Text.*).
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.punctRatio(col("text")).as("punct_ratio"),
+      Text.alphaRatio(col("text")).as("alpha_ratio"),
+      Text.stopwordRatio(col("text")).as("stopword_ratio"),
+      Text.qualityScore(col("text")).as("quality"))
+
+  private val q21Sql =
+    """WITH base AS (
+         SELECT doc_id, text,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+           len(tk) AS n_tokens,
+           CASE WHEN len(text) > 0 THEN
+             CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+             ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(text) > 0 THEN
+             CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+             ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN len(tk) > 0 THEN
+             CAST(len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+             ELSE 0.0 END AS stopword_ratio,
+           len(text) AS n_chars
+         FROM base)
+       SELECT doc_id, n_tokens, punct_ratio, alpha_ratio, stopword_ratio,
+         least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+           + greatest(1.0 - punct_ratio * 4, 0.0) * 0.3
+           + least(stopword_ratio * 5, 1.0) * 0.3 AS quality
+       FROM m"""
+
+  // ------------------------------------------------------------------
+  // q22 — language-ID heuristic vs ground-truth label (extension:
+  // Text.langId): confusion counts per (lang, pred).
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), Text.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+
+  private val q22Sql =
+    """WITH scored AS (
+         SELECT lang,
+           len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS en,
+           len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], lower(t)))) AS de,
+           len(list_filter(tk, t -> list_contains(['le','la','les','de','et','est','un','une','dans','que'], lower(t)))) AS fr
+         FROM (SELECT lang, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk FROM documents)),
+       pred AS (
+         SELECT lang,
+           CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+                WHEN en >= de AND en >= fr THEN 'en'
+                WHEN de >= fr THEN 'de'
+                ELSE 'fr' END AS pred
+         FROM scored)
+       SELECT lang, pred, COUNT(*) AS n FROM pred GROUP BY lang, pred"""
+
+  // ------------------------------------------------------------------
+  // q23 — corpus token statistics per source (extension): total/avg
+  // token counts — the "how big is this corpus in tokens" query.
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), Text.tokenCount(col("text")).as("ntok"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg(
+        sum(col("ntok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count(lit(1)).as("n_docs"),
+        (sum(col("ntok")).cast("double") / count(lit(1))).as("avg_tokens"))
+
+  private val q23Sql =
+    """SELECT source,
+         SUM(ntok) AS total_tokens,
+         SUM(n_chars) AS total_chars,
+         COUNT(*) AS n_docs,
+         CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS avg_tokens
+       FROM (SELECT source, n_chars,
+               len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ntok
+             FROM documents)
+       GROUP BY source"""
+
+  // ------------------------------------------------------------------
+  // q26 — brute-force cosine top-k over embeddings (extension:
+  // Similarity.bruteForceTopK), queries = every 25th vector.
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.bruteForceTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10)
+  }
+
+  private val q26Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       scored AS (
+         SELECT query_id, vec_id AS corpus_id,
+           list_sum([qe[i] * e[i] for i in range(1, len(e)+1)]) /
+             (sqrt(list_sum([qe[i] * qe[i] for i in range(1, len(qe)+1)])) *
+              sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)]))) AS sim
+         FROM q CROSS JOIN v WHERE query_id <> vec_id)
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_minhash_lsh" -> (q18 _),
+    "q19_ngram_jaccard" -> (q19 _),
+    "q20_simhash" -> (q20 _),
+    "q21_text_quality" -> (q21 _),
+    "q22_langid" -> (q22 _),
+    "q23_token_stats" -> (q23 _),
+    "q26_cosine_topk" -> (q26 _),
     "q01_group_agg" -> (q01 _),
     "q02_wordcount" -> (q02 _),
     "q03_join_mr" -> (q03 _),
@@ -410,6 +613,13 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q18_minhash_lsh" -> q18Sql,
+    "q19_ngram_jaccard" -> q19Sql,
+    "q20_simhash" -> q20Sql,
+    "q21_text_quality" -> q21Sql,
+    "q22_langid" -> q22Sql,
+    "q23_token_stats" -> q23Sql,
+    "q26_cosine_topk" -> q26Sql,
     "q01_group_agg" -> q01Sql,
     "q02_wordcount" -> q02Sql,
     "q03_join_mr" -> q03Sql,

@@ -54,25 +54,43 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
+    // Repartition before the compute stage: the fixture tables are single
+    // row-group parquet (unsplittable scans), and at any scale the hashing
+    // stage should spread across the cluster, not run at scan parallelism.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Cache (id, shingles, base-hash array): the shingle sets feed BOTH the
+    // banding self-join (each side) and the Jaccard verify re-joins, and
+    // materializing `vms` here keeps the per-shingle md5 from being
+    // re-inlined into each of the k permutation lambdas (Catalyst does not
+    // CSE across HOF bodies). At cluster scale this is the "signature
+    // table" you'd persist between pipeline stages.
     val docs = df.select(
       idCol.as("id"),
       array_distinct(Text.charShingles(textCol, shingleK)).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .repartition(par, col("id"))
+      .withColumn("vms", transform(col("shingles"), s => Hashing.md5Mod(s)))
+      .cache()
 
     val rowsPerBand = numHashes / bands
     val banded = docs
       .select(col("id"),
         Hashing.lshBandKeys(
-          Hashing.minhashSignature(col("shingles"), numHashes),
+          Hashing.minhashFromBase(col("vms"), numHashes),
           bands, rowsPerBand).as("bandkeys"))
       .select(col("id"), explode(col("bandkeys")).as("bucket"))
+      .cache()
 
-    // Cap pathological buckets (boilerplate), then pair within bucket.
-    val bucketed = banded
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("bsize") <= maxBucketSize)
-      .drop("bsize")
+    // Cap pathological buckets (boilerplate): aggregate bucket sizes (small
+    // result, broadcast-joinable) rather than a window over the full table.
+    val bucketed =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        val ok = banded.groupBy("bucket").agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") <= maxBucketSize)
+          .select("bucket")
+        banded.join(broadcast(ok), Seq("bucket"), "left_semi")
+      }
 
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"), col("a.bucket") === col("b.bucket") &&
@@ -96,18 +114,23 @@ object Dedup {
       shingleK: Int = 8,
       threshold: Double = 0.5,
       maxDf: Int = 500): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val docs = df.select(
       idCol.as("id"),
       array_distinct(Text.charShingles(textCol, shingleK)).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sizes = docs.select(col("id"), size(col("shingles")).as("nsh"))
+      .repartition(par, col("id")) // spread shingling beyond scan splits
 
     val posting = docs
       .select(col("id"), explode(col("shingles")).as("sh"))
     val rare = posting.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("sh")
-    val filtered = posting.join(rare, "sh")
+    // cached: reused by the pair self-join (both sides) and the size table
+    val filtered = posting.join(rare, "sh").cache()
+    // Jaccard over the df-FILTERED shingle space (sizes from `filtered`,
+    // not the raw sets) — self-consistent after dropping stop-shingles.
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("nsh"))
 
     val common = filtered.as("a")
       .join(filtered.as("b"),
@@ -134,7 +157,9 @@ object Dedup {
       df: DataFrame,
       idCol: Column,
       textCol: Column): DataFrame =
-    df.select(idCol.as("id"), Hashing.simhash(Text.tokens(textCol)).as("sh"))
+    df.select(idCol.as("id"), textCol.as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), Hashing.simhash(Text.tokens(col("text"))).as("sh"))
       .groupBy("sh")
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") > 1)

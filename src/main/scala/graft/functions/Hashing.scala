@@ -19,56 +19,85 @@ object Hashing {
   /** md5 hex (lowercase, 32 chars) of a string column. */
   def md5Hex(c: Column): Column = md5(c.cast("binary"))
 
-  /** The i-th "permutation" hash of a value: md5 over a seed prefix.
-    * Fixed-width lowercase hex compares lexicographically as an unsigned
-    * 128-bit integer, so `min` over these IS MinHash.
+  /** MinHash modulus: largest prime below 2^30 would do; 1e9+7 is the
+    * conventional choice. Products (i+1)*v with v < P stay far inside
+    * signed-64 range, so the same arithmetic is exact in any engine.
     */
-  def seededHash(seed: Column, c: Column): Column =
-    md5(concat(seed.cast("string"), lit(":"), c).cast("binary"))
+  val MinhashP: Long = 1000000007L
+
+  /** 60-bit integer fingerprint of a string: value of the first 15 hex
+    * digits of its md5, reduced mod [[MinhashP]]. ONE md5 per value — the
+    * k permutations are derived arithmetically (below), not by k re-hashes,
+    * which matters when shingle sets are large (k× fewer digest calls).
+    */
+  def md5Mod(c: Column): Column =
+    (conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
+      .cast("long") % MinhashP)
+
+  /** The i-th permutation of a base fingerprint v: ((i+1)*v + 40503*i)
+    * mod P — the classic (a*x+b) universal-hash family with fixed,
+    * engine-portable constants.
+    */
+  def permute(i: Int, v: Column): Column =
+    (v * (i + 1) + 40503L * i) % MinhashP
 
   /** MinHash signature: array of `numHashes` minima over the shingle set.
-    * Null/empty shingle arrays yield an empty signature.
+    * Null/empty shingle arrays yield an empty signature. NOTE: prefer
+    * computing the base array into its own materialized column and calling
+    * [[minhashFromBase]] — Catalyst inlines `base` into every permutation
+    * lambda here (no CSE across HOF bodies), re-hashing k times.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    when(size(shingles) > 0,
+    minhashFromBase(transform(shingles, s => md5Mod(s)), numHashes)
+
+  /** Signature from a precomputed base-fingerprint array (see md5Mod). */
+  def minhashFromBase(base: Column, numHashes: Int): Column =
+    when(size(base) > 0,
       transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(shingles, s => seededHash(i, s)))))
-      .otherwise(array().cast("array<string>"))
+        i => array_min(transform(base, v => permute0(i, v)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  private def permute0(i: Column, v: Column): Column =
+    (v * (i + 1) + lit(40503L) * i) % MinhashP
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band. Docs sharing ANY band key become candidates.
-    * Output: array of "bandIndex|bandHash" strings (band index included so
-    * buckets from different bands never collide).
+    * and join each band's values into a bucket key. Docs sharing ANY band
+    * key become candidates. Band index is part of the key so buckets from
+    * different bands never collide.
     */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => concat(
         b.cast("string"), lit("|"),
-        md5(array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")
-          .cast("binary"))))
+        array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
 
-  /** 32-bit SimHash over a token array, as a signed sum per bit position of
-    * ±1 votes from each token's 32-bit hash (first 8 md5 hex digits).
-    * Implemented with pure per-hex-digit arithmetic (strpos into a hex
-    * alphabet) so an independent SQL engine reproduces it bit-for-bit.
+  /** 32-bit SimHash over a token array: majority vote per bit position of
+    * each token's 32-bit hash (first 8 md5 hex digits). Single pass over
+    * the tokens with an array-of-counts accumulator — one md5 + 32 cheap
+    * integer ops per token, instead of 32 re-scans.
     */
   def simhash(toks: Column): Column = {
-    val hexDigits = "0123456789abcdef"
-    // per token: 8 hex chars -> 32 bits, bit b in {0,1}
-    def bitOf(tokenHash: Column, b: Int): Column = {
-      val digitIdx = b / 4 + 1 // 1-based position in the hex string
-      val shift = 3 - (b % 4) // hex digit holds 4 bits, MSB first
-      val v = instr(lit(hexDigits), tokenHash.substr(lit(digitIdx), lit(1))) - 1
-      (v / math.pow(2, shift).toInt).cast("int") % 2
-    }
-    val hashes = transform(toks, t => substring(md5Hex(t), 1, 8))
-    val bitCols: Seq[Column] = (0 until 32).map { b =>
-      // sum of votes for bit b: (#ones - #zeros) >= 0  => bit set
-      val ones = aggregate(hashes, lit(0),
-        (acc, h) => acc + bitOf(h, b))
-      when(ones * 2 >= size(hashes), lit(1L << (31 - b))).otherwise(lit(0L))
-    }
-    when(size(toks) > 0, bitCols.reduce((a, b) => a + b)).otherwise(lit(0L))
+    // one 32-bit value per token (hex digits are exact in a double-free path)
+    val vals = transform(toks,
+      t => conv(substring(md5Hex(t), 1, 8), 16, 10).cast("long"))
+    // 2^e as long — powers of two are exact in double for all e here, and
+    // the HOF lambdas need Column shifts, which shiftleft/right don't take
+    def pow2(e: Column): Column = pow(lit(2.0), e.cast("double")).cast("long")
+    // counts[b] = number of tokens with bit b set (b=0 is the MSB);
+    // bit extraction (v / 2^(31-b)) % 2 is exact: dividing by a power of
+    // two only shifts the float exponent
+    val counts = aggregate(vals,
+      array_repeat(lit(0L), 32),
+      (acc, v) => zip_with(acc,
+        transform(sequence(lit(0), lit(31)),
+          b => (v.cast("double") / pow2(lit(31) - b)).cast("long") % 2),
+        (a, x) => a + x))
+    val n = size(vals)
+    val sh = aggregate(
+      zip_with(counts, sequence(lit(0), lit(31)),
+        (c, b) => when(c * 2 >= n, pow2(lit(31) - b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    when(size(toks) > 0, sh).otherwise(lit(0L))
   }
 
   /** Hamming distance between two simhash longs (popcount of xor). */

@@ -47,9 +47,12 @@ object Text {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** Ratio of punctuation characters to total characters. */
+  /** Ratio of punctuation characters to total characters. ASCII punct
+    * class spelled as explicit ranges (not \p{Punct}) so the regex means
+    * the same thing in Java regex and RE2-based engines.
+    */
   def punctRatio(c: Column): Column = {
-    val stripped = regexp_replace(c, "[\\p{Punct}]", "")
+    val stripped = regexp_replace(c, "[!-/:-@\\[-`{-~]", "")
     when(length(c) > 0,
       (length(c) - length(stripped)).cast("double") / length(c).cast("double"))
       .otherwise(lit(0.0))

@@ -29,6 +29,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("corpus_id")) // spread the dot-product stage beyond scan splits
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .withColumn("sim", Vectors.cosine(col("qv"), col("cv")))
