@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  private def eval1(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).collect().head.get(0)
+  }
+
+  test("tokens drops empties from leading/trailing/multiple whitespace") {
+    val r = eval1(Text.tokens(lit("  a  b\tc \n")))
+    assert(r.asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", "c"))
+  }
+
+  test("charShingles of short strings is empty (no descending sequence)") {
+    assert(eval1(Text.charShingles(lit("abc"), 8)).asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    assert(eval1(Text.charShingles(lit("abcd"), 4)).asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("abcd"))
+    assert(eval1(Text.charShingles(lit("abcde"), 4)).asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("abcd", "bcde"))
+  }
+
+  test("wordShingles builds n-grams over tokens") {
+    val r = eval1(Text.wordShingles(Text.tokens(lit("a b c")), 2))
+    assert(r.asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a b", "b c"))
+  }
+
+  test("md5Mod matches an independent JVM md5 computation") {
+    val s = "hello"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = digest.map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(hex.take(15), 16) % Hashing.MinhashP
+    assert(eval1(Hashing.md5Mod(lit(s))) == expected)
+  }
+
+  test("minhash signature: equal sets => equal signatures, high overlap => mostly equal") {
+    import spark.implicits._
+    val df = Seq(
+      ("d1", "the quick brown fox jumps over the lazy dog of the river"),
+      ("d2", "the quick brown fox jumps over the lazy dog of the rivers"),
+      ("d3", "completely different content with nothing shared at all xyz"))
+      .toDF("id", "text")
+    val sig = df.select(col("id"),
+      Hashing.minhashSignature(
+        array_distinct(Text.charShingles(col("text"), 4)), 16).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val agree12 = sig("d1").zip(sig("d2")).count { case (a, b) => a == b }
+    val agree13 = sig("d1").zip(sig("d3")).count { case (a, b) => a == b }
+    assert(agree12 > agree13)
+    assert(sig("d1").length == 16)
+  }
+
+  test("simhash: identical token sets collide; disjoint sets differ") {
+    import spark.implicits._
+    val r = Seq(
+      ("a", "alpha beta gamma delta"),
+      ("b", "alpha beta gamma delta"),
+      ("c", "epsilon zeta eta theta iota kappa"))
+      .toDF("id", "text")
+      .select(col("id"), Hashing.simhash(Text.tokens(col("text"))).as("sh"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") == r("b"))
+    assert(r("a") != r("c"))
+    assert(r("a") >= 0 && r("a") <= 0xFFFFFFFFL)
+  }
+
+  test("hammingDistance counts differing bits") {
+    assert(eval1(Hashing.hammingDistance(lit(0L), lit(7L))) == 3)
+    assert(eval1(Hashing.hammingDistance(lit(5L), lit(5L))) == 0)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val row = df.select(
+      Vectors.cosine(col("a"), col("b")).as("same"),
+      Vectors.cosine(col("a"), col("c")).as("orth"),
+      Vectors.l2sq(col("a"), col("c")).as("d2")).collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(1)) < 1e-12)
+    assert(math.abs(row.getDouble(2) - 5.0) < 1e-12)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    assert(eval1(Text.langId(lit("the cat is in the house"))) == "en")
+    assert(eval1(Text.langId(lit("der hund ist nicht da und"))) == "de")
+    assert(eval1(Text.langId(lit("le chat est dans la maison"))) == "fr")
+    assert(eval1(Text.langId(lit("xyzzy plugh"))) == "und")
+  }
+
+  test("quality/punct/alpha ratios on edge cases") {
+    assert(eval1(Text.punctRatio(lit(""))) == 0.0)
+    assert(eval1(Text.punctRatio(lit("!!!"))) == 1.0)
+    assert(eval1(Text.alphaRatio(lit("ab12"))) == 0.5)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val q = emb.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect()
+    assert(out.length == 15)
+    val perQuery = out.groupBy(_.getLong(0))
+    perQuery.foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse) // rank order = similarity order
+    }
+  }
+
+  test("lshTopK neighbors are a subset-quality approximation of brute force") {
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
+      bits = 6, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sanity: produces results and overlaps exact top-k. The fixture
+    // vectors are near-random (uniform similarity spectrum) — LSH's worst
+    // case — so the bound is deliberately loose; real clustered embeddings
+    // give far higher recall.
+    assert(approx.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.05, s"LSH recall too low: $recall")
+  }
+
+  test("multimodal stub pipeline: features have the declared shape") {
+    import spark.implicits._
+    val df = Seq(
+      ("f1", Array[Byte](1, 2, 3)),
+      ("f2", Array[Byte](4, 5))).toDF("path", "content")
+    val out = Multimodal.extractFeatures(df, "content", dim = 4)
+    assert(out.schema.fieldNames.contains("features"))
+    val feats = out.collect().map(_.getSeq[Float](2))
+    assert(feats.forall(_.length == 4))
+    // deterministic: same payload -> same features
+    val again = Multimodal.extractFeatures(df, "content", dim = 4)
+      .collect().map(_.getSeq[Float](2))
+    assert(feats.toSeq == again.toSeq)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.tap
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class TapSpec extends SparkSpec {
+
+  test("concat of same-format taps unions paths into one scan") {
+    val n = Tap.concat(spark, Seq(
+      Tap.parquet(sf("sf0.001") + "/nation.parquet"),
+      Tap.parquet(sf("sf0.001") + "/nation.parquet")))
+    assert(n.count() == 2 * 25)
+  }
+
+  test("merge tags two different-schema taps (mergeTaps analog)") {
+    val m = Tap.merge(spark,
+      Tap.parquet(sf("sf0.001") + "/region.parquet"),
+      Tap.parquet(sf("sf0.001") + "/nation.parquet"))
+    assert(m.filter(col("side") === "left").count() == 5)
+    assert(m.filter(col("side") === "right").count() == 25)
+    // left rows have nation columns null-padded
+    assert(m.filter(col("side") === "left" && col("n_name").isNull).count() == 5)
+  }
+
+  test("binaryDir reads file payloads with glob filtering") {
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("b.txt"), Array[Byte](4))
+    val df = Tap.binaryDir(dir.toString, "*.bin").read(spark)
+    val rows = df.select("length").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 3)
+  }
+
+  test("fan-out write partitions by route and returns per-route stats") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-fan").toString + "/out"
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("route", "v")
+    val stats = FanOut.write(df, col("route"), out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("a" -> 2L, "b" -> 1L))
+    // route=a rows landed under the a partition directory
+    val aRows = spark.read.parquet(out).filter(col("__route") === "a").count()
+    assert(aRows == 2)
+  }
+
+  test("write + read round-trip via Tap") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft-rt").toString + "/t"
+    val tap = Tap.parquet(p)
+    tap.write(Seq((1, "x"), (2, "y")).toDF("id", "s"))
+    assert(tap.read(spark).count() == 2)
+  }
+}
