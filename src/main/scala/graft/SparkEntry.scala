@@ -583,7 +583,109 @@ object SparkEntry {
          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
          FROM scored) WHERE rank <= 10"""
 
+  // ------------------------------------------------------------------
+  // q27 — LSH approximate nearest neighbors (extension:
+  // Similarity.lshTopK): sign-random-projection buckets from md5-derived
+  // INTEGER hyperplanes + fixed-point vector elements, so bucket
+  // assignment is exact integer math reproducible in any engine; exact
+  // cosine re-rank within candidate buckets.
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.lshTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10, dim = 64,
+      bits = 8, tables = 2)
+  }
+
+  private val q27Sql =
+    """WITH planes AS (
+         SELECT t.t, p.p, d.d,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5('t' || t.t || ':p' || p.p || ':d' || d.d), j, 1)) - 1) * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)]) AS BIGINT) - 2147483648 AS w
+         FROM (SELECT range AS t FROM range(0,2)) t
+         CROSS JOIN (SELECT range AS p FROM range(0,8)) p
+         CROSS JOIN (SELECT range AS d FROM range(0,64)) d),
+       vx AS (
+         SELECT vec_id, dd.d,
+           CAST(round(CAST(embedding[dd.d + 1] AS DOUBLE) * 1048576) AS BIGINT) AS xi
+         FROM embeddings CROSS JOIN (SELECT range AS d FROM range(0,64)) dd),
+       proj AS (
+         SELECT vec_id, pl.t, pl.p, SUM(vx.xi * pl.w) AS s
+         FROM vx JOIN planes pl ON vx.d = pl.d
+         GROUP BY vec_id, pl.t, pl.p),
+       sigs AS (
+         SELECT vec_id, t,
+           CAST(t AS VARCHAR) || '|' || string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         FROM proj GROUP BY vec_id, t),
+       v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       cands AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+         FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+         WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id),
+       scored AS (
+         SELECT query_id, corpus_id,
+           list_sum([qv.e[i] * cv.e[i] for i in range(1, len(cv.e)+1)]) /
+             (sqrt(list_sum([qv.e[i] * qv.e[i] for i in range(1, len(qv.e)+1)])) *
+              sqrt(list_sum([cv.e[i] * cv.e[i] for i in range(1, len(cv.e)+1)]))) AS sim
+         FROM cands JOIN v qv ON query_id = qv.vec_id JOIN v cv ON corpus_id = cv.vec_id)
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
+  // ------------------------------------------------------------------
+  // q28 — the monoidal N-way joinStep itself as a query
+  // (Controller.hs:1165-1222 semantics through ops.MonoidJoin): customer
+  // (required) ⋈ orders (required) ⋈ high-value orders (optional), string
+  // payloads; cross-product of per-key lists, optional side ⇒ mempty.
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{JOptional, JRequired, MonoidJoin}
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").cast("string"), col("c_name"))
+      .as[(String, String)]
+    val ord = t(s, dir, "orders")
+      .select(col("o_custkey").cast("string"),
+        concat(lit("#"), col("o_orderkey")))
+      .as[(String, String)]
+    val hv = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").cast("string"), lit("!"))
+      .as[(String, String)]
+    MonoidJoin.joinStep[String, String](Seq(
+      MonoidJoin.Input(cust, JRequired),
+      MonoidJoin.Input(ord, JRequired),
+      MonoidJoin.Input(hv, JOptional)))
+      .toDF("k", "v")
+  }
+
+  private val q28Sql =
+    """SELECT CAST(c_custkey AS VARCHAR) AS k,
+         c_name || '#' || CAST(o_orderkey AS VARCHAR) || COALESCE(hv.x, '') AS v
+       FROM customer
+       JOIN orders ON o_custkey = c_custkey
+       LEFT JOIN (SELECT o_custkey AS hck, '!' AS x FROM orders WHERE o_totalprice > 200000) hv
+         ON hv.hck = c_custkey"""
+
+  // ------------------------------------------------------------------
+  // q29 — tumbling event-time windows (streaming.windowedCounts run in
+  // batch mode; Spark unifies the API so the same code serves readStream).
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.windowedCounts(
+      t(s, dir, "events"), window = "15 minutes", watermark = "1 hour")
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  private val q29Sql =
+    """SELECT strftime(time_bucket(INTERVAL 15 MINUTES, ts), '%Y-%m-%d %H:%M') AS win_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_lsh_ann" -> (q27 _),
+    "q28_monoid_join" -> (q28 _),
+    "q29_windowed_counts" -> (q29 _),
     "q18_minhash_lsh" -> (q18 _),
     "q19_ngram_jaccard" -> (q19 _),
     "q20_simhash" -> (q20 _),
@@ -613,6 +715,9 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q27_lsh_ann" -> q27Sql,
+    "q28_monoid_join" -> q28Sql,
+    "q29_windowed_counts" -> q29Sql,
     "q18_minhash_lsh" -> q18Sql,
     "q19_ngram_jaccard" -> q19Sql,
     "q20_simhash" -> q20Sql,

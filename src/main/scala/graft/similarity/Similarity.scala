@@ -42,45 +42,61 @@ object Similarity {
       .select("query_id", "corpus_id", "sim", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): md5-derived value mapped into [-1, 1). Pure expression — the
-    * "model" needs no storage and every executor computes it identically.
+  /** Deterministic hyperplane weights: integer values derived from md5 of
+    * "t<table>:p<plane>:d<dim>" (first 8 hex digits, re-centered around 0).
+    * Integer weights + fixed-point vector elements make every projection
+    * EXACT integer arithmetic — order-independent and reproducible in any
+    * engine, where a float dot-product's sign could flip with summation
+    * order for near-orthogonal vectors. Computed driver-side (a few KB — a
+    * deterministic "model" needing no fit and no storage) and shipped as
+    * literals in the plan.
     */
-  private def planeComponent(table: Int, plane: Column, dim: Column): Column = {
-    val h = md5(concat(lit(s"t$table:p"), plane.cast("string"),
-      lit(":d"), dim.cast("string")).cast("binary"))
-    // first 8 hex chars -> uniform int in [0, 16^8) -> [-1, 1)
-    val v = conv(substring(h, 1, 8), 16, 10).cast("double")
-    v / lit(math.pow(16, 8) / 2.0) - 1.0
+  private[similarity] def planeWeight(t: Int, p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"t$t:p$p:d$d".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) - 2147483648L
   }
 
+  /** Fixed-point scale for vector elements: x -> round(x * 2^20). Products
+    * with 32-bit weights stay far inside signed-64 for dims into the
+    * thousands.
+    */
+  private val FixedScale = 1048576L
+
   /** m-bit sign signature of a vector under table t's hyperplanes. */
-  private def signature(vec: Column, t: Int, bits: Int): Column =
+  private def signature(vec: Column, t: Int, bits: Int, dim: Int): Column =
     concat_ws("", (0 until bits).map { p =>
+      val w = typedLit((0 until dim).map(d => planeWeight(t, p, d)))
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(t, lit(p), i)),
-        lit(0.0), (acc, v) => acc + v)
+        zip_with(
+          transform(vec, x => round(x.cast("double") * FixedScale).cast("long")),
+          w, (x, wi) => x * wi),
+        lit(0L), (acc, v) => acc + v)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
   /** LSH ANN: bucket by signature across `tables` independent tables,
     * union candidates, exact cosine re-rank, top-k.
+    *
+    * @param dim vector dimensionality (plane weights are per-dimension)
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
+      idCol: String, vecCol: String, k: Int, dim: Int,
       bits: Int = 12, tables: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("corpus_id")) // spread signature compute beyond scan splits
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
 
     val cBuckets = (0 until tables).map { t =>
       c.select(col("corpus_id"), col("cv"),
-        concat(lit(s"$t|"), signature(col("cv"), t, bits)).as("bucket"))
+        concat(lit(s"$t|"), signature(col("cv"), t, bits, dim)).as("bucket"))
     }.reduce(_ union _)
     val qBuckets = (0 until tables).map { t =>
       q.select(col("query_id"), col("qv"),
-        concat(lit(s"$t|"), signature(col("qv"), t, bits)).as("bucket"))
+        concat(lit(s"$t|"), signature(col("qv"), t, bits, dim)).as("bucket"))
     }.reduce(_ union _)
 
     val candidates = cBuckets

@@ -34,7 +34,10 @@ object Streaming {
       .groupBy(
         org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal-exact sum: partition-order-independent, engine-portable
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
 
   /** Session windows via custom state — `flatMapGroupsWithState`, the
     * Spark-native port target for hadron-style stateful per-key reducers

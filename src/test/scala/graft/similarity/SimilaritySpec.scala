@@ -26,7 +26,7 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
-      bits = 6, tables = 3)
+      dim = 64, bits = 6, tables = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // sanity: produces results and overlaps exact top-k. The fixture
     // vectors are near-random (uniform similarity spectrum) — LSH's worst
