@@ -232,7 +232,8 @@ object SparkEntry {
   // q10 — composite keys via mkKey (Types.hs:25-26: join segments with "|").
   private def q10(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .groupBy(concat_ws("|", col("user_id"), col("event_type")).as("mkkey"))
+      .groupBy(graft.ops.Partitioning
+        .mkKey(col("user_id"), col("event_type")).as("mkkey"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
 
   private val q10Sql =
@@ -682,7 +683,70 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
        FROM events GROUP BY 1, 2"""
 
+  // ------------------------------------------------------------------
+  // q30 — embedding-cosine near-dup pairs via LSH self-join (extension:
+  // Similarity.nearDupPairs).
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.nearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+      threshold = 0.4, bits = 6, tables = 3)
+
+  private val q30Sql =
+    """WITH planes AS (
+         SELECT t.t, p.p, d.d,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5('t' || t.t || ':p' || p.p || ':d' || d.d), j, 1)) - 1) * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)]) AS BIGINT) - 2147483648 AS w
+         FROM (SELECT range AS t FROM range(0,3)) t
+         CROSS JOIN (SELECT range AS p FROM range(0,6)) p
+         CROSS JOIN (SELECT range AS d FROM range(0,64)) d),
+       vx AS (
+         SELECT vec_id, dd.d,
+           CAST(round(CAST(embedding[dd.d + 1] AS DOUBLE) * 1048576) AS BIGINT) AS xi
+         FROM embeddings CROSS JOIN (SELECT range AS d FROM range(0,64)) dd),
+       proj AS (
+         SELECT vec_id, pl.t, pl.p, SUM(vx.xi * pl.w) AS s
+         FROM vx JOIN planes pl ON vx.d = pl.d
+         GROUP BY vec_id, pl.t, pl.p),
+       sigs AS (
+         SELECT vec_id, t,
+           CAST(t AS VARCHAR) || '|' || string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         FROM proj GROUP BY vec_id, t),
+       pairs AS (
+         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings)
+       SELECT id1, id2,
+         list_sum([v1.e[i] * v2.e[i] for i in range(1, len(v1.e)+1)]) /
+           (sqrt(list_sum([v1.e[i] * v1.e[i] for i in range(1, len(v1.e)+1)])) *
+            sqrt(list_sum([v2.e[i] * v2.e[i] for i in range(1, len(v2.e)+1)]))) AS sim
+       FROM pairs JOIN v v1 ON id1 = v1.vec_id JOIN v v2 ON id2 = v2.vec_id
+       WHERE list_sum([v1.e[i] * v2.e[i] for i in range(1, len(v1.e)+1)]) /
+           (sqrt(list_sum([v1.e[i] * v1.e[i] for i in range(1, len(v1.e)+1)])) *
+            sqrt(list_sum([v2.e[i] * v2.e[i] for i in range(1, len(v2.e)+1)]))) >= 0.4"""
+
+  // ------------------------------------------------------------------
+  // q31 — typed Dataset + Aggregator: the combiner-compatible fold reduce
+  // (SURVEY §2.9; hadron's fold idiom with map-side partial aggregation).
+  // Quantities aggregated as exact integer cents.
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    final case class Li(l_returnflag: String, l_quantity: Double)
+    val agg = graft.ops.Aggregators.sumLong[(String, Long)](_._2)
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("qty_cents"))
+      .toDF("l_returnflag", "qty_cents")
+  }
+
+  private val q31Sql =
+    """SELECT l_returnflag, SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+       FROM lineitem GROUP BY l_returnflag"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_embedding_neardup" -> (q30 _),
+    "q31_typed_aggregator" -> (q31 _),
     "q27_lsh_ann" -> (q27 _),
     "q28_monoid_join" -> (q28 _),
     "q29_windowed_counts" -> (q29 _),
@@ -715,6 +779,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q30_embedding_neardup" -> q30Sql,
+    "q31_typed_aggregator" -> q31Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   val mediaMetaSchema: StructType = StructType(Seq(
-    StructField("media_type", StringType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))

@@ -113,4 +113,36 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "sim", "rank")
   }
+
+  /** Embedding-cosine near-duplicate pairs via LSH self-join: bucket every
+    * vector across `tables` signatures, pair within buckets (id1 < id2),
+    * verify exact cosine ≥ threshold. The LSH stage keeps the pair space
+    * sub-quadratic at corpus scale; recall rises with `tables` and falls
+    * with `bits` (tune per corpus duplicate profile).
+    */
+  def nearDupPairs(
+      corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      threshold: Double,
+      bits: Int = 6, tables: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
+      .cache() // reused: bucketing (both join sides) + cosine verify
+    val buckets = (0 until tables).map { t =>
+      c.select(col("id"),
+        concat(lit(s"$t|"), signature(col("v"), t, bits, dim)).as("bucket"))
+    }.reduce(_ union _)
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    pairs
+      .join(c.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(c.select(col("id").as("id2"), col("v").as("v2")), "id2")
+      .withColumn("sim", Vectors.cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
 }

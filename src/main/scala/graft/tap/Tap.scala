@@ -67,6 +67,28 @@ object Tap {
     else taps.map(_.read(spark)).reduce(_ unionByName _)
   }
 
+  /** `readTap` analog (Controller.hs:383-412): load a whole tap into
+    * driver memory. Small data only — same caveat the reference's own
+    * comment makes (:381-382); the retry/QSem machinery it needs for raw
+    * HDFS cats is subsumed by Spark's task retries.
+    */
+  def readAll(spark: SparkSession, tap: Tap): Array[org.apache.spark.sql.Row] =
+    tap.read(spark).collect()
+
+  /** `fileListTap` analog (Controller.hs:463-471): the input is a text
+    * file OF file paths; the data is whatever those paths hold. Hadron
+    * needed this to keep Hadoop from newline-splitting binary files —
+    * Spark's readers split on files, so this is just an indirection read.
+    */
+  def fromFileList(
+      spark: SparkSession,
+      listFile: String,
+      format: String = "binaryFile"): DataFrame = {
+    val paths = spark.read.textFile(listFile)
+      .collect().map(_.trim).filter(_.nonEmpty)
+    spark.read.format(format).load(paths.toIndexedSeq: _*)
+  }
+
   /** `mergeTaps` analog (Controller.hs:422-439): two taps of different
     * schemas merged into one tagged union. Hadron dispatches per-file on
     * decode and per-record on encode; relationally this is a `side` tag

@@ -1,0 +1,41 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MultimodalSpec extends SparkSpec {
+
+  test("loadMediaDir builds (path, length, content, meta) with type from extension") {
+    val dir = Files.createTempDirectory("graft-media")
+    Files.write(dir.resolve("clip.mp4"), Array[Byte](9, 9))
+    Files.write(dir.resolve("pic.jpg"), Array[Byte](1, 2, 3, 4))
+    val df = Multimodal.loadMediaDir(spark, dir.toString)
+    val types = df.select(col("meta.media_type")).collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(types == Seq("jpg", "mp4"))
+    assert(df.schema("meta").dataType == Multimodal.mediaMetaSchema)
+  }
+
+  test("decodeImageMeta stub emits bounded deterministic dimensions") {
+    import spark.implicits._
+    val df = Seq(("a", Array[Byte](1, 2)), ("b", Array[Byte](3))).toDF("path", "content")
+    val out = Multimodal.decodeImageMeta(df).select("decoded.width", "decoded.height")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(out.forall { case (w, h) => w >= 1 && w <= 1920 && h >= 1 && h <= 1080 })
+    val again = Multimodal.decodeImageMeta(df).select("decoded.width", "decoded.height")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("sampleFrames explodes one row per sampled frame position") {
+    import spark.implicits._
+    val df = Seq(("v1", 2500L)).toDF("path", "dur")
+      .select(col("path"), struct(lit("mp4").as("media_type"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        col("dur").as("duration_ms")).as("meta"))
+    val frames = Multimodal.sampleFrames(df, everyMs = 1000)
+      .select("frame_ms").collect().map(_.getLong(0)).toSeq
+    assert(frames == Seq(0L, 1000L, 2000L))
+  }
+}
