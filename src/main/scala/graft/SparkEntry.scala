@@ -404,11 +404,11 @@ object SparkEntry {
            list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
          FROM documents WHERE len(text) >= 8),
        based AS (
-         SELECT id, shingles,
-           [CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles] AS vms
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
          FROM docs),
        sigs AS (
-         SELECT id, shingles,
+         SELECT id, vms,
            [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
          FROM based),
        bands AS (
@@ -419,8 +419,8 @@ object SparkEntry {
          FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id),
        verified AS (
          SELECT id1, id2,
-           len(list_intersect(d1.shingles, d2.shingles)) AS common,
-           len(d1.shingles) AS n1, len(d2.shingles) AS n2
+           len(list_intersect(d1.vms, d2.vms)) AS common,
+           len(d1.vms) AS n1, len(d2.vms) AS n2
          FROM pairs JOIN sigs d1 ON id1 = d1.id JOIN sigs d2 ON id2 = d2.id)
        SELECT id1, id2, CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard
        FROM verified WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.3"""
