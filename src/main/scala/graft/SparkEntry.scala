@@ -438,7 +438,11 @@ object SparkEntry {
          SELECT doc_id AS id,
            list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
          FROM documents WHERE len(text) >= 8),
-       posting AS (SELECT id, unnest(shingles) AS sh FROM docs),
+       hdocs AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       posting AS (SELECT id, unnest(vms) AS sh FROM hdocs),
        rare AS (SELECT sh FROM posting GROUP BY sh HAVING COUNT(*) <= 100),
        fp AS (SELECT id, p.sh FROM posting p JOIN rare r ON p.sh = r.sh),
        sizes AS (SELECT id, COUNT(*) AS nsh FROM fp GROUP BY id),
@@ -744,6 +748,32 @@ object SparkEntry {
     """SELECT l_returnflag, SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
        FROM lineitem GROUP BY l_returnflag"""
 
+  // ------------------------------------------------------------------
+  // q32 — multimodal-column plumbing (binaryFile tap ≈ hadron's
+  // fileListTap/binaryDirTap, SURVEY §2.1, + the training-pipeline media
+  // path): opaque binary payloads + typed metadata → stub decode →
+  // per-partition feature extraction → frame sampling. The fixture parquet
+  // files stand in for media blobs; no DuckDB oracle (binary payloads
+  // aren't SQL-expressible) → driver records the rows-only check.
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.loadMediaDir(s, dir, "*.parquet")
+      .withColumn("meta", struct(
+        col("meta.media_type"),
+        col("meta.width"), col("meta.height"),
+        (col("length") % 10000).as("duration_ms"))) // stub duration
+    val decoded = Multimodal.extractFeatures(
+      Multimodal.decodeImageMeta(media), dim = 8)
+    Multimodal.sampleFrames(decoded, everyMs = 2000)
+      .groupBy(regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("file"))
+      .agg(
+        max(col("length")).as("bytes"),
+        max(col("decoded.width")).as("width"),
+        max(col("decoded.height")).as("height"),
+        count(lit(1)).as("n_frames"),
+        dsum(element_at(col("features"), 1).cast("double")).as("f0_sum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -776,6 +806,7 @@ object SparkEntry {
     "q17_sessionize" -> (q17 _),
     "q24_dedup_exact" -> (q24 _),
     "q25_dedup_fingerprint" -> (q25 _),
+    "q32_multimodal" -> (q32 _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -24,8 +24,12 @@ object Dedup {
     * kernel does the same work in ~0.1 ms/doc. Equivalence with the
     * Column version is asserted by DedupKernelSpec.
     *
-    * Output schema: (id <input type>, shingles array<string>,
-    * vms array<bigint>) — vms(i) = md5Mod(shingles(i)).
+    * Output schema: (id <input type>, vms array<bigint>) — the DISTINCT
+    * md5-mod hashes of the doc's k-char shingles, in first-occurrence
+    * order. The string shingles themselves are never emitted: every
+    * consumer (LSH banding, jaccard verify, posting lists) operates on the
+    * hashed-shingle set, and serializing ~300 strings/doc was the single
+    * biggest cost of the old shape.
     */
   private[graft] def shingleDocs(
       df: DataFrame,
@@ -38,7 +42,6 @@ object Dedup {
       .repartition(par, col("id")) // kernel runs post-exchange, not at scan parallelism
     val schema = StructType(Seq(
       base.schema("id"),
-      StructField("shingles", ArrayType(StringType, false), false),
       StructField("vms", ArrayType(LongType, false), false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
@@ -48,30 +51,53 @@ object Dedup {
         val text = r.getString(1)
         if (text == null || text.length < k) Iterator.empty
         else {
+          // dedupe on the STRING shingle first (matches list_distinct in
+          // the oracle), then hash; hash collisions fold identically in
+          // the oracle's md5-mod space
           val seen = new java.util.LinkedHashSet[String]()
           var i = 0
           while (i <= text.length - k) { seen.add(text.substring(i, i + k)); i += 1 }
-          val shingles = new Array[String](seen.size)
-          // vms deduped: downstream jaccard runs on the hashed-shingle SET,
-          // so both engines see identical (collision-folded) sets
           val vmSet = new java.util.LinkedHashSet[java.lang.Long]()
-          val it = seen.iterator(); var j = 0
+          val it = seen.iterator()
           while (it.hasNext) {
-            val s = it.next(); shingles(j) = s
-            val d = md.digest(s.getBytes("UTF-8"))
+            val d = md.digest(it.next().getBytes("UTF-8"))
             // first 15 hex digits = unsigned top 8 bytes >>> 4 (60 bits)
             val v = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
             vmSet.add(v % Hashing.MinhashP)
-            j += 1
           }
           val vms = new Array[Long](vmSet.size)
           val vit = vmSet.iterator(); var jj = 0
           while (vit.hasNext) { vms(jj) = vit.next(); jj += 1 }
-          Iterator(org.apache.spark.sql.Row(r.get(0),
-            shingles.toIndexedSeq, vms.toIndexedSeq))
+          Iterator(org.apache.spark.sql.Row(r.get(0), vms.toIndexedSeq))
         }
       }
     }(enc)
+  }
+
+  /** Emit all (id1 < id2) pairs from each group's id list — the shared
+    * tail of every bucketed candidate generator (LSH bands, inverted
+    * index). Groups are size-capped by the caller, so per-row work is
+    * bounded; the pair stream feeds a groupBy/distinct that partial-
+    * aggregates map-side. Replaces a posting-list self-join: one
+    * grouping shuffle instead of join-build + probe + pair shuffle.
+    */
+  private def emitPairs(groups: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pairSchema = StructType(Seq(
+      StructField("id1", idType, false), StructField("id2", idType, false)))
+    val penc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(pairSchema)
+    implicit val anyOrd: Ordering[Any] =
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    groups.select(col("ids")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ids = r.getSeq[Any](0).sorted
+        for {
+          i <- ids.indices.iterator
+          j <- (i + 1) until ids.length
+        } yield org.apache.spark.sql.Row(ids(i), ids(j))
+      }
+    }(penc)
   }
 
   /** Exact dedup via content hash: one row per distinct content with the
@@ -157,25 +183,20 @@ object Dedup {
             org.apache.spark.sql.Row(r.get(0), sb.toString)
           }
         }
-      }(enc).cache()
+      }(enc)
     }
 
-    // Cap pathological buckets (boilerplate): aggregate bucket sizes (small
-    // result, broadcast-joinable) rather than a window over the full table.
-    val bucketed =
-      if (maxBucketSize == Int.MaxValue) banded
-      else {
-        val ok = banded.groupBy("bucket").agg(count(lit(1)).as("bsize"))
-          .filter(col("bsize") <= maxBucketSize)
-          .select("bucket")
-        banded.join(broadcast(ok), Seq("bucket"), "left_semi")
-      }
+    // ONE grouping shuffle gathers each bucket's ids; the size filter is
+    // simultaneously the pathological-bucket cap (boilerplate buckets are
+    // dropped before any pair is materialized — the skew guard at scale)
+    // and the singleton prune. collect_list partial-aggregates map-side;
+    // a mega-bucket's reduce buffer is bounded by its corpus-wide bucket
+    // size, the quantity maxBucketSize caps.
+    val grouped = banded.groupBy("bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
 
-    val pairs = bucketed.as("a")
-      .join(bucketed.as("b"), col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    val pairs = emitPairs(grouped, docs.schema("id").dataType).distinct()
 
     verifyJaccard(pairs, docs, threshold)
   }
@@ -193,24 +214,41 @@ object Dedup {
       shingleK: Int = 8,
       threshold: Double = 0.5,
       maxDf: Int = 500): DataFrame = {
+    // Posting list over the HASHED shingle set (8-byte keys — the joins
+    // and groupBys shuffle longs, not strings; hash collisions fold
+    // identically in the oracle, which computes the same md5-mod space).
+    //
+    // Shape: (1) df-count per shingle — a pure codegen hash agg with
+    // map-side partials, the cheapest possible pass over the posting
+    // list; (2) semi-join the posting list against the surviving (rare)
+    // shingles — on repetitive corpora the stop-shingles carry the bulk
+    // of the posting rows (80% on the fixture), so filtering BEFORE any
+    // list-building is the difference between collecting 180k and 1.45M
+    // rows; the rare set is df-bounded per key and usually small enough
+    // for AQE to broadcast the join; (3) collect the per-shingle id
+    // lists (all ≤ maxDf by construction — skew-proof) and emit (id1 <
+    // id2) pairs with a kernel — no posting self-join, so the only wide
+    // intermediate is the pair stream, whose groupBy partial-aggregates
+    // map-side. `sizes` (one row per doc) joins at the end; AQE
+    // broadcasts it when small.
+    // NOT cached: the shingle kernel is cheaper to recompute for the
+    // df-count and probe sides than a cache materialization barrier
     val docs = shingleDocs(df, idCol, textCol, shingleK)
 
-    val posting = docs
-      .select(col("id"), explode(col("shingles")).as("sh"))
+    val posting = docs.select(col("id"), explode(col("vms")).as("sh"))
     val rare = posting.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("sh")
-    // cached: reused by the pair self-join (both sides) and the size table
-    val filtered = posting.join(rare, "sh").cache()
-    // Jaccard over the df-FILTERED shingle space (sizes from `filtered`,
-    // not the raw sets) — self-consistent after dropping stop-shingles.
+      .filter(col("df") <= maxDf).select("sh")
+    val filtered = posting.join(rare, "sh")
+
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("nsh"))
 
-    val common = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("common"))
+    val groups = filtered
+      .groupBy("sh")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+
+    val common = emitPairs(groups, docs.schema("id").dataType)
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
 
     common
       .join(sizes.withColumnRenamed("id", "id1")

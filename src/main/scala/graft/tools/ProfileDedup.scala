@@ -23,6 +23,45 @@ object ProfileDedup {
     val df = spark.read.parquet(s"$dir/documents.parquet")
     time("scan count")(df.count())
 
+    if (args.contains("ngram")) {
+      val docs = graft.dedup.Dedup.shingleDocs(
+        df, col("doc_id"), col("text"), 8)
+      time("shingleDocs")(docs.count())
+      time("shingleDocs again (warm)")(docs.count())
+      val posting = docs.select(col("id"), explode(col("vms")).as("sh"))
+      time("posting")(posting.count())
+      val rare = posting.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("sh")
+      time("rare (df count)")(rare.count())
+      val filtered = posting.join(rare, "sh")
+      time("filtered (semi-join)")(filtered.count())
+      val sizes = filtered.groupBy("id").agg(count(lit(1)).as("nsh"))
+      time("sizes")(sizes.count())
+      val groups = filtered.groupBy("sh")
+        .agg(collect_list(col("id")).as("ids"))
+      time("groups")(groups.count())
+      val full = graft.dedup.Dedup.ngramJaccard(
+        df, col("doc_id"), col("text"), 8, 0.3, 100)
+      time("FULL ngramJaccard 1")(full.count())
+      spark.sparkContext.setJobDescription("full2")
+      time("FULL ngramJaccard 2")(graft.dedup.Dedup.ngramJaccard(
+        df, col("doc_id"), col("text"), 8, 0.3, 100).count())
+      println(graft.dedup.Dedup.ngramJaccard(
+        df, col("doc_id"), col("text"), 8, 0.3, 100)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.takeWhile(_.nonEmpty).mkString("\n"))
+      spark.stop(); return
+    }
+
+    time("FULL minhashLsh cold")(graft.dedup.Dedup.minhashLsh(
+      df, col("doc_id"), col("text"), 8, 12, 3, 0.3, Int.MaxValue).count())
+    time("FULL minhashLsh warm")(graft.dedup.Dedup.minhashLsh(
+      df, col("doc_id"), col("text"), 8, 12, 3, 0.3, Int.MaxValue).count())
+    spark.catalog.clearCache()
+    time("FULL minhashLsh uncached")(graft.dedup.Dedup.minhashLsh(
+      df, col("doc_id"), col("text"), 8, 12, 3, 0.3, Int.MaxValue).count())
+
     val docs = graft.dedup.Dedup.shingleDocs(
         df, col("doc_id"), col("text"), 8).cache()
     time("docs cache (shingle+md5)")(docs.count())
@@ -42,8 +81,8 @@ object ProfileDedup {
     time("pairs (self-join+distinct)")(pairs.count())
 
     val verified = pairs
-      .join(docs.select(col("id").as("id1"), col("shingles").as("sh1")), "id1")
-      .join(docs.select(col("id").as("id2"), col("shingles").as("sh2")), "id2")
+      .join(docs.select(col("id").as("id1"), col("vms").as("sh1")), "id1")
+      .join(docs.select(col("id").as("id2"), col("vms").as("sh2")), "id2")
       .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("common")))

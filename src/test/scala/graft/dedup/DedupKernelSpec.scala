@@ -9,19 +9,19 @@ import org.apache.spark.sql.functions._
   */
 class DedupKernelSpec extends SparkSpec {
 
-  test("shingleDocs kernel == Column formulation (shingles and vms)") {
+  test("shingleDocs kernel == Column formulation (hashed-shingle sets)") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
       .limit(50)
     val kernel = Dedup.shingleDocs(df, col("doc_id"), col("text"), 8)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[String](1).toSet, r.getSeq[Long](2).toSet))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
       .sortBy(_._1)
     val column = df.select(col("doc_id"),
         array_distinct(Text.charShingles(col("text"), 8)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("vms", transform(col("sh"), s => Hashing.md5Mod(s)))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[String](1).toSet, r.getSeq[Long](2).toSet))
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toSet))
       .sortBy(_._1)
     assert(kernel.length == column.length)
     kernel.zip(column).foreach { case (k, c) => assert(k == c) }

@@ -28,6 +28,13 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("q32_multimodal runs end-to-end and yields one row per fixture file") {
+    val out = graft.SparkEntry.queries("q32_multimodal")(spark, sf("sf0.001"))
+      .collect()
+    assert(out.length > 0)
+    assert(out.forall(r => r.getLong(r.fieldIndex("n_frames")) > 0))
+  }
+
   test("sampleFrames explodes one row per sampled frame position") {
     import spark.implicits._
     val df = Seq(("v1", 2500L)).toDF("path", "dur")
