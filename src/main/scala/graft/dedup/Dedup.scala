@@ -186,15 +186,18 @@ object Dedup {
       }(enc)
     }
 
-    // ONE grouping shuffle gathers each bucket's ids; the size filter is
+    // ONE grouping shuffle gathers each bucket's ids; the count filter is
     // simultaneously the pathological-bucket cap (boilerplate buckets are
     // dropped before any pair is materialized — the skew guard at scale)
-    // and the singleton prune. collect_list partial-aggregates map-side;
-    // a mega-bucket's reduce buffer is bounded by its corpus-wide bucket
-    // size, the quantity maxBucketSize caps.
+    // and the singleton prune. collect_list_capped (graft's Catalyst
+    // aggregate) bounds every aggregation buffer by maxBucketSize even
+    // for mega-buckets, whose truncated lists the filter then discards.
     val grouped = banded.groupBy("bucket")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+      .agg(
+        call_function("collect_list_capped", col("id"),
+          lit(maxBucketSize)).as("ids"),
+        count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucketSize))
 
     val pairs = emitPairs(grouped, docs.schema("id").dataType).distinct()
 
@@ -214,40 +217,36 @@ object Dedup {
       shingleK: Int = 8,
       threshold: Double = 0.5,
       maxDf: Int = 500): DataFrame = {
-    // Posting list over the HASHED shingle set (8-byte keys — the joins
-    // and groupBys shuffle longs, not strings; hash collisions fold
+    // Posting list over the HASHED shingle set (8-byte keys — the
+    // groupBys shuffle longs, not strings; hash collisions fold
     // identically in the oracle, which computes the same md5-mod space).
     //
-    // Shape: (1) df-count per shingle — a pure codegen hash agg with
-    // map-side partials, the cheapest possible pass over the posting
-    // list; (2) semi-join the posting list against the surviving (rare)
-    // shingles — on repetitive corpora the stop-shingles carry the bulk
-    // of the posting rows (80% on the fixture), so filtering BEFORE any
-    // list-building is the difference between collecting 180k and 1.45M
-    // rows; the rare set is df-bounded per key and usually small enough
-    // for AQE to broadcast the join; (3) collect the per-shingle id
-    // lists (all ≤ maxDf by construction — skew-proof) and emit (id1 <
-    // id2) pairs with a kernel — no posting self-join, so the only wide
-    // intermediate is the pair stream, whose groupBy partial-aggregates
-    // map-side. `sizes` (one row per doc) joins at the end; AQE
-    // broadcasts it when small.
-    // NOT cached: the shingle kernel is cheaper to recompute for the
-    // df-count and probe sides than a cache materialization barrier
+    // Shape: ONE scan, ONE wide shuffle. The posting list groups by
+    // shingle with `collect_list_capped` (graft's Catalyst aggregate) +
+    // an exact count: a stop-shingle with df in the millions never
+    // buffers more than maxDf ids — map-side partials and the merge
+    // alike — and its (truncated, never-observed) group is dropped by
+    // the df filter before any pair materializes. The surviving groups
+    // table is the compact "rare posting index"; it's cached because it
+    // feeds both the per-doc size table and the pair stream. Pairs come
+    // from a per-group kernel (no posting self-join); their groupBy
+    // partial-aggregates map-side. `sizes` (one row per doc) joins at
+    // the end; AQE broadcasts it when small.
     val docs = shingleDocs(df, idCol, textCol, shingleK)
 
-    val posting = docs.select(col("id"), explode(col("vms")).as("sh"))
-    val rare = posting.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("sh")
-    val filtered = posting.join(rare, "sh")
-
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("nsh"))
-
-    val groups = filtered
+    val groups = docs
+      .select(col("id"), explode(col("vms")).as("sh"))
       .groupBy("sh")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(
+        call_function("collect_list_capped", col("id"), lit(maxDf)).as("ids"),
+        count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .cache()
 
-    val common = emitPairs(groups, docs.schema("id").dataType)
+    val sizes = groups.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("nsh"))
+
+    val common = emitPairs(groups.filter(col("df") >= 2), docs.schema("id").dataType)
       .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
 
     common
