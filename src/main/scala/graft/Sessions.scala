@@ -40,5 +40,12 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       // events.ts is parquet TIMESTAMP(NANOS); Spark 4 otherwise refuses it
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (collect_list/_capped, typed buffers) falls
+      // back to SORT-based aggregation after this many distinct keys per
+      // partition; the default (128) turns every posting-list grouping
+      // into a full sort. graft's aggregation buffers are size-capped
+      // (CollectListCapped), so a ~1M-entry hash map stays ~100 MB/task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .withExtensions(registerExtensions)
 }

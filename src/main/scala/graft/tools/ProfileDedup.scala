@@ -62,23 +62,27 @@ object ProfileDedup {
     time("FULL minhashLsh uncached")(graft.dedup.Dedup.minhashLsh(
       df, col("doc_id"), col("text"), 8, 12, 3, 0.3, Int.MaxValue).count())
 
+    // stage-by-stage, mirroring the real minhashLsh shape
     val docs = graft.dedup.Dedup.shingleDocs(
         df, col("doc_id"), col("text"), 8).cache()
     time("docs cache (shingle+md5)")(docs.count())
 
-    val banded = docs.select(col("id"),
-        Hashing.lshBandKeys(Hashing.minhashFromBase(col("vms"), 12), 3, 4)
-          .as("bk"))
-      .select(col("id"), explode(col("bk")).as("bucket"))
-      .cache()
-    // (column-based banding, for comparison with the kernel inside minhashLsh)
-    time("banded cache (signature)")(banded.count())
+    val banded = graft.dedup.Dedup.bandBuckets(docs, 12, 3)
+    time("banded (sig kernel)")(banded.count())
 
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val grouped = banded.groupBy("bucket")
+      .agg(call_function("collect_list_capped", col("id"),
+          lit(Int.MaxValue)).as("ids"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
       .cache()
-    time("pairs (self-join+distinct)")(pairs.count())
+    time("grouped cache")(grouped.count())
+
+    val pairs = grouped.select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .distinct().cache()
+    time("pairs distinct cache")(pairs.count())
 
     val verified = pairs
       .join(docs.select(col("id").as("id1"), col("vms").as("sh1")), "id1")
@@ -88,6 +92,7 @@ object ProfileDedup {
         (size(col("sh1")) + size(col("sh2")) - col("common")))
       .filter(col("jaccard") >= 0.3)
     time("verify (2 joins+intersect)")(verified.count())
+    time("verify again (warm)")(verified.count())
 
     spark.stop()
   }
