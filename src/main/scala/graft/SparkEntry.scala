@@ -774,6 +774,52 @@ object SparkEntry {
         dsum(element_at(col("features"), 1).cast("double")).as("f0_sum"))
   }
 
+  // ------------------------------------------------------------------
+  // q33 — IVF approximate nearest neighbors (extension:
+  // Similarity.ivfTopK): deterministic sampled coarse quantizer (16
+  // lowest-id vectors), nprobe=4 probed inverted lists, exact cosine
+  // re-rank. The scale path complementing q27's LSH variant.
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.ivfTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10,
+      nlist = 16, nprobe = 4)
+  }
+
+  private val q33Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       asg AS (
+         SELECT vec_id, e, cent_id FROM (
+           SELECT v.vec_id, v.e, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum([v.e[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM v CROSS JOIN cents c) WHERE r = 1),
+       probe AS (
+         SELECT query_id, qe, cent_id FROM (
+           SELECT q.query_id, q.qe, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+               list_sum([q.qe[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([q.qe[i] * q.qe[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM q CROSS JOIN cents c) WHERE r <= 4),
+       scored AS (
+         SELECT p.query_id, a.vec_id AS corpus_id,
+           list_sum([p.qe[i] * a.e[i] for i in range(1, 65)]) /
+             (sqrt(list_sum([p.qe[i] * p.qe[i] for i in range(1, 65)])) *
+              sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)]))) AS sim
+         FROM probe p JOIN asg a USING (cent_id) WHERE p.query_id <> a.vec_id)
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -807,11 +853,13 @@ object SparkEntry {
     "q24_dedup_exact" -> (q24 _),
     "q25_dedup_fingerprint" -> (q25 _),
     "q32_multimodal" -> (q32 _),
+    "q33_ivf_ann" -> (q33 _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "q30_embedding_neardup" -> q30Sql,
     "q31_typed_aggregator" -> q31Sql,
+    "q33_ivf_ann" -> q33Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -149,6 +149,85 @@ object Similarity {
       .select("query_id", "corpus_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into inverted lists; each query probes its
+    * `nprobe` nearest lists and re-ranks exactly within them. The scan
+    * cost drops from |corpus| to ~|corpus|*nprobe/nlist per query — the
+    * classic trade against LSH (lshTopK): IVF adapts to the data's
+    * density, LSH needs no assignment pass.
+    *
+    * The quantizer here is a deterministic sample — the `nlist`
+    * lowest-id corpus vectors (no training pass; swap in k-means
+    * centroids without touching the plan shape). Centroids are collected
+    * to the driver and shipped in the task closure: an IVF coarse
+    * quantizer is small BY DESIGN (nlist ~ sqrt(corpus)), exactly
+    * hadron's runOnce-then-broadcast idiom
+    * (/root/reference/src/Hadron/Controller.hs:724-725).
+    *
+    * Assignment/probing run in one typed kernel per side — argmax over
+    * the closure's centroid array, no corpus x nlist shuffle. All cosine
+    * arithmetic is the same left-fold double sequence as the oracle's,
+    * ties broken on ascending centroid id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = corpus.sparkSession
+    val cents: Array[(Long, Array[Double])] = corpus
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
+      .orderBy(col("cent_id")).limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+
+    // cosine with the exact operation order of withCosineKernel/oracle
+    def cos(a: Seq[Float], c: Array[Double]): Double = {
+      val n = math.min(a.length, c.length)
+      var dot = 0.0; var na = 0.0; var nc = 0.0
+      var i = 0
+      while (i < n) { dot += a(i).toDouble * c(i); i += 1 }
+      i = 0
+      while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+      i = 0
+      while (i < c.length) { nc += c(i) * c(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nc))
+    }
+
+    // (vec, nearest-n centroid ids by (sim desc, cent_id asc))
+    def assignKernel(df: DataFrame, vecIdx: Int, n: Int): DataFrame = {
+      val schema = df.schema.add(StructField("cent_id", LongType, false))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      df.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val v = r.getSeq[Float](vecIdx)
+          cents.map { case (cid, ce) => (cid, cos(v, ce)) }
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(n)
+            .map { case (cid, _) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cid) }
+        }
+      }(enc)
+    }
+
+    val par = spark.sparkContext.defaultParallelism
+    val assigned = assignKernel(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+        .repartition(par, col("corpus_id")), 1, 1)
+    val probes = assignKernel(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), 1, nprobe)
+
+    val candidates = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    withCosineKernel(candidates, "qv", "cv", "sim")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH self-join: bucket every
     * vector across `tables` signatures, pair within buckets (id1 < id2),
     * verify exact cosine ≥ threshold. The LSH stage keeps the pair space

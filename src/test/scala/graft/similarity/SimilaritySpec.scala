@@ -37,6 +37,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.05, s"LSH recall too low: $recall")
   }
 
+  test("ivfTopK recall vs brute force; every result within probed lists") {
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10,
+      nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    // probing half the lists (nprobe=4 of nlist=8) on near-random vectors
+    // should still recover a solid fraction of true neighbors
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("multimodal stub pipeline: features have the declared shape") {
     import spark.implicits._
     val df = Seq(
