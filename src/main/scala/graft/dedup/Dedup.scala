@@ -128,7 +128,7 @@ object Dedup {
     * aggregation. Replaces a posting-list self-join: one grouping
     * shuffle instead of join-build + probe + pair shuffle.
     */
-  private def emitPairCounts(
+  private[graft] def emitPairCounts(
       groups: DataFrame,
       idType: org.apache.spark.sql.types.DataType,
       flushAt: Int = 1 << 22): DataFrame = {

@@ -37,6 +37,33 @@ final case class Tap(
 
   /** Equality by location, like the reference (Controller.hs:342-343). */
   def sameLocation(other: Tap): Boolean = paths.toSet == other.paths.toSet
+
+  /** The same binding as an unbounded source: files that appear under the
+    * path after the query starts flow through incrementally. File stream
+    * sources can't infer schemas, so one must be set. (No reference
+    * analog — hadron is batch-only, SURVEY §2.8 — but the point of
+    * sharing the Tap is that a batch pipeline re-binds to a stream
+    * without rewriting its transforms.)
+    */
+  def readStream(spark: SparkSession): DataFrame = {
+    require(paths.size == 1, s"stream source must be a single path, got $paths")
+    require(schema.nonEmpty, "file stream sources require an explicit schema")
+    spark.readStream.format(format).options(options)
+      .schema(schema.get).load(paths.head)
+  }
+
+  /** Sink side of the stream binding: append-mode file sink with exactly-
+    * once semantics via the checkpoint. Returns the running query.
+    */
+  def writeStream(
+      df: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(paths.size == 1, s"stream sink must be a single path, got $paths")
+    df.writeStream.format(format).options(options)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", paths.head)
+      .start()
+  }
 }
 
 object Tap {

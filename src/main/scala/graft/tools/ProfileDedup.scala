@@ -28,29 +28,29 @@ object ProfileDedup {
         df, col("doc_id"), col("text"), 8)
       time("shingleDocs")(docs.count())
       time("shingleDocs again (warm)")(docs.count())
-      val posting = docs.select(col("id"), explode(col("vms")).as("sh"))
-      time("posting")(posting.count())
-      val rare = posting.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 100).select("sh")
-      time("rare (df count)")(rare.count())
-      val filtered = posting.join(rare, "sh")
-      time("filtered (semi-join)")(filtered.count())
-      val sizes = filtered.groupBy("id").agg(count(lit(1)).as("nsh"))
+      // mirror of the current ngramJaccard shape, stage by stage
+      val groups = docs.select(col("id"), explode(col("vms")).as("sh"))
+        .groupBy("sh")
+        .agg(call_function("collect_list_capped", col("id"), lit(100)).as("ids"),
+          count(lit(1)).as("df"))
+        .filter(col("df") <= 100)
+        .cache()
+      time("groups cache (capped agg)")(groups.count())
+      val sizes = groups.select(explode(col("ids")).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("nsh"))
       time("sizes")(sizes.count())
-      val groups = filtered.groupBy("sh")
-        .agg(collect_list(col("id")).as("ids"))
-      time("groups")(groups.count())
+      val common = graft.dedup.Dedup.emitPairCounts(
+          groups.filter(col("df") >= 2),
+          org.apache.spark.sql.types.LongType)
+        .groupBy("id1", "id2").agg(sum(col("cnt")).as("common"))
+      time("common (kernel+sum)")(common.count())
       val full = graft.dedup.Dedup.ngramJaccard(
         df, col("doc_id"), col("text"), 8, 0.3, 100)
       time("FULL ngramJaccard 1")(full.count())
-      spark.sparkContext.setJobDescription("full2")
       time("FULL ngramJaccard 2")(graft.dedup.Dedup.ngramJaccard(
         df, col("doc_id"), col("text"), 8, 0.3, 100).count())
-      println(graft.dedup.Dedup.ngramJaccard(
-        df, col("doc_id"), col("text"), 8, 0.3, 100)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        .linesIterator.takeWhile(_.nonEmpty).mkString("\n"))
+      time("FULL ngramJaccard 3")(graft.dedup.Dedup.ngramJaccard(
+        df, col("doc_id"), col("text"), 8, 0.3, 100).count())
       spark.stop(); return
     }
 

@@ -51,4 +51,25 @@ class TapSpec extends SparkSpec {
     tap.write(Seq((1, "x"), (2, "y")).toDF("id", "s"))
     assert(tap.read(spark).count() == 2)
   }
+
+  test("a Tap re-binds as a stream: file source -> transform -> file sink") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream")
+    val inDir = base.resolve("in").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val batch = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    batch.write.parquet(inDir)
+
+    val src = Tap.parquet(inDir).copy(schema = Some(batch.schema))
+    val sink = Tap.parquet(outDir)
+    // same relational transform a batch pipeline would apply
+    val q = sink.writeStream(
+      src.readStream(spark).filter(col("v") >= 20.0), ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val out = sink.read(spark).select("id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(2L, 3L))
+  }
 }
