@@ -40,6 +40,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       // events.ts is parquet TIMESTAMP(NANOS); Spark 4 otherwise refuses it
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables (Tap.writeBucketed) land here, not in the cwd
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       // ObjectHashAggregate (collect_list/_capped, typed buffers) falls
       // back to SORT-based aggregation after this many distinct keys per
       // partition; the default (128) turns every posting-list grouping

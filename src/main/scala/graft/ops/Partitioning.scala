@@ -43,4 +43,31 @@ object Partitioning {
     val n = c.cast("double")
     if (reverse) n.desc else n.asc
   }
+
+  /** Salted equi-join for skewed key distributions (no reference analog —
+    * hadron inherits Hadoop's one-reducer-per-key and simply stalls on hot
+    * keys). The skewed side gets a deterministic salt derived from its
+    * whole row; the other side is replicated across all `salt` values, so
+    * a hot key's rows spread over `salt` shuffle partitions instead of
+    * one. Inner-join semantics are unchanged.
+    *
+    * Prefer AQE's skew-join handling (on by default here) for sort-merge
+    * joins it can split; reach for explicit salting when the hot key is
+    * known and the replicated side is small-ish (cost = |other| x salt
+    * shuffle rows), or when the join runs inside an operator AQE can't
+    * re-plan.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      keys: Seq[String],
+      salt: Int): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val saltCol = "__graft_salt"
+    val s = skewed.withColumn(
+      saltCol, pmod(hash(skewed.columns.map(col): _*), lit(salt)))
+    val o = other.withColumn(
+      saltCol, explode(sequence(lit(0), lit(salt - 1))))
+    s.join(o, keys :+ saltCol).drop(saltCol)
+  }
 }

@@ -116,6 +116,34 @@ object Tap {
     spark.read.format(format).load(paths.toIndexedSeq: _*)
   }
 
+  /** Bucketed sink: pre-shuffle the data into `n` buckets on the join/
+    * group key at WRITE time, so every later equi-join or aggregation on
+    * that key runs with NO exchange — the co-located-join lever for
+    * pipelines whose stages repeatedly meet on one key (no reference
+    * analog; hadron re-shuffles every MR round). Bucketed tables live in
+    * the session catalog (bucket metadata has to live somewhere; plain
+    * parquet paths can't carry it).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a dropped-but-undeleted location (e.g. a previous JVM's run) blocks
+    // managed-table creation; clear both the catalog entry and the dir
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+  }
+
   /** `mergeTaps` analog (Controller.hs:422-439): two taps of different
     * schemas merged into one tagged union. Hadron dispatches per-file on
     * decode and per-record on encode; relationally this is a `side` tag

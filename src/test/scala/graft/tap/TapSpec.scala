@@ -52,6 +52,24 @@ class TapSpec extends SparkSpec {
     assert(tap.read(spark).count() == 2)
   }
 
+  test("bucketed tables join with no shuffle exchange") {
+    import spark.implicits._
+    val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    Tap.writeBucketed(a, "bkt_a", "k", 4)
+    Tap.writeBucketed(b, "bkt_b", "k", 4)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("a Tap re-binds as a stream: file source -> transform -> file sink") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream")
