@@ -42,6 +42,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("WordCountLocal analog: 3-stage chain incl. a map-only stage " +
+      "(reference examples/WordCountLocal.hs:24-91)") {
+    val base = tmp()
+    val srcFile = java.nio.file.Paths.get(base, "sample.csv")
+    Files.writeString(srcFile,
+      "line\nthe quick brown fox\nthe lazy dog\nthe fox again\n")
+
+    // stage 1: tokenize + word frequency (mapper + fold reducer)
+    val s1 = Stage("wordFreq", Seq(Tap.csv(srcFile.toString)),
+      Tap.parquet(base + "/freq"), RSReRun) { dfs =>
+      dfs.head
+        .select(explode(split(col("line"), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+    }
+    // stage 2: total count over stage 1's output (chained job)
+    val s2 = Stage("total", Seq(Tap.parquet(base + "/freq")),
+      Tap.parquet(base + "/total"), RSReRun) { dfs =>
+      dfs.head.agg(sum(col("n")).as("total"))
+    }
+    // stage 3: map-only truncation (B.take 5 analog; no shuffle)
+    val s3 = Stage("truncate", Seq(Tap.parquet(base + "/freq")),
+      Tap.parquet(base + "/trunc"), RSReRun) { dfs =>
+      dfs.head.select(substring(col("word"), 1, 5).as("word5"), col("n"))
+    }
+
+    val ran = new Pipeline(spark, Seq(s1, s2, s3)).run()
+    assert(ran == Seq("wordFreq", "total", "truncate"))
+    val freq = spark.read.parquet(base + "/freq")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq("the") == 3 && freq("fox") == 2 && freq("dog") == 1)
+    assert(spark.read.parquet(base + "/total")
+      .head().getLong(0) == freq.values.sum)
+    assert(spark.read.parquet(base + "/trunc")
+      .collect().map(_.getString(0)).forall(_.length <= 5))
+  }
+
   test("multi-stage pipeline chains outputs in program order") {
     val base = tmp()
     val s1 = Stage("a", Seq(Tap.parquet(sf("sf0.001") + "/nation.parquet")),
