@@ -820,6 +820,97 @@ object SparkEntry {
          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
          FROM scored) WHERE rank <= 10"""
 
+  // ------------------------------------------------------------------
+  // q34 — the composed training-data pipeline, end to end: language
+  // filter → quality filter → fingerprint (near-exact) dedup →
+  // MinHash-LSH near-dup removal → corpus stats. This is the engine's
+  // actual job at 100 TB; every stage is one of the already-verified
+  // operators, composed as one lazy plan (no intermediate
+  // materialization — Catalyst fuses the filters into the scan).
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val d = t(s, dir, "documents")
+    val base = d
+      .filter(Text.langId(col("text")) === "en")
+      .filter(Text.qualityScore(col("text")) >= 0.5)
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val kept1 = base
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+    val dupIds = graft.dedup.Dedup.minhashLsh(
+        kept1, col("doc_id"), col("text"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+        maxBucketSize = Int.MaxValue)
+      .select(col("id2").as("doc_id")).distinct()
+    kept1.join(dupIds, Seq("doc_id"), "left_anti")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        dsum(Text.qualityScore(col("text"))).as("sum_quality"))
+  }
+
+  private val q34Sql =
+    """WITH base0 AS (
+         SELECT doc_id, text,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       scored AS (
+         SELECT doc_id, text, tk,
+           len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS en,
+           len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], lower(t)))) AS de,
+           len(list_filter(tk, t -> list_contains(['le','la','les','de','et','est','un','une','dans','que'], lower(t)))) AS fr,
+           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           greatest(1.0 - (CASE WHEN len(text) > 0 THEN
+             CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+             ELSE 0.0 END) * 4, 0.0) * 0.3 +
+           least((CASE WHEN len(tk) > 0 THEN
+             CAST(len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+             ELSE 0.0 END) * 5, 1.0) * 0.3 AS q
+         FROM base0),
+       filt AS (
+         SELECT doc_id, text, tk, q FROM scored
+         WHERE NOT (en = 0 AND de = 0 AND fr = 0) AND en >= de AND en >= fr
+           AND q >= 0.5),
+       fpd AS (
+         SELECT doc_id, text, tk, q, ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+         FROM filt),
+       kept1 AS (SELECT doc_id, text, tk, q FROM fpd WHERE rn = 1),
+       docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM kept1 WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       sigs AS (
+         SELECT id, vms,
+           [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM based),
+       bands AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       pairs AS (
+         SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id),
+       verified AS (
+         SELECT id1, id2,
+           len(list_intersect(d1.vms, d2.vms)) AS common,
+           len(d1.vms) AS n1, len(d2.vms) AS n2
+         FROM pairs JOIN sigs d1 ON id1 = d1.id JOIN sigs d2 ON id2 = d2.id),
+       dups AS (
+         SELECT DISTINCT id2 FROM verified
+         WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.3)
+       SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(tk)) AS BIGINT) AS total_tokens,
+         CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+       FROM kept1 k LEFT JOIN dups d ON k.doc_id = d.id2
+       WHERE d.id2 IS NULL"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -854,12 +945,14 @@ object SparkEntry {
     "q25_dedup_fingerprint" -> (q25 _),
     "q32_multimodal" -> (q32 _),
     "q33_ivf_ann" -> (q33 _),
+    "q34_training_pipeline" -> (q34 _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "q30_embedding_neardup" -> q30Sql,
     "q31_typed_aggregator" -> q31Sql,
     "q33_ivf_ann" -> q33Sql,
+    "q34_training_pipeline" -> q34Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
