@@ -66,10 +66,11 @@ object Multimodal {
       df: DataFrame,
       contentCol: String = "content",
       dim: Int = 8): DataFrame = {
-    val spark = df.sparkSession
     val schema = df.schema.add("features", ArrayType(FloatType, false))
     val idx = df.schema.fieldIndex(contentCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch => // batch boundary = decoder call
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](idx)
@@ -81,8 +82,45 @@ object Multimodal {
           Row.fromSeq(r.toSeq :+ feats.toSeq)
         }
       }
-    }
-    spark.createDataFrame(rdd, schema)
+    }(enc)
+  }
+
+  /** STUB resize: a real kernel decodes, scales to (w, h), re-encodes.
+    * The fake replaces the payload with a deterministic, length-scaled
+    * transform of the original bytes and rewrites the decoded dimensions,
+    * preserving exactly the plan shape (binary in, binary out, metadata
+    * update) a real resizer has. Requires `decodeImageMeta` upstream.
+    */
+  def resize(
+      df: DataFrame,
+      width: Int,
+      height: Int,
+      contentCol: String = "content"): DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
+    val schema = StructType(df.schema.fields.map { f =>
+      if (f.name == "decoded")
+        StructField("decoded", StructType(Seq(
+          StructField("width", IntegerType, false),
+          StructField("height", IntegerType, false),
+          StructField("channels", IntegerType, false))), false)
+      else f
+    })
+    val didx = df.schema.fieldIndex("decoded")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        // ??? real decode→scale→encode goes here; deterministic fake:
+        // sample the payload down/up to a size proportional to the target
+        val outLen = math.max(1, (width.toLong * height / 1024).toInt)
+        val out = Array.tabulate(outLen)(i => bytes(i % bytes.length))
+        val vals = r.toSeq
+          .updated(idx, out)
+          .updated(didx, Row(width, height, 3))
+        Row.fromSeq(vals)
+      }
+    }(enc)
   }
 
   /** Frame-sampling plan for video rows: one output row per sampled frame

@@ -35,6 +35,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(r.fieldIndex("n_frames")) > 0))
   }
 
+  test("resize stub rewrites payload and decoded dimensions, keeps schema") {
+    import spark.implicits._
+    val df = Multimodal.decodeImageMeta(
+      Seq(("p1", Array[Byte](1, 2, 3, 4, 5))).toDF("path", "content"))
+    val out = Multimodal.resize(df, width = 64, height = 32)
+    val row = out.collect().head
+    val dec = row.getStruct(row.fieldIndex("decoded"))
+    assert((dec.getInt(0), dec.getInt(1)) == (64, 32))
+    assert(row.getAs[Array[Byte]](row.fieldIndex("content")).length == 2)
+    assert(out.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    // empty-payload safety is the caller's concern (binaryFile never
+    // produces null content); deterministic across runs:
+    val again = Multimodal.resize(df, 64, 32).collect().head
+      .getAs[Array[Byte]](row.fieldIndex("content"))
+    assert(again.toSeq == row.getAs[Array[Byte]](row.fieldIndex("content")).toSeq)
+  }
+
   test("sampleFrames explodes one row per sampled frame position") {
     import spark.implicits._
     val df = Seq(("v1", 2500L)).toDF("path", "dur")
