@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants that would otherwise fail silently: a
+  * mistyped oracle key records a rows-only check instead of a hash
+  * check, and an oracle without a query is dead SQL.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  // queries that intentionally have no DuckDB oracle (binary payloads
+  // aren't SQL-expressible) — driver records a rows-only check
+  private val rowsOnly = Set("q32_multimodal")
+
+  test("every query has an oracle unless explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnly, s"queries without oracle: $missing")
+  }
+
+  test("no orphaned oracle SQL") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("oracle SQL only references fixture tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings",
+      "range") // DuckDB's generator table function
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val froms = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = froms -- tables -- extractCteNames(sql)
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+
+  private def extractCteNames(sql: String): Set[String] =
+    "(?i)(?:WITH|,)\\s*([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+      .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet ++
+      // subquery aliases: ") alias" and ") AS alias(cols)"
+      "(?i)\\)\\s+(?:AS\\s+)?([a-z_][a-z0-9_]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+}
