@@ -848,7 +848,13 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"),
-        dsum(Text.qualityScore(col("text"))).as("sum_quality"))
+        // quality summed as integer basis points via floor(x*1e4+0.5):
+        // pure IEEE arithmetic on bit-identical doubles, so both engines
+        // agree even when a score sits ON a 4-decimal boundary (decimal
+        // CASTs round those by engine-specific mode; quality scores are
+        // small-denominator rationals that hit boundaries structurally)
+        sum(floor(Text.qualityScore(col("text")) * 10000 + lit(0.5))
+          .cast("long")).as("quality_bp"))
   }
 
   private val q34Sql =
@@ -907,7 +913,7 @@ object SparkEntry {
          WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.3)
        SELECT COUNT(*) AS n_docs,
          CAST(SUM(len(tk)) AS BIGINT) AS total_tokens,
-         CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+         CAST(SUM(CAST(FLOOR(q * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS quality_bp
        FROM kept1 k LEFT JOIN dups d ON k.doc_id = d.id2
        WHERE d.id2 IS NULL"""
 
