@@ -100,8 +100,11 @@ object Similarity {
     */
   private val FixedScale = 1048576L
 
-  /** m-bit sign signature of a vector under table t's hyperplanes. */
-  private def signature(vec: Column, t: Int, bits: Int, dim: Int): Column =
+  /** m-bit sign signature of a vector under table t's hyperplanes — the
+    * Column reference formulation, kept as the spec's ground truth for
+    * `withBucketsKernel` (SimilaritySpec asserts kernel == Column).
+    */
+  private[similarity] def signature(vec: Column, t: Int, bits: Int, dim: Int): Column =
     concat_ws("", (0 until bits).map { p =>
       val w = typedLit((0 until dim).map(d => planeWeight(t, p, d)))
       val proj = aggregate(
@@ -111,6 +114,53 @@ object Similarity {
         lit(0L), (acc, v) => acc + v)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
+
+  /** All `tables` bucket keys per row as one typed kernel — identical
+    * output to `signature` (SignatureKernelSpec asserts it), evaluated
+    * compiled instead of interpreted HOF-per-plane. Emits one row per
+    * (input row x table): (passthrough cols..., bucket).
+    *
+    * The fixed-point rounding is half-away-from-zero, matching BOTH the
+    * Column `round` and the oracle's `round(x)`: vector floats are
+    * dyadic rationals, so x*2^20 lands exactly on .5 routinely and the
+    * rounding mode is semantics, not noise.
+    */
+  private[similarity] def withBucketsKernel(
+      df: DataFrame, vecCol: String, tables: Int, bits: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val weights = Array.tabulate(tables, bits, dim)(planeWeight)
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val schema = df.schema.add(StructField("bucket", StringType, false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = r.getSeq[Float](vecIdx)
+        val x = new Array[Long](math.min(v.length, dim))
+        var d = 0
+        while (d < x.length) {
+          val scaled = v(d).toDouble * FixedScale
+          x(d) =
+            if (scaled >= 0) math.floor(scaled + 0.5).toLong
+            else math.ceil(scaled - 0.5).toLong
+          d += 1
+        }
+        (0 until tables).iterator.map { t =>
+          val sb = new StringBuilder().append(t).append('|')
+          var p = 0
+          while (p < bits) {
+            val w = weights(t)(p)
+            var s = 0L
+            var i = 0
+            while (i < x.length) { s += x(i) * w(i); i += 1 }
+            sb.append(if (s >= 0) '1' else '0')
+            p += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sb.toString)
+        }
+      }
+    }(enc)
+  }
 
   /** LSH ANN: bucket by signature across `tables` independent tables,
     * union candidates, exact cosine re-rank, top-k.
@@ -126,14 +176,8 @@ object Similarity {
         col("corpus_id")) // spread signature compute beyond scan splits
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
 
-    val cBuckets = (0 until tables).map { t =>
-      c.select(col("corpus_id"), col("cv"),
-        concat(lit(s"$t|"), signature(col("cv"), t, bits, dim)).as("bucket"))
-    }.reduce(_ union _)
-    val qBuckets = (0 until tables).map { t =>
-      q.select(col("query_id"), col("qv"),
-        concat(lit(s"$t|"), signature(col("qv"), t, bits, dim)).as("bucket"))
-    }.reduce(_ union _)
+    val cBuckets = withBucketsKernel(c, "cv", tables, bits, dim)
+    val qBuckets = withBucketsKernel(q, "qv", tables, bits, dim)
 
     val candidates = cBuckets
       .join(broadcast(qBuckets), Seq("bucket"))
@@ -243,10 +287,8 @@ object Similarity {
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
         col("id"))
       .cache() // reused: bucketing (both join sides) + cosine verify
-    val buckets = (0 until tables).map { t =>
-      c.select(col("id"),
-        concat(lit(s"$t|"), signature(col("v"), t, bits, dim)).as("bucket"))
-    }.reduce(_ union _)
+    val buckets = withBucketsKernel(c, "v", tables, bits, dim)
+      .select(col("id"), col("bucket"))
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

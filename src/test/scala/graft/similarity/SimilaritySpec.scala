@@ -37,6 +37,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.05, s"LSH recall too low: $recall")
   }
 
+  test("bucket kernel == Column signature formulation (all tables)") {
+    val c = emb.select(col("vec_id"), col("embedding"))
+    val kernel = Similarity.withBucketsKernel(c, "embedding", 3, 8, 64)
+      .select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val column = (0 until 3).map { t =>
+      c.select(col("vec_id"),
+        concat(lit(s"$t|"),
+          Similarity.signature(col("embedding"), t, 8, 64)).as("bucket"))
+    }.reduce(_ union _)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kernel == column)
+  }
+
   test("ivfTopK recall vs brute force; every result within probed lists") {
     val q = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
