@@ -839,6 +839,10 @@ object SparkEntry {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("doc_id", "text")
+    // NOT cached: recomputing the filter+window chain for the anti-join
+    // side pipelines better than a materialization barrier (measured);
+    // at cluster scale the same recompute-over-cache tradeoff holds
+    // while the scan stays pruned to (doc_id, text)
     val dupIds = graft.dedup.Dedup.minhashLsh(
         kept1, col("doc_id"), col("text"),
         shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
