@@ -75,4 +75,51 @@ object Streaming {
           sessions.iterator
       }
   }
+
+  /** True-streaming sessionization: emits a session ONLY when it closes —
+    * either a newer event arrives past the gap, or the event-time
+    * watermark passes the open session's deadline (event-time timeout,
+    * which also clears the state). `sessionize` above emits open
+    * sessions too (the batch/oracle semantics); this variant is what an
+    * unbounded deployment runs, where re-emitting an open session every
+    * batch would duplicate output in append mode.
+    */
+  def sessionizeStream(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermark: String): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Timestamp, Timestamp, Long, Double), SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, _, state) if state.hasTimedOut =>
+          val out = state.getOption.map { case (s, last, n, v) =>
+            SessionUpdate(uid, s, last, n, v)
+          }
+          state.remove()
+          out.iterator
+        case (uid, evs, state) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionUpdate]
+          var cur: Option[(Timestamp, Timestamp, Long, Double)] = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some((s, last, n, v)) if e.ts.getTime - last.getTime <= gapMs =>
+                cur = Some((s, e.ts, n + 1, v + e.value))
+              case Some((s, last, n, v)) =>
+                closed += SessionUpdate(uid, s, last, n, v)
+                cur = Some((e.ts, e.ts, 1L, e.value))
+              case None =>
+                cur = Some((e.ts, e.ts, 1L, e.value))
+            }
+          }
+          cur.foreach { c =>
+            state.update(c)
+            state.setTimeoutTimestamp(c._2.getTime + gapMs)
+          }
+          closed.iterator
+      }
+  }
 }

@@ -25,6 +25,42 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("sessionizeStream emits only closed sessions, via gap or watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionizeStream(
+        mem.toDS(), gapMs = 30 * 60 * 1000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: an open session — nothing may be emitted yet
+      mem.addData(Event(1, ts(0), 1L, "a", 1.0), Event(2, ts(5), 1L, "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess").count() == 0)
+
+      // batch 2: an event past the gap closes session 1 in-stream
+      mem.addData(Event(3, ts(50), 1L, "a", 3.0))
+      q.processAllAvailable()
+      val afterClose = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(afterClose == Seq((1L, 2L, 3.0)))
+
+      // batch 3: advance the watermark past session 2's deadline -> timeout
+      mem.addData(Event(4, ts(59), 2L, "b", 9.0))
+      q.processAllAvailable()
+      mem.addData(Event(5, Timestamp.valueOf("2024-01-01 12:00:00"), 3L, "c", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(6, Timestamp.valueOf("2024-01-01 12:00:01"), 3L, "c", 0.0))
+      q.processAllAvailable()
+      val users = spark.sql("SELECT user_id FROM sess").collect()
+        .map(_.getLong(0)).toSet
+      assert(users.contains(1L), "gap-closed session emitted")
+      assert(users.contains(2L), "watermark-timeout session emitted")
+    } finally q.stop()
+  }
+
   test("windowedCounts over a MemoryStream emits tumbling-window aggregates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
