@@ -52,6 +52,16 @@ class TapSpec extends SparkSpec {
     assert(tap.read(spark).count() == 2)
   }
 
+  test("gzip files read transparently (readHdfsFile auto-ungzip analog)") {
+    val dir = Files.createTempDirectory("graft-gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("data.txt.gz")))
+    gz.write("alpha\nbeta\n".getBytes("UTF-8")); gz.close()
+    val rows = Tap.text(dir.toString + "/data.txt.gz").read(spark)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("alpha", "beta"))
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     import spark.implicits._
     val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
