@@ -27,6 +27,22 @@ class DedupKernelSpec extends SparkSpec {
     kernel.zip(column).foreach { case (k, c) => assert(k == c) }
   }
 
+  test("emitPairCounts: tiny flush threshold changes nothing (mid-stream drain path)") {
+    import spark.implicits._
+    val groups = Seq(
+      Seq(3L, 1L, 2L), Seq(1L, 2L), Seq(2L, 3L), Seq(5L, 1L))
+      .toDF("ids").repartition(2)
+    def counts(flushAt: Int) =
+      Dedup.emitPairCounts(groups, org.apache.spark.sql.types.LongType, flushAt)
+        .groupBy("id1", "id2").sum("cnt")
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = Map(
+      (1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 2L, (1L, 5L) -> 1L)
+    assert(counts(flushAt = 1 << 22) == expected) // single final drain
+    assert(counts(flushAt = 1) == expected)       // drain after every group
+  }
+
   test("minhashLsh finds the fixture's planted near-duplicates") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val pairs = Dedup.minhashLsh(df, col("doc_id"), col("text"),
