@@ -15,7 +15,13 @@ object Sessions {
   /** graft's native Catalyst extensions, registered the supported way
     * (SparkSessionExtensions) — usable from `call_function` and SQL.
     */
-  def registerExtensions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn count argument must be an int literal, got $other")
+  }
+
+  def registerExtensions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("collect_list_capped"),
       new ExpressionInfo(
@@ -23,13 +29,23 @@ object Sessions {
       (children: Seq[Expression]) => {
         require(children.length == 2,
           "collect_list_capped(expr, cap) takes exactly 2 arguments")
-        val cap = children(1) match {
-          case Literal(i: Int, IntegerType) => i
-          case other => throw new IllegalArgumentException(
-            s"collect_list_capped cap must be an int literal, got $other")
-        }
-        graft.plans.CollectListCapped(children.head, cap)
+        graft.plans.CollectListCapped(
+          children.head, intLit(children(1), "collect_list_capped"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(
+        classOf[graft.plans.TopKByScore].getName, "topk_by"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "topk_by(id, score, k) takes exactly 3 arguments")
+        graft.plans.TopKByScore(
+          children(0),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(1), org.apache.spark.sql.types.DoubleType),
+          intLit(children(2), "topk_by"))
+      }))
+  }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()

@@ -356,7 +356,7 @@ object SparkEntry {
   }
 
   private val q17Sql =
-    """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
        FROM (
          SELECT user_id,
            CASE WHEN prev_ts IS NULL THEN 1
@@ -396,7 +396,7 @@ object SparkEntry {
     graft.dedup.Dedup.minhashLsh(
       t(s, dir, "documents"), col("doc_id"), col("text"),
       shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
-      maxBucketSize = Int.MaxValue)
+      maxBucketSize = 1000)
 
   private val q18Sql =
     """WITH docs AS (
@@ -414,9 +414,12 @@ object SparkEntry {
        bands AS (
          SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
          FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       ok_buckets AS (
+         SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= 1000),
        pairs AS (
          SELECT DISTINCT a.id AS id1, b.id AS id2
-         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id),
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
+         JOIN ok_buckets c ON a.bucket = c.bucket),
        verified AS (
          SELECT id1, id2,
            len(list_intersect(d1.vms, d2.vms)) AS common,
@@ -555,8 +558,8 @@ object SparkEntry {
 
   private val q23Sql =
     """SELECT source,
-         SUM(ntok) AS total_tokens,
-         SUM(n_chars) AS total_chars,
+         CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          COUNT(*) AS n_docs,
          CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS avg_tokens
        FROM (SELECT source, n_chars,
@@ -745,7 +748,7 @@ object SparkEntry {
   }
 
   private val q31Sql =
-    """SELECT l_returnflag, SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+    """SELECT l_returnflag, CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
        FROM lineitem GROUP BY l_returnflag"""
 
   // ------------------------------------------------------------------
@@ -846,7 +849,7 @@ object SparkEntry {
     val dupIds = graft.dedup.Dedup.minhashLsh(
         kept1, col("doc_id"), col("text"),
         shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
-        maxBucketSize = Int.MaxValue)
+        maxBucketSize = 1000)
       .select(col("id2").as("doc_id")).distinct()
     kept1.join(dupIds, Seq("doc_id"), "left_anti")
       .agg(
@@ -904,9 +907,12 @@ object SparkEntry {
        bands AS (
          SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
          FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       ok_buckets AS (
+         SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= 1000),
        pairs AS (
          SELECT DISTINCT a.id AS id1, b.id AS id2
-         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id),
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
+         JOIN ok_buckets c ON a.bucket = c.bucket),
        verified AS (
          SELECT id1, id2,
            len(list_intersect(d1.vms, d2.vms)) AS common,

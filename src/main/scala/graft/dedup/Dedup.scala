@@ -180,7 +180,7 @@ object Dedup {
     * aggregates map-side. Replaces a posting-list self-join: one
     * grouping shuffle instead of join-build + probe + pair shuffle.
     */
-  private def emitPairs(groups: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+  private[graft] def emitPairs(groups: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import org.apache.spark.sql.types._
     val pairSchema = StructType(Seq(
       StructField("id1", idType, false), StructField("id2", idType, false)))

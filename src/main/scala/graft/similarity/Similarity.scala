@@ -56,6 +56,28 @@ object Similarity {
     }(enc)
   }
 
+  /** Rank scored (query_id, corpus_id, sim) rows per query and keep the k
+    * best by (sim desc, corpus_id asc) — via graft's `topk_by` bounded
+    * aggregate, NOT a window `row_number`: the window would shuffle every
+    * scored pair to its query's rank partition (at a 100 TB corpus the
+    * score stream IS the job), while the aggregate folds map-side first
+    * so only k-row partials per (task, query) reach the exchange.
+    * `topk_by`'s distinct-by-id fold also absorbs duplicate candidates
+    * from multi-table LSH (identical deterministic sims), replacing the
+    * pre-rank DISTINCT shuffle.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(call_function("topk_by", col("corpus_id"), col("sim"), lit(k))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("corpus_id"),
+        col("col.score").as("sim"),
+        (col("pos") + 1).as("rank"))
+
   /** Exact cosine top-k for each query vector.
     * @param corpus  (idCol, vecCol) table — the big side
     * @param queries (idCol, vecCol) table — the small side (broadcast)
@@ -70,12 +92,7 @@ object Similarity {
     val scored = withCosineKernel(
       c.join(broadcast(q), col("query_id") =!= col("corpus_id")),
       "qv", "cv", "sim")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "sim", "rank")
+    topKPerQuery(scored.select("query_id", "corpus_id", "sim"), k)
   }
 
   /** Deterministic hyperplane weights: integer values derived from md5 of
@@ -179,18 +196,19 @@ object Similarity {
     val cBuckets = withBucketsKernel(c, "cv", tables, bits, dim)
     val qBuckets = withBucketsKernel(q, "qv", tables, bits, dim)
 
+    // A (query, corpus) pair surfacing in several hash tables is scored
+    // once per table — identical deterministic sims that topk_by's
+    // distinct-by-id fold collapses. Re-scoring ≤`tables`× beats the
+    // alternative (a DISTINCT shuffle over candidate rows carrying both
+    // float vectors, then a re-join to recover them).
     val candidates = cBuckets
       .join(broadcast(qBuckets), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select("query_id", "qv", "corpus_id", "cv")
-      .distinct()
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("corpus_id").asc)
-    withCosineKernel(candidates, "qv", "cv", "sim")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "sim", "rank")
+    topKPerQuery(
+      withCosineKernel(candidates, "qv", "cv", "sim")
+        .select("query_id", "corpus_id", "sim"), k)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
@@ -264,12 +282,9 @@ object Similarity {
 
     val candidates = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("corpus_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("corpus_id").asc)
-    withCosineKernel(candidates, "qv", "cv", "sim")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "sim", "rank")
+    topKPerQuery(
+      withCosineKernel(candidates, "qv", "cv", "sim")
+        .select("query_id", "corpus_id", "sim"), k)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH self-join: bucket every
