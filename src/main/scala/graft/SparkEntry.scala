@@ -691,12 +691,13 @@ object SparkEntry {
        FROM events GROUP BY 1, 2"""
 
   // ------------------------------------------------------------------
-  // q30 — embedding-cosine near-dup pairs via LSH self-join (extension:
-  // Similarity.nearDupPairs).
+  // q30 — embedding-cosine near-dup pairs via capped LSH bucketing
+  // (extension: Similarity.nearDupPairs). maxBucketSize mirrors the
+  // oracle's HAVING COUNT(*) <= 1000 bucket filter, exactly as q18/q34.
   private def q30(s: SparkSession, dir: String): DataFrame =
     graft.similarity.Similarity.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
-      threshold = 0.4, bits = 6, tables = 3)
+      threshold = 0.4, bits = 6, tables = 3, maxBucketSize = 1000)
 
   private val q30Sql =
     """WITH planes AS (
@@ -717,9 +718,12 @@ object SparkEntry {
          SELECT vec_id, t,
            CAST(t AS VARCHAR) || '|' || string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
          FROM proj GROUP BY vec_id, t),
+       ok_buckets AS (
+         SELECT bucket FROM sigs GROUP BY bucket HAVING COUNT(*) <= 1000),
        pairs AS (
          SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-         FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         JOIN ok_buckets c ON a.bucket = c.bucket),
        v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings)
        SELECT id1, id2,
          list_sum([v1.e[i] * v2.e[i] for i in range(1, len(v1.e)+1)]) /

@@ -287,28 +287,48 @@ object Similarity {
         .select("query_id", "corpus_id", "sim"), k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH self-join: bucket every
+  /** Embedding-cosine near-duplicate pairs via LSH bucketing: bucket every
     * vector across `tables` signatures, pair within buckets (id1 < id2),
     * verify exact cosine ≥ threshold. The LSH stage keeps the pair space
     * sub-quadratic at corpus scale; recall rises with `tables` and falls
     * with `bits` (tune per corpus duplicate profile).
+    *
+    * Pair generation is the capped grouped shape shared with
+    * `Dedup.minhashLsh`: ONE grouping shuffle gathers each bucket's ids
+    * (`collect_list_capped` bounds the aggregation buffer), buckets with
+    * more than `maxBucketSize` members are dropped before any pair is
+    * materialized. Without the cap a single hot bucket — near-zero vectors
+    * all share a signature — makes the pair stage quadratic; the cap is
+    * the skew guard that lets this run on a 100 TB corpus. Mirror it in
+    * any oracle with `HAVING COUNT(*) <= maxBucketSize` on the bucket CTE.
+    *
+    * @param cacheCorpus persist the (id, vector) projection across its two
+    *   uses (bucketing + verify re-join). Off by default: at corpus scale a
+    *   cache is a full materialization of the input; recomputing the pruned
+    *   two-column scan is the safe default (same measured tradeoff as q34's
+    *   uncached filter chain, NOTES.md).
     */
   def nearDupPairs(
       corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int,
       threshold: Double,
-      bits: Int = 6, tables: Int = 3): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      bits: Int = 6, tables: Int = 3,
+      maxBucketSize: Int = 1000,
+      cacheCorpus: Boolean = false): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
         col("id"))
-      .cache() // reused: bucketing (both join sides) + cosine verify
+    val c = if (cacheCorpus) c0.cache() else c0
     val buckets = withBucketsKernel(c, "v", tables, bits, dim)
       .select(col("id"), col("bucket"))
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    val grouped = buckets.groupBy("bucket")
+      .agg(
+        call_function("collect_list_capped", col("id"),
+          lit(maxBucketSize)).as("ids"),
+        count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucketSize))
+    val pairs = graft.dedup.Dedup
+      .emitPairs(grouped, c.schema("id").dataType).distinct()
     withCosineKernel(pairs
       .join(c.select(col("id").as("id1"), col("v").as("v1")), "id1")
       .join(c.select(col("id").as("id2"), col("v").as("v2")), "id2"),

@@ -65,6 +65,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("nearDupPairs finds planted near-duplicates") {
+    import spark.implicits._
+    // two planted duplicate pairs among unrelated vectors
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 97 + i * 13).toFloat)
+    val rows = Seq(
+      (1L, vec(1)), (2L, vec(1)),                    // exact dup pair
+      (3L, vec(3)), (4L, vec(3).updated(0, vec(3)(0) + 0.01f)), // near dup
+      (5L, vec(5)), (6L, vec(6)), (7L, vec(7)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, bits = 4, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+  }
+
+  test("nearDupPairs drops buckets over maxBucketSize (hot-bucket guard)") {
+    import spark.implicits._
+    // 50 identical vectors: one dense bucket in every table. With the cap
+    // below the bucket size the whole bucket is dropped before any pair
+    // is materialized; with a permissive cap all C(50,2) pairs verify.
+    val hot = Array.tabulate(64)(i => (i + 1).toFloat)
+    val df = (1L to 50L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairs(df, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, bits = 4, tables = 2, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    val uncapped = Similarity.nearDupPairs(df, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, bits = 4, tables = 2, maxBucketSize = 1000,
+      cacheCorpus = true)
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
+
   test("multimodal stub pipeline: features have the declared shape") {
     import spark.implicits._
     val df = Seq(
