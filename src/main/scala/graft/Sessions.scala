@@ -15,10 +15,10 @@ object Sessions {
   /** graft's native Catalyst extensions, registered the supported way
     * (SparkSessionExtensions) — usable from `call_function` and SQL.
     */
-  private def intLit(e: Expression, fn: String): Int = e match {
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(i: Int, IntegerType) => i
     case other => throw new IllegalArgumentException(
-      s"$fn count argument must be an int literal, got $other")
+      s"$fn '$arg' argument must be an int literal, got $other")
   }
 
   def registerExtensions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -30,7 +30,7 @@ object Sessions {
         require(children.length == 2,
           "collect_list_capped(expr, cap) takes exactly 2 arguments")
         graft.plans.CollectListCapped(
-          children.head, intLit(children(1), "collect_list_capped"))
+          children.head, intLit(children(1), "collect_list_capped", "cap"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("topk_by"),
@@ -43,7 +43,7 @@ object Sessions {
           children(0),
           org.apache.spark.sql.catalyst.expressions.Cast(
             children(1), org.apache.spark.sql.types.DoubleType),
-          intLit(children(2), "topk_by"))
+          intLit(children(2), "topk_by", "k"))
       }))
   }
 

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, GenericInternalRow, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
@@ -53,6 +54,20 @@ case class TopKByScore(
 
   override def left: Expression = idExpr
   override def right: Expression = scoreExpr
+
+  /** Fail at analysis time, not task runtime: the id is both sorted (tie
+    * break) and hashed (distinct fold), so it must be an orderable type —
+    * a map-typed id would otherwise blow up inside a task via the lazy
+    * interpreted ordering.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!RowOrdering.isOrderable(idExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by id must be an orderable type, got ${idExpr.dataType.catalogString}")
+    else if (scoreExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by score must be double, got ${scoreExpr.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
 
   @transient private lazy val idOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(idExpr.dataType)
@@ -118,14 +133,16 @@ case class TopKByScore(
     new GenericArrayData(out.toArray[Any])
   }
 
-  private lazy val elementType = StructType(Seq(
+  @transient private lazy val elementType = StructType(Seq(
     StructField("id", idExpr.dataType, nullable = false),
     StructField("score", DoubleType, nullable = false)))
 
   override def dataType: DataType = ArrayType(elementType, containsNull = false)
   override def nullable: Boolean = false
 
-  private lazy val projection =
+  // @transient like the orderings: a codegen'd projection must never ride
+  // Java serialization if the initialized expression instance is shipped
+  @transient private lazy val projection =
     UnsafeProjection.create(Array[DataType](dataType))
 
   override def serialize(buf: mutable.ArrayBuffer[(Any, Double)]): Array[Byte] = {
