@@ -8,13 +8,17 @@ import org.apache.spark.sql.SparkSession
   * stdout, as the driver contract requires.
   *
   * Methodology (JMH-style steady state): each query runs once untimed,
-  * then once timed. The DATA cache is cleared between every run — nothing
-  * a query materializes carries into its timed run; only JVM-global state
-  * (JIT, whole-stage-codegen class cache) is warm. That matches the
-  * deployment this engine targets: on a long-lived cluster a plan's
-  * generated code compiles once and then processes terabytes — per-plan
-  * Janino compile time (~6 s across this suite, measured) is not
-  * throughput. The cold pass's total is still reported as `cold_total`.
+  * then `SPARK_GRAFT_ITERS` (default 3) timed iterations; the reported
+  * figure is the per-query MEDIAN, with min/max spread alongside —
+  * single-iteration timings on a shared 32-core box swing ±0.3 s on
+  * untouched queries, which buries real regressions in noise. The DATA
+  * cache is cleared between every run — nothing a query materializes
+  * carries into its timed runs; only JVM-global state (JIT, whole-stage-
+  * codegen class cache) is warm. That matches the deployment this engine
+  * targets: on a long-lived cluster a plan's generated code compiles once
+  * and then processes terabytes — per-plan Janino compile time (~6 s
+  * across this suite, measured) is not throughput. The cold pass's total
+  * is still reported as `cold_total`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,19 +44,27 @@ object Bench {
       sec
     }
 
-    // Interleaved: untimed warm run immediately followed by the timed run
-    // of the same query — back-to-back so the plan's generated classes are
-    // still resident in the (LRU-bounded) codegen cache for the timed run.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+
+    // Interleaved: untimed warm run immediately followed by the timed
+    // iterations of the same query — back-to-back so the plan's generated
+    // classes stay resident in the (LRU-bounded) codegen cache.
     val runs = selected.map { case (name, fn) =>
-      (name, runOne(name, fn), runOne(name, fn))
+      val cold = runOne(name, fn)
+      val timed = Seq.fill(iters)(runOne(name, fn)).sorted
+      (name, cold, timed)
     }
     val cold = runs.map(_._2).sum
-    val results = runs.map { case (name, _, warm) => name -> warm }
+    def median(xs: Seq[Double]): Double = xs(xs.length / 2)
+    val results = runs.map { case (name, _, t) => (name, median(t), t.head, t.last) }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val spread = results
+      .map { case (k, _, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

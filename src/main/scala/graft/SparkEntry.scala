@@ -759,27 +759,66 @@ object SparkEntry {
   // q32 — multimodal-column plumbing (binaryFile tap ≈ hadron's
   // fileListTap/binaryDirTap, SURVEY §2.1, + the training-pipeline media
   // path): opaque binary payloads + typed metadata → stub decode →
-  // per-partition feature extraction → frame sampling. The fixture parquet
-  // files stand in for media blobs; no DuckDB oracle (binary payloads
-  // aren't SQL-expressible) → driver records the rows-only check.
+  // per-partition batched feature extraction → frame sampling → roll-up.
+  // Media rows are fabricated from the documents fixture (payload = the
+  // document's UTF-8 bytes as an opaque binary column) so the WHOLE
+  // pipeline — decode stub included, since its fakes are md5-derived — is
+  // hash-checkable against DuckDB; reading real files via binaryFile is
+  // covered by TapSpec/MultimodalSpec, where payload bytes can be asserted
+  // in-process instead.
   private def q32(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
-    val media = Multimodal.loadMediaDir(s, dir, "*.parquet")
-      .withColumn("meta", struct(
-        col("meta.media_type"),
-        col("meta.width"), col("meta.height"),
-        (col("length") % 10000).as("duration_ms"))) // stub duration
+    val media = t(s, dir, "documents").select(
+      concat(lit("doc://"), col("doc_id")).as("path"),
+      octet_length(col("text")).cast("long").as("length"),
+      col("text").cast("binary").as("content"),
+      struct(
+        col("source").as("media_type"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        (col("n_chars") % 10000).cast("long").as("duration_ms")).as("meta"))
     val decoded = Multimodal.extractFeatures(
       Multimodal.decodeImageMeta(media), dim = 8)
-    Multimodal.sampleFrames(decoded, everyMs = 2000)
-      .groupBy(regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("file"))
+    val frames = Multimodal.sampleFrames(decoded, everyMs = 2000)
+    frames
+      .groupBy(col("path"), col("meta.media_type").as("media_type"),
+        col("length"), col("decoded.width").as("w"),
+        col("decoded.height").as("h"),
+        element_at(col("features"), 1).as("f0"))
+      .agg(count(lit(1)).as("frames"))
+      .groupBy("media_type")
       .agg(
-        max(col("length")).as("bytes"),
-        max(col("decoded.width")).as("width"),
-        max(col("decoded.height")).as("height"),
-        count(lit(1)).as("n_frames"),
-        dsum(element_at(col("features"), 1).cast("double")).as("f0_sum"))
+        count(lit(1)).as("n_docs"),
+        sum(col("length")).as("total_bytes"),
+        max(col("w")).as("max_width"),
+        max(col("h")).as("max_height"),
+        sum(col("frames")).as("n_frames"),
+        dsum(col("f0").cast("double")).as("f0_sum"))
   }
+
+  private val q32Sql =
+    """WITH m AS (
+         SELECT source,
+           octet_length(encode(text)) AS length,
+           md5(text) AS h,
+           md5(text || ':0') AS hf,
+           n_chars % 10000 AS duration
+         FROM documents),
+       d AS (
+         SELECT source, length,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(h, j, 1)) - 1) * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)]) AS BIGINT) % 1920 + 1 AS w,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(h, j, 1)) - 1) * CAST(pow(16, 16 - j) AS BIGINT) for j in range(9, 17)]) AS BIGINT) % 1080 + 1 AS hh,
+           CAST(CAST(list_sum([(strpos('0123456789abcdef', substr(hf, j, 1)) - 1) * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)]) AS BIGINT) % 1000 AS DOUBLE) / 1000 AS f0,
+           1 + CAST(floor(CAST(greatest(duration - 1, 0) AS DOUBLE) / 2000) AS BIGINT) AS frames
+         FROM m)
+       SELECT source AS media_type,
+         COUNT(*) AS n_docs,
+         CAST(SUM(length) AS BIGINT) AS total_bytes,
+         MAX(w) AS max_width,
+         MAX(hh) AS max_height,
+         CAST(SUM(frames) AS BIGINT) AS n_frames,
+         CAST(SUM(CAST(f0 AS DECIMAL(18,4))) AS DOUBLE) AS f0_sum
+       FROM d GROUP BY source"""
 
   // ------------------------------------------------------------------
   // q33 — IVF approximate nearest neighbors (extension:
@@ -1002,5 +1041,6 @@ object SparkEntry {
     "q17_sessionize" -> q17Sql,
     "q24_dedup_exact" -> q24Sql,
     "q25_dedup_fingerprint" -> q25Sql,
+    "q32_multimodal" -> q32Sql,
   )
 }

@@ -43,15 +43,19 @@ object Multimodal {
           lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
   /** STUB image decode: a real implementation parses the codec header and
-    * emits (width, height, channels, pixels). The deterministic fake reads
-    * pseudo-dimensions from the payload's first bytes so downstream
-    * plumbing (schema, joins, aggregations over decoded metadata) is
-    * exercised honestly at full scale.
+    * emits (width, height, channels, pixels). The deterministic fake
+    * derives pseudo-dimensions from md5 of the payload — md5, not
+    * xxhash64, so the fake is reproducible in ANY engine and a query over
+    * decoded metadata can be oracle-checked end to end (q32): width from
+    * hex digits 1-8, height from digits 9-16 of the same digest.
     */
   def decodeImageMeta(df: DataFrame, contentCol: String = "content")
       : DataFrame = {
-    val fakeW = (abs(xxhash64(col(contentCol))) % 1920 + 1).cast("int")
-    val fakeH = (abs(xxhash64(col(contentCol), lit(1))) % 1080 + 1).cast("int")
+    val h = md5(col(contentCol))
+    val fakeW = (conv(substring(h, 1, 8), 16, 10).cast("long") % 1920 + 1)
+      .cast("int")
+    val fakeH = (conv(substring(h, 9, 8), 16, 10).cast("long") % 1080 + 1)
+      .cast("int")
     df.withColumn("decoded", struct(
       fakeW.as("width"), fakeH.as("height"), lit(3).as("channels")))
   }
@@ -71,12 +75,21 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.grouped(64).flatMap { batch => // batch boundary = decoder call
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](idx)
           val feats = Array.tabulate(dim) { i =>
-            // ??? real decoder goes here; deterministic fake:
-            val h = java.util.Arrays.hashCode(bytes) * 31 + i
+            // ??? real decoder goes here; deterministic fake — feature i =
+            // md5(payload ++ ":i") scaled to [0, 1). md5 (engine-neutral)
+            // keeps the fake oracle-able: DuckDB's md5(text || ':' || i)
+            // reproduces it exactly (q32).
+            md.update(bytes)
+            md.update((":" + i).getBytes("UTF-8"))
+            val d = md.digest() // resets the digest
+            var h = 0L
+            var j = 0
+            while (j < 4) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
             (h % 1000) / 1000.0f
           }
           Row.fromSeq(r.toSeq :+ feats.toSeq)

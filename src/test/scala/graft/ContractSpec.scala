@@ -8,9 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  // queries that intentionally have no DuckDB oracle (binary payloads
-  // aren't SQL-expressible) — driver records a rows-only check
-  private val rowsOnly = Set("q32_multimodal")
+  // queries that intentionally have no DuckDB oracle — empty since round
+  // 3 (q32's decode stubs became md5-derived, so even the multimodal
+  // pipeline is hash-checked); keep the escape hatch for future ops
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle unless explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -28,7 +28,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
-  test("q32_multimodal runs end-to-end and yields one row per fixture file") {
+  test("q32_multimodal runs end-to-end and yields one row per source") {
     val out = graft.SparkEntry.queries("q32_multimodal")(spark, sf("sf0.001"))
       .collect()
     assert(out.length > 0)
