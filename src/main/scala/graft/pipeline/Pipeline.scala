@@ -4,6 +4,59 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.hadoop.fs.Path
 import graft.tap.Tap
 
+/** Filesystem utility surface — port of the reference's HDFS helpers
+  * (/root/reference/src/Hadron/Run/Hadoop.hs:313-461: hdfsFileExists :313,
+  * hdfsDeletePath :324, hdfsLs :333, hdfsPut :359, hdfsMkdir :406,
+  * hdfsChmod :412, hdfsCat :427, randomFilename :447, hdfsGet :456).
+  * Hadron shells out to `hadoop fs -…` and re-stems `ls` output with a
+  * vendored LCS; every call here goes through the Hadoop `FileSystem` Java
+  * API instead — no process spawn, no path re-stemming, and the same code
+  * serves local paths, HDFS and object stores (the scheme picks the
+  * implementation).
+  */
+object Fs {
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** hdfsDeletePath: recursive delete, true if anything was removed. */
+  def delete(spark: SparkSession, path: String, recursive: Boolean = true): Boolean =
+    fs(spark, path).delete(new Path(path), recursive)
+
+  /** hdfsLs: child paths of a directory (fully qualified). */
+  def ls(spark: SparkSession, path: String): Seq[String] =
+    fs(spark, path).listStatus(new Path(path))
+      .map(_.getPath.toString).toSeq.sorted
+
+  def mkdir(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).mkdirs(new Path(path))
+
+  /** hdfsPut: copy a driver-local file to the cluster filesystem. */
+  def put(spark: SparkSession, local: String, remote: String): Unit =
+    fs(spark, remote).copyFromLocalFile(new Path(local), new Path(remote))
+
+  /** hdfsGet: copy a cluster file to the driver-local filesystem. */
+  def get(spark: SparkSession, remote: String, local: String): Unit =
+    fs(spark, remote).copyToLocalFile(new Path(remote), new Path(local))
+
+  /** hdfsChmod, octal mode string (e.g. "755"). */
+  def chmod(spark: SparkSession, path: String, octal: String): Unit =
+    fs(spark, path).setPermission(new Path(path),
+      new org.apache.hadoop.fs.permission.FsPermission(
+        Integer.parseInt(octal, 8).toShort))
+
+  /** hdfsCat: stream a file's lines to the driver. Small files only —
+    * the same caveat as the reference's driver-side cat.
+    */
+  def cat(spark: SparkSession, path: String): Seq[String] = {
+    val in = fs(spark, path).open(new Path(path))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+}
+
 /** What to do when a stage's output already exists — port of
   * `RerunStrategy` (/root/reference/src/Hadron/Controller.hs:913-924,
   * exists-checks at :867-886). `RSSkip` is the reference's incremental-
@@ -26,6 +79,26 @@ final case class Stage(
     rerun: RerunStrategy = RSReRun)(
     val op: Seq[DataFrame] => DataFrame)
 
+object Stage {
+  /** `connect'` analog (Controller.hs:657-670): a stage whose output tap
+    * is auto-allocated under `tmpRoot` — the reference's `makeTap`
+    * (Controller.hs:681-682, random location at :836-842). One deliberate
+    * difference: the path is DETERMINISTIC per (tmpRoot, stage name)
+    * rather than random-per-run. Hadron replays its random tap ids to
+    * workers via the serialized state file; with no state replay in Spark,
+    * determinism is what lets `RSSkip` memoization recognize the stage's
+    * previous output across driver runs.
+    */
+  def auto(
+      name: String,
+      inputs: Seq[Tap],
+      tmpRoot: String,
+      rerun: RerunStrategy = RSSkip,
+      format: String = "parquet")(
+      op: Seq[DataFrame] => DataFrame): Stage =
+    Stage(name, inputs, Pipeline.makeTap(tmpRoot, name, format), rerun)(op)
+}
+
 /** Driver-side sequential runner — the Spark-native residue of hadron's
   * free-monad orchestrator (`orchestrate`, Controller.hs:789-906). The
   * instruction stream, state-file replay, run tokens and worker dispatch
@@ -39,10 +112,7 @@ final case class Stage(
   */
 final class Pipeline(spark: SparkSession, stages: Seq[Stage]) {
 
-  private def exists(path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def exists(path: String): Boolean = Fs.exists(spark, path)
 
   /** Run all stages in program order (the reference has no optimizer over
     * its instruction stream either — Controller instructions execute
@@ -63,4 +133,13 @@ final class Pipeline(spark: SparkSession, stages: Seq[Stage]) {
         Seq(st.name)
     }
   }
+}
+
+object Pipeline {
+  /** `makeTap` analog (Controller.hs:681-682): allocate an intermediate
+    * tap under a temp root. Deterministic per (root, name) — see
+    * Stage.auto for why that replaces hadron's random locations.
+    */
+  def makeTap(tmpRoot: String, name: String, format: String = "parquet"): Tap =
+    Tap(Seq(s"$tmpRoot/graft-tmp-$name"), format)
 }

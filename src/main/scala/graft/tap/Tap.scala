@@ -159,4 +159,33 @@ object Tap {
     val r = right.read(spark).withColumn(tagCol, lit("right"))
     l.unionByName(r, allowMissingColumns = true)
   }
+
+  /** Write side of `mergeTaps` (Controller.hs:436-439: `enc` dispatches
+    * per-record on Left/Right) — a merged tagged union routed back through
+    * both taps, each side re-encoded with its own format. Hadron dispatches
+    * record-at-a-time inside one conduit; relationally the dispatch is a
+    * per-side filter + projection, which Catalyst pushes into the scan, so
+    * each write reads only its own rows and columns.
+    *
+    * Each side's column set comes from the tap's explicit schema when set
+    * (the heterogeneous-types case), else every non-tag column (the
+    * homogeneous case). Round-trips `merge`: null-padded columns that the
+    * union added are dropped again by the per-side projection.
+    */
+  def writeMerged(
+      df: DataFrame,
+      left: Tap,
+      right: Tap,
+      tagCol: String = "side",
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    def sideCols(t: Tap): Seq[String] =
+      t.schema.map(_.fieldNames.toSeq)
+        .getOrElse(df.columns.toSeq.filterNot(_ == tagCol))
+    left.write(
+      df.filter(col(tagCol) === "left").select(sideCols(left).map(col): _*),
+      mode)
+    right.write(
+      df.filter(col(tagCol) === "right").select(sideCols(right).map(col): _*),
+      mode)
+  }
 }
