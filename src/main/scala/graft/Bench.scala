@@ -45,6 +45,7 @@ object Bench {
     }
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    require(iters >= 1, s"SPARK_GRAFT_ITERS must be >= 1, got $iters")
 
     // Interleaved: untimed warm run immediately followed by the timed
     // iterations of the same query — back-to-back so the plan's generated
@@ -55,7 +56,10 @@ object Bench {
       (name, cold, timed)
     }
     val cold = runs.map(_._2).sum
-    def median(xs: Seq[Double]): Double = xs(xs.length / 2)
+    // xs is pre-sorted; even lengths average the two middle elements
+    def median(xs: Seq[Double]): Double =
+      if (xs.length % 2 == 1) xs(xs.length / 2)
+      else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
     val results = runs.map { case (name, _, t) => (name, median(t), t.head, t.last) }
 
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }

@@ -693,7 +693,9 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // q30 — embedding-cosine near-dup pairs via capped LSH bucketing
   // (extension: Similarity.nearDupPairs). maxBucketSize mirrors the
-  // oracle's HAVING COUNT(*) <= 1000 bucket filter, exactly as q18/q34.
+  // oracle's HAVING COUNT(*) <= 1000 bucket filter, exactly as q18/q34;
+  // over-cap buckets contribute a (min,max) representative pair, mirrored
+  // by the UNION arm with HAVING COUNT(*) > 1000.
   private def q30(s: SparkSession, dir: String): DataFrame =
     graft.similarity.Similarity.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
@@ -721,9 +723,12 @@ object SparkEntry {
        ok_buckets AS (
          SELECT bucket FROM sigs GROUP BY bucket HAVING COUNT(*) <= 1000),
        pairs AS (
-         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         SELECT a.vec_id AS id1, b.vec_id AS id2
          FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         JOIN ok_buckets c ON a.bucket = c.bucket),
+         JOIN ok_buckets c ON a.bucket = c.bucket
+         UNION
+         SELECT min(vec_id) AS id1, max(vec_id) AS id2
+         FROM sigs GROUP BY bucket HAVING COUNT(*) > 1000),
        v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings)
        SELECT id1, id2,
          list_sum([v1.e[i] * v2.e[i] for i in range(1, len(v1.e)+1)]) /

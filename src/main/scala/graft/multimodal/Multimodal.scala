@@ -51,7 +51,9 @@ object Multimodal {
     */
   def decodeImageMeta(df: DataFrame, contentCol: String = "content")
       : DataFrame = {
-    val h = md5(col(contentCol))
+    // loadMediaDir's content column is nullable; a null payload decodes
+    // as empty bytes rather than poisoning width/height with nulls
+    val h = md5(coalesce(col(contentCol), lit(Array.empty[Byte])))
     val fakeW = (conv(substring(h, 1, 8), 16, 10).cast("long") % 1920 + 1)
       .cast("int")
     val fakeH = (conv(substring(h, 9, 8), 16, 10).cast("long") % 1080 + 1)
@@ -78,7 +80,12 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.grouped(64).flatMap { batch => // batch boundary = decoder call
         batch.map { r =>
-          val bytes = r.getAs[Array[Byte]](idx)
+          // null payload = empty bytes (content is a nullable binary
+          // column per the loadMediaDir contract) — same convention as
+          // decodeImageMeta, so the fakes stay consistent across stages
+          val bytes =
+            if (r.isNullAt(idx)) Array.empty[Byte]
+            else r.getAs[Array[Byte]](idx)
           val feats = Array.tabulate(dim) { i =>
             // ??? real decoder goes here; deterministic fake — feature i =
             // md5(payload ++ ":i") scaled to [0, 1). md5 (engine-neutral)
@@ -123,11 +130,16 @@ object Multimodal {
       .encoderFor(schema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
+        val bytes =
+          if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
         // ??? real decode→scale→encode goes here; deterministic fake:
         // sample the payload down/up to a size proportional to the target
+        // (null/empty payload resizes to zero-filled bytes)
         val outLen = math.max(1, (width.toLong * height / 1024).toInt)
-        val out = Array.tabulate(outLen)(i => bytes(i % bytes.length))
+        val out =
+          if (bytes.isEmpty) new Array[Byte](outLen)
+          else Array.tabulate(outLen)(i => bytes(i % bytes.length))
         val vals = r.toSeq
           .updated(idx, out)
           .updated(didx, Row(width, height, 3))

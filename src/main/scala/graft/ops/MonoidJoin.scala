@@ -74,10 +74,12 @@ object MonoidJoin {
     tagged
       .groupByKey(_._1)
       .flatMapGroups { (key: K, rows: Iterator[(K, Int, A)]) =>
-        // Buffer per-dataset lists (reference buffers n−1 and streams the
-        // last; at Spark's group granularity buffering all n is equivalent —
-        // per-key fan-in is small by the same assumption the reference makes
-        // with its in-memory HashMap, Join.hs:60-66).
+        // Buffer per-dataset input lists. The reference buffers n−1 and
+        // streams the nth from its sorted reducer input (Join.hs:60-66);
+        // flatMapGroups delivers the group in arbitrary tag order, so all
+        // n input lists are buffered — but that is O(Σ inputs) per key,
+        // matching the reference's HashMap. What must NOT be buffered is
+        // the O(∏) cross-product; see the stems/stream emit below.
         val buf = Array.fill(n)(List.newBuilder[A])
         rows.foreach { case (_, i, a) => buf(i) += a }
         val lists: Array[List[A]] = buf.map(_.result())
@@ -85,13 +87,28 @@ object MonoidJoin {
               l.isEmpty && sides(i) == JRequired
             }) Iterator.empty
         else {
-          // cross product of per-dataset lists, missing optional ⇒ [empty]
+          // cross product of per-dataset lists, missing optional ⇒ [empty].
           val effective =
             lists.map(l => if (l.isEmpty) List(m.empty) else l)
-          val combos = effective.foldLeft(List(List.empty[A])) { (acc, l) =>
-            for (stem <- acc; x <- l) yield stem :+ x
+          // `emitStream` analog (Join.hs:109-111,164-195): hadron buffers
+          // datasets 1..n−1 and STREAMS the nth, emitting `mappend stem x`
+          // per arriving row. Same shape here: the first n−1 lists fold
+          // into pre-combined stems — each a single A, built in the exact
+          // left-reduce order a strict combo would use, so no law beyond
+          // what `reduce` already used is assumed — and the nth list
+          // streams through them via a lazy iterator. Per-key memory is
+          // O(∏ sizes of the first n−1 lists) values (put the big dataset
+          // LAST, as in hadron); the cross-product never materializes.
+          if (n == 1) effective(0).iterator.map((key, _))
+          else {
+            val stems = effective.view.slice(1, n - 1)
+              .foldLeft(effective(0)) { (acc, l) =>
+                for (s <- acc; x <- l) yield m.combine(s, x)
+              }
+            effective(n - 1).iterator.flatMap { x =>
+              stems.iterator.map(s => (key, m.combine(s, x)))
+            }
           }
-          combos.iterator.map(c => (key, c.reduce(m.combine)))
         }
       }
   }

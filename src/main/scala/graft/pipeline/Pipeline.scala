@@ -83,11 +83,24 @@ object Stage {
   /** `connect'` analog (Controller.hs:657-670): a stage whose output tap
     * is auto-allocated under `tmpRoot` — the reference's `makeTap`
     * (Controller.hs:681-682, random location at :836-842). One deliberate
-    * difference: the path is DETERMINISTIC per (tmpRoot, stage name)
-    * rather than random-per-run. Hadron replays its random tap ids to
-    * workers via the serialized state file; with no state replay in Spark,
-    * determinism is what lets `RSSkip` memoization recognize the stage's
-    * previous output across driver runs.
+    * difference: the path is DETERMINISTIC per (tmpRoot, stage name,
+    * input-binding fingerprint) rather than random-per-run. Hadron
+    * replays its random tap ids to workers via the serialized state file;
+    * with no state replay in Spark, determinism is what lets `RSSkip`
+    * memoization recognize the stage's previous output across driver runs.
+    *
+    * The fingerprint covers the INPUT BINDINGS (paths, formats, options,
+    * schemas): rebinding the stage to different inputs allocates a fresh
+    * path, so memoized output is never served for the wrong data.
+    *
+    * INVALIDATION CAVEAT — the fingerprint cannot see the `op` closure:
+    * changing a stage's TRANSFORM while keeping its name, inputs and
+    * tmpRoot means a later run under `RSSkip` serves the previous
+    * transform's output. That is the contract of content-addressed
+    * memoization over an opaque function (hadron ducks it with
+    * random-per-run locations, giving up cross-run memoization
+    * entirely). When an op changes, bump the stage name, delete the
+    * tap's path (`Fs.delete`), or pass `rerun = RSReRun`.
     */
   def auto(
       name: String,
@@ -95,8 +108,11 @@ object Stage {
       tmpRoot: String,
       rerun: RerunStrategy = RSSkip,
       format: String = "parquet")(
-      op: Seq[DataFrame] => DataFrame): Stage =
-    Stage(name, inputs, Pipeline.makeTap(tmpRoot, name, format), rerun)(op)
+      op: Seq[DataFrame] => DataFrame): Stage = {
+    val fp = Pipeline.fingerprint(inputs)
+    Stage(name, inputs,
+      Pipeline.makeTap(tmpRoot, s"$name-$fp", format), rerun)(op)
+  }
 }
 
 /** Driver-side sequential runner — the Spark-native residue of hadron's
@@ -142,4 +158,19 @@ object Pipeline {
     */
   def makeTap(tmpRoot: String, name: String, format: String = "parquet"): Tap =
     Tap(Seq(s"$tmpRoot/graft-tmp-$name"), format)
+
+  /** Short stable digest of a stage's input bindings — the part of
+    * `Stage.auto`'s memoization key that guards against serving one
+    * input's cached output for another (see the invalidation caveat on
+    * `Stage.auto`).
+    */
+  private[pipeline] def fingerprint(inputs: Seq[Tap]): String = {
+    val ident = inputs.map(t =>
+      (t.paths.mkString(","), t.format,
+        t.options.toSeq.sorted.mkString(","),
+        t.schema.map(_.catalogString).getOrElse(""))).mkString(";")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8"))
+    md.take(6).map("%02x".format(_)).mkString
+  }
 }

@@ -296,11 +296,22 @@ object Similarity {
     * Pair generation is the capped grouped shape shared with
     * `Dedup.minhashLsh`: ONE grouping shuffle gathers each bucket's ids
     * (`collect_list_capped` bounds the aggregation buffer), buckets with
-    * more than `maxBucketSize` members are dropped before any pair is
-    * materialized. Without the cap a single hot bucket — near-zero vectors
-    * all share a signature — makes the pair stage quadratic; the cap is
-    * the skew guard that lets this run on a 100 TB corpus. Mirror it in
-    * any oracle with `HAVING COUNT(*) <= maxBucketSize` on the bucket CTE.
+    * more than `maxBucketSize` members never materialize their full pair
+    * set. Without the cap a single hot bucket — near-zero vectors all
+    * share a signature — makes the pair stage quadratic; the cap is the
+    * skew guard that lets this run on a 100 TB corpus.
+    *
+    * An over-cap bucket is NOT dropped silently: it contributes one
+    * deterministic representative pair, (min id, max id) — exact
+    * aggregates, so reproducible in any engine — which then passes
+    * through the same cosine verify. A cluster of >maxBucketSize true
+    * duplicates (the highest-value near-dup target) therefore still
+    * surfaces in the output instead of yielding zero rows; recall within
+    * such a cluster is intentionally partial (full recall is the
+    * quadratic blowup the cap exists to prevent). Mirror both arms in
+    * any oracle: `HAVING COUNT(*) <= maxBucketSize` for the pair arm,
+    * `UNION SELECT min(id), max(id) ... HAVING COUNT(*) > maxBucketSize`
+    * for the representative arm.
     *
     * @param cacheCorpus persist the (id, vector) projection across its two
     *   uses (bucketing + verify re-join). Off by default: at corpus scale a
@@ -321,14 +332,23 @@ object Similarity {
     val c = if (cacheCorpus) c0.cache() else c0
     val buckets = withBucketsKernel(c, "v", tables, bits, dim)
       .select(col("id"), col("bucket"))
-    val grouped = buckets.groupBy("bucket")
+    val grouped0 = buckets.groupBy("bucket")
       .agg(
         call_function("collect_list_capped", col("id"),
           lit(maxBucketSize)).as("ids"),
-        count(lit(1)).as("n"))
-      .filter(col("n").between(2, maxBucketSize))
+        count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+    val grouped = grouped0.filter(col("n").between(2, maxBucketSize))
+    // over-cap buckets: one representative (min, max) pair each — exact
+    // aggregates over the whole bucket, NOT the capped sample, so the
+    // choice is deterministic regardless of arrival order
+    val cappedReps = grouped0.filter(col("n") > maxBucketSize)
+      .select(col("min_id").as("id1"), col("max_id").as("id2"))
     val pairs = graft.dedup.Dedup
-      .emitPairs(grouped, c.schema("id").dataType).distinct()
+      .emitPairs(grouped, c.schema("id").dataType)
+      .union(cappedReps)
+      .distinct()
     withCosineKernel(pairs
       .join(c.select(col("id").as("id1"), col("v").as("v1")), "id1")
       .join(c.select(col("id").as("id2"), col("v").as("v2")), "id2"),

@@ -171,6 +171,17 @@ object Tap {
     * (the heterogeneous-types case), else every non-tag column (the
     * homogeneous case). Round-trips `merge`: null-padded columns that the
     * union added are dropped again by the per-side projection.
+    *
+    * When a target tap overlaps the paths `df` is lazily reading from
+    * (the in-place round-trip: merge a/b → writeMerged back to a/b), the
+    * Overwrite would race its own scan — Spark rejects it with "Cannot
+    * overwrite a path that is also being read from". That case is
+    * detected from the plan's input files and the DataFrame is
+    * materialized (localCheckpoint severs the lineage) before either
+    * side writes. The checkpoint is a full materialization — fine for
+    * the re-encode scale this mirrors (hadron rewrites the merged file
+    * in place too); at corpus scale prefer fresh target paths, which
+    * skip the checkpoint entirely.
     */
   def writeMerged(
       df: DataFrame,
@@ -181,11 +192,18 @@ object Tap {
     def sideCols(t: Tap): Seq[String] =
       t.schema.map(_.fieldNames.toSeq)
         .getOrElse(df.columns.toSeq.filterNot(_ == tagCol))
+    val targets = (left.paths ++ right.paths)
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    val overlaps = df.inputFiles.exists { f =>
+      val fp = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      targets.exists(t => fp == t || fp.startsWith(t + "/"))
+    }
+    val src = if (overlaps) df.localCheckpoint(true) else df
     left.write(
-      df.filter(col(tagCol) === "left").select(sideCols(left).map(col): _*),
+      src.filter(col(tagCol) === "left").select(sideCols(left).map(col): _*),
       mode)
     right.write(
-      df.filter(col(tagCol) === "right").select(sideCols(right).map(col): _*),
+      src.filter(col(tagCol) === "right").select(sideCols(right).map(col): _*),
       mode)
   }
 }

@@ -67,6 +67,19 @@ class MonoidJoinSpec extends SparkSpec {
     assert(out("k1") == Seq("a") && out("k2") == Seq("b"))
   }
 
+  test("one large-fan-in key (200x200 optional rows) completes with " +
+      "bounded combo materialization (emitStream shape, Join.hs:109-111)") {
+    import spark.implicits._
+    implicit val longSum: Monoid[Long] = Monoid(0L)(_ + _)
+    val left = spark.createDataset((1 to 200).map(i => ("k", i.toLong)))
+    val right = spark.createDataset((1 to 200).map(j => ("k", j.toLong)))
+    val out = joinStep[String, Long](Seq(
+      Input(left, JOptional), Input(right, JOptional))).collect()
+    assert(out.length == 200 * 200)
+    // sum over all combos of (i + j) = 2 * 200 * (1+..+200)
+    assert(out.map(_._2).sum == 2L * 200 * 20100)
+  }
+
   test("joinMR inner 2-way combines pairwise per key") {
     import spark.implicits._
     val out = MonoidJoin.joinMR(

@@ -78,6 +78,73 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getString(0)).forall(_.length <= 5))
   }
 
+  test("Stage.auto chains two stages through an auto-allocated " +
+      "intermediate and RSSkip memoizes across runs (connect' analog, " +
+      "Controller.hs:657-682)") {
+    val root = tmp()
+    val src = Tap.parquet(sf("sf0.001") + "/nation.parquet")
+    def pipeline(): (Pipeline, Stage) = {
+      val s1 = Stage.auto("filt", Seq(src), root) { dfs =>
+        dfs.head.filter(col("n_regionkey") === 0)
+      }
+      val s2 = Stage.auto("names", Seq(s1.output), root) { dfs =>
+        dfs.head.select("n_name")
+      }
+      (new Pipeline(spark, Seq(s1, s2)), s2)
+    }
+    val (p1, out1) = pipeline()
+    assert(p1.run() == Seq("filt", "names"))
+    val first = out1.output.read(spark).collect().map(_.getString(0)).sorted
+
+    // second driver run: both stages' outputs exist at the deterministic
+    // paths, so RSSkip serves them without recompute — the reference's
+    // incremental-memoization feature, which its random-per-run tap
+    // locations could never provide across runs
+    val (p2, out2) = pipeline()
+    assert(p2.run().isEmpty)
+    assert(out2.output.read(spark).collect().map(_.getString(0)).sorted
+      .toSeq == first.toSeq)
+    assert(first.nonEmpty)
+  }
+
+  test("Stage.auto rebinding to different inputs allocates a different " +
+      "path (input fingerprint), so memoized output is never cross-served") {
+    val root = tmp()
+    val a = Stage.auto("s", Seq(Tap.parquet(sf("sf0.001") + "/nation.parquet")),
+      root)(dfs => dfs.head)
+    val b = Stage.auto("s", Seq(Tap.parquet(sf("sf0.001") + "/region.parquet")),
+      root)(dfs => dfs.head)
+    assert(!a.output.sameLocation(b.output))
+  }
+
+  test("DOCUMENTED HAZARD: a changed op with unchanged (name, inputs, " +
+      "tmpRoot) is served the stale memoized output under RSSkip") {
+    // The fingerprint covers input bindings, not the op closure — this is
+    // the tradeoff of deterministic tap paths (cross-run memoization)
+    // versus hadron's random-per-run locations (no memoization, no
+    // staleness; Controller.hs:836-842). Asserted so the behavior is a
+    // contract, not an accident; the escape hatches are a new stage name,
+    // Fs.delete of the tap path, or rerun = RSReRun.
+    val root = tmp()
+    val src = Tap.parquet(sf("sf0.001") + "/region.parquet")
+    val v1 = Stage.auto("h", Seq(src), root)(dfs =>
+      dfs.head.withColumn("tag", lit("old-op")))
+    new Pipeline(spark, Seq(v1)).run()
+
+    val v2 = Stage.auto("h", Seq(src), root)(dfs =>
+      dfs.head.withColumn("tag", lit("new-op")))
+    assert(new Pipeline(spark, Seq(v2)).run().isEmpty) // stale serve
+    assert(v2.output.read(spark).select("tag").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("old-op"))
+
+    // escape hatch: RSReRun recomputes in place
+    val v3 = Stage.auto("h", Seq(src), root, rerun = RSReRun)(dfs =>
+      dfs.head.withColumn("tag", lit("new-op")))
+    assert(new Pipeline(spark, Seq(v3)).run() == Seq("h"))
+    assert(v3.output.read(spark).select("tag").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("new-op"))
+  }
+
   test("multi-stage pipeline chains outputs in program order") {
     val base = tmp()
     val s1 = Stage("a", Seq(Tap.parquet(sf("sf0.001") + "/nation.parquet")),

@@ -82,16 +82,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((3L, 4L)))
   }
 
-  test("nearDupPairs drops buckets over maxBucketSize (hot-bucket guard)") {
+  test("nearDupPairs caps hot buckets to a representative pair " +
+      "(quadratic pair stage suppressed, cluster still surfaces)") {
     import spark.implicits._
     // 50 identical vectors: one dense bucket in every table. With the cap
-    // below the bucket size the whole bucket is dropped before any pair
-    // is materialized; with a permissive cap all C(50,2) pairs verify.
+    // below the bucket size, no per-pair work happens for the bucket —
+    // but the cluster is NOT silently lost: each over-cap bucket emits
+    // the deterministic (min id, max id) representative, which passes
+    // cosine verify. With a permissive cap all C(50,2) pairs verify.
     val hot = Array.tabulate(64)(i => (i + 1).toFloat)
     val df = (1L to 50L).map(i => (i, hot)).toDF("vec_id", "embedding")
     val capped = Similarity.nearDupPairs(df, "vec_id", "embedding",
       dim = 64, threshold = 0.9, bits = 4, tables = 2, maxBucketSize = 10)
-    assert(capped.count() == 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 50L))) // both tables' buckets agree on (min,max)
     val uncapped = Similarity.nearDupPairs(df, "vec_id", "embedding",
       dim = 64, threshold = 0.9, bits = 4, tables = 2, maxBucketSize = 1000,
       cacheCorpus = true)

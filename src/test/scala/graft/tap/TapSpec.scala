@@ -80,6 +80,74 @@ class TapSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("writeMerged routes a merged union back through two fresh taps " +
+      "(homogeneous schemas, mergeTaps write side, Controller.hs:436-439)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-wm").toString
+    val l0 = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val r0 = Seq((10, "x")).toDF("id", "s")
+    val srcL = Tap.parquet(base + "/src-l"); srcL.write(l0)
+    val srcR = Tap.parquet(base + "/src-r"); srcR.write(r0)
+
+    val merged = Tap.merge(spark, srcL, srcR)
+    val dstL = Tap.parquet(base + "/dst-l")
+    val dstR = Tap.parquet(base + "/dst-r")
+    Tap.writeMerged(merged, dstL, dstR)
+
+    assert(dstL.read(spark).collect().map(r => (r.getInt(0), r.getString(1)))
+      .sorted.toSeq == Seq((1, "a"), (2, "b")))
+    assert(dstR.read(spark).collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSeq == Seq((10, "x")))
+    assert(!dstL.read(spark).columns.contains("side"))
+  }
+
+  test("writeMerged with explicit per-tap schemas drops the union's " +
+      "null-padded columns on each side (heterogeneous round-trip)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-wm2").toString
+    val l0 = Seq((1, "a")).toDF("id", "s")
+    val r0 = Seq((2, 2.5)).toDF("id", "v")
+    val srcL = Tap.parquet(base + "/src-l"); srcL.write(l0)
+    val srcR = Tap.parquet(base + "/src-r"); srcR.write(r0)
+
+    val merged = Tap.merge(spark, srcL, srcR)
+    assert(merged.columns.toSet == Set("id", "s", "v", "side"))
+
+    val dstL = Tap.parquet(base + "/dst-l").copy(schema = Some(l0.schema))
+    val dstR = Tap.parquet(base + "/dst-r").copy(schema = Some(r0.schema))
+    Tap.writeMerged(merged, dstL, dstR)
+
+    val lBack = dstL.read(spark)
+    val rBack = dstR.read(spark)
+    assert(lBack.columns.toSeq == Seq("id", "s"))
+    assert(rBack.columns.toSeq == Seq("id", "v"))
+    assert(lBack.collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSeq == Seq((1, "a")))
+    assert(rBack.collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .toSeq == Seq((2, 2.5)))
+  }
+
+  test("writeMerged back into the SOURCE taps materializes first instead " +
+      "of overwriting a path being read (in-place round-trip)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-wm3").toString
+    val l0 = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val r0 = Seq((10, "x")).toDF("id", "s")
+    val tapL = Tap.parquet(base + "/l"); tapL.write(l0)
+    val tapR = Tap.parquet(base + "/r"); tapR.write(r0)
+
+    // transform the merged stream, then write back to the same locations —
+    // the reference's in-place re-encode; naive lazy overwrite would throw
+    val merged = Tap.merge(spark, tapL, tapR)
+      .withColumn("s", upper(col("s")))
+    Tap.writeMerged(merged, tapL, tapR)
+
+    assert(tapL.read(spark).collect().map(r => (r.getInt(0), r.getString(1)))
+      .sorted.toSeq == Seq((1, "A"), (2, "B")))
+    assert(tapR.read(spark).collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSeq == Seq((10, "X")))
+  }
+
   test("a Tap re-binds as a stream: file source -> transform -> file sink") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream")
