@@ -119,6 +119,70 @@ object Dedup {
     }(enc)
   }
 
+  /** Open-addressing (id1, id2) → count map over primitive long arrays —
+    * the pair buffer of `emitPairCounts` for integral id types. The
+    * generic HashMap[(Any, Any), Long] spends the q19 hot loop boxing two
+    * ids and a tuple per probe and chasing entry pointers; this keeps the
+    * whole table in three flat long arrays (cnt == 0 marks an empty slot;
+    * real counts are always >= 1), ~7x less memory and no allocation on
+    * the add path. Grows by doubling at 50% load; the caller drains and
+    * reuses it, so growth stops at the flush threshold's working set.
+    */
+  private final class LongPairCounter(initialCapacity: Int = 1 << 10) {
+    private var cap = Integer.highestOneBit(math.max(initialCapacity, 16))
+    private var k1s = new Array[Long](cap)
+    private var k2s = new Array[Long](cap)
+    private var cnts = new Array[Long](cap)
+    private var n = 0
+    def size: Int = n
+
+    private def slot(a: Long, b: Long, k1: Array[Long], k2: Array[Long],
+        cs: Array[Long], mask: Int): Int = {
+      // 128->64 bit mix (splitmix64 finalizer over a golden-ratio fold)
+      var h = a * 0x9e3779b97f4a7c15L + b
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      h ^= h >>> 31
+      var i = (h & mask).toInt
+      while (cs(i) != 0 && (k1(i) != a || k2(i) != b)) i = (i + 1) & mask
+      i
+    }
+
+    def add(a: Long, b: Long): Unit = {
+      val i = slot(a, b, k1s, k2s, cnts, cap - 1)
+      if (cnts(i) == 0) { k1s(i) = a; k2s(i) = b; n += 1 }
+      cnts(i) += 1
+      if (n * 2 >= cap) grow() // after the count: grow skips cnt==0 slots
+    }
+
+    private def grow(): Unit = {
+      val oldK1 = k1s; val oldK2 = k2s; val oldC = cnts; val oldCap = cap
+      cap <<= 1
+      k1s = new Array[Long](cap); k2s = new Array[Long](cap)
+      cnts = new Array[Long](cap)
+      val mask = cap - 1
+      var i = 0
+      while (i < oldCap) {
+        if (oldC(i) != 0) {
+          val j = slot(oldK1(i), oldK2(i), k1s, k2s, cnts, mask)
+          k1s(j) = oldK1(i); k2s(j) = oldK2(i); cnts(j) = oldC(i)
+        }
+        i += 1
+      }
+    }
+
+    /** Visit every entry, then reset to empty (capacity retained). */
+    def drainInto(f: (Long, Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (cnts(i) != 0) f(k1s(i), k2s(i), cnts(i))
+        i += 1
+      }
+      java.util.Arrays.fill(cnts, 0L)
+      n = 0
+    }
+  }
+
   /** Emit (id1 < id2, count) from each partition's groups with the pair
     * counting PRE-aggregated inside the kernel: near-duplicate docs
     * co-occur in many groups, so combining before the encoder boundary
@@ -127,6 +191,11 @@ object Dedup {
     * size, so memory stays constant; the downstream sum finishes the
     * aggregation. Replaces a posting-list self-join: one grouping
     * shuffle instead of join-build + probe + pair shuffle.
+    *
+    * Integral id types (long/int) run on `LongPairCounter` — flat
+    * primitive arrays, no boxing in the quadratic loop; everything else
+    * takes the generic boxed path. DedupKernelSpec pins both paths to
+    * the same counts.
     */
   private[graft] def emitPairCounts(
       groups: DataFrame,
@@ -138,39 +207,194 @@ object Dedup {
       StructField("cnt", LongType, false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
-    implicit val anyOrd: Ordering[Any] =
-      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
-    groups.select(col("ids")).mapPartitions { rows =>
-      val acc = new java.util.HashMap[(Any, Any), Long]()
-      def drain(): Array[org.apache.spark.sql.Row] = {
-        val out = new Array[org.apache.spark.sql.Row](acc.size)
-        val it = acc.entrySet().iterator(); var n = 0
-        while (it.hasNext) {
-          val e = it.next()
-          out(n) = org.apache.spark.sql.Row(e.getKey._1, e.getKey._2, e.getValue)
-          n += 1
-        }
-        acc.clear(); out
-      }
-      val flushed = rows.flatMap { r =>
-        val ids = r.getSeq[Any](0).sorted
-        var i = 0
-        while (i < ids.length) {
-          var j = i + 1
-          while (j < ids.length) {
-            acc.merge((ids(i), ids(j)), 1L, (a, b) => a + b); j += 1
+    val ids = groups.select(col("ids"))
+    idType match {
+      case LongType | IntegerType =>
+        val isInt = idType == IntegerType
+        ids.mapPartitions { rows =>
+          val acc = new LongPairCounter()
+          def drain(): Iterator[org.apache.spark.sql.Row] = {
+            val out = new scala.collection.mutable.ArrayBuffer[
+              org.apache.spark.sql.Row](acc.size)
+            if (isInt)
+              acc.drainInto((a, b, c) =>
+                out += org.apache.spark.sql.Row(a.toInt, b.toInt, c))
+            else
+              acc.drainInto((a, b, c) =>
+                out += org.apache.spark.sql.Row(a, b, c))
+            out.iterator
           }
-          i += 1
-        }
-        if (acc.size >= flushAt) drain().iterator else Iterator.empty
-      }
-      flushed ++ new Iterator[org.apache.spark.sql.Row] {
-        private var buf: Array[org.apache.spark.sql.Row] = _
-        private var k = 0
-        def hasNext: Boolean = { if (buf == null) buf = drain(); k < buf.length }
-        def next(): org.apache.spark.sql.Row = { val r = buf(k); k += 1; r }
-      }
-    }(enc)
+          val flushed = rows.flatMap { r =>
+            val s = r.getSeq[Any](0)
+            val arr = new Array[Long](s.length)
+            var i = 0
+            val it = s.iterator
+            while (it.hasNext) {
+              arr(i) = it.next() match {
+                case l: java.lang.Long => l.longValue()
+                case n: java.lang.Integer => n.longValue()
+              }
+              i += 1
+            }
+            java.util.Arrays.sort(arr)
+            i = 0
+            while (i < arr.length) {
+              var j = i + 1
+              while (j < arr.length) { acc.add(arr(i), arr(j)); j += 1 }
+              i += 1
+            }
+            if (acc.size >= flushAt) drain() else Iterator.empty
+          }
+          flushed ++ new Iterator[org.apache.spark.sql.Row] {
+            private var buf: Iterator[org.apache.spark.sql.Row] = _
+            def hasNext: Boolean = { if (buf == null) buf = drain(); buf.hasNext }
+            def next(): org.apache.spark.sql.Row = { if (buf == null) buf = drain(); buf.next() }
+          }
+        }(enc)
+      case _ =>
+        implicit val anyOrd: Ordering[Any] =
+          (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+        ids.mapPartitions { rows =>
+          val acc = new java.util.HashMap[(Any, Any), Long]()
+          def drain(): Array[org.apache.spark.sql.Row] = {
+            val out = new Array[org.apache.spark.sql.Row](acc.size)
+            val it = acc.entrySet().iterator(); var n = 0
+            while (it.hasNext) {
+              val e = it.next()
+              out(n) = org.apache.spark.sql.Row(e.getKey._1, e.getKey._2, e.getValue)
+              n += 1
+            }
+            acc.clear(); out
+          }
+          val flushed = rows.flatMap { r =>
+            val ids = r.getSeq[Any](0).sorted
+            var i = 0
+            while (i < ids.length) {
+              var j = i + 1
+              while (j < ids.length) {
+                acc.merge((ids(i), ids(j)), 1L, (a, b) => a + b); j += 1
+              }
+              i += 1
+            }
+            if (acc.size >= flushAt) drain().iterator else Iterator.empty
+          }
+          flushed ++ new Iterator[org.apache.spark.sql.Row] {
+            private var buf: Array[org.apache.spark.sql.Row] = _
+            private var k = 0
+            def hasNext: Boolean = { if (buf == null) buf = drain(); k < buf.length }
+            def next(): org.apache.spark.sql.Row = { val r = buf(k); k += 1; r }
+          }
+        }(enc)
+    }
+  }
+
+  /** One-pass fusion of `emitPairCounts` and the per-doc size count for
+    * the inverted-index jaccard: per group, every id gains a size
+    * increment AND every (id1 < id2) pair a co-occurrence increment,
+    * accumulated in the SAME bounded counter — size entries ride as the
+    * diagonal key (id, id), which a strict id1 < id2 pair key can never
+    * produce. Output rows mark sizes with a NULL id2, so ONE downstream
+    * groupBy finishes both aggregations and the big posting-list table is
+    * consumed exactly once (no cache, no second pass, no second shuffle —
+    * the shape that made q19's `groups` cache + `sizes` pass redundant).
+    */
+  private[graft] def emitPairAndSizeCounts(
+      groups: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      flushAt: Int = 1 << 22): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id1", idType, false),
+      StructField("id2", idType, true), // null = per-doc size row
+      StructField("cnt", LongType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val ids = groups.select(col("ids"))
+    idType match {
+      case LongType | IntegerType =>
+        val isInt = idType == IntegerType
+        ids.mapPartitions { rows =>
+          val acc = new LongPairCounter()
+          def drain(): Iterator[org.apache.spark.sql.Row] = {
+            val out = new scala.collection.mutable.ArrayBuffer[
+              org.apache.spark.sql.Row](acc.size)
+            acc.drainInto { (a, b, c) =>
+              out += (
+                if (a == b)
+                  org.apache.spark.sql.Row(
+                    if (isInt) a.toInt else a, null, c)
+                else if (isInt)
+                  org.apache.spark.sql.Row(a.toInt, b.toInt, c)
+                else org.apache.spark.sql.Row(a, b, c))
+            }
+            out.iterator
+          }
+          val flushed = rows.flatMap { r =>
+            val s = r.getSeq[Any](0)
+            val arr = new Array[Long](s.length)
+            var i = 0
+            val it = s.iterator
+            while (it.hasNext) {
+              arr(i) = it.next() match {
+                case l: java.lang.Long => l.longValue()
+                case n: java.lang.Integer => n.longValue()
+              }
+              i += 1
+            }
+            java.util.Arrays.sort(arr)
+            i = 0
+            while (i < arr.length) {
+              acc.add(arr(i), arr(i)) // size increment (diagonal key)
+              var j = i + 1
+              while (j < arr.length) { acc.add(arr(i), arr(j)); j += 1 }
+              i += 1
+            }
+            if (acc.size >= flushAt) drain() else Iterator.empty
+          }
+          flushed ++ new Iterator[org.apache.spark.sql.Row] {
+            private var buf: Iterator[org.apache.spark.sql.Row] = _
+            def hasNext: Boolean = { if (buf == null) buf = drain(); buf.hasNext }
+            def next(): org.apache.spark.sql.Row = { if (buf == null) buf = drain(); buf.next() }
+          }
+        }(enc)
+      case _ =>
+        implicit val anyOrd: Ordering[Any] =
+          (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+        ids.mapPartitions { rows =>
+          val acc = new java.util.HashMap[(Any, Any), Long]()
+          def drain(): Array[org.apache.spark.sql.Row] = {
+            val out = new Array[org.apache.spark.sql.Row](acc.size)
+            val it = acc.entrySet().iterator(); var n = 0
+            while (it.hasNext) {
+              val e = it.next()
+              val (a, b) = e.getKey
+              out(n) = org.apache.spark.sql.Row(
+                a, if (a == b) null else b, e.getValue)
+              n += 1
+            }
+            acc.clear(); out
+          }
+          val flushed = rows.flatMap { r =>
+            val ids = r.getSeq[Any](0).sorted
+            var i = 0
+            while (i < ids.length) {
+              acc.merge((ids(i), ids(i)), 1L, (a, b) => a + b)
+              var j = i + 1
+              while (j < ids.length) {
+                acc.merge((ids(i), ids(j)), 1L, (a, b) => a + b); j += 1
+              }
+              i += 1
+            }
+            if (acc.size >= flushAt) drain().iterator else Iterator.empty
+          }
+          flushed ++ new Iterator[org.apache.spark.sql.Row] {
+            private var buf: Array[org.apache.spark.sql.Row] = _
+            private var k = 0
+            def hasNext: Boolean = { if (buf == null) buf = drain(); k < buf.length }
+            def next(): org.apache.spark.sql.Row = { val r = buf(k); k += 1; r }
+          }
+        }(enc)
+    }
   }
 
   /** Emit all (id1 < id2) pairs from each group's id list — the shared
@@ -283,17 +507,19 @@ object Dedup {
     // groupBys shuffle longs, not strings; hash collisions fold
     // identically in the oracle, which computes the same md5-mod space).
     //
-    // Shape: ONE scan, ONE wide shuffle. The posting list groups by
-    // shingle with `collect_list_capped` (graft's Catalyst aggregate) +
-    // an exact count: a stop-shingle with df in the millions never
-    // buffers more than maxDf ids — map-side partials and the merge
-    // alike — and its (truncated, never-observed) group is dropped by
-    // the df filter before any pair materializes. The surviving groups
-    // table is the compact "rare posting index"; it's cached because it
-    // feeds both the per-doc size table and the pair stream. Pairs come
-    // from a per-group kernel (no posting self-join); their groupBy
-    // partial-aggregates map-side. `sizes` (one row per doc) joins at
-    // the end; AQE broadcasts it when small.
+    // Shape: ONE scan, ONE wide shuffle, ONE pass over the posting
+    // list. The posting list groups by shingle with
+    // `collect_list_capped` (graft's Catalyst aggregate) + an exact
+    // count: a stop-shingle with df in the millions never buffers more
+    // than maxDf ids — map-side partials and the merge alike — and its
+    // (truncated, never-observed) group is dropped by the df filter
+    // before any pair materializes. The fused kernel then emits BOTH
+    // per-doc size partials and pair co-occurrence partials from that
+    // single pass (size rows carry a NULL id2), so the posting list is
+    // never cached or re-read and one groupBy finishes both
+    // aggregations. The `unified` result is one row per surviving pair
+    // plus one per doc — small — and feeds the final jaccard via two
+    // self-joins that AQE broadcasts when small.
     val docs = shingleDocs(df, idCol, textCol, shingleK)
 
     val groups = docs
@@ -303,13 +529,15 @@ object Dedup {
         call_function("collect_list_capped", col("id"), lit(maxDf)).as("ids"),
         count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .cache()
 
-    val sizes = groups.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("nsh"))
+    val unified = emitPairAndSizeCounts(groups, docs.schema("id").dataType)
+      .groupBy("id1", "id2").agg(sum(col("cnt")).as("cnt"))
+      .cache() // small: one row per co-occurring pair + one per doc
 
-    val common = emitPairCounts(groups.filter(col("df") >= 2), docs.schema("id").dataType)
-      .groupBy("id1", "id2").agg(sum(col("cnt")).as("common"))
+    val sizes = unified.filter(col("id2").isNull)
+      .select(col("id1").as("id"), col("cnt").as("nsh"))
+    val common = unified.filter(col("id2").isNotNull)
+      .select(col("id1"), col("id2"), col("cnt").as("common"))
 
     common
       .join(sizes.withColumnRenamed("id", "id1")

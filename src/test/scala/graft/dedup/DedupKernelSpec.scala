@@ -43,6 +43,95 @@ class DedupKernelSpec extends SparkSpec {
     assert(counts(flushAt = 1) == expected)       // drain after every group
   }
 
+  test("emitPairCounts: primitive (long) and generic (string) paths " +
+      "produce identical pair counts") {
+    import spark.implicits._
+    // 40 groups over 30 ids with heavy co-occurrence; long ids take the
+    // open-addressing LongPairCounter, string ids the boxed HashMap
+    val rng = new scala.util.Random(7)
+    val groupsRaw = Seq.fill(40) {
+      rng.shuffle((1L to 30L).toList).take(2 + rng.nextInt(8))
+    }
+    val longGroups = groupsRaw.toDF("ids").repartition(3)
+    val strGroups = groupsRaw.map(_.map(i => f"d$i%03d")).toDF("ids")
+      .repartition(3)
+    val fromLong =
+      Dedup.emitPairCounts(longGroups, org.apache.spark.sql.types.LongType)
+        .groupBy("id1", "id2").sum("cnt").collect()
+        .map(r => ((f"d${r.getLong(0)}%03d", f"d${r.getLong(1)}%03d"),
+          r.getLong(2))).toMap
+    val fromStr =
+      Dedup.emitPairCounts(strGroups, org.apache.spark.sql.types.StringType)
+        .groupBy("id1", "id2").sum("cnt").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(fromLong.nonEmpty && fromLong == fromStr)
+  }
+
+  test("emitPairCounts: int ids round-trip the primitive path with the " +
+      "declared int schema") {
+    import spark.implicits._
+    val groups = Seq(Seq(3, 1, 2), Seq(1, 2)).toDF("ids")
+    val out = Dedup.emitPairCounts(groups,
+      org.apache.spark.sql.types.IntegerType)
+      .groupBy("id1", "id2").sum("cnt").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(out == Map((1, 2) -> 2L, (1, 3) -> 1L, (2, 3) -> 1L))
+  }
+
+  test("emitPairCounts: primitive path survives growth past many " +
+      "doublings (large distinct-pair working set)") {
+    import spark.implicits._
+    // one group of 120 ids = 7140 distinct pairs — forces LongPairCounter
+    // through ~4 grow() rehashes from its 1024 starting capacity
+    val groups = Seq((1L to 120L).toSeq).toDF("ids").coalesce(1)
+    val out = Dedup.emitPairCounts(groups,
+      org.apache.spark.sql.types.LongType)
+      .collect()
+    assert(out.length == 120 * 119 / 2)
+    assert(out.forall(_.getLong(2) == 1L))
+  }
+
+  test("emitPairAndSizeCounts == separate size/pair computations, both " +
+      "id types (fused single-pass kernel behind ngramJaccard)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val groupsRaw = Seq.fill(30) {
+      rng.shuffle((1L to 20L).toList).take(1 + rng.nextInt(6))
+    }
+    def check(df: org.apache.spark.sql.DataFrame,
+        idType: org.apache.spark.sql.types.DataType,
+        getId: org.apache.spark.sql.Row => Long): Unit = {
+      val unified = Dedup.emitPairAndSizeCounts(df, idType)
+        .groupBy("id1", "id2").sum("cnt").collect()
+      val sizes = unified.filter(_.isNullAt(1))
+        .map(r => getId(r) -> r.getLong(2)).toMap
+      val pairs = unified.filterNot(_.isNullAt(1))
+        .map(r => (getId(r), r.getAs[Any](1) match {
+          case l: Long => l; case i: Int => i.toLong
+        }) -> r.getLong(2)).toMap
+      // oracle: brute-force recount from the raw groups
+      val expSizes = groupsRaw.flatten.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val expPairs = groupsRaw.flatMap { g =>
+        val s = g.sorted
+        for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(sizes == expSizes)
+      assert(pairs == expPairs)
+    }
+    check(groupsRaw.toDF("ids").repartition(3),
+      org.apache.spark.sql.types.LongType, _.getLong(0))
+    // generic path: same groups as strings, mapped back to longs
+    val strUnified = Dedup.emitPairAndSizeCounts(
+      groupsRaw.map(_.map(i => f"d$i%03d")).toDF("ids"),
+      org.apache.spark.sql.types.StringType)
+      .groupBy("id1", "id2").sum("cnt").collect()
+    val strSizes = strUnified.filter(_.isNullAt(1))
+      .map(r => r.getString(0).drop(1).toLong -> r.getLong(2)).toMap
+    assert(strSizes == groupsRaw.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong })
+  }
+
   test("minhashLsh finds the fixture's planted near-duplicates") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val pairs = Dedup.minhashLsh(df, col("doc_id"), col("text"),
