@@ -975,6 +975,75 @@ object SparkEntry {
        FROM kept1 k LEFT JOIN dups d ON k.doc_id = d.id2
        WHERE d.id2 IS NULL"""
 
+  // ------------------------------------------------------------------
+  // q35 — the §2.6 orchestration layer under the correctness gate: the
+  // q34 cleaning prefix (language filter → quality filter → fingerprint
+  // dedup, then corpus stats) executed as a 2-stage `Pipeline` with
+  // `Stage.auto` intermediates — stage 1 WRITES a real parquet tap that
+  // stage 2 READS, exactly hadron's connect'-chained jobs
+  // (Controller.hs:657-682) — and the final tap read back as the query
+  // result. Same oracle semantics as a single-plan run (PipelineSpec
+  // asserts the equivalence at unit level); RSReRun keeps the gate
+  // honest across code changes (RSSkip memoization is spec'd, not
+  // oracle-gated).
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Pipeline, RSReRun, Stage}
+    import graft.tap.Tap
+    val tmpRoot = sys.props("java.io.tmpdir") +
+      "/graft-q35-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = Tap.parquet(s"$dir/documents.parquet")
+    val s1 = Stage.auto("clean", Seq(src), tmpRoot, rerun = RSReRun) { dfs =>
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      dfs.head
+        .filter(Text.langId(col("text")) === "en")
+        .filter(Text.qualityScore(col("text")) >= 0.5)
+        .withColumn("fp", Text.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text")
+    }
+    val s2 = Stage.auto("stats", Seq(s1.output), tmpRoot, rerun = RSReRun) {
+      dfs =>
+        dfs.head.agg(
+          count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"))
+    }
+    new Pipeline(s, Seq(s1, s2)).run()
+    s2.output.read(s)
+  }
+
+  private val q35Sql =
+    """WITH base0 AS (
+         SELECT doc_id, text,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       scored AS (
+         SELECT doc_id, text, tk,
+           len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS en,
+           len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], lower(t)))) AS de,
+           len(list_filter(tk, t -> list_contains(['le','la','les','de','et','est','un','une','dans','que'], lower(t)))) AS fr,
+           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           greatest(1.0 - (CASE WHEN len(text) > 0 THEN
+             CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+             ELSE 0.0 END) * 4, 0.0) * 0.3 +
+           least((CASE WHEN len(tk) > 0 THEN
+             CAST(len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+             ELSE 0.0 END) * 5, 1.0) * 0.3 AS q
+         FROM base0),
+       filt AS (
+         SELECT doc_id, text, tk FROM scored
+         WHERE NOT (en = 0 AND de = 0 AND fr = 0) AND en >= de AND en >= fr
+           AND q >= 0.5),
+       fpd AS (
+         SELECT doc_id, text, tk, ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+         FROM filt),
+       kept1 AS (SELECT doc_id, text, tk FROM fpd WHERE rn = 1)
+       SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(tk)) AS BIGINT) AS total_tokens
+       FROM kept1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1010,6 +1079,7 @@ object SparkEntry {
     "q32_multimodal" -> (q32 _),
     "q33_ivf_ann" -> (q33 _),
     "q34_training_pipeline" -> (q34 _),
+    "q35_pipeline_stages" -> (q35 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1017,6 +1087,7 @@ object SparkEntry {
     "q31_typed_aggregator" -> q31Sql,
     "q33_ivf_ann" -> q33Sql,
     "q34_training_pipeline" -> q34Sql,
+    "q35_pipeline_stages" -> q35Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -145,6 +145,27 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("new-op"))
   }
 
+  test("q35's staged pipeline == the fused single-plan form (tap " +
+      "round-trip through Stage.auto intermediates changes nothing)") {
+    import graft.functions.Text
+    val dir = sf("sf0.001")
+    val staged = graft.SparkEntry.queries("q35_pipeline_stages")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val fused = spark.read.parquet(dir + "/documents.parquet")
+      .filter(Text.langId(col("text")) === "en")
+      .filter(Text.qualityScore(col("text")) >= 0.5)
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(staged == fused)
+    assert(staged.head._1 > 0)
+  }
+
   test("multi-stage pipeline chains outputs in program order") {
     val base = tmp()
     val s1 = Stage("a", Seq(Tap.parquet(sf("sf0.001") + "/nation.parquet")),
