@@ -42,10 +42,20 @@ object Streaming {
   /** Session windows via custom state — `flatMapGroupsWithState`, the
     * Spark-native port target for hadron-style stateful per-key reducers
     * on unbounded data. Gap-based sessionization per user.
+    *
+    * MEMORY BOUND: each invocation sorts ONE user's events of ONE
+    * micro-batch in executor memory — the standard
+    * flatMapGroupsWithState shape, fine for human-scale per-user
+    * cardinality but unbounded in principle (a bot key with millions of
+    * events in a batch is one task's heap). `maxBufferedEvents` turns
+    * that silent OOM into a loud per-key error naming the hot key; raise
+    * it deliberately, or pre-aggregate/split pathological keys upstream
+    * (the same salting answer as any skewed groupBy).
     */
   def sessionize(
       events: Dataset[Event],
-      gapMs: Long): Dataset[SessionUpdate] = {
+      gapMs: Long,
+      maxBufferedEvents: Int = 1 << 20): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -53,7 +63,11 @@ object Streaming {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, evs, state: GroupState[(Timestamp, Timestamp, Long, Double)]) =>
           // Batch-mode friendly: fold sorted events into gap-split sessions.
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          val buf = evs.take(maxBufferedEvents + 1).toSeq
+          require(buf.lengthCompare(maxBufferedEvents) <= 0,
+            s"user $uid has > $maxBufferedEvents events in one batch; " +
+              "raise maxBufferedEvents or split the key upstream")
+          val sorted = buf.sortBy(_.ts.getTime)
           val sessions = scala.collection.mutable.ListBuffer.empty[SessionUpdate]
           var cur: Option[(Timestamp, Timestamp, Long, Double)] = state.getOption
           sorted.foreach { e =>
@@ -87,7 +101,8 @@ object Streaming {
   def sessionizeStream(
       events: Dataset[Event],
       gapMs: Long,
-      watermark: String): Dataset[SessionUpdate] = {
+      watermark: String,
+      maxBufferedEvents: Int = 1 << 20): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
@@ -101,7 +116,12 @@ object Streaming {
           state.remove()
           out.iterator
         case (uid, evs, state) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          // same per-key buffer bound as `sessionize` (see its scaladoc)
+          val buf = evs.take(maxBufferedEvents + 1).toSeq
+          require(buf.lengthCompare(maxBufferedEvents) <= 0,
+            s"user $uid has > $maxBufferedEvents events in one batch; " +
+              "raise maxBufferedEvents or split the key upstream")
+          val sorted = buf.sortBy(_.ts.getTime)
           val closed = scala.collection.mutable.ListBuffer.empty[SessionUpdate]
           var cur: Option[(Timestamp, Timestamp, Long, Double)] = state.getOption
           sorted.foreach { e =>

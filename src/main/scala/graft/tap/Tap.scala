@@ -160,6 +160,53 @@ object Tap {
     l.unionByName(r, allowMissingColumns = true)
   }
 
+  /** `eitherProtocol` analog (/root/reference/src/Hadron/Protocol.hs:283-287:
+    * try the left protocol's decoder per record, fall back to the right) —
+    * per-RECORD fallback decode within one path, where `merge` dispatches
+    * per-TAP. Each line is parsed against the left schema first, then the
+    * right; "parses" = well-formed JSON that satisfies the schema's field
+    * types (a malformed line or type clash trips the corrupt-record
+    * column) AND materializes at least one declared field — JSON is
+    * self-describing enough that "valid but none of the schema's fields
+    * present" means the OTHER protocol, where hadron's binary decoders
+    * simply failed. Rows that fit neither keep the raw line under tag
+    * "corrupt" — the dead-letter residue hadron would have thrown as a
+    * decode error mid-job (at 100 TB a single bad record must not kill
+    * the run).
+    *
+    * All parsing is `from_json` Columns — codegen'd, pushed past the
+    * scan, no UDF. Output: (value, tag, left struct | null, right
+    * struct | null).
+    */
+  def readEither(
+      spark: SparkSession,
+      lines: Tap,
+      left: StructType,
+      right: StructType,
+      tagCol: String = "side"): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    def parsed(s: StructType) =
+      from_json(col("value"), s.add("_corrupt", StringType),
+        Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    def ok(s: StructType) =
+      parsed(s).isNotNull && parsed(s)("_corrupt").isNull &&
+        s.fieldNames.map(f => parsed(s)(f).isNotNull)
+          .reduce(_ || _)
+    val okA = ok(left)
+    val okB = ok(right)
+    lines.read(spark)
+      .withColumn(tagCol,
+        when(okA, lit("left")).when(okB, lit("right"))
+          .otherwise(lit("corrupt")))
+      .select(
+        col("value"),
+        col(tagCol),
+        when(col(tagCol) === "left", parsed(left).dropFields("_corrupt"))
+          .as("left"),
+        when(col(tagCol) === "right", parsed(right).dropFields("_corrupt"))
+          .as("right"))
+  }
+
   /** Write side of `mergeTaps` (Controller.hs:436-439: `enc` dispatches
     * per-record on Left/Right) — a merged tagged union routed back through
     * both taps, each side re-encoded with its own format. Hadron dispatches

@@ -25,6 +25,26 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("sessionize fails loudly (naming the key) on a pathological user " +
+      "past maxBufferedEvents instead of buffering unbounded") {
+    import spark.implicits._
+    val bot = (1 to 50).map(i =>
+      Event(i.toLong, ts(i % 60), 99L, "bot", 0.0))
+    val events = (bot :+ Event(100, ts(0), 1L, "a", 1.0)).toDS()
+    // under the cap: fine
+    assert(Streaming.sessionize(events, gapMs = 60 * 60 * 1000L,
+      maxBufferedEvents = 1000).collect().nonEmpty)
+    // over the cap: the task fails with the hot key in the message
+    val e = intercept[Exception] {
+      Streaming.sessionize(events, gapMs = 60 * 60 * 1000L,
+        maxBufferedEvents = 10).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(m => m.contains("99") && m.contains("10"))))
+  }
+
   test("sessionizeStream emits only closed sessions, via gap or watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

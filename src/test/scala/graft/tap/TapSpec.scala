@@ -148,6 +148,32 @@ class TapSpec extends SparkSpec {
       .toSeq == Seq((10, "X")))
   }
 
+  test("readEither: per-record first-that-parses fallback decode " +
+      "(eitherProtocol analog, Protocol.hs:283-287)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-either")
+    Files.writeString(dir.resolve("mixed.jsonl"),
+      """{"id": 1, "name": "ada"}
+        |{"code": "X9", "score": 0.5}
+        |{"id": 2, "name": "bob"}
+        |not json at all
+        |""".stripMargin)
+    val aSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val bSchema = StructType(Seq(
+      StructField("code", StringType), StructField("score", DoubleType)))
+    val out = Tap.readEither(spark, Tap.text(dir.toString), aSchema, bSchema)
+      .collect()
+    val byTag = out.groupBy(_.getString(1))
+    assert(byTag("left").map(_.getStruct(2).getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(byTag("right").map(_.getStruct(3).getString(0)).toSeq == Seq("X9"))
+    // the undecodable line survives as dead-letter residue, raw line intact
+    assert(byTag("corrupt").map(_.getString(0)).toSeq ==
+      Seq("not json at all"))
+    assert(byTag("corrupt").forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("a Tap re-binds as a stream: file source -> transform -> file sink") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream")
