@@ -4,15 +4,37 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
 import org.apache.spark.sql.functions._
 
 /** What to do when a per-group reducer throws — port of
-  * `ReduceErrorStrategy` (/root/reference/src/Hadron/Types.hs:56-60).
-  * `ReSkip` drops the failing key's output (reference: skip key);
-  * `ReThrow` propagates (reference: rethrow / default Hadoop behavior).
-  * The reference's `ReRetry` re-runs the attempt; on Spark task retries
-  * already re-run failed groups, so retry collapses into `ReThrow`.
+  * `ReduceErrorStrategy` (/root/reference/src/Hadron/Types.hs:56-60; note
+  * the reference only DECLARES the type — no code path in hadron ever
+  * reads `_mroReduceError`, so all three strategies are implemented here
+  * from the declared semantics).
+  *
+  * `ReThrow` propagates (default Hadoop behavior — the task fails and
+  * Spark's task retry re-runs the whole partition). `ReSkip` drops the
+  * failing key's output; a reducer that fails AFTER yielding some rows
+  * truncates at the failure point (streamed rows cannot be recalled —
+  * reducers needing all-or-nothing skip should be pure until first
+  * yield). `ReRetry` re-runs the failing key up to `attempts` times and
+  * then applies `onExhausted` — for transiently-failing reducers (e.g.
+  * external lookups), where a full task retry would needlessly repeat
+  * every healthy group in the partition.
   */
-sealed trait ReduceErrorStrategy
+sealed trait ReduceErrorStrategy extends Serializable
 case object ReThrow extends ReduceErrorStrategy
 case object ReSkip extends ReduceErrorStrategy
+
+/** Bounded per-key replay. The failing group's rows (and each attempt's
+  * output) are buffered to make the replay possible — the one strategy
+  * that trades the streaming constant-memory property for retryability,
+  * so choose it only when single groups fit in executor memory.
+  */
+final case class ReRetry(
+    attempts: Int,
+    onExhausted: ReduceErrorStrategy = ReThrow) extends ReduceErrorStrategy {
+  require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+  require(!onExhausted.isInstanceOf[ReRetry],
+    "onExhausted must be ReThrow or ReSkip")
+}
 
 /** The grouped-reduce family — the Spark-native port of hadron's reduce
   * stage (`Reducer k a r`, /root/reference/src/Hadron/Types.hs:40-53, driven
@@ -55,15 +77,61 @@ object GroupReduce {
     keyed.mapPartitions { rows =>
       new GroupIterator(rows, (r: Row) => gidx.map(r.get)).flatMap {
         case (key, group) =>
-          try reduce(key, group)
-          catch {
-            case e: Throwable if onError == ReSkip =>
-              group.foreach(_ => ()) // drain so the stream stays aligned
-              Iterator.empty
+          onError match {
+            case ReThrow => reduce(key, group)
+            case ReSkip =>
+              try skipGuard(group, reduce(key, group))
+              catch {
+                case _: Throwable =>
+                  group.foreach(_ => ()) // drain so the stream stays aligned
+                  Iterator.empty
+              }
+            case ReRetry(attempts, onExhausted) =>
+              val buffered = group.toVector // replayable copy of the group
+              def attempt(): Either[Throwable, Vector[R]] =
+                try Right(reduce(key, buffered.iterator).toVector)
+                catch { case e: Throwable => Left(e) }
+              var res = attempt()
+              var tries = 1
+              while (res.isLeft && tries < attempts) {
+                res = attempt(); tries += 1
+              }
+              res match {
+                case Right(out) => out.iterator
+                case Left(_) if onExhausted == ReSkip => Iterator.empty
+                case Left(e) => throw e
+              }
           }
       }
     }
   }
+
+  /** ReSkip's mid-stream guard: a reducer may fail while its OUTPUT is
+    * being consumed, not just when it is constructed. Rows already
+    * yielded are downstream and stay; from the failure on, the key's
+    * remaining output is dropped and its input drained so the partition
+    * stream stays key-aligned.
+    */
+  private def skipGuard[R](group: Iterator[Row], out: Iterator[R]): Iterator[R] =
+    new Iterator[R] {
+      private var pending: Option[R] = None
+      private var failed = false
+      private def advance(): Unit =
+        if (!failed && pending.isEmpty)
+          try { if (out.hasNext) pending = Some(out.next()) }
+          catch {
+            case _: Throwable =>
+              failed = true; pending = None
+              group.foreach(_ => ())
+          }
+      def hasNext: Boolean = { advance(); pending.nonEmpty }
+      def next(): R = {
+        advance()
+        val r = pending.getOrElse(throw new NoSuchElementException)
+        pending = None
+        r
+      }
+    }
 
   /** Split a partition-sorted row stream into per-key sub-iterators — the
     * port of hadron's `sameKey` group detector (Basic.hs:255-268), which
