@@ -132,6 +132,24 @@ class DedupKernelSpec extends SparkSpec {
       .map { case (k, v) => k -> v.size.toLong })
   }
 
+  test("ngramJaccard plan: posting-list grouping appears once (fused " +
+      "single-pass shape — sizes and pairs share the same subtree)") {
+    val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val plan = Dedup.ngramJaccard(df, col("doc_id"), col("text"),
+      8, 0.5, 500).queryExecution.executedPlan.toString
+    // the fused `unified` table is cached and referenced three times
+    // (sizes x2 + common); every capped-agg occurrence in the plan must
+    // therefore sit under an InMemoryTableScan (2 agg nodes per cached
+    // reference = partial + final). An UNCACHED extra consumer — the
+    // shape that recomputes the posting-list shuffle per consumer —
+    // shows up as capped-agg occurrences exceeding that 2:1 ratio.
+    val aggNodes = "collect_list_capped".r.findAllIn(plan).size
+    val cachedRefs = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cachedRefs >= 1, s"unified cache missing from plan:\n$plan")
+    assert(aggNodes <= 2 * cachedRefs,
+      s"posting-list grouping duplicated outside the cache:\n$plan")
+  }
+
   test("minhashLsh finds the fixture's planted near-duplicates") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val pairs = Dedup.minhashLsh(df, col("doc_id"), col("text"),
