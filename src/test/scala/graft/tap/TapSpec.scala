@@ -174,6 +174,26 @@ class TapSpec extends SparkSpec {
     assert(byTag("corrupt").forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("filters and projections reach the parquet scan through a Tap " +
+      "(pushdown + pruning — the scan must not read what the query " +
+      "doesn't touch)") {
+    val df = Tap.parquet(sf("sf0.001") + "/lineitem.parquet").read(spark)
+      .filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan parquet")).mkString("\n") +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("LessThan(l_orderkey,100)"),
+      s"filter not pushed to scan:\n$scan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(scan).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_comment"),
+      s"column pruning failed: $readSchema")
+  }
+
   test("a Tap re-binds as a stream: file source -> transform -> file sink") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream")
