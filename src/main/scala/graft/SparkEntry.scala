@@ -805,8 +805,8 @@ object SparkEntry {
     """WITH m AS (
          SELECT source,
            octet_length(encode(text)) AS length,
-           md5(text) AS h,
-           md5(text || ':0') AS hf,
+           md5(coalesce(text, '')) AS h,
+           md5(coalesce(text, '') || ':0') AS hf,
            n_chars % 10000 AS duration
          FROM documents),
        d AS (

@@ -152,7 +152,12 @@ object Dedup {
       val i = slot(a, b, k1s, k2s, cnts, cap - 1)
       if (cnts(i) == 0) { k1s(i) = a; k2s(i) = b; n += 1 }
       cnts(i) += 1
-      if (n * 2 >= cap) grow() // after the count: grow skips cnt==0 slots
+      // strict >: at exactly 50% load no grow happens, so a counter that
+      // reaches a power-of-two flush threshold drains at the intended
+      // capacity instead of doubling (and keeping) a table it is about
+      // to empty. grow() runs after the count so it never skips the new
+      // entry (cnt==0 slots are treated as empty when rehashing).
+      if (n * 2 > cap) grow()
     }
 
     private def grow(): Unit = {
@@ -183,120 +188,28 @@ object Dedup {
     }
   }
 
-  /** Emit (id1 < id2, count) from each partition's groups with the pair
-    * counting PRE-aggregated inside the kernel: near-duplicate docs
-    * co-occur in many groups, so combining before the encoder boundary
-    * shrinks the serialized pair stream by the mean co-occurrence factor
-    * (50x on the fixture corpus). The local map flushes at a bounded
-    * size, so memory stays constant; the downstream sum finishes the
-    * aggregation. Replaces a posting-list self-join: one grouping
-    * shuffle instead of join-build + probe + pair shuffle.
+  /** One-pass fused pair-count + per-doc size count for the
+    * inverted-index jaccard: per group, every id gains a size increment
+    * AND every (id1 < id2) pair a co-occurrence increment, accumulated in
+    * the SAME bounded counter — size entries ride as the diagonal key
+    * (id, id), which a strict id1 < id2 pair key can never produce.
+    * Output rows mark sizes with a NULL id2, so ONE downstream groupBy
+    * finishes both aggregations and the big posting-list table is
+    * consumed exactly once (no cache, no second pass, no second shuffle —
+    * the shape that made q19's `groups` cache + `sizes` pass redundant).
+    *
+    * Pair counting is PRE-aggregated inside the kernel: near-duplicate
+    * docs co-occur in many groups, so combining before the encoder
+    * boundary shrinks the serialized pair stream by the mean
+    * co-occurrence factor (50x on the fixture corpus). The local counter
+    * flushes at a bounded size, so memory stays constant; the downstream
+    * sum finishes the aggregation. Replaces a posting-list self-join:
+    * one grouping shuffle instead of join-build + probe + pair shuffle.
     *
     * Integral id types (long/int) run on `LongPairCounter` — flat
     * primitive arrays, no boxing in the quadratic loop; everything else
     * takes the generic boxed path. DedupKernelSpec pins both paths to
     * the same counts.
-    */
-  private[graft] def emitPairCounts(
-      groups: DataFrame,
-      idType: org.apache.spark.sql.types.DataType,
-      flushAt: Int = 1 << 22): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("id1", idType, false), StructField("id2", idType, false),
-      StructField("cnt", LongType, false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    val ids = groups.select(col("ids"))
-    idType match {
-      case LongType | IntegerType =>
-        val isInt = idType == IntegerType
-        ids.mapPartitions { rows =>
-          val acc = new LongPairCounter()
-          def drain(): Iterator[org.apache.spark.sql.Row] = {
-            val out = new scala.collection.mutable.ArrayBuffer[
-              org.apache.spark.sql.Row](acc.size)
-            if (isInt)
-              acc.drainInto((a, b, c) =>
-                out += org.apache.spark.sql.Row(a.toInt, b.toInt, c))
-            else
-              acc.drainInto((a, b, c) =>
-                out += org.apache.spark.sql.Row(a, b, c))
-            out.iterator
-          }
-          val flushed = rows.flatMap { r =>
-            val s = r.getSeq[Any](0)
-            val arr = new Array[Long](s.length)
-            var i = 0
-            val it = s.iterator
-            while (it.hasNext) {
-              arr(i) = it.next() match {
-                case l: java.lang.Long => l.longValue()
-                case n: java.lang.Integer => n.longValue()
-              }
-              i += 1
-            }
-            java.util.Arrays.sort(arr)
-            i = 0
-            while (i < arr.length) {
-              var j = i + 1
-              while (j < arr.length) { acc.add(arr(i), arr(j)); j += 1 }
-              i += 1
-            }
-            if (acc.size >= flushAt) drain() else Iterator.empty
-          }
-          flushed ++ new Iterator[org.apache.spark.sql.Row] {
-            private var buf: Iterator[org.apache.spark.sql.Row] = _
-            def hasNext: Boolean = { if (buf == null) buf = drain(); buf.hasNext }
-            def next(): org.apache.spark.sql.Row = { if (buf == null) buf = drain(); buf.next() }
-          }
-        }(enc)
-      case _ =>
-        implicit val anyOrd: Ordering[Any] =
-          (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
-        ids.mapPartitions { rows =>
-          val acc = new java.util.HashMap[(Any, Any), Long]()
-          def drain(): Array[org.apache.spark.sql.Row] = {
-            val out = new Array[org.apache.spark.sql.Row](acc.size)
-            val it = acc.entrySet().iterator(); var n = 0
-            while (it.hasNext) {
-              val e = it.next()
-              out(n) = org.apache.spark.sql.Row(e.getKey._1, e.getKey._2, e.getValue)
-              n += 1
-            }
-            acc.clear(); out
-          }
-          val flushed = rows.flatMap { r =>
-            val ids = r.getSeq[Any](0).sorted
-            var i = 0
-            while (i < ids.length) {
-              var j = i + 1
-              while (j < ids.length) {
-                acc.merge((ids(i), ids(j)), 1L, (a, b) => a + b); j += 1
-              }
-              i += 1
-            }
-            if (acc.size >= flushAt) drain().iterator else Iterator.empty
-          }
-          flushed ++ new Iterator[org.apache.spark.sql.Row] {
-            private var buf: Array[org.apache.spark.sql.Row] = _
-            private var k = 0
-            def hasNext: Boolean = { if (buf == null) buf = drain(); k < buf.length }
-            def next(): org.apache.spark.sql.Row = { val r = buf(k); k += 1; r }
-          }
-        }(enc)
-    }
-  }
-
-  /** One-pass fusion of `emitPairCounts` and the per-doc size count for
-    * the inverted-index jaccard: per group, every id gains a size
-    * increment AND every (id1 < id2) pair a co-occurrence increment,
-    * accumulated in the SAME bounded counter — size entries ride as the
-    * diagonal key (id, id), which a strict id1 < id2 pair key can never
-    * produce. Output rows mark sizes with a NULL id2, so ONE downstream
-    * groupBy finishes both aggregations and the big posting-list table is
-    * consumed exactly once (no cache, no second pass, no second shuffle —
-    * the shape that made q19's `groups` cache + `sizes` pass redundant).
     */
   private[graft] def emitPairAndSizeCounts(
       groups: DataFrame,

@@ -80,9 +80,12 @@ object GroupReduce {
           onError match {
             case ReThrow => reduce(key, group)
             case ReSkip =>
+              // NonFatal only: task kills (InterruptedException), OOM and
+              // other VM errors must fail the task, not masquerade as a
+              // skipped key
               try skipGuard(group, reduce(key, group))
               catch {
-                case _: Throwable =>
+                case scala.util.control.NonFatal(_) =>
                   group.foreach(_ => ()) // drain so the stream stays aligned
                   Iterator.empty
               }
@@ -90,7 +93,7 @@ object GroupReduce {
               val buffered = group.toVector // replayable copy of the group
               def attempt(): Either[Throwable, Vector[R]] =
                 try Right(reduce(key, buffered.iterator).toVector)
-                catch { case e: Throwable => Left(e) }
+                catch { case scala.util.control.NonFatal(e) => Left(e) }
               var res = attempt()
               var tries = 1
               while (res.isLeft && tries < attempts) {
@@ -120,7 +123,7 @@ object GroupReduce {
         if (!failed && pending.isEmpty)
           try { if (out.hasNext) pending = Some(out.next()) }
           catch {
-            case _: Throwable =>
+            case scala.util.control.NonFatal(_) =>
               failed = true; pending = None
               group.foreach(_ => ())
           }

@@ -165,12 +165,22 @@ object Pipeline {
     * `Stage.auto`).
     */
   private[pipeline] def fingerprint(inputs: Seq[Tap]): String = {
-    val ident = inputs.map(t =>
-      (t.paths.mkString(","), t.format,
-        t.options.toSeq.sorted.mkString(","),
-        t.schema.map(_.catalogString).getOrElse(""))).mkString(";")
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(ident.getBytes("UTF-8"))
-    md.take(6).map("%02x".format(_)).mkString
+    // length-prefix every component so the encoding is injective — a
+    // plain delimiter join would let Tap("x,y") collide with
+    // Tap("x", "y") and serve one binding's memoized output for the other
+    def put(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    inputs.foreach { t =>
+      t.paths.foreach(put)
+      put(t.format)
+      t.options.toSeq.sorted.foreach { case (k, v) => put(k); put(v) }
+      put(t.schema.map(_.catalogString).getOrElse(""))
+      md.update(0.toByte) // tap boundary
+    }
+    md.digest().take(6).map("%02x".format(_)).mkString
   }
 }

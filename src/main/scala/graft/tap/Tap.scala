@@ -185,6 +185,8 @@ object Tap {
       right: StructType,
       tagCol: String = "side"): DataFrame = {
     import org.apache.spark.sql.types.StringType
+    require(left.fields.nonEmpty && right.fields.nonEmpty,
+      "readEither schemas must declare at least one field")
     def parsed(s: StructType) =
       from_json(col("value"), s.add("_corrupt", StringType),
         Map("columnNameOfCorruptRecord" -> "_corrupt"))
@@ -239,11 +241,23 @@ object Tap {
     def sideCols(t: Tap): Seq[String] =
       t.schema.map(_.fieldNames.toSeq)
         .getOrElse(df.columns.toSeq.filterNot(_ == tagCol))
-    val targets = (left.paths ++ right.paths)
-      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    // fully qualify both sides (scheme + authority + absolute path)
+    // before comparing: a bare-path match would see s3://bucket/x and
+    // file:/x as the same location (spurious checkpoint) and would miss
+    // a relative tap path against absolute inputFiles (missed
+    // checkpoint → "Cannot overwrite a path that is also being read
+    // from" at the write)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    def qualify(p: String): java.net.URI = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toUri
+    }
+    val targets = (left.paths ++ right.paths).map(qualify)
     val overlaps = df.inputFiles.exists { f =>
-      val fp = new org.apache.hadoop.fs.Path(f).toUri.getPath
-      targets.exists(t => fp == t || fp.startsWith(t + "/"))
+      val u = qualify(f)
+      targets.exists(t =>
+        t.getScheme == u.getScheme && t.getAuthority == u.getAuthority &&
+          (u.getPath == t.getPath || u.getPath.startsWith(t.getPath + "/")))
     }
     val src = if (overlaps) df.localCheckpoint(true) else df
     left.write(

@@ -40,17 +40,15 @@ object ProfileDedup {
         .groupBy("id").agg(count(lit(1)).as("nsh"))
       time("sizes")(sizes.count())
       time("sizes warm")(sizes.count())
-      val pairRows = graft.dedup.Dedup.emitPairCounts(
-        groups.filter(col("df") >= 2),
-        org.apache.spark.sql.types.LongType)
-      time("pair kernel only")(pairRows.count())
-      time("pair kernel only warm")(pairRows.count())
-      val common = graft.dedup.Dedup.emitPairCounts(
-          groups.filter(col("df") >= 2),
-          org.apache.spark.sql.types.LongType)
-        .groupBy("id1", "id2").agg(sum(col("cnt")).as("common"))
-      time("common (kernel+sum)")(common.count())
-      time("common warm")(common.count())
+      val fusedRows = graft.dedup.Dedup.emitPairAndSizeCounts(
+        groups, org.apache.spark.sql.types.LongType)
+      time("fused kernel only")(fusedRows.count())
+      time("fused kernel only warm")(fusedRows.count())
+      val unified = graft.dedup.Dedup.emitPairAndSizeCounts(
+          groups, org.apache.spark.sql.types.LongType)
+        .groupBy("id1", "id2").agg(sum(col("cnt")).as("cnt"))
+      time("unified (kernel+sum)")(unified.count())
+      time("unified warm")(unified.count())
       val full = graft.dedup.Dedup.ngramJaccard(
         df, col("doc_id"), col("text"), 8, 0.3, 100)
       time("FULL ngramJaccard 1")(full.count())

@@ -27,13 +27,15 @@ class DedupKernelSpec extends SparkSpec {
     kernel.zip(column).foreach { case (k, c) => assert(k == c) }
   }
 
-  test("emitPairCounts: tiny flush threshold changes nothing (mid-stream drain path)") {
+  test("fused kernel: tiny flush threshold changes nothing (mid-stream drain path)") {
     import spark.implicits._
     val groups = Seq(
       Seq(3L, 1L, 2L), Seq(1L, 2L), Seq(2L, 3L), Seq(5L, 1L))
       .toDF("ids").repartition(2)
     def counts(flushAt: Int) =
-      Dedup.emitPairCounts(groups, org.apache.spark.sql.types.LongType, flushAt)
+      Dedup.emitPairAndSizeCounts(groups,
+          org.apache.spark.sql.types.LongType, flushAt)
+        .filter(col("id2").isNotNull)
         .groupBy("id1", "id2").sum("cnt")
         .collect()
         .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
@@ -43,7 +45,7 @@ class DedupKernelSpec extends SparkSpec {
     assert(counts(flushAt = 1) == expected)       // drain after every group
   }
 
-  test("emitPairCounts: primitive (long) and generic (string) paths " +
+  test("fused kernel: primitive (long) and generic (string) paths " +
       "produce identical pair counts") {
     import spark.implicits._
     // 40 groups over 30 ids with heavy co-occurrence; long ids take the
@@ -56,38 +58,45 @@ class DedupKernelSpec extends SparkSpec {
     val strGroups = groupsRaw.map(_.map(i => f"d$i%03d")).toDF("ids")
       .repartition(3)
     val fromLong =
-      Dedup.emitPairCounts(longGroups, org.apache.spark.sql.types.LongType)
+      Dedup.emitPairAndSizeCounts(longGroups,
+          org.apache.spark.sql.types.LongType)
+        .filter(col("id2").isNotNull)
         .groupBy("id1", "id2").sum("cnt").collect()
         .map(r => ((f"d${r.getLong(0)}%03d", f"d${r.getLong(1)}%03d"),
           r.getLong(2))).toMap
     val fromStr =
-      Dedup.emitPairCounts(strGroups, org.apache.spark.sql.types.StringType)
+      Dedup.emitPairAndSizeCounts(strGroups,
+          org.apache.spark.sql.types.StringType)
+        .filter(col("id2").isNotNull)
         .groupBy("id1", "id2").sum("cnt").collect()
         .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(fromLong.nonEmpty && fromLong == fromStr)
   }
 
-  test("emitPairCounts: int ids round-trip the primitive path with the " +
+  test("fused kernel: int ids round-trip the primitive path with the " +
       "declared int schema") {
     import spark.implicits._
     val groups = Seq(Seq(3, 1, 2), Seq(1, 2)).toDF("ids")
-    val out = Dedup.emitPairCounts(groups,
+    val out = Dedup.emitPairAndSizeCounts(groups,
       org.apache.spark.sql.types.IntegerType)
+      .filter(col("id2").isNotNull)
       .groupBy("id1", "id2").sum("cnt").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     assert(out == Map((1, 2) -> 2L, (1, 3) -> 1L, (2, 3) -> 1L))
   }
 
-  test("emitPairCounts: primitive path survives growth past many " +
+  test("fused kernel: primitive path survives growth past many " +
       "doublings (large distinct-pair working set)") {
     import spark.implicits._
-    // one group of 120 ids = 7140 distinct pairs — forces LongPairCounter
-    // through ~4 grow() rehashes from its 1024 starting capacity
+    // one group of 120 ids = 7140 distinct pairs + 120 size rows —
+    // forces LongPairCounter through ~4 grow() rehashes from its 1024
+    // starting capacity
     val groups = Seq((1L to 120L).toSeq).toDF("ids").coalesce(1)
-    val out = Dedup.emitPairCounts(groups,
+    val out = Dedup.emitPairAndSizeCounts(groups,
       org.apache.spark.sql.types.LongType)
       .collect()
-    assert(out.length == 120 * 119 / 2)
+    assert(out.count(_.isNullAt(1)) == 120)          // size rows
+    assert(out.count(!_.isNullAt(1)) == 120 * 119 / 2) // pair rows
     assert(out.forall(_.getLong(2) == 1L))
   }
 
