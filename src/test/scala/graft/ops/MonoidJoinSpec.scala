@@ -67,6 +67,17 @@ class MonoidJoinSpec extends SparkSpec {
     assert(out("k1") == Seq("a") && out("k2") == Seq("b"))
   }
 
+  test("3-way multi-row join keeps dataset order inside every combo " +
+      "(non-commutative monoid through the stems/stream path)") {
+    val out = run(
+      Input(ds("k" -> "a1", "k" -> "a2"), JRequired),
+      Input(ds("k" -> "b1", "k" -> "b2"), JRequired),
+      Input(ds("k" -> "c1", "k" -> "c2"), JRequired))
+    assert(out("k") == (for {
+      a <- Seq("a1", "a2"); b <- Seq("b1", "b2"); c <- Seq("c1", "c2")
+    } yield a + b + c).sorted)
+  }
+
   test("one large-fan-in key (200x200 optional rows) completes with " +
       "bounded combo materialization (emitStream shape, Join.hs:109-111)") {
     import spark.implicits._
