@@ -1048,6 +1048,36 @@ object SparkEntry {
          CAST(SUM(len(tk)) AS BIGINT) AS total_tokens
        FROM kept1"""
 
+  // ------------------------------------------------------------------
+  // q36 — deterministic content-addressed train/val/test split
+  // (extension: Sampling.splitLabel). Membership is a pure function of
+  // (id, salt) — reproducible across runs, partitionings and engines,
+  // which `randomSplit` is not. Map-only: the split fuses into the scan.
+  // The oracle mirrors the md5 unit-hash digit-by-digit and computes the
+  // SAME cumulative cut expressions (0.8 + 0.1, not literal 0.9), so the
+  // threshold compares are identical IEEE ops in both engines.
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split", graft.ops.Sampling.splitLabel(
+        col("doc_id"), "s1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"))
+
+  private val q36Sql =
+    """WITH h AS (
+         SELECT doc_id, n_chars,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) / 4503599627370496.0 AS u
+         FROM documents)
+       SELECT CASE WHEN u < 0.8 THEN 'train'
+                   WHEN u < (0.8 + 0.1) THEN 'val'
+                   ELSE 'test' END AS split,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM h GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1084,6 +1114,7 @@ object SparkEntry {
     "q33_ivf_ann" -> (q33 _),
     "q34_training_pipeline" -> (q34 _),
     "q35_pipeline_stages" -> (q35 _),
+    "q36_hash_split" -> (q36 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1092,6 +1123,7 @@ object SparkEntry {
     "q33_ivf_ann" -> q33Sql,
     "q34_training_pipeline" -> q34Sql,
     "q35_pipeline_stages" -> q35Sql,
+    "q36_hash_split" -> q36Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines (no
+  * reference analog — hadron's only randomness is operational, random tap
+  * paths; but any corpus pipeline needs a REPRODUCIBLE train/val/test
+  * split, and `df.randomSplit` is seed-and-partitioning dependent, so a
+  * re-run or a repartition reshuffles examples across splits).
+  *
+  * The splitter here is content-addressed: each id hashes to a unit-
+  * interval position via md5, so membership is a pure function of
+  * (id, salt) — stable across runs, cluster sizes, partitionings and
+  * engines (md5 everywhere; the hash uses 13 hex digits = 52 bits, which
+  * a double represents EXACTLY, so the division and threshold compares
+  * are identical IEEE operations in any engine — the determinism rule
+  * every graft operator follows). Changing `salt` draws an independent
+  * split. All pure Column expressions: codegen'd, no UDF, no shuffle —
+  * the split is a map-only stage that fuses into the scan.
+  */
+object Sampling {
+
+  private val TwoPow52 = 4503599627370496.0 // 16^13, exact in a double
+
+  /** Deterministic position of an id in [0, 1): md5 of "id:salt", first
+    * 13 hex digits scaled. Uniform enough for split assignment (md5
+    * avalanche); NOT for cryptographic use.
+    */
+  def unitHash(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 13),
+      16, 10).cast("double") / TwoPow52
+
+  /** Assign each row a split label by cumulative fraction. Fractions
+    * must sum to <= 1; any remainder falls to the LAST label (so
+    * (train 0.8, val 0.1, test 0.1) and (train 0.8, val 0.1, test
+    * "rest") agree). Example:
+    * {{{
+    * splitLabel(col("doc_id"), "s1",
+    *   Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    * }}}
+    */
+  def splitLabel(
+      id: Column,
+      salt: String,
+      fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "at least one split label required")
+    require(fractions.forall(_._2 >= 0), "fractions must be non-negative")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val u = unitHash(id, salt)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+    // when(u < c1, l1).when(u < c2, l2)....otherwise(lastLabel)
+    val guarded = fractions.init.map(_._1).zip(cuts.init)
+    guarded.foldLeft(Option.empty[Column]) { case (acc, (label, cut)) =>
+      Some(acc.fold(when(u < cut, label))(_.when(u < cut, label)))
+    }.fold(lit(fractions.last._1))(_.otherwise(fractions.last._1))
+  }
+
+  /** Deterministic fraction-of-corpus sample: keep a row iff its hash
+    * lands below `fraction`. Same id set every run; downsampling a
+    * corpus for a pilot training run stays reproducible.
+    */
+  def sampleByHash(
+      df: DataFrame, id: Column, salt: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
+    df.filter(unitHash(id, salt) < fraction)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Content-addressed splitting: membership must be a pure function of
+  * (id, salt) — the property `randomSplit` lacks and the reason this
+  * operator exists.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def ids = spark.range(5000).select(col("id"))
+
+  test("splitLabel is deterministic and unaffected by partitioning") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("s", Sampling.splitLabel(col("id"), "seed1", fr))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = labels(ids)
+    val b = labels(ids.repartition(7)) // different physical layout
+    assert(a == b)
+  }
+
+  test("splitLabel partitions completely with roughly the asked fractions") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = ids
+      .withColumn("s", Sampling.splitLabel(col("id"), "seed1", fr))
+      .groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000) // complete: every row labeled
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03)
+    assert(math.abs(counts("val") / 5000.0 - 0.1) < 0.03)
+  }
+
+  test("a different salt draws an independent split") {
+    val fr = Seq("a" -> 0.5, "b" -> 0.5)
+    val both = ids
+      .withColumn("s1", Sampling.splitLabel(col("id"), "saltA", fr))
+      .withColumn("s2", Sampling.splitLabel(col("id"), "saltB", fr))
+    val agree = both.filter(col("s1") === col("s2")).count()
+    // independent 50/50 splits agree on ~half the ids, not all or none
+    assert(agree > 2000 && agree < 3000, s"agreement $agree of 5000")
+  }
+
+  test("sampleByHash keeps a stable subset at the asked rate; " +
+      "smaller samples nest inside larger ones") {
+    val s10 = Sampling.sampleByHash(ids.toDF(), col("id"), "s", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val s20 = Sampling.sampleByHash(ids.toDF(), col("id"), "s", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(math.abs(s10.size / 5000.0 - 0.1) < 0.02)
+    assert(s10.subsetOf(s20)) // monotone in fraction: pilot ⊂ full sample
+    assert(Sampling.sampleByHash(ids.toDF(), col("id"), "s", 0.0).count() == 0)
+    assert(Sampling.sampleByHash(ids.toDF(), col("id"), "s", 1.0).count() == 5000)
+  }
+
+  test("degenerate configurations are rejected") {
+    assertThrows[IllegalArgumentException](
+      Sampling.splitLabel(col("id"), "s", Seq.empty))
+    assertThrows[IllegalArgumentException](
+      Sampling.splitLabel(col("id"), "s", Seq("a" -> 0.9, "b" -> 0.3)))
+    assertThrows[IllegalArgumentException](
+      Sampling.sampleByHash(ids.toDF(), col("id"), "s", 1.5))
+  }
+}
