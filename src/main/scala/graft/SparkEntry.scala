@@ -1078,6 +1078,59 @@ object SparkEntry {
          CAST(SUM(n_chars) AS BIGINT) AS total_chars
        FROM h GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q37 — duplicate CLUSTERS via connected components over the q18
+  // near-dup pairs (extension: Components.connectedComponents). Pairwise
+  // output alone cannot answer "keep one per cluster" when the pair
+  // graph isn't transitively closed; components can. The oracle closes
+  // the same verified pairs with a recursive CTE and takes each id's
+  // min reachable id.
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Components.connectedComponents(
+      graft.dedup.Dedup.minhashLsh(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+        maxBucketSize = 1000))
+
+  private val q37Sql =
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       sigs AS (
+         SELECT id, vms,
+           [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM based),
+       bands AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       ok_buckets AS (
+         SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= 1000),
+       cand AS (
+         SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
+         JOIN ok_buckets c ON a.bucket = c.bucket),
+       verified AS (
+         SELECT id1, id2
+         FROM cand JOIN sigs d1 ON id1 = d1.id JOIN sigs d2 ON id2 = d2.id
+         WHERE CAST(len(list_intersect(d1.vms, d2.vms)) AS DOUBLE) /
+           (len(d1.vms) + len(d2.vms) - len(list_intersect(d1.vms, d2.vms))) >= 0.3),
+       edges AS (
+         SELECT id1 AS a, id2 AS b FROM verified
+         UNION SELECT id2, id1 FROM verified),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (
+         SELECT a AS id, LEAST(a, MIN(b)) AS component
+         FROM reach GROUP BY a)
+       SELECT id, component FROM comp"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1115,6 +1168,7 @@ object SparkEntry {
     "q34_training_pipeline" -> (q34 _),
     "q35_pipeline_stages" -> (q35 _),
     "q36_hash_split" -> (q36 _),
+    "q37_dup_clusters" -> (q37 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1124,6 +1178,7 @@ object SparkEntry {
     "q34_training_pipeline" -> q34Sql,
     "q35_pipeline_stages" -> q35Sql,
     "q36_hash_split" -> q36Sql,
+    "q37_dup_clusters" -> q37Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -1,0 +1,66 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the step
+  * between pairwise dedup output and "keep ONE document per duplicate
+  * CLUSTER". Removing `id2` of every pair (the q34 idiom) over- or
+  * under-keeps whenever the pair graph is not transitively closed
+  * (chain a-b, b-c plus pair b-c alone keeps both a and b); components
+  * give the exact cluster and its deterministic representative (min id).
+  * No reference analog: hadron stops at pairs.
+  *
+  * Algorithm: iterative min-label propagation as plain DataFrame joins —
+  * each round every node takes the min of its own and its neighbors'
+  * labels; converged when a round changes nothing. Rounds needed = graph
+  * diameter, which for near-dup clusters (dense, star-ish) is small;
+  * for adversarially long chains raise `maxIter` (or pre-close the
+  * pairs). Each round is two shuffles (join + groupBy) over the label
+  * table, whose width is one id + one label — at corpus scale the edge
+  * table is the candidate-pair output, orders of magnitude smaller than
+  * the corpus. Lineage is truncated per round with an eager
+  * localCheckpoint, the standard Spark idiom for iterative plans (an
+  * unbounded plan chain re-analyzes and re-optimizes quadratically).
+  */
+object Components {
+
+  /** @param pairs (id1, id2) rows, undirected, any extra columns ignored
+    * @return (id, component) for every id in `pairs`; component = min id
+    *         of the connected component. Throws if `maxIter` rounds do
+    *         not converge — a partial labeling is wrong data, not a
+    *         degraded answer.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .cache() // probed every round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.union(nbrMin)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds maxIter; raise it")
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+}

@@ -36,7 +36,8 @@ class ContractSpec extends AnyFunSuite {
   }
 
   private def extractCteNames(sql: String): Set[String] =
-    "(?i)(?:WITH|,)\\s*([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+    // WITH [RECURSIVE] name[(col, ...)] AS (   — and later ", name AS ("
+    "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
       .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet ++
       // subquery aliases: ") alias" and ") AS alias(cols)"
       "(?i)\\)\\s+(?:AS\\s+)?([a-z_][a-z0-9_]*)".r

@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected components over pair lists: the cluster step after pairwise
+  * dedup. Component label = min id (deterministic representative).
+  */
+class ComponentsSpec extends SparkSpec {
+
+  private def comps(pairs: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(pairs.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a chain, a separate pair and transitive closure resolve to " +
+      "min-id components") {
+    // {1,2,3} chained without the closing 1-3 edge; {10,11} separate
+    val out = comps((1L, 2L), (2L, 3L), (10L, 11L))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a cycle and a long path both converge") {
+    val cycle = comps((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(cycle.values.toSet == Set(1L))
+    // path 0-1-2-...-10: diameter 10, well within default maxIter
+    val path = comps((0L until 10L).map(i => (i, i + 1)): _*)
+    assert(path.values.toSet == Set(0L))
+    assert(path.size == 11)
+  }
+
+  test("maxIter below the graph diameter fails loudly, not partially") {
+    import spark.implicits._
+    val longPath = (0L until 10L).map(i => (i, i + 1)).toDF("id1", "id2")
+    assertThrows[IllegalStateException] {
+      Components.connectedComponents(longPath, maxIter = 3).collect()
+    }
+  }
+
+  test("empty pair list yields empty components") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Components.connectedComponents(empty).isEmpty)
+  }
+
+  test("extra columns on the pair table (jaccard etc.) are ignored") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.4)).toDF("id1", "id2", "jaccard")
+    val out = Components.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
