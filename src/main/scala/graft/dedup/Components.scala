@@ -33,6 +33,8 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    import org.apache.spark.sql.types._
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
@@ -40,19 +42,41 @@ object Components {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
+    val outSchema = StructType(Seq(
+      labels.schema("id"), labels.schema("lbl")))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // ONE action per round: the eager localCheckpoint materializes the
+      // new labels AND fills the changed-counter as a side effect of the
+      // same job (iterative rounds are job-overhead bound at small label
+      // counts, so a separate convergence-probe job would double the
+      // round cost). Only zero-vs-nonzero is read, so task retries
+      // inflating the counter are harmless.
+      val changed = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
-      val next = labels.union(nbrMin)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+      // `own` tags each node's current-label row, so ONE groupBy yields
+      // both the new label (min over own + neighbors) and the previous
+      // one (min over the single own row) — no join back to the prior
+      // labels, which would be a second shuffle every round
+      val next = labels.withColumn("own", lit(true))
+        .union(nbrMin.withColumn("own", lit(false)))
+        .groupBy("id")
+        .agg(
+          min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("prev"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            if (r.get(1) != r.get(2)) changed.add(1L)
+            org.apache.spark.sql.Row(r.get(0), r.get(1))
+          }
+        }(enc)
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev"))
-        .isEmpty
+      converged = changed.value == 0
       labels = next
       iter += 1
     }
