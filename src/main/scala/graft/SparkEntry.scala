@@ -1079,6 +1079,35 @@ object SparkEntry {
        FROM h GROUP BY 1"""
 
   // ------------------------------------------------------------------
+  // q38 — corpus mixing: per-source keep rates over the same
+  // content-addressed unit hash as q36 (extension:
+  // Sampling.mixtureSample). src0 dropped, src1 halved, src2 full,
+  // everything else at the 0.25 default — the "web at 30%, books at
+  // 100%" training-mix lever, map-only and reproducible.
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.mixtureSample(
+        t(s, dir, "documents"), col("doc_id"), "mix1", col("source"),
+        Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 1.0),
+        defaultFraction = 0.25)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"))
+
+  private val q38Sql =
+    """WITH h AS (
+         SELECT source, n_chars,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) / 4503599627370496.0 AS u
+         FROM documents)
+       SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM h
+       WHERE u < (CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5
+                  WHEN 'src2' THEN 1.0 ELSE 0.25 END)
+       GROUP BY source"""
+
+  // ------------------------------------------------------------------
   // q37 — duplicate CLUSTERS via connected components over the q18
   // near-dup pairs (extension: Components.connectedComponents). Pairwise
   // output alone cannot answer "keep one per cluster" when the pair
@@ -1169,6 +1198,7 @@ object SparkEntry {
     "q35_pipeline_stages" -> (q35 _),
     "q36_hash_split" -> (q36 _),
     "q37_dup_clusters" -> (q37 _),
+    "q38_mixture" -> (q38 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1179,6 +1209,7 @@ object SparkEntry {
     "q35_pipeline_stages" -> q35Sql,
     "q36_hash_split" -> q36Sql,
     "q37_dup_clusters" -> q37Sql,
+    "q38_mixture" -> q38Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

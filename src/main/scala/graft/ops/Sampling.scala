@@ -66,4 +66,27 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
     df.filter(unitHash(id, salt) < fraction)
   }
+
+  /** Corpus MIXING: each source is kept at its own rate — the standard
+    * training-mix lever ("web at 30%, books at 100%"). Sources not in
+    * `fractions` keep `defaultFraction`. Same content-addressed
+    * membership as `sampleByHash` (and nested the same way: lowering a
+    * source's rate yields a subset of its higher-rate sample), still
+    * map-only — the when-chain and hash fuse into the scan.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      id: Column,
+      salt: String,
+      source: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f =>
+      f >= 0 && f <= 1), s"fractions must be in [0,1]: $fractions")
+    val rate = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultFraction)) { case (acc, (src, f)) =>
+        when(source === src, f).otherwise(acc)
+      }
+    df.filter(unitHash(id, salt) < rate)
+  }
 }

@@ -55,6 +55,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleByHash(ids.toDF(), col("id"), "s", 1.0).count() == 5000)
   }
 
+  test("mixtureSample keeps each source at its own rate and nests " +
+      "within sampleByHash membership") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"src${i % 4}"))
+      .toDF("id", "source")
+    val mixed = Sampling.mixtureSample(df, col("id"), "m", col("source"),
+      Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 1.0),
+      defaultFraction = 0.25)
+    val bySrc = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"))            // dropped entirely
+    assert(bySrc("src2") == 1000L)             // kept entirely
+    assert(math.abs(bySrc("src1") / 1000.0 - 0.5) < 0.06)
+    assert(math.abs(bySrc("src3") / 1000.0 - 0.25) < 0.06)
+    // same salt => the mixture's src1 rows are exactly the 0.5-rate
+    // hash sample of src1 (nested membership)
+    val direct = Sampling.sampleByHash(
+        df.filter(col("source") === "src1"), col("id"), "m", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val mixedSrc1 = mixed.filter(col("source") === "src1")
+      .collect().map(_.getLong(0)).toSet
+    assert(mixedSrc1 == direct)
+  }
+
   test("degenerate configurations are rejected") {
     assertThrows[IllegalArgumentException](
       Sampling.splitLabel(col("id"), "s", Seq.empty))
