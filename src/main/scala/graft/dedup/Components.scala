@@ -87,4 +87,22 @@ object Components {
           "graph diameter exceeds maxIter; raise it")
     labels.select(col("id"), col("lbl").as("component"))
   }
+
+  /** Keep exactly one document per duplicate cluster: the min-id
+    * representative survives, every other cluster member is dropped.
+    * Rows never mentioned in `pairs` pass through untouched. The
+    * left_anti against the (small) non-representative id set is the
+    * same corpus-scale shape as q34's pair-based removal, but
+    * cluster-exact.
+    */
+  def keepOnePerCluster(
+      df: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val drop = connectedComponents(pairs, maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop_id"))
+    df.join(drop, idCol === col("__drop_id"), "left_anti")
+  }
 }

@@ -44,6 +44,17 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.connectedComponents(empty).isEmpty)
   }
 
+  test("keepOnePerCluster keeps the min-id representative and all " +
+      "unpaired rows") {
+    import spark.implicits._
+    val corpus = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // cluster {1,2,3} via chain, cluster {4,5}; 6 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val kept = Components.keepOnePerCluster(corpus, col("doc_id"), pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 6L))
+  }
+
   test("extra columns on the pair table (jaccard etc.) are ignored") {
     import spark.implicits._
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.4)).toDF("id1", "id2", "jaccard")
