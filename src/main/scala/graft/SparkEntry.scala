@@ -1108,6 +1108,38 @@ object SparkEntry {
        GROUP BY source"""
 
   // ------------------------------------------------------------------
+  // q39 — token-budget shard packing on a DISTRIBUTED running sum
+  // (extension: Prefix.packIntoShards). A naive Window.orderBy-with-no-
+  // partition running sum moves the whole corpus to one partition; the
+  // two-pass range-partition + offset-scan form is the one that holds
+  // at 100 TB. Oracle: DuckDB's (sequential) window cumsum — identical
+  // assignment, radically different physical plan.
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Prefix.packIntoShards(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("tok")),
+        orderCol = "doc_id", tokenCol = "tok", budget = 100000L)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  private val q39Sql =
+    """WITH r AS (
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS tok,
+           SUM(CAST(n_chars AS BIGINT)) OVER (
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run
+         FROM documents)
+       SELECT CAST(floor(CAST(run - tok AS DOUBLE) / 100000) AS BIGINT) AS shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS shard_tokens,
+         MIN(doc_id) AS first_doc,
+         MAX(doc_id) AS last_doc
+       FROM r GROUP BY 1"""
+
+  // ------------------------------------------------------------------
   // q37 — duplicate CLUSTERS via connected components over the q18
   // near-dup pairs (extension: Components.connectedComponents). Pairwise
   // output alone cannot answer "keep one per cluster" when the pair
@@ -1199,6 +1231,7 @@ object SparkEntry {
     "q36_hash_split" -> (q36 _),
     "q37_dup_clusters" -> (q37 _),
     "q38_mixture" -> (q38 _),
+    "q39_shard_packing" -> (q39 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1210,6 +1243,7 @@ object SparkEntry {
     "q36_hash_split" -> q36Sql,
     "q37_dup_clusters" -> q37Sql,
     "q38_mixture" -> q38Sql,
+    "q39_shard_packing" -> q39Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed global running totals — the scale-correct form of
+  * `Window.orderBy(...)` with no partition spec, which Spark executes by
+  * MOVING EVERY ROW TO ONE PARTITION (it even warns). The classic
+  * two-pass prefix-sum instead:
+  *
+  *   1. range-repartition on the order column (a range exchange — the
+  *      same machinery a global `orderBy` uses, so partitions hold
+  *      contiguous key ranges across the cluster);
+  *   2. per-partition local prefix sums, plus one tiny driver collect of
+  *      per-partition totals (hadron's runOnce idiom — nPartitions
+  *      longs, not data) whose exclusive scan gives each partition its
+  *      starting offset, added back in the same pass.
+  *
+  * Wall-clock is one exchange + one narrow pass regardless of cluster
+  * size; the only driver state is O(partitions).
+  */
+object Prefix {
+
+  /** Append `outCol` = running total of `valueCol` in ascending
+    * `orderCol` order (ties broken by the order column's full value —
+    * supply a unique key like doc_id for determinism). Output rows keep
+    * the range partitioning (sorted within partitions by `orderCol`).
+    */
+  def runningTotal(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String = "running_total"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    val ranged = df
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .cache() // pass 1 (totals) and pass 2 (prefix) read the same layout
+
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    def valueOf(r: org.apache.spark.sql.Row): Long = r.get(vIdx) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case null => 0L
+      case other => throw new IllegalArgumentException(
+        s"$valueCol must be integral, got $other")
+    }
+
+    // pass 1: per-partition totals -> exclusive-scan offsets (driver,
+    // O(partitions) longs)
+    val totals = ranged.rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        var s = 0L
+        rows.foreach(r => s += valueOf(r))
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
+
+    // pass 2: local prefix + partition offset, same partitioning
+    val schema = ranged.schema.add(StructField(outCol, LongType, false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val out = ranged.rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        var run = offsets(pid)
+        rows.map { r =>
+          run += valueOf(r)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Token-budget shard packing: documents in `orderCol` order are cut
+    * into contiguous shards of roughly `budget` tokens. shard id =
+    * which budget-multiple the document's token range STARTS in, so a
+    * shard overflows its budget by at most one document (exact bin
+    * packing is inherently sequential; this is the standard
+    * sharding rule). A pure function of the running total — the
+    * assignment is deterministic and engine-portable given a unique
+    * `orderCol`. The "pack the corpus into ~N-token training shards"
+    * step.
+    */
+  def packIntoShards(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      budget: Long,
+      shardCol: String = "shard"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    runningTotal(df, orderCol, tokenCol, "__run")
+      .withColumn(shardCol,
+        floor((col("__run") - col(tokenCol)) / budget).cast("long"))
+      .drop("__run")
+  }
+}

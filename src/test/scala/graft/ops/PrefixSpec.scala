@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed two-pass prefix sum vs the single-partition window it
+  * replaces: same numbers, scalable plan.
+  */
+class PrefixSpec extends SparkSpec {
+
+  test("runningTotal == single-partition window cumsum on shuffled input") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = rng.shuffle((1L to 500L).toList).map(i => (i, (i % 7) + 1))
+    val df = rows.toDF("id", "v").repartition(13) // deliberately scattered
+    val distributed = Prefix.runningTotal(df, "id", "v", "run")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val window = df.withColumn("run",
+        sum(col("v")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(distributed == window)
+  }
+
+  test("packIntoShards cuts contiguous shards at budget multiples, " +
+      "overflowing by at most the boundary document") {
+    import spark.implicits._
+    // tokens: 60, 60, 60 with budget 100 -> starts at 0, 60, 120 ->
+    // shards 0, 0, 1 (shard 0 holds 120 tokens: boundary doc overflows)
+    val df = Seq((1L, 60L), (2L, 60L), (3L, 60L)).toDF("doc_id", "tok")
+    val shards = Prefix.packIntoShards(df, "doc_id", "tok", budget = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("a document bigger than the budget still lands in exactly one shard") {
+    import spark.implicits._
+    val df = Seq((1L, 50L), (2L, 500L), (3L, 50L)).toDF("doc_id", "tok")
+    val out = Prefix.packIntoShards(df, "doc_id", "tok", budget = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == 0L) // starts at offset 50, inside shard 0
+    assert(out(3L) == 5L) // starts at 550
+  }
+
+  test("non-integral token values are rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5)).toDF("doc_id", "tok")
+    val e = intercept[Exception] {
+      Prefix.runningTotal(df, "doc_id", "tok").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("must be integral"))))
+  }
+}
