@@ -1140,6 +1140,45 @@ object SparkEntry {
        FROM r GROUP BY 1"""
 
   // ------------------------------------------------------------------
+  // q40 — int8-quantized cosine top-k (extension:
+  // Similarity.quantizedTopK): q26's brute-force shape with the corpus
+  // carried as byte codes (4x memory density — the corpus-scale ANN
+  // lever) and integer dot products. The oracle requantizes with the
+  // same max-abs half-away-from-zero rule, so codes — and therefore
+  // every integer sum and the final IEEE division — match exactly.
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.quantizedTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10)
+  }
+
+  private val q40Sql =
+    """WITH v AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+         FROM embeddings),
+       s AS (
+         SELECT vec_id, e,
+           CASE WHEN list_max([abs(x) for x in e]) > 0
+                THEN 127.0 / list_max([abs(x) for x in e]) ELSE 0.0 END AS sc
+         FROM v),
+       qv AS (
+         SELECT vec_id,
+           [CAST(round(x * sc) AS BIGINT) for x in e] AS c
+         FROM s),
+       q AS (SELECT vec_id AS query_id, c AS qc FROM qv WHERE vec_id % 25 = 0),
+       scored AS (
+         SELECT query_id, vec_id AS corpus_id,
+           CAST(list_sum([qc[i] * c[i] for i in range(1, len(c)+1)]) AS DOUBLE) /
+             (sqrt(CAST(list_sum([qc[i] * qc[i] for i in range(1, len(qc)+1)]) AS DOUBLE)) *
+              sqrt(CAST(list_sum([c[i] * c[i] for i in range(1, len(c)+1)]) AS DOUBLE))) AS sim
+         FROM q CROSS JOIN qv WHERE query_id <> vec_id)
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
+  // ------------------------------------------------------------------
   // q37 — duplicate CLUSTERS via connected components over the q18
   // near-dup pairs (extension: Components.connectedComponents). Pairwise
   // output alone cannot answer "keep one per cluster" when the pair
@@ -1232,6 +1271,7 @@ object SparkEntry {
     "q37_dup_clusters" -> (q37 _),
     "q38_mixture" -> (q38 _),
     "q39_shard_packing" -> (q39 _),
+    "q40_quantized_topk" -> (q40 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1244,6 +1284,7 @@ object SparkEntry {
     "q37_dup_clusters" -> q37Sql,
     "q38_mixture" -> q38Sql,
     "q39_shard_packing" -> q39Sql,
+    "q40_quantized_topk" -> q40Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -95,6 +95,103 @@ object Similarity {
     topKPerQuery(scored.select("query_id", "corpus_id", "sim"), k)
   }
 
+  /** Int8 scalar quantization: per-vector max-abs scaling maps each
+    * float to a code in [-127, 127]. A 64-dim float vector (256 B)
+    * becomes 64 bytes — 4x more corpus per executor, integer dot
+    * products at score time, and since cosine is scale-invariant the
+    * per-vector scale never needs to be carried at all. Rounding is
+    * half-away-from-zero, the repo's cross-engine determinism
+    * convention (NOTES.md), so an oracle reproduces the codes exactly.
+    */
+  private def withQuantKernel(
+      df: DataFrame, vecCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val vi = df.schema.fieldIndex(vecCol)
+    val schema = df.schema
+      .add(StructField(out, ArrayType(ByteType, false), false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val v = r.getSeq[Float](vi)
+        var maxAbs = 0.0
+        var i = 0
+        while (i < v.length) {
+          val a = math.abs(v(i).toDouble); if (a > maxAbs) maxAbs = a
+          i += 1
+        }
+        val scale = if (maxAbs > 0) 127.0 / maxAbs else 0.0
+        val codes = new Array[Byte](v.length)
+        i = 0
+        while (i < v.length) {
+          val x = v(i).toDouble * scale
+          codes(i) =
+            (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ codes.toIndexedSeq)
+      }
+    }(enc)
+  }
+
+  /** Cosine over int8 code arrays: exact integer dot/norm sums, one
+    * IEEE division at the end — deterministic in any engine that
+    * produced the same codes.
+    */
+  private def withQuantCosine(
+      df: DataFrame, aCol: String, bCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ai = df.schema.fieldIndex(aCol)
+    val bi = df.schema.fieldIndex(bCol)
+    val schema = df.schema.add(StructField(out, DoubleType, false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getSeq[Byte](ai)
+        val b = r.getSeq[Byte](bi)
+        val n = math.min(a.length, b.length)
+        var dot = 0L; var na = 0L; var nb = 0L
+        var i = 0
+        while (i < n) { dot += a(i).toLong * b(i); i += 1 }
+        i = 0
+        while (i < a.length) { na += a(i).toLong * a(i); i += 1 }
+        i = 0
+        while (i < b.length) { nb += b(i).toLong * b(i); i += 1 }
+        val sim =
+          if (na > 0 && nb > 0)
+            dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+          else 0.0
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sim)
+      }
+    }(enc)
+  }
+
+  /** Cosine top-k over the int8-quantized space — `bruteForceTopK`'s
+    * memory-lever variant: the corpus scan carries byte codes instead of
+    * floats (4x density), scoring is integer arithmetic, and ranking
+    * runs through the same bounded `topk_by` fold. Approximation error
+    * is the usual int8 story: ranks can swap where exact sims differ by
+    * less than the quantization noise (SimilaritySpec pins recall vs
+    * exact on the fixture).
+    */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = withQuantKernel(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+          col("corpus_id")),
+      "cv", "cc").select("corpus_id", "cc")
+    val q = withQuantKernel(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", "qc").select("query_id", "qc")
+    val scored = withQuantCosine(
+      c.join(broadcast(q), col("query_id") =!= col("corpus_id")),
+      "qc", "cc", "sim")
+    topKPerQuery(scored.select("query_id", "corpus_id", "sim"), k)
+  }
+
   /** Deterministic hyperplane weights: integer values derived from md5 of
     * "t<table>:p<plane>:d<dim>" (first 8 hex digits, re-centered around 0).
     * Integer weights + fixed-point vector elements make every projection

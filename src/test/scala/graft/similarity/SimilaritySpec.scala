@@ -65,6 +65,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("quantizedTopK: int8 codes keep high recall vs exact cosine") {
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quant.size == exact.size)
+    // int8 noise only swaps ranks where exact sims are nearly tied;
+    // top-10 membership should survive almost untouched
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall too low: $recall")
+  }
+
   test("nearDupPairs finds planted near-duplicates") {
     import spark.implicits._
     // two planted duplicate pairs among unrelated vectors
