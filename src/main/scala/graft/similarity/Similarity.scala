@@ -442,6 +442,14 @@ object Similarity {
         min(col("id")).as("min_id"),
         max(col("id")).as("max_id"))
       .filter(col("n") >= 2)
+      // recall loss is observable, not silent: after any action on the
+      // result, queryExecution.observedMetrics("graft.neardup") reports
+      // how many buckets were capped (and so emitted only their
+      // representative pair) — the ops signal to retune bits/cap
+      .observe("graft.neardup",
+        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
+          .as("capped_buckets"),
+        count(lit(1)).as("active_buckets"))
       .select(
         when(col("n") <= maxBucketSize, col("ids"))
           .otherwise(array(col("min_id"), col("max_id"))).as("ids"))

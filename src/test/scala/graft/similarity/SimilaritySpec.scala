@@ -105,10 +105,14 @@ class SimilaritySpec extends SparkSpec {
     // cosine verify. With a permissive cap all C(50,2) pairs verify.
     val hot = Array.tabulate(64)(i => (i + 1).toFloat)
     val df = (1L to 50L).map(i => (i, hot)).toDF("vec_id", "embedding")
-    val capped = Similarity.nearDupPairs(df, "vec_id", "embedding",
+    val cappedDf = Similarity.nearDupPairs(df, "vec_id", "embedding",
       dim = 64, threshold = 0.9, bits = 4, tables = 2, maxBucketSize = 10)
+    val capped = cappedDf
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((1L, 50L))) // both tables' buckets agree on (min,max)
+    // the recall loss is observable: one hot bucket per table was capped
+    val metrics = cappedDf.queryExecution.observedMetrics("graft.neardup")
+    assert(metrics.getAs[Long]("capped_buckets") == 2L)
     val uncapped = Similarity.nearDupPairs(df, "vec_id", "embedding",
       dim = 64, threshold = 0.9, bits = 4, tables = 2, maxBucketSize = 1000,
       cacheCorpus = true)
