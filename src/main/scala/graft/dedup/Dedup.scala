@@ -396,7 +396,16 @@ object Dedup {
         call_function("collect_list_capped", col("id"),
           lit(maxBucketSize)).as("ids"),
         count(lit(1)).as("n"))
-      .filter(col("n").between(2, maxBucketSize))
+      .filter(col("n") >= 2)
+      // over-cap band buckets (boilerplate text) are dropped before any
+      // pair materializes — the skew guard — but not silently:
+      // queryExecution.observedMetrics("graft.minhash") reports the count
+      // after any action, the retune signal for bands/maxBucketSize
+      .observe("graft.minhash",
+        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
+          .as("capped_buckets"),
+        count(lit(1)).as("active_buckets"))
+      .filter(col("n") <= maxBucketSize)
 
     val pairs = emitPairs(grouped, docs.schema("id").dataType).distinct()
 

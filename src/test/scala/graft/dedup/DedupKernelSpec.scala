@@ -161,11 +161,15 @@ class DedupKernelSpec extends SparkSpec {
 
   test("minhashLsh finds the fixture's planted near-duplicates") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
-    val pairs = Dedup.minhashLsh(df, col("doc_id"), col("text"),
+    val out = Dedup.minhashLsh(df, col("doc_id"), col("text"),
       shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
       maxBucketSize = Int.MaxValue)
-      .collect()
+    val pairs = out.collect()
     assert(pairs.nonEmpty)
     assert(pairs.forall(_.getDouble(2) >= 0.3))
+    // with an unbounded cap no bucket is dropped, and the metric says so
+    val m = out.queryExecution.observedMetrics("graft.minhash")
+    assert(m.getAs[Long]("capped_buckets") == 0L)
+    assert(m.getAs[Long]("active_buckets") > 0L)
   }
 }
