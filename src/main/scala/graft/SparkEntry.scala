@@ -417,9 +417,12 @@ object SparkEntry {
        ok_buckets AS (
          SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= 1000),
        pairs AS (
-         SELECT DISTINCT a.id AS id1, b.id AS id2
+         SELECT a.id AS id1, b.id AS id2
          FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
-         JOIN ok_buckets c ON a.bucket = c.bucket),
+         JOIN ok_buckets c ON a.bucket = c.bucket
+         UNION
+         SELECT min(id) AS id1, max(id) AS id2
+         FROM bands GROUP BY bucket HAVING COUNT(*) > 1000),
        verified AS (
          SELECT id1, id2,
            len(list_intersect(d1.vms, d2.vms)) AS common,
@@ -962,9 +965,12 @@ object SparkEntry {
        ok_buckets AS (
          SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= 1000),
        pairs AS (
-         SELECT DISTINCT a.id AS id1, b.id AS id2
+         SELECT a.id AS id1, b.id AS id2
          FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
-         JOIN ok_buckets c ON a.bucket = c.bucket),
+         JOIN ok_buckets c ON a.bucket = c.bucket
+         UNION
+         SELECT min(id) AS id1, max(id) AS id2
+         FROM bands GROUP BY bucket HAVING COUNT(*) > 1000),
        verified AS (
          SELECT id1, id2,
            len(list_intersect(d1.vms, d2.vms)) AS common,
@@ -1211,9 +1217,12 @@ object SparkEntry {
        ok_buckets AS (
          SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= 1000),
        cand AS (
-         SELECT DISTINCT a.id AS id1, b.id AS id2
+         SELECT a.id AS id1, b.id AS id2
          FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
-         JOIN ok_buckets c ON a.bucket = c.bucket),
+         JOIN ok_buckets c ON a.bucket = c.bucket
+         UNION
+         SELECT min(id) AS id1, max(id) AS id2
+         FROM bands GROUP BY bucket HAVING COUNT(*) > 1000),
        verified AS (
          SELECT id1, id2
          FROM cand JOIN sigs d1 ON id1 = d1.id JOIN sigs d2 ON id2 = d2.id

@@ -361,9 +361,32 @@ object Dedup {
     * Scale notes: the explode emits `bands` rows per doc (narrow: band key
     * + id), the self-join shuffles on band key, and the verify re-joins
     * only candidate ids back to shingle sets — so the quadratic blowup is
-    * confined to real near-duplicate buckets. Giant buckets (boilerplate
-    * pages) should be capped upstream via a bucket-size filter.
+    * confined to real near-duplicate buckets.
     *
+    * An over-cap band bucket (boilerplate text) is NOT dropped silently:
+    * it contributes one deterministic representative pair, (min id,
+    * max id) — exact aggregates over the whole bucket, reproducible in
+    * any engine — which then passes through the same Jaccard verify. A
+    * cluster of >maxBucketSize near-identical documents (the
+    * highest-value dedup target) therefore still surfaces instead of
+    * yielding zero rows; recall within such a bucket is intentionally
+    * partial (full recall is the quadratic blowup the cap exists to
+    * prevent). Same contract as `Similarity.nearDupPairs`; mirror both
+    * arms in any oracle: `HAVING COUNT(*) <= maxBucketSize` for the pair
+    * arm, `UNION SELECT min(id), max(id) ... HAVING COUNT(*) >
+    * maxBucketSize` for the representative arm.
+    *
+    * @param cacheSignatures persist the (id, hashed-shingle set) table
+    *   across its three uses (banding + Jaccard verify re-joins). OFF by
+    *   default — same lever and same default as nearDupPairs'
+    *   `cacheCorpus`, and measured, not assumed: columnar-encoding the
+    *   ~300-long `vms` array per doc costs more than re-running the
+    *   shingle+md5 kernel over the pruned 2-column scan (sf0.1 quiet-box
+    *   A/B, 3 paired runs: q18 uncached wins 2/3 with larger margins,
+    *   q37's iterative consumer uncached 2.5-2.8 s vs cached 3.7-3.9 s —
+    *   disjoint spreads twice; NOTES.md). At cluster scale the cached
+    *   table is corpus-sized anyway — persist to a tap between pipeline
+    *   stages if reuse across jobs is wanted.
     * @return (id1, id2, jaccard) for candidate pairs with jaccard >= threshold
     */
   def minhashLsh(
@@ -374,38 +397,40 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
-    // Cache (id, hashed-shingle set): feeds BOTH the banding self-join
-    // (each side) and the Jaccard verify re-joins. Only the compact long
-    // array ships through the joins — the string shingles are never needed
-    // again after hashing. At cluster scale this is the "signature table"
-    // you'd persist between pipeline stages.
-    val docs = shingleDocs(df, idCol, textCol, shingleK)
-      .select(col("id"), col("vms")).cache()
+      maxBucketSize: Int = 1000,
+      cacheSignatures: Boolean = false): DataFrame = {
+    val docs0 = shingleDocs(df, idCol, textCol, shingleK)
+      .select(col("id"), col("vms"))
+    val docs = if (cacheSignatures) docs0.cache() else docs0
 
     val banded = bandBuckets(docs, numHashes, bands)
 
-    // ONE grouping shuffle gathers each bucket's ids; the count filter is
-    // simultaneously the pathological-bucket cap (boilerplate buckets are
-    // dropped before any pair is materialized — the skew guard at scale)
-    // and the singleton prune. collect_list_capped (graft's Catalyst
-    // aggregate) bounds every aggregation buffer by maxBucketSize even
-    // for mega-buckets, whose truncated lists the filter then discards.
+    // ONE grouping shuffle gathers each bucket's ids; collect_list_capped
+    // (graft's Catalyst aggregate) bounds every aggregation buffer by
+    // maxBucketSize even for mega-buckets. Over-cap buckets collapse to
+    // their deterministic [min, max] representative IN the same
+    // projection — exact aggregates over the whole bucket, NOT the capped
+    // arrival-ordered sample — so the grouping subtree has exactly ONE
+    // consumer (a second arm recomputes the whole bucket shuffle;
+    // measured +1 s at sf0.1 on the q30 sibling).
     val grouped = banded.groupBy("bucket")
       .agg(
         call_function("collect_list_capped", col("id"),
           lit(maxBucketSize)).as("ids"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
       .filter(col("n") >= 2)
-      // over-cap band buckets (boilerplate text) are dropped before any
-      // pair materializes — the skew guard — but not silently:
+      // capped-bucket recall loss is observable, not silent:
       // queryExecution.observedMetrics("graft.minhash") reports the count
       // after any action, the retune signal for bands/maxBucketSize
       .observe("graft.minhash",
         sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
           .as("capped_buckets"),
         count(lit(1)).as("active_buckets"))
-      .filter(col("n") <= maxBucketSize)
+      .select(
+        when(col("n") <= maxBucketSize, col("ids"))
+          .otherwise(array(col("min_id"), col("max_id"))).as("ids"))
 
     val pairs = emitPairs(grouped, docs.schema("id").dataType).distinct()
 

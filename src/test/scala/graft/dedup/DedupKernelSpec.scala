@@ -159,6 +159,45 @@ class DedupKernelSpec extends SparkSpec {
       s"posting-list grouping duplicated outside the cache:\n$plan")
   }
 
+  test("minhashLsh caps hot band buckets to a representative pair " +
+      "(cluster still surfaces; cacheSignatures lever changes nothing)") {
+    import spark.implicits._
+    // 30 identical docs: every band bucket holds all 30 ids. With the cap
+    // below the bucket size no per-pair work happens — but the cluster is
+    // NOT silently lost: each over-cap bucket emits the deterministic
+    // (min id, max id) representative, which passes the Jaccard verify
+    // at exactly 1.0. Same contract as nearDupPairs (SimilaritySpec).
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = (1L to 30L).map(i => (i, text)).toDF("doc_id", "text")
+    def run(cache: Boolean) =
+      Dedup.minhashLsh(df, col("doc_id"), col("text"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+        maxBucketSize = 10, cacheSignatures = cache)
+    val cappedDf = run(cache = true)
+    val capped = cappedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == Set((1L, 30L, 1.0)))
+    // the recall loss is observable: all 3 band buckets were capped
+    val m = cappedDf.queryExecution.observedMetrics("graft.minhash")
+    assert(m.getAs[Long]("capped_buckets") == 3L)
+    // identical output with the signature cache off (the scale setting)
+    val uncached = run(cache = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncached == capped)
+  }
+
+  test("minhashLsh plan: the band-bucket grouping has exactly one " +
+      "consumer (a second arm would recompute the whole bucket shuffle)") {
+    val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val plan = Dedup.minhashLsh(df, col("doc_id"), col("text"),
+      shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    // one logical capped aggregation = one partial + one final node; the
+    // representative-pair arm must ride the same projection, not fork it
+    val aggNodes = "collect_list_capped".r.findAllIn(plan).size
+    assert(aggNodes <= 2, s"band-bucket grouping duplicated in plan:\n$plan")
+  }
+
   test("minhashLsh finds the fixture's planted near-duplicates") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val out = Dedup.minhashLsh(df, col("doc_id"), col("text"),
