@@ -9,14 +9,22 @@ import org.apache.spark.sql.types._
   * feature-extract stages run per-partition over batches so a real decoder
   * (JNI/ffmpeg/JPEG lib) drops in without changing the plan shape.
   *
-  * The decode kernels themselves are STUBBED with deterministic fakes
-  * (this environment has no media libraries); everything Spark-side —
-  * schema, batching, partition sizing, null handling — is real and tested.
+  * IMAGE decode and resize are REAL for decodable payloads:
+  * `decodeImageMeta` header-parses PNG/JPEG/GIF/BMP via `javax.imageio`
+  * (width/height read from the codec header — no pixel decode), and
+  * `resize` does a full `BufferedImage` bilinear rescale + PNG re-encode.
+  * Undecodable payloads fall back to the md5-derived deterministic fake,
+  * which keeps every stage oracle-able end to end (q32 fabricates
+  * payloads from document text, so its whole pipeline hash-checks against
+  * DuckDB's md5). Audio/video feature kernels remain deterministic fakes
+  * (no codec libs here); their mapPartitions batch shape is what a JNI
+  * bridge needs.
   *
   * Scale notes: media rows are wide (MBs); `maxRecordsPerBatch`-style
   * batching happens naturally via mapPartitions chunks, and repartitioning
   * by a size-bucket column before decode keeps tasks balanced when payload
-  * sizes are skewed. Never collect payloads to the driver.
+  * sizes are skewed. A magic-byte pre-check keeps the non-image hot path
+  * free of ImageIO reader lookups. Never collect payloads to the driver.
   */
 object Multimodal {
 
@@ -42,24 +50,98 @@ object Multimodal {
           lit(null).cast(IntegerType).as("height"),
           lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
-  /** STUB image decode: a real implementation parses the codec header and
-    * emits (width, height, channels, pixels). The deterministic fake
-    * derives pseudo-dimensions from md5 of the payload — md5, not
-    * xxhash64, so the fake is reproducible in ANY engine and a query over
-    * decoded metadata can be oracle-checked end to end (q32): width from
-    * hex digits 1-8, height from digits 9-16 of the same digest.
+  /** True iff the payload starts with a magic number `javax.imageio`'s
+    * standard plugins handle (PNG/JPEG/GIF/BMP). Cheap pre-check so the
+    * non-image hot path (fabricated corpora, audio, video) never pays an
+    * ImageIO reader lookup per row.
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 3 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N') || // PNG
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte &&
+        b(2) == 0xff.toByte) ||                              // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||         // GIF
+      (b(0) == 'B' && b(1) == 'M'))                          // BMP
+
+  /** Header-parse (width, height, channels) via `javax.imageio` — reads
+    * only the codec header (`reader.getWidth(0)` never decodes pixels),
+    * so this costs microseconds per image, not a full decode. None for
+    * anything ImageIO can't read.
+    */
+  private[multimodal] def imageHeader(
+      bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!looksLikeImage(bytes)) return None
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp files
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val ch =
+            try {
+              val types = r.getImageTypes(0)
+              if (types.hasNext) types.next().getNumComponents else 3
+            } catch { case scala.util.control.NonFatal(_) => 3 }
+          Some((w, h, ch))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** The md5-derived fallback dimensions for undecodable payloads —
+    * bit-identical to the Column formulation
+    * `conv(substring(md5(content), 1, 8), 16, 10) % 1920 + 1` (hex digits
+    * 1-8 = digest bytes 0-3 unsigned; 9-16 = bytes 4-7), which is what
+    * the q32 DuckDB oracle reproduces. MultimodalSpec pins the
+    * equivalence.
+    */
+  private def fakeDims(md: java.security.MessageDigest,
+      bytes: Array[Byte]): (Int, Int) = {
+    val d = md.digest(bytes)
+    def u32(o: Int): Long =
+      ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+    ((u32(0) % 1920 + 1).toInt, (u32(4) % 1080 + 1).toInt)
+  }
+
+  /** Image decode, metadata stage: REAL `javax.imageio` header parse for
+    * decodable payloads (PNG/JPEG/GIF/BMP — true width/height/channels
+    * from the codec header, no pixel decode), md5-derived deterministic
+    * fake for everything else — so fabricated-payload pipelines stay
+    * oracle-able end to end (q32): fake width from md5 hex digits 1-8,
+    * height from digits 9-16 of the same digest.
     */
   def decodeImageMeta(df: DataFrame, contentCol: String = "content")
       : DataFrame = {
-    // loadMediaDir's content column is nullable; a null payload decodes
-    // as empty bytes rather than poisoning width/height with nulls
-    val h = md5(coalesce(col(contentCol), lit(Array.empty[Byte])))
-    val fakeW = (conv(substring(h, 1, 8), 16, 10).cast("long") % 1920 + 1)
-      .cast("int")
-    val fakeH = (conv(substring(h, 9, 8), 16, 10).cast("long") % 1080 + 1)
-      .cast("int")
-    df.withColumn("decoded", struct(
-      fakeW.as("width"), fakeH.as("height"), lit(3).as("channels")))
+    val idx = df.schema.fieldIndex(contentCol)
+    val schema = df.schema.add("decoded", StructType(Seq(
+      StructField("width", IntegerType, false),
+      StructField("height", IntegerType, false),
+      StructField("channels", IntegerType, false))), nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        // loadMediaDir's content column is nullable; a null payload
+        // decodes as empty bytes rather than poisoning width/height
+        val bytes =
+          if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        val (w, h, ch) = imageHeader(bytes).getOrElse {
+          val (fw, fh) = fakeDims(md, bytes)
+          (fw, fh, 3)
+        }
+        Row.fromSeq(r.toSeq :+ Row(w, h, ch))
+      }
+    }(enc)
   }
 
   /** STUB feature extraction: batch-shaped per-partition kernel. A real
@@ -105,11 +187,12 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB resize: a real kernel decodes, scales to (w, h), re-encodes.
-    * The fake replaces the payload with a deterministic, length-scaled
-    * transform of the original bytes and rewrites the decoded dimensions,
-    * preserving exactly the plan shape (binary in, binary out, metadata
-    * update) a real resizer has. Requires `decodeImageMeta` upstream.
+  /** Resize: REAL decode→scale→re-encode for decodable images — full
+    * `ImageIO.read`, `BufferedImage` bilinear rescale to (width, height),
+    * PNG re-encode — and a deterministic length-scaled byte transform for
+    * undecodable payloads, so the plan shape (binary in, binary out,
+    * metadata update) is identical on both arms and fabricated-payload
+    * pipelines stay reproducible. Requires `decodeImageMeta` upstream.
     */
   def resize(
       df: DataFrame,
@@ -133,13 +216,35 @@ object Multimodal {
         val bytes =
           if (r.isNullAt(idx)) Array.empty[Byte]
           else r.getAs[Array[Byte]](idx)
-        // ??? real decode→scale→encode goes here; deterministic fake:
-        // sample the payload down/up to a size proportional to the target
-        // (null/empty payload resizes to zero-filled bytes)
-        val outLen = math.max(1, (width.toLong * height / 1024).toInt)
-        val out =
-          if (bytes.isEmpty) new Array[Byte](outLen)
-          else Array.tabulate(outLen)(i => bytes(i % bytes.length))
+        val decoded =
+          if (looksLikeImage(bytes))
+            try
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        val out = decoded match {
+          case Some(img) =>
+            val scaled = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, width, height, null)
+            } finally g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", baos)
+            baos.toByteArray
+          case None =>
+            // deterministic fake: sample the payload down/up to a size
+            // proportional to the target (null/empty payload resizes to
+            // zero-filled bytes)
+            val outLen = math.max(1, (width.toLong * height / 1024).toInt)
+            if (bytes.isEmpty) new Array[Byte](outLen)
+            else Array.tabulate(outLen)(i => bytes(i % bytes.length))
+        }
         val vals = r.toSeq
           .updated(idx, out)
           .updated(didx, Row(width, height, 3))

@@ -28,6 +28,73 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("decodeImageMeta parses REAL PNG/JPEG headers through a binary dir") {
+    val dir = Files.createTempDirectory("graft-realimg")
+    Files.write(dir.resolve("a.png"), pngBytes(120, 80))
+    val jbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      new java.awt.image.BufferedImage(
+        33, 21, java.awt.image.BufferedImage.TYPE_INT_RGB), "jpg", jbaos)
+    Files.write(dir.resolve("b.jpg"), jbaos.toByteArray)
+    Files.write(dir.resolve("c.txt"), "not an image at all".getBytes("UTF-8"))
+    val out = Multimodal.decodeImageMeta(
+        Multimodal.loadMediaDir(spark, dir.toString))
+      .select(col("meta.media_type"), col("decoded.width"),
+        col("decoded.height"), col("decoded.channels"))
+      .collect()
+      .map(r => (r.getString(0), (r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out("png") == ((120, 80, 3)))
+    assert(out("jpg") == ((33, 21, 3)))
+    // the undecodable payload takes the md5 fake, inside its bounds
+    val (tw, th, tch) = out("txt")
+    assert(tw >= 1 && tw <= 1920 && th >= 1 && th <= 1080 && tch == 3)
+  }
+
+  test("decodeImageMeta fallback == the md5 Column formulation the q32 " +
+      "oracle reproduces") {
+    import spark.implicits._
+    val df = Seq(
+      ("t1", "some text payload".getBytes("UTF-8")),
+      ("t2", Array[Byte](0, 1, 2, 3, 4)),
+      ("t3", Array.empty[Byte])).toDF("path", "content")
+    val kernel = Multimodal.decodeImageMeta(df)
+      .select("path", "decoded.width", "decoded.height")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val h = md5(coalesce(col("content"), lit(Array.empty[Byte])))
+    val column = df.select(col("path"),
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % 1920 + 1)
+          .cast("int"),
+        (conv(substring(h, 9, 8), 16, 10).cast("long") % 1080 + 1)
+          .cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(kernel == column)
+  }
+
+  test("resize REALLY rescales a decodable image (payload re-decodes at " +
+      "the target dimensions)") {
+    import spark.implicits._
+    val df = Multimodal.decodeImageMeta(
+      Seq(("p.png", pngBytes(120, 80))).toDF("path", "content"))
+    val row = Multimodal.resize(df, width = 64, height = 32).collect().head
+    val dec = row.getStruct(row.fieldIndex("decoded"))
+    assert((dec.getInt(0), dec.getInt(1)) == (64, 32))
+    val outBytes = row.getAs[Array[Byte]](row.fieldIndex("content"))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(outBytes))
+    assert(img != null && img.getWidth == 64 && img.getHeight == 32)
+  }
+
   test("q32_multimodal runs end-to-end and yields one row per source") {
     val out = graft.SparkEntry.queries("q32_multimodal")(spark, sf("sf0.001"))
       .collect()
