@@ -25,19 +25,36 @@ object Prefix {
     * `orderCol` order (ties broken by the order column's full value —
     * supply a unique key like doc_id for determinism). Output rows keep
     * the range partitioning (sorted within partitions by `orderCol`).
+    *
+    * The materialization of the ranged table between the two passes is
+    * CORRECTNESS-load-bearing, not a speed knob: `repartitionByRange`
+    * SAMPLES the data to pick partition boundaries, so an uncached
+    * recompute of pass 2 could draw different boundaries than the ones
+    * pass 1's totals were computed over — per-partition offsets would
+    * then be added to the wrong rows. Both passes must read the SAME
+    * materialized layout; do not remove the persist.
+    *
+    * @param storageLevel where that mandatory materialization lives.
+    *   MEMORY_AND_DISK default suits working-set-sized inputs; at corpus
+    *   scale pass `StorageLevel.DISK_ONLY` (the table is the full input
+    *   plus ordering — memory caching it evicts everything else), or
+    *   write the ranged table to a tap and run both passes against the
+    *   files.
     */
   def runningTotal(
       df: DataFrame,
       orderCol: String,
       valueCol: String,
-      outCol: String = "running_total"): DataFrame = {
+      outCol: String = "running_total",
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
     val ranged = df
       .repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(orderCol)
-      .cache() // pass 1 (totals) and pass 2 (prefix) read the same layout
+      .persist(storageLevel) // both passes MUST read this same layout
 
     val vIdx = ranged.schema.fieldIndex(valueCol)
     def valueOf(r: org.apache.spark.sql.Row): Long = r.get(vIdx) match {
@@ -89,9 +106,11 @@ object Prefix {
       orderCol: String,
       tokenCol: String,
       budget: Long,
-      shardCol: String = "shard"): DataFrame = {
+      shardCol: String = "shard",
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    runningTotal(df, orderCol, tokenCol, "__run")
+    runningTotal(df, orderCol, tokenCol, "__run", storageLevel)
       .withColumn(shardCol,
         floor((col("__run") - col(tokenCol)) / budget).cast("long"))
       .drop("__run")

@@ -23,6 +23,21 @@ class PrefixSpec extends SparkSpec {
     assert(distributed == window)
   }
 
+  test("runningTotal is identical under DISK_ONLY (the corpus-scale " +
+      "storage level for the mandatory two-pass materialization)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = rng.shuffle((1L to 300L).toList).map(i => (i, (i % 5) + 1))
+    val df = rows.toDF("id", "v").repartition(7)
+    def run(level: org.apache.spark.storage.StorageLevel) =
+      Prefix.runningTotal(df, "id", "v", "run", level)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val disk = run(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val mem = run(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(disk == mem)
+    assert(disk(300L) == (1L to 300L).map(i => (i % 5) + 1).sum)
+  }
+
   test("packIntoShards cuts contiguous shards at budget multiples, " +
       "overflowing by at most the boundary document") {
     import spark.implicits._
