@@ -1,6 +1,6 @@
 package graft.tap
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -175,7 +175,14 @@ object Tap {
     * the run).
     *
     * All parsing is `from_json` Columns — codegen'd, pushed past the
-    * scan, no UDF. Output: (value, tag, left struct | null, right
+    * scan, no UDF — and each schema is parsed EXACTLY ONCE per record:
+    * the parsed structs materialize in a dedicated projection and every
+    * downstream test (tag, field presence, output struct) references
+    * those attributes. Catalyst keeps that projection separate precisely
+    * because collapsing it would duplicate a non-cheap expression
+    * (CollapseProject's reference-count guard), so the shape is stable
+    * under optimization — TapSpec counts `from_json` in the optimized
+    * plan to pin it. Output: (value, tag, left struct | null, right
     * struct | null).
     */
   def readEither(
@@ -190,22 +197,24 @@ object Tap {
     def parsed(s: StructType) =
       from_json(col("value"), s.add("_corrupt", StringType),
         Map("columnNameOfCorruptRecord" -> "_corrupt"))
-    def ok(s: StructType) =
-      parsed(s).isNotNull && parsed(s)("_corrupt").isNull &&
-        s.fieldNames.map(f => parsed(s)(f).isNotNull)
-          .reduce(_ || _)
-    val okA = ok(left)
-    val okB = ok(right)
-    lines.read(spark)
+    // ONE from_json per schema, materialized here; everything below
+    // reads these attributes instead of re-parsing
+    val base = lines.read(spark).select(
+      col("value"), parsed(left).as("__l"), parsed(right).as("__r"))
+    def ok(c: Column, s: StructType) =
+      c.isNotNull && c("_corrupt").isNull &&
+        s.fieldNames.map(f => c(f).isNotNull).reduce(_ || _)
+    base
       .withColumn(tagCol,
-        when(okA, lit("left")).when(okB, lit("right"))
+        when(ok(col("__l"), left), lit("left"))
+          .when(ok(col("__r"), right), lit("right"))
           .otherwise(lit("corrupt")))
       .select(
         col("value"),
         col(tagCol),
-        when(col(tagCol) === "left", parsed(left).dropFields("_corrupt"))
+        when(col(tagCol) === "left", col("__l").dropFields("_corrupt"))
           .as("left"),
-        when(col(tagCol) === "right", parsed(right).dropFields("_corrupt"))
+        when(col(tagCol) === "right", col("__r").dropFields("_corrupt"))
           .as("right"))
   }
 

@@ -174,6 +174,22 @@ class TapSpec extends SparkSpec {
     assert(byTag("corrupt").forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("readEither parses each schema exactly once per record (the " +
+      "optimized plan carries two from_json, not one per consumer)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-either-plan")
+    Files.writeString(dir.resolve("x.jsonl"), """{"id": 1, "name": "a"}""")
+    val aSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val bSchema = StructType(Seq(
+      StructField("code", StringType), StructField("score", DoubleType)))
+    val plan = Tap.readEither(spark, Tap.text(dir.toString), aSchema, bSchema)
+      .queryExecution.optimizedPlan.toString
+    val parses = "from_json".r.findAllIn(plan).size
+    assert(parses == 2,
+      s"expected exactly 2 from_json (one per schema), got $parses:\n$plan")
+  }
+
   test("filters and projections reach the parquet scan through a Tap " +
       "(pushdown + pruning — the scan must not read what the query " +
       "doesn't touch)") {
