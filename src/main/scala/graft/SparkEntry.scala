@@ -1240,6 +1240,58 @@ object SparkEntry {
          FROM reach GROUP BY a)
        SELECT id, component FROM comp"""
 
+  // ------------------------------------------------------------------
+  // q41 — hamming-radius SimHash near-dup pairs (extension:
+  // Dedup.simhashPairs): the banded wider-radius variant of q20. 4 bands
+  // of 8 bits guarantee recall at hamming <= 3 by pigeonhole; exact
+  // bit_count(xor) verify. Oracle mirrors the band buckets (same packed
+  // band-key arithmetic), the capped/representative arms, and the verify.
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simhashPairs(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      maxHamming = 3, bands = 4, maxBucketSize = 1000)
+
+  private val q41Sql =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk FROM documents),
+       hashes AS (
+         SELECT doc_id, [substr(md5(t), 1, 8) for t in tk] AS hs FROM toks WHERE len(tk) > 0),
+       simhashed AS (
+         SELECT doc_id,
+           CAST(list_sum([
+             CASE WHEN 2 * list_sum([
+                 (strpos('0123456789abcdef', substr(h, b//4 + 1, 1)) - 1) // CAST(pow(2, 3 - (b % 4)) AS INTEGER) % 2
+               for h in hs]) >= len(hs)
+             THEN CAST(pow(2, 31 - b) AS BIGINT) ELSE 0 END
+           for b in range(0, 32)]) AS BIGINT) AS sh
+         FROM hashes),
+       zerosh AS (
+         SELECT doc_id, CAST(0 AS BIGINT) AS sh FROM toks WHERE len(tk) = 0),
+       sigs AS (SELECT * FROM simhashed UNION ALL SELECT * FROM zerosh),
+       bands AS (
+         SELECT doc_id, unnest([
+             CAST(b AS BIGINT) * 4294967296 +
+               ((sh // CAST(pow(2, (3 - b) * 8) AS BIGINT)) % 256)
+           for b in range(0, 4)]) AS bucket
+         FROM sigs),
+       ok_buckets AS (
+         SELECT bucket FROM bands GROUP BY bucket
+         HAVING COUNT(*) BETWEEN 2 AND 1000),
+       cand AS (
+         SELECT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         JOIN ok_buckets c ON a.bucket = c.bucket
+         UNION
+         SELECT min(doc_id) AS id1, max(doc_id) AS id2
+         FROM bands GROUP BY bucket HAVING COUNT(*) > 1000)
+       SELECT id1, id2, hamming FROM (
+         SELECT c.id1, c.id2,
+           CAST(bit_count(xor(s1.sh, s2.sh)) AS INTEGER) AS hamming
+         FROM cand c
+         JOIN sigs s1 ON c.id1 = s1.doc_id
+         JOIN sigs s2 ON c.id2 = s2.doc_id)
+       WHERE hamming <= 3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1281,6 +1333,7 @@ object SparkEntry {
     "q38_mixture" -> (q38 _),
     "q39_shard_packing" -> (q39 _),
     "q40_quantized_topk" -> (q40 _),
+    "q41_simhash_hamming" -> (q41 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1294,6 +1347,7 @@ object SparkEntry {
     "q38_mixture" -> q38Sql,
     "q39_shard_packing" -> q39Sql,
     "q40_quantized_topk" -> q40Sql,
+    "q41_simhash_hamming" -> q41Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -497,11 +497,13 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** SimHash near-dup: docs whose 32-bit simhash match exactly (tight
-    * near-dup band). For a wider radius, group on rotations/bands of the
-    * simhash and verify hamming distance <= maxHamming.
+  /** 32-bit simhash per document as a typed kernel (same rationale as
+    * shingleDocs: the Column simhash, Hashing.simhash, runs interpreted
+    * inside HOF lambdas). Identical output: per-token md5 -> 32-bit value
+    * -> majority vote per bit; token-less docs hash to 0.
+    * Output schema: (id <input type>, sh bigint).
     */
-  def simhashGroups(
+  private[graft] def simhashSignatures(
       df: DataFrame,
       idCol: Column,
       textCol: Column): DataFrame = {
@@ -512,9 +514,6 @@ object Dedup {
       base.schema("id"), StructField("sh", LongType, false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
-    // typed kernel for the same reason as shingleDocs: the Column simhash
-    // (Hashing.simhash) runs interpreted inside HOF lambdas. Identical
-    // output: per-token md5 -> 32-bit value -> majority vote per bit.
     base.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
@@ -541,9 +540,89 @@ object Dedup {
         org.apache.spark.sql.Row(r.get(0), sh)
       }
     }(enc)
+  }
+
+  /** SimHash near-dup: docs whose 32-bit simhash match exactly (tight
+    * near-dup band). For a wider radius see `simhashPairs`.
+    */
+  def simhashGroups(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column): DataFrame =
+    simhashSignatures(df, idCol, textCol)
       .groupBy("sh")
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") > 1)
+
+  /** Banded hamming-radius SimHash near-dup pairs: the wider-radius
+    * variant `simhashGroups`' scaladoc promises. The 32-bit simhash is
+    * cut into `bands` contiguous segments; by pigeonhole, two signatures
+    * within hamming distance `maxHamming` agree EXACTLY on at least one
+    * band whenever `bands >= maxHamming + 1` (the distance can corrupt at
+    * most `maxHamming` bands) — so grouping on (band index, band value)
+    * has perfect recall at radius `maxHamming` before any cap, and the
+    * exact `bit_count(xor)` verify removes the false positives.
+    *
+    * The pair stage is the same capped grouped shape as `minhashLsh`:
+    * ONE grouping shuffle, `collect_list_capped` bounds every bucket
+    * buffer, over-cap buckets collapse to their deterministic
+    * (min id, max id) representative in the same projection, and the
+    * capped count is observable via the `graft.simhash` metric. Mirror
+    * both arms in any oracle exactly as for minhashLsh.
+    *
+    * Band keys are packed into one long — band index in the high 32 bits,
+    * band value in the low — so the shuffle key is 8 bytes (vs the ~40 B
+    * string keys of minhash bands, whose values don't fit a word).
+    *
+    * @return (id1, id2, hamming int) for candidate pairs with
+    *   hamming <= maxHamming, id1 < id2
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && 32 % bands == 0,
+      s"bands must divide 32, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"radius guarantee needs bands >= maxHamming + 1 " +
+        s"(got bands=$bands, maxHamming=$maxHamming)")
+    val width = 32 / bands
+    val sigs = simhashSignatures(df, idCol, textCol)
+
+    val bandCols = (0 until bands).map { b =>
+      lit(b.toLong << 32) +
+        shiftrightunsigned(col("sh"), (bands - 1 - b) * width)
+          .bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
+
+    val grouped = banded.groupBy("bucket")
+      .agg(
+        call_function("collect_list_capped", col("id"),
+          lit(maxBucketSize)).as("ids"),
+        count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .filter(col("n") >= 2)
+      .observe("graft.simhash",
+        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
+          .as("capped_buckets"),
+        count(lit(1)).as("active_buckets"))
+      .select(
+        when(col("n") <= maxBucketSize, col("ids"))
+          .otherwise(array(col("min_id"), col("max_id"))).as("ids"))
+
+    val pairs = emitPairs(grouped, sigs.schema("id").dataType).distinct()
+
+    pairs
+      .join(sigs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
   }
 
   /** Re-verify candidate pairs with exact Jaccard over the hashed-shingle
