@@ -1292,6 +1292,87 @@ object SparkEntry {
          JOIN sigs s2 ON c.id2 = s2.doc_id)
        WHERE hamming <= 3"""
 
+  // ------------------------------------------------------------------
+  // q42 — IVF ANN with a TRAINED coarse quantizer (extension:
+  // Similarity.ivfTopK trainIters>0): two Lloyd iterations of spherical
+  // k-means from an md5-seeded sample, exact fixed-point centroid sums
+  // so the oracle reproduces every centroid bit-for-bit by unrolling the
+  // same two iterations in SQL. Same plan shape as q33; better recall on
+  // clustered corpora (SimilaritySpec measures the improvement).
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.ivfTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10,
+      nlist = 8, nprobe = 2, trainIters = 2)
+  }
+
+  private val q42Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       fx AS (SELECT vec_id, e, [CAST(round(x * 1048576.0) AS BIGINT) for x in e] AS f FROM v),
+       seed AS (
+         SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cent_id, e AS ce
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, f, cent_id FROM (
+           SELECT fx.vec_id, fx.f, s.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+               list_sum([fx.e[i] * s.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([fx.e[i] * fx.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([s.ce[i] * s.ce[i] for i in range(1, 65)]))) DESC,
+               s.cent_id ASC) AS r
+           FROM fx CROSS JOIN seed s) WHERE r = 1),
+       u1 AS (SELECT cent_id, unnest(f) AS xf, unnest(range(1, 65)) AS i FROM a1),
+       s1 AS (SELECT cent_id, i, SUM(xf) AS sf FROM u1 GROUP BY cent_id, i),
+       n1 AS (SELECT cent_id, COUNT(*) AS cnt FROM a1 GROUP BY cent_id),
+       m1 AS (SELECT s1.cent_id, list(CAST(sf AS DOUBLE) / cnt / 1048576.0 ORDER BY i) AS ce
+              FROM s1 JOIN n1 USING (cent_id) GROUP BY s1.cent_id),
+       c1 AS (SELECT sd.cent_id, COALESCE(m1.ce, sd.ce) AS ce FROM seed sd LEFT JOIN m1 USING (cent_id)),
+       a2 AS (
+         SELECT vec_id, f, cent_id FROM (
+           SELECT fx.vec_id, fx.f, s.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+               list_sum([fx.e[i] * s.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([fx.e[i] * fx.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([s.ce[i] * s.ce[i] for i in range(1, 65)]))) DESC,
+               s.cent_id ASC) AS r
+           FROM fx CROSS JOIN c1 s) WHERE r = 1),
+       u2 AS (SELECT cent_id, unnest(f) AS xf, unnest(range(1, 65)) AS i FROM a2),
+       s2 AS (SELECT cent_id, i, SUM(xf) AS sf FROM u2 GROUP BY cent_id, i),
+       n2 AS (SELECT cent_id, COUNT(*) AS cnt FROM a2 GROUP BY cent_id),
+       m2 AS (SELECT s2.cent_id, list(CAST(sf AS DOUBLE) / cnt / 1048576.0 ORDER BY i) AS ce
+              FROM s2 JOIN n2 USING (cent_id) GROUP BY s2.cent_id),
+       c2 AS (SELECT c1.cent_id, COALESCE(m2.ce, c1.ce) AS ce FROM c1 LEFT JOIN m2 USING (cent_id)),
+       asg AS (
+         SELECT vec_id, e, cent_id FROM (
+           SELECT v.vec_id, v.e, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum([v.e[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM v CROSS JOIN c2 c) WHERE r = 1),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       probe AS (
+         SELECT query_id, qe, cent_id FROM (
+           SELECT q.query_id, q.qe, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+               list_sum([q.qe[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([q.qe[i] * q.qe[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM q CROSS JOIN c2 c) WHERE r <= 2),
+       scored AS (
+         SELECT p.query_id, a.vec_id AS corpus_id,
+           list_sum([p.qe[i] * a.e[i] for i in range(1, 65)]) /
+             (sqrt(list_sum([p.qe[i] * p.qe[i] for i in range(1, 65)])) *
+              sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)]))) AS sim
+         FROM probe p JOIN asg a USING (cent_id) WHERE p.query_id <> a.vec_id)
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1334,6 +1415,7 @@ object SparkEntry {
     "q39_shard_packing" -> (q39 _),
     "q40_quantized_topk" -> (q40 _),
     "q41_simhash_hamming" -> (q41 _),
+    "q42_ivf_kmeans" -> (q42 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1348,6 +1430,7 @@ object SparkEntry {
     "q39_shard_packing" -> q39Sql,
     "q40_quantized_topk" -> q40Sql,
     "q41_simhash_hamming" -> q41Sql,
+    "q42_ivf_kmeans" -> q42Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -19,7 +19,7 @@ import graft.functions.{Hashing, Vectors}
   *    derived deterministically from md5, so no fit/driver state and runs
   *    are reproducible across clusters.
   */
-object Similarity {
+object Similarity extends Serializable {
 
   /** Append a cosine-similarity column computed by a typed kernel.
     * Bit-identical to `Vectors.cosine` (same left-fold order, elements
@@ -315,43 +315,161 @@ object Similarity {
     * classic trade against LSH (lshTopK): IVF adapts to the data's
     * density, LSH needs no assignment pass.
     *
-    * The quantizer here is a deterministic sample — the `nlist`
-    * lowest-id corpus vectors (no training pass; swap in k-means
-    * centroids without touching the plan shape). Centroids are collected
-    * to the driver and shipped in the task closure: an IVF coarse
-    * quantizer is small BY DESIGN (nlist ~ sqrt(corpus)), exactly
-    * hadron's runOnce-then-broadcast idiom
-    * (/root/reference/src/Hadron/Controller.hs:724-725).
+    * Two coarse quantizers, same plan shape either way (centroids are
+    * collected to the driver and shipped in the task closure: an IVF
+    * coarse quantizer is small BY DESIGN, nlist ~ sqrt(corpus), exactly
+    * hadron's runOnce-then-broadcast idiom,
+    * /root/reference/src/Hadron/Controller.hs:724-725):
+    *
+    *  - `trainIters = 0` (default): a deterministic sample — the `nlist`
+    *    lowest-id corpus vectors. Zero training passes; fine when ids
+    *    are uncorrelated with embedding geometry.
+    *  - `trainIters > 0`: that many Lloyd iterations of spherical
+    *    k-means from an md5-seeded sample (`trainKmeans`) — one
+    *    shuffle-free corpus pass per iteration, exact fixed-point
+    *    centroid sums so the result is engine-reproducible. Better
+    *    recall on clustered corpora: inverted lists follow the data's
+    *    density instead of whichever vectors got the lowest ids.
     *
     * Assignment/probing run in one typed kernel per side — argmax over
     * the closure's centroid array, no corpus x nlist shuffle. All cosine
     * arithmetic is the same left-fold double sequence as the oracle's,
     * ties broken on ascending centroid id.
     */
+  // cosine with the exact operation order of withCosineKernel/oracle
+  private def cosFD(a: Seq[Float], c: Array[Double]): Double = {
+    val n = math.min(a.length, c.length)
+    var dot = 0.0; var na = 0.0; var nc = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * c(i); i += 1 }
+    i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    i = 0
+    while (i < c.length) { nc += c(i) * c(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nc))
+  }
+
+  /** Fixed-point scale for exact centroid sums: 2^20 keeps |corpus| *
+    * max|x| * 2^20 far inside a long for unit-scale embeddings while
+    * preserving ~6 decimal digits of each float.
+    */
+  private val KmeansScale = 1L << 20
+
+  /** A few Lloyd iterations of spherical k-means (cosine assignment,
+    * unnormalized mean update — cosine is scale-invariant so the mean
+    * needs no normalization), built for cross-engine determinism:
+    *
+    *  - SEED: the `nlist` vectors with lexicographically smallest
+    *    (md5(id-as-string), id) — the repo's content-addressed sampling
+    *    discipline (`Sampling.unitHash`), so the seed is reproducible
+    *    across runs, partitionings, and engines, and is not biased by id
+    *    order the way the lowest-id sample is.
+    *  - UPDATE: each vector's coordinates are quantized to 2^20
+    *    fixed-point longs (half-away-from-zero, the NOTES.md convention)
+    *    and summed as longs — exact and ORDER-INDEPENDENT, where a
+    *    double sum would vary with partitioning and break any oracle.
+    *    New centroid = (sum / count) / 2^20 in doubles (one division
+    *    order, mirrored by the oracle). Empty centroids keep their
+    *    previous position.
+    *
+    * Each iteration is ONE shuffle-free pass: the kernel pre-aggregates
+    * per partition (nlist sum-vectors + counts held in task memory) and
+    * emits one row per non-empty centroid per partition, so the driver
+    * combines O(partitions * nlist) rows — the same bounded-collect
+    * idiom as `Prefix`'s offsets (hadron's runOnce,
+    * /root/reference/src/Hadron/Controller.hs:724-725). For very large
+    * nlist * partitions, swap the collect for a groupBy(cent) — the
+    * kernel's partials are already the map-side combine.
+    */
+  private def trainKmeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Array[(Long, Array[Double])] = {
+    import org.apache.spark.sql.types._
+    val seed: Array[Array[Double]] = corpus
+      .select(col(idCol).as("oid"), col(vecCol).as("ce"))
+      .orderBy(md5(col("oid").cast("string")), col("oid"))
+      .limit(nlist)
+      .collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+
+    val proj = corpus.select(col(vecCol).as("v"))
+    val partialSchema = StructType(Seq(
+      StructField("cent", IntegerType, false),
+      StructField("sums", ArrayType(LongType, false), false),
+      StructField("cnt", LongType, false)))
+    val penc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(partialSchema)
+
+    var cents = seed
+    var it = 0
+    while (it < iters) {
+      val cur = cents // stable closure for this pass
+      val partials = proj.mapPartitions { rows =>
+        val sums = new Array[Array[Long]](cur.length)
+        val cnts = new Array[Long](cur.length)
+        rows.foreach { r =>
+          val v = r.getSeq[Float](0)
+          var best = -1; var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < cur.length) {
+            val s = cosFD(v, cur(c))
+            if (s > bestSim) { bestSim = s; best = c }
+            c += 1
+          }
+          if (best >= 0) {
+            if (sums(best) == null) sums(best) = new Array[Long](v.length)
+            val acc = sums(best)
+            var i = 0
+            val n = math.min(v.length, acc.length)
+            while (i < n) {
+              val x = v(i).toDouble * KmeansScale
+              acc(i) +=
+                (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+              i += 1
+            }
+            cnts(best) += 1
+          }
+        }
+        (0 until cur.length).iterator
+          .filter(c => cnts(c) > 0)
+          .map(c => org.apache.spark.sql.Row(
+            c, sums(c).toIndexedSeq, cnts(c)))
+      }(penc).collect()
+
+      val totSums = new Array[Array[Long]](cur.length)
+      val totCnts = new Array[Long](cur.length)
+      partials.foreach { r =>
+        val c = r.getInt(0); val s = r.getSeq[Long](1); val n = r.getLong(2)
+        if (totSums(c) == null) totSums(c) = new Array[Long](s.length)
+        var i = 0
+        while (i < s.length) { totSums(c)(i) += s(i); i += 1 }
+        totCnts(c) += n
+      }
+      cents = Array.tabulate(cur.length) { c =>
+        if (totCnts(c) == 0) cur(c)
+        else totSums(c).map(_.toDouble / totCnts(c) / KmeansScale.toDouble)
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = corpus.sparkSession
-    val cents: Array[(Long, Array[Double])] = corpus
-      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
-      .orderBy(col("cent_id")).limit(nlist)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents: Array[(Long, Array[Double])] =
+      if (trainIters > 0) trainKmeans(corpus, idCol, vecCol, nlist, trainIters)
+      else corpus
+        .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
+        .orderBy(col("cent_id")).limit(nlist)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
 
-    // cosine with the exact operation order of withCosineKernel/oracle
-    def cos(a: Seq[Float], c: Array[Double]): Double = {
-      val n = math.min(a.length, c.length)
-      var dot = 0.0; var na = 0.0; var nc = 0.0
-      var i = 0
-      while (i < n) { dot += a(i).toDouble * c(i); i += 1 }
-      i = 0
-      while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
-      i = 0
-      while (i < c.length) { nc += c(i) * c(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nc))
-    }
+    def cos(a: Seq[Float], c: Array[Double]): Double = cosFD(a, c)
 
     // (vec, nearest-n centroid ids by (sim desc, cent_id asc))
     def assignKernel(df: DataFrame, vecIdx: Int, n: Int): DataFrame = {
