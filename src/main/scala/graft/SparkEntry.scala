@@ -1373,6 +1373,47 @@ object SparkEntry {
          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
          FROM scored) WHERE rank <= 10"""
 
+  // ------------------------------------------------------------------
+  // q43 — benchmark decontamination (extension:
+  // Decontaminate.contamination): per-doc 13-token-gram overlap of a
+  // training split (doc_id % 20 <> 0) against a held-out test split
+  // (doc_id % 20 = 0). The leakage control a pipeline runs before every
+  // corpus release; oracle mirrors the md5-mod gram hashing and both
+  // dedup steps (string gram, then hash).
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.dedup.Decontaminate.contamination(
+        docs = d.filter(col("doc_id") % 20 =!= 0),
+        docId = col("doc_id"), docText = col("text"),
+        testSet = d.filter(col("doc_id") % 20 === 0),
+        testId = col("doc_id"), testText = col("text"),
+        n = 13)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q43Sql =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       grams AS (
+         SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+12], ' ') for i in range(1, len(tk)-11)]) AS gs
+         FROM toks WHERE len(tk) >= 13),
+       hs AS (
+         SELECT doc_id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for g in gs]) AS sh
+         FROM grams),
+       teh AS (
+         SELECT DISTINCT unnest(sh) AS s FROM hs WHERE doc_id % 20 = 0),
+       ex AS (
+         SELECT doc_id, unnest(sh) AS s FROM hs WHERE doc_id % 20 <> 0),
+       agg AS (
+         SELECT ex.doc_id, COUNT(*) AS n_shingles, COUNT(t.s) AS n_contaminated
+         FROM ex LEFT JOIN teh t ON ex.s = t.s GROUP BY ex.doc_id)
+       SELECT doc_id, n_shingles, n_contaminated,
+         CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
+       FROM agg"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1416,6 +1457,7 @@ object SparkEntry {
     "q40_quantized_topk" -> (q40 _),
     "q41_simhash_hamming" -> (q41 _),
     "q42_ivf_kmeans" -> (q42 _),
+    "q43_decontaminate" -> (q43 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1431,6 +1473,7 @@ object SparkEntry {
     "q40_quantized_topk" -> q40Sql,
     "q41_simhash_hamming" -> q41Sql,
     "q42_ivf_kmeans" -> q42Sql,
+    "q43_decontaminate" -> q43Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -1,0 +1,108 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Benchmark decontamination: flag training documents that share token
+  * n-grams with an evaluation/test set — the standard leakage control a
+  * training-data pipeline runs before every corpus release (13-gram
+  * overlap is the common convention).
+  *
+  * Shape at 100 TB: the TEST side is small by definition (benchmarks),
+  * so its distinct hashed n-grams broadcast; the corpus side explodes to
+  * a hashed-gram stream that probes the broadcast set map-side and
+  * partially aggregates before the single narrow (id)-keyed shuffle.
+  * The corpus text is never shuffled and the corpus is scanned once.
+  *
+  * Hashing matches the repo's shingle discipline (first 15 md5 hex
+  * digits mod 1e9+7, dedup on the string gram first, then on the hash) —
+  * collisions fold identically in any engine that mirrors the rule.
+  */
+object Decontaminate extends Serializable {
+
+  /** Token n-gram + md5-mod hash kernel — the whitespace-token analogue
+    * of `Dedup.shingleDocs` (same hash, same dedup-then-sort contract,
+    * same reason for a typed kernel: HOF lambdas don't codegen).
+    * Docs with fewer than `n` tokens emit nothing.
+    * Output schema: (id <input type>, vms array<bigint>).
+    */
+  private[graft] def tokenShingleDocs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(idCol.as("id"), textCol.cast("string").as("__text"))
+      .repartition(par, col("id"))
+    val schema = StructType(Seq(
+      base.schema("id"),
+      StructField("vms", ArrayType(LongType, false), false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    base.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val text = r.getString(1)
+        val toks =
+          if (text == null) Array.empty[String]
+          else text.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Iterator.empty
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i <= toks.length - n) {
+            val sb = new StringBuilder(toks(i))
+            var j = i + 1
+            while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
+            seen.add(sb.toString)
+            i += 1
+          }
+          val vmSet = new java.util.LinkedHashSet[java.lang.Long]()
+          val it = seen.iterator()
+          while (it.hasNext) {
+            val d = md.digest(it.next().getBytes("UTF-8"))
+            val v = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+            vmSet.add(v % Hashing.MinhashP)
+          }
+          val vms = new Array[Long](vmSet.size)
+          val vit = vmSet.iterator(); var jj = 0
+          while (vit.hasNext) { vms(jj) = vit.next(); jj += 1 }
+          java.util.Arrays.sort(vms)
+          Iterator(org.apache.spark.sql.Row(r.get(0), vms.toIndexedSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-document contamination stats against a test set.
+    *
+    * @param docs     the training corpus (big side, scanned once)
+    * @param testSet  the evaluation set (small side, broadcast)
+    * @param n        n-gram width in whitespace tokens (13 = the usual
+    *                 decontamination convention)
+    * @return (id, n_shingles, n_contaminated, contamination) — one row
+    *   per training doc with >= 1 n-gram; contamination = fraction of
+    *   the doc's DISTINCT n-grams that appear anywhere in the test set.
+    *   Downstream: filter on `contamination` (or n_contaminated > 0) and
+    *   anti-join to drop leaked docs.
+    */
+  def contamination(
+      docs: DataFrame, docId: Column, docText: Column,
+      testSet: DataFrame, testId: Column, testText: Column,
+      n: Int = 13): DataFrame = {
+    val d = tokenShingleDocs(docs, docId, docText, n)
+    val t = tokenShingleDocs(testSet, testId, testText, n)
+      .select(explode(col("vms")).as("sh")).distinct()
+      .withColumn("m", lit(1))
+    d.select(col("id"), explode(col("vms")).as("sh"))
+      .join(broadcast(t), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("m")).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+  }
+}
