@@ -1414,6 +1414,48 @@ object SparkEntry {
          CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
        FROM agg"""
 
+  // ------------------------------------------------------------------
+  // q44 — Gopher-style repetition quality signals (extension:
+  // Repetition.stats): dup-line fractions + top-bigram coverage per doc.
+  // The fixture text has no newlines, so the query synthesizes line
+  // breaks deterministically (literal " table " -> \n, same
+  // non-overlapping left-to-right scan in both engines) to exercise the
+  // line metrics' plumbing; the dup-line SEMANTICS are pinned by
+  // RepetitionSpec's planted fixtures.
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Repetition.stats(
+      t(s, dir, "documents"),
+      col("doc_id"),
+      regexp_replace(col("text"), lit(" table "), lit("\n")))
+      .withColumnRenamed("id", "doc_id")
+
+  private val q44Sql =
+    """WITH d AS (
+         SELECT doc_id, regexp_replace(text, ' table ', chr(10), 'g') AS t
+         FROM documents),
+       l AS (
+         SELECT doc_id, t,
+           list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
+           list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS tk
+         FROM d),
+       m AS (
+         SELECT doc_id,
+           len(lines) AS n_lines,
+           CASE WHEN len(lines) > 0 THEN
+             CAST(len(list_filter(lines, x -> len(list_filter(lines, y -> y = x)) > 1)) AS DOUBLE)
+               / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN COALESCE(list_sum([len(x) for x in lines]), 0) > 0 THEN
+             CAST(COALESCE(list_sum([CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN len(x) ELSE 0 END for x in lines]), 0) AS DOUBLE)
+               / CAST(list_sum([len(x) for x in lines]) AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac,
+           CASE WHEN len(tk) >= 2 THEN
+             CAST(list_max([len(list_filter([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))], y -> y = g)) * len(g)
+               for g in list_distinct([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])]) AS DOUBLE)
+               / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS top_bigram_char_frac
+         FROM l)
+       SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, dup_line_frac,
+         dup_line_char_frac, top_bigram_char_frac
+       FROM m"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1458,6 +1500,7 @@ object SparkEntry {
     "q41_simhash_hamming" -> (q41 _),
     "q42_ivf_kmeans" -> (q42 _),
     "q43_decontaminate" -> (q43 _),
+    "q44_repetition" -> (q44 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1474,6 +1517,7 @@ object SparkEntry {
     "q41_simhash_hamming" -> q41Sql,
     "q42_ivf_kmeans" -> q42Sql,
     "q43_decontaminate" -> q43Sql,
+    "q44_repetition" -> q44Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
