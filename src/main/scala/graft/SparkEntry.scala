@@ -1456,6 +1456,54 @@ object SparkEntry {
          dup_line_char_frac, top_bigram_char_frac
        FROM m"""
 
+  // ------------------------------------------------------------------
+  // q45 — deterministic stratified sampling (extension:
+  // Sampling.stratifiedSample): the 20 lowest-hash docs per source via
+  // the bounded topk_by aggregate. The oracle deliberately uses the
+  // window row_number formulation — same total order (unitHash asc,
+  // id asc), different physical plan.
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(
+        t(s, dir, "documents"), col("source"), col("doc_id"),
+        salt = "s1", n = 20)
+      .withColumnRenamed("stratum", "source")
+      .withColumnRenamed("id", "doc_id")
+
+  private val q45Sql =
+    """WITH h AS (
+         SELECT source, doc_id,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) / 4503599627370496.0 AS u
+         FROM documents),
+       r AS (
+         SELECT source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rank
+         FROM h)
+       SELECT source, doc_id, rank FROM r WHERE rank <= 20"""
+
+  // ------------------------------------------------------------------
+  // q46 — TF-IDF keyword extraction (extension: Keywords.tfidfTopTerms):
+  // top-3 terms per doc by tf * (N+1)/(df+1) — the linear idf keeps
+  // scores bit-exact cross-engine where log's libm behavior would not.
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Keywords.tfidfTopTerms(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 3)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q46Sql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+       dfreq AS (SELECT term, COUNT(*) AS d FROM tf GROUP BY term),
+       nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+           CAST(c AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(d + 1 AS DOUBLE)) AS score
+         FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+       SELECT doc_id, term, score, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+         FROM scored) WHERE rank <= 3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1501,6 +1549,8 @@ object SparkEntry {
     "q42_ivf_kmeans" -> (q42 _),
     "q43_decontaminate" -> (q43 _),
     "q44_repetition" -> (q44 _),
+    "q45_stratified_sample" -> (q45 _),
+    "q46_tfidf_keywords" -> (q46 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1518,6 +1568,8 @@ object SparkEntry {
     "q42_ivf_kmeans" -> q42Sql,
     "q43_decontaminate" -> q43Sql,
     "q44_repetition" -> q44Sql,
+    "q45_stratified_sample" -> q45Sql,
+    "q46_tfidf_keywords" -> q46Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -89,4 +89,41 @@ object Sampling {
       }
     df.filter(unitHash(id, salt) < rate)
   }
+
+  /** Deterministic stratified sample: the EXACTLY-n ids with the
+    * smallest content-addressed hash per stratum (vs `mixtureSample`,
+    * which keeps a *fraction* per source — this keeps a *count*, the
+    * "equal-sized eval slice per domain" shape). Returns the narrow
+    * (stratum, id, rank) pick list — semi-join it back to materialize
+    * rows; shipping whole rows through the ranking would shuffle every
+    * column of the corpus.
+    *
+    * Scale shape: ONE narrow grouping shuffle of (stratum, id, score)
+    * triples into `topk_by` (graft's bounded Catalyst aggregate, same as
+    * the ANN top-k path) — map-side partials keep at most n entries per
+    * (task, stratum), so a billion-row stratum costs the same buffer as
+    * a thousand-row one. A window `row_number` formulation (what the
+    * oracle deliberately uses) would sort entire strata instead.
+    *
+    * Determinism: rank order is (unitHash asc, id asc) — a pure function
+    * of (id, salt), so the sample survives re-runs, repartitioning, and
+    * engine changes; strata smaller than n return all their ids.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Column,
+      id: Column,
+      salt: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    df.select(strata.as("stratum"), id.as("id"))
+      .withColumn("score", -unitHash(col("id"), salt))
+      .groupBy("stratum")
+      .agg(call_function("topk_by", col("id"), col("score"), lit(n)).as("top"))
+      .select(col("stratum"), posexplode(col("top")))
+      .select(
+        col("stratum"),
+        col("col.id").as("id"),
+        (col("pos") + 1).as("rank"))
+  }
 }

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KeywordsSpec extends SparkSpec {
+
+  test("tfidfTopTerms ranks rare-but-frequent terms above ubiquitous ones") {
+    import spark.implicits._
+    // "common" appears in every doc (df=3), "rare" only in doc 1 with
+    // tf=2: rare's idf dominates
+    val df = Seq(
+      (1L, "rare rare common alpha"),
+      (2L, "common beta beta beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val out = Keywords.tfidfTopTerms(df, col("doc_id"), col("text"), k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
+    // doc 1: rare tf=2 df=1 -> 2*(4/2)=4.0; alpha tf=1 df=1 -> 2.0;
+    // common tf=1 df=3 -> 1.0
+    assert(out((1L, 1)) == "rare")
+    assert(out((1L, 2)) == "alpha")
+    // doc 2: beta tf=3 df=1 -> 6.0 beats common 1.0
+    assert(out((2L, 1)) == "beta")
+  }
+
+  test("scores match the (N+1)/(df+1) linear idf exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y"),
+      (2L, "x z")).toDF("doc_id", "text")
+    val out = Keywords.tfidfTopTerms(df, col("doc_id"), col("text"), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // N=2; x: df=2 -> 1*(3/3)=1.0; y,z: df=1 -> 1*(3/2)=1.5
+    assert(out((1L, "x")) == 1.0)
+    assert(out((1L, "y")) == 1.5)
+    assert(out((2L, "z")) == 1.5)
+  }
+
+  test("ties rank by term ascending; k caps each doc") {
+    import spark.implicits._
+    val df = Seq((1L, "b a c d")).toDF("doc_id", "text")
+    val out = Keywords.tfidfTopTerms(df, col("doc_id"), col("text"), k = 3)
+      .collect().sortBy(_.getInt(3)).map(_.getString(1)).toSeq
+    // all four terms tie (tf=1, df=1): alphabetical, capped at 3
+    assert(out == Seq("a", "b", "c"))
+  }
+
+  test("broadcastVocab=false produces identical output") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q p"), (2L, "q r"), (3L, "p r r s")).toDF("doc_id", "text")
+    def run(b: Boolean) = Keywords.tfidfTopTerms(
+        df, col("doc_id"), col("text"), k = 2, broadcastVocab = b)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(run(true) == run(false))
+  }
+}

@@ -79,6 +79,38 @@ class SamplingSpec extends SparkSpec {
     assert(mixedSrc1 == direct)
   }
 
+  test("stratifiedSample: exactly n lowest-hash ids per stratum, " +
+      "stable across partitionings; small strata return everything") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (s"src${i % 3}", i)) ++
+      Seq(("tiny", 1000L), ("tiny", 1001L))
+    val data = df.toDF("source", "doc_id")
+    def run(parts: Int) = Sampling.stratifiedSample(
+        data.repartition(parts), col("source"), col("doc_id"), "s1", n = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val a = run(2)
+    assert(a == run(7)) // pure function of (id, salt)
+    // per-stratum counts: full strata give exactly n, tiny gives all 2
+    val byStratum = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byStratum == Map(
+      "src0" -> 10, "src1" -> 10, "src2" -> 10, "tiny" -> 2))
+    // rank order = unitHash asc within each stratum (plain-Scala model)
+    def uh(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:s1".getBytes("UTF-8"))
+        .map(b => "%02x".format(b & 0xff)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+    }
+    val strata = (1L to 300L).map(i => (s"src${i % 3}", i)) ++
+      Seq(("tiny", 1000L), ("tiny", 1001L))
+    val expected = strata.groupBy(_._1)
+      .flatMap { case (s, is) =>
+        is.map(_._2).sortBy(i => (uh(i), i)).take(10).zipWithIndex
+          .map { case (i, r) => (s, i, r + 1) }
+      }.toSet
+    assert(a == expected)
+  }
+
   test("degenerate configurations are rejected") {
     assertThrows[IllegalArgumentException](
       Sampling.splitLabel(col("id"), "s", Seq.empty))
