@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   * Undecodable payloads fall back to the md5-derived deterministic fake,
   * which keeps every stage oracle-able end to end (q32 fabricates
   * payloads from document text, so its whole pipeline hash-checks against
-  * DuckDB's md5). Audio/video feature kernels remain deterministic fakes
-  * (no codec libs here); their mapPartitions batch shape is what a JNI
-  * bridge needs.
+  * DuckDB's md5). AUDIO metadata decode is likewise real for RIFF/WAVE
+  * payloads (`decodeAudioMeta` walks the chunk list — WAV needs no codec
+  * library). Video and the feature-vector kernels remain deterministic
+  * fakes (no codec libs here); their mapPartitions batch shape is what a
+  * JNI bridge needs.
   *
   * Scale notes: media rows are wide (MBs); `maxRecordsPerBatch`-style
   * batching happens naturally via mapPartitions chunks, and repartitioning
@@ -249,6 +251,83 @@ object Multimodal {
           .updated(idx, out)
           .updated(didx, Row(width, height, 3))
         Row.fromSeq(vals)
+      }
+    }(enc)
+  }
+
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** RIFF/WAVE header parse: walk the chunk list for `fmt ` (channels,
+    * sample rate, bits per sample) and `data` (payload size → duration).
+    * Pure byte arithmetic — WAV needs no codec library, so unlike the
+    * image path there is nothing to stub. None for malformed payloads.
+    */
+  private[multimodal] def wavHeader(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (!looksLikeWav(bytes)) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var channels = -1; var sampleRate = -1; var bits = -1
+      var byteRate = -1L; var dataSize = -1L
+      while (pos + 8 <= bytes.length && (channels < 0 || dataSize < 0)) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val size = bb.getInt(pos + 4).toLong & 0xffffffffL
+        if (id == "fmt " && size >= 16 && pos + 8 + 16 <= bytes.length) {
+          channels = bb.getShort(pos + 10).toInt
+          sampleRate = bb.getInt(pos + 12)
+          byteRate = bb.getInt(pos + 16).toLong & 0xffffffffL
+          bits = bb.getShort(pos + 22).toInt
+        } else if (id == "data") {
+          dataSize = math.min(size, (bytes.length - pos - 8).toLong)
+        }
+        pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || dataSize < 0)
+        None
+      else Some((channels, sampleRate, bits,
+        dataSize * 1000L / byteRate))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Audio decode, metadata stage: REAL RIFF/WAVE header parse for WAV
+    * payloads (channels / sample rate / bits / duration from the actual
+    * chunk list), md5-derived deterministic fake for everything else —
+    * the same two-arm contract as `decodeImageMeta`, so fabricated-
+    * payload pipelines stay reproducible while real corpora decode
+    * truthfully. Fake: channels = 1 + (md5 bytes 0-3 mod 2), rate =
+    * 8000 * (1 + bytes 4-7 mod 6), 16-bit, duration = bytes 8-11 mod
+    * 600000 + 1 — all from one digest, engine-reproducible.
+    */
+  def decodeAudioMeta(df: DataFrame, contentCol: String = "content")
+      : DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
+    val schema = df.schema.add("audio", StructType(Seq(
+      StructField("channels", IntegerType, false),
+      StructField("sample_rate", IntegerType, false),
+      StructField("bits_per_sample", IntegerType, false),
+      StructField("duration_ms", LongType, false))), nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val bytes =
+          if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        val (ch, rate, bits, dur) = wavHeader(bytes).getOrElse {
+          val d = md.digest(bytes)
+          def u32(o: Int): Long =
+            ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+              ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+          ((u32(0) % 2 + 1).toInt, (8000 * (u32(4) % 6 + 1)).toInt, 16,
+            u32(8) % 600000 + 1)
+        }
+        Row.fromSeq(r.toSeq :+ Row(ch, rate, bits, dur))
       }
     }(enc)
   }

