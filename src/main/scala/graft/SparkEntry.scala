@@ -1504,6 +1504,50 @@ object SparkEntry {
          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
          FROM scored) WHERE rank <= 3"""
 
+  // ------------------------------------------------------------------
+  // q47 — PII detection + redaction (extension: Text.emailCount/
+  // ipv4Count/phoneCount/redactPii). The fixture text has no PII, so the
+  // query plants a deterministic id-derived suffix (email / IPv4 / phone
+  // by doc_id mod 3) on both sides, then counts and redacts; the
+  // redacted text rides as an md5 so rows stay narrow while the full
+  // replacement output is still hash-checked.
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val pii = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" server 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0.1 up")))
+      .otherwise(
+        concat(col("text"), lit(" call +1 555-"),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-1234 ok")))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Text.emailCount(pii).as("n_emails"),
+      Text.ipv4Count(pii).as("n_ipv4"),
+      Text.phoneCount(pii).as("n_phones"),
+      md5(Text.redactPii(pii).cast("binary")).as("redacted_md5"))
+  }
+
+  private val q47Sql =
+    """WITH p AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                WHEN doc_id % 3 = 1 THEN text || ' server 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1 up'
+                ELSE text || ' call +1 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-1234 ok' END AS t
+         FROM documents)
+       SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         len(regexp_extract_all(t, '(\+\d{1,3}[- ])?\d{3}-\d{3,4}-\d{4}\b')) AS n_phones,
+         md5(regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+           '(\+\d{1,3}[- ])?\d{3}-\d{3,4}-\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+       FROM p"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1551,6 +1595,7 @@ object SparkEntry {
     "q44_repetition" -> (q44 _),
     "q45_stratified_sample" -> (q45 _),
     "q46_tfidf_keywords" -> (q46 _),
+    "q47_pii_redaction" -> (q47 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1570,6 +1615,7 @@ object SparkEntry {
     "q44_repetition" -> q44Sql,
     "q45_stratified_sample" -> q45Sql,
     "q46_tfidf_keywords" -> q46Sql,
+    "q47_pii_redaction" -> q47Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -117,4 +117,33 @@ object Text {
     */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "[^a-z0-9]+", " ").cast("binary"))
+
+  // ----------------------------------------------------------------
+  // PII detection / redaction. Patterns deliberately stay in the
+  // common subset of Java regex and RE2 (no lookaround, no backrefs,
+  // ASCII \b) so counts and replacements are engine-identical — the
+  // same portability rule as punctRatio's explicit ranges. These are
+  // the coarse web-corpus scrubbers (C4/RefinedWeb-style), not a
+  // compliance-grade NER pass.
+
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "(\\+\\d{1,3}[- ])?\\d{3}-\\d{3,4}-\\d{4}\\b"
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def ipv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
+
+  /** Replace emails, IPv4 addresses and phone numbers with typed
+    * placeholder tokens, in that fixed order (email first: an address
+    * can embed digit runs the later patterns would half-eat). Pure
+    * codegen'd Column — the redaction fuses into the scan like every
+    * other map-only stage here.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
 }

@@ -96,4 +96,27 @@ class FunctionsSpec extends SparkSpec {
     assert(eval1(Text.punctRatio(lit("!!!"))) == 1.0)
     assert(eval1(Text.alphaRatio(lit("ab12"))) == 0.5)
   }
+
+  test("PII counters find emails, IPv4s and phones; clean text counts 0") {
+    val s = "mail a.b+c@ex-1.org or boss@corp.io, host 10.0.255.7, " +
+      "call +1 555-123-4567 or 800-555-0100 thanks"
+    assert(eval1(Text.emailCount(lit(s))) == 2)
+    assert(eval1(Text.ipv4Count(lit(s))) == 1)
+    assert(eval1(Text.phoneCount(lit(s))) == 2)
+    assert(eval1(Text.emailCount(lit("no pii here at all"))) == 0)
+    assert(eval1(Text.ipv4Count(lit("version 1.2 of 3"))) == 0)
+    assert(eval1(Text.phoneCount(lit("sections 12-345 and 1-2-3"))) == 0)
+  }
+
+  test("redactPii replaces every match with its typed token") {
+    val s = "a@b.co then 192.168.0.1 then +44 123-456-7890 end"
+    assert(eval1(Text.redactPii(lit(s))) ==
+      "[EMAIL] then [IP] then [PHONE] end")
+    // idempotent on clean text
+    assert(eval1(Text.redactPii(lit("plain words"))) == "plain words")
+    // count/redact parity: after redaction all counters read 0
+    assert(eval1(Text.emailCount(Text.redactPii(lit(s)))) == 0)
+    assert(eval1(Text.ipv4Count(Text.redactPii(lit(s)))) == 0)
+    assert(eval1(Text.phoneCount(Text.redactPii(lit(s)))) == 0)
+  }
 }
