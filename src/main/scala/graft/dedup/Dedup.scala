@@ -574,6 +574,14 @@ object Dedup {
     * band value in the low — so the shuffle key is 8 bytes (vs the ~40 B
     * string keys of minhash bands, whose values don't fit a word).
     *
+    * @param cacheSignatures persist the (id, sh) table across its three
+    *   uses (banding + both verify joins). ON by default — the OPPOSITE
+    *   default from minhashLsh's lever, deliberately: a simhash signature
+    *   is 8 bytes/doc where a minhash vms array is ~2.4 KB/doc, so this
+    *   is the "aggregated small, multiple consumers" case the repo's
+    *   cache rule (NOTES.md) says to cache, and the sf0.1 interleaved
+    *   A/B agrees (cached never loses, wins under CPU contention —
+    *   recomputing the per-token md5 kernel 3x is pure waste).
     * @return (id1, id2, hamming int) for candidate pairs with
     *   hamming <= maxHamming, id1 < id2
     */
@@ -583,14 +591,16 @@ object Dedup {
       textCol: Column,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      cacheSignatures: Boolean = true): DataFrame = {
     require(bands >= 1 && 32 % bands == 0,
       s"bands must divide 32, got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"radius guarantee needs bands >= maxHamming + 1 " +
         s"(got bands=$bands, maxHamming=$maxHamming)")
     val width = 32 / bands
-    val sigs = simhashSignatures(df, idCol, textCol)
+    val sigs0 = simhashSignatures(df, idCol, textCol)
+    val sigs = if (cacheSignatures) sigs0.cache() else sigs0
 
     val bandCols = (0 until bands).map { b =>
       lit(b.toLong << 32) +

@@ -21,11 +21,14 @@ class SimhashPairsSpec extends SparkSpec {
       if h <= 3
     } yield (sigs(i)._1, sigs(j)._1, h)).toSet
 
-    val got = Dedup.simhashPairs(df, col("doc_id"), col("text"),
-        maxHamming = 3, bands = 4, maxBucketSize = Int.MaxValue)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-
-    assert(got == expected)
+    // both cache settings, same output (the lever is physical only)
+    Seq(true, false).foreach { c =>
+      val got = Dedup.simhashPairs(df, col("doc_id"), col("text"),
+          maxHamming = 3, bands = 4, maxBucketSize = Int.MaxValue,
+          cacheSignatures = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"cacheSignatures=$c")
+    }
     // the fixture must actually exercise the radius, not just exact matches
     assert(expected.exists(_._3 > 0) || expected.isEmpty)
   }
