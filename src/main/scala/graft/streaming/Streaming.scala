@@ -142,4 +142,31 @@ object Streaming {
           closed.iterator
       }
   }
+
+  /** Streaming exact dedup: keep the FIRST occurrence of each content
+    * hash, dropping re-arrivals — `Dedup.exact`'s semantics for an
+    * ingestion stream. State is the 16-byte md5 key per distinct doc and
+    * is BOUNDED by the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): once the watermark passes a
+    * hash's event time the key is evicted, so state scales with the
+    * horizon's arrival rate, not the corpus — a plain `dropDuplicates`
+    * on an unbounded stream grows its state store forever. Duplicates
+    * arriving later than the horizon re-admit (the standard at-scale
+    * trade; widen the watermark or run a batch `Dedup.exact` pass
+    * downstream for exactness beyond it).
+    *
+    * Hashing first keeps the state narrow: the store holds md5 keys,
+    * never document text.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("__content_hash",
+        md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
 }

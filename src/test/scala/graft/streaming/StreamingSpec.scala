@@ -101,4 +101,36 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 4.0)))
     } finally q.stop()
   }
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("dedupStream keeps the first occurrence of each content hash " +
+      "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = Streaming.dedupStream(
+        mem.toDF(), tsCol = "ts", textCol = "text", watermark = "2 hours")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two distinct texts + an in-batch duplicate
+      mem.addData(
+        Doc(1, ts(0), "alpha"), Doc(2, ts(1), "beta"), Doc(3, ts(2), "alpha"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate (state remembers "alpha") + new
+      mem.addData(Doc(4, ts(10), "alpha"), Doc(5, ts(11), "gamma"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id, text FROM dedup")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // exactly one survivor per distinct text; the batch-1 "alpha"
+      // survivor is whichever arrived first in its batch
+      assert(kept.map(_._2) == Set("alpha", "beta", "gamma"))
+      assert(kept.size == 3)
+      assert(!kept.contains((4L, "alpha"))) // cross-batch dup dropped
+      // schema passthrough: the helper hash column does not leak
+      assert(spark.sql("SELECT * FROM dedup").columns.toSet ==
+        Set("doc_id", "ts", "text"))
+    } finally q.stop()
+  }
 }
