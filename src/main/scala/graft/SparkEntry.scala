@@ -1548,6 +1548,67 @@ object SparkEntry {
            '(\+\d{1,3}[- ])?\d{3}-\d{3,4}-\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
        FROM p"""
 
+  // ------------------------------------------------------------------
+  // q48 — cross-corpus (incremental) near-dup detection (extension:
+  // Dedup.minhashLshAgainst): a simulated crawl increment (doc_id % 10
+  // = 0) dedupes against the standing corpus (the rest) — candidates
+  // are cross-side only. Oracle mirrors the per-side capped buckets and
+  // the (min_i, min_c) representative arm.
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.dedup.Dedup.minhashLshAgainst(
+      increment = d.filter(col("doc_id") % 10 === 0),
+      incId = col("doc_id"), incText = col("text"),
+      corpus = d.filter(col("doc_id") % 10 =!= 0),
+      corpId = col("doc_id"), corpText = col("text"),
+      shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+      maxBucketSide = 1000)
+  }
+
+  private val q48Sql =
+    """WITH docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       sigs AS (
+         SELECT id, vms,
+           [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM based),
+       bands AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       tagged AS (
+         SELECT id, bucket, CASE WHEN id % 10 = 0 THEN 'i' ELSE 'c' END AS side
+         FROM bands),
+       bk AS (
+         SELECT bucket,
+           COUNT(CASE WHEN side = 'i' THEN 1 END) AS ni,
+           COUNT(CASE WHEN side = 'c' THEN 1 END) AS nc,
+           MIN(CASE WHEN side = 'i' THEN id END) AS min_i,
+           MIN(CASE WHEN side = 'c' THEN id END) AS min_c
+         FROM tagged GROUP BY bucket
+         HAVING COUNT(CASE WHEN side = 'i' THEN 1 END) >= 1
+            AND COUNT(CASE WHEN side = 'c' THEN 1 END) >= 1),
+       cand AS (
+         SELECT a.id AS id1, b.id AS id2
+         FROM tagged a JOIN tagged b ON a.bucket = b.bucket
+           AND a.side = 'i' AND b.side = 'c'
+         JOIN bk ON a.bucket = bk.bucket
+         WHERE bk.ni <= 1000 AND bk.nc <= 1000
+         UNION
+         SELECT min_i AS id1, min_c AS id2 FROM bk
+         WHERE ni > 1000 OR nc > 1000)
+       SELECT id1, id2, jaccard FROM (
+         SELECT id1, id2,
+           CAST(len(list_intersect(d1.vms, d2.vms)) AS DOUBLE) /
+             (len(d1.vms) + len(d2.vms) - len(list_intersect(d1.vms, d2.vms))) AS jaccard
+         FROM cand JOIN based d1 ON id1 = d1.id JOIN based d2 ON id2 = d2.id)
+       WHERE jaccard >= 0.3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1596,6 +1657,7 @@ object SparkEntry {
     "q45_stratified_sample" -> (q45 _),
     "q46_tfidf_keywords" -> (q46 _),
     "q47_pii_redaction" -> (q47 _),
+    "q48_incremental_dedup" -> (q48 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1616,6 +1678,7 @@ object SparkEntry {
     "q45_stratified_sample" -> q45Sql,
     "q46_tfidf_keywords" -> q46Sql,
     "q47_pii_redaction" -> q47Sql,
+    "q48_incremental_dedup" -> q48Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

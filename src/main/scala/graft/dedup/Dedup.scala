@@ -434,7 +434,94 @@ object Dedup {
 
     val pairs = emitPairs(grouped, docs.schema("id").dataType).distinct()
 
-    verifyJaccard(pairs, docs, threshold)
+    verifyJaccard(pairs, docs, docs, threshold)
+  }
+
+  /** Cross-corpus (incremental) MinHash-LSH near-dup pairs: candidates
+    * are (increment doc, corpus doc) — never increment x increment or
+    * corpus x corpus. THE daily-ingestion shape at 100 TB: a new crawl
+    * increment dedupes against the standing training corpus without
+    * re-pairing the corpus against itself (`minhashLsh` over the union
+    * would burn the whole pair budget on known corpus-internal dups).
+    *
+    * Same single-grouping-shuffle discipline as `minhashLsh`, with one
+    * capped `collect_list_capped` list PER SIDE and the bucket kept only
+    * when both sides are present. An over-cap bucket (either side)
+    * contributes the deterministic (min increment id, min corpus id)
+    * representative pair — exact per-side aggregates, oracle-mirrorable
+    * as a UNION arm like q30's. Capped-bucket counts are observable via
+    * `graft.minhash_against`.
+    *
+    * At deployment scale the corpus side's banding is the expensive arm;
+    * persist it once with a `Tap` and re-read per increment (the
+    * RSSkip staged-pipeline idiom) — the plan here recomputes it, which
+    * is the right default for a one-shot call.
+    *
+    * @return (id1 = increment id, id2 = corpus id, jaccard) with
+    *   jaccard >= threshold
+    */
+  def minhashLshAgainst(
+      increment: DataFrame, incId: Column, incText: Column,
+      corpus: DataFrame, corpId: Column, corpText: Column,
+      shingleK: Int = 8,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSide: Int = 1000): DataFrame = {
+    val inc = shingleDocs(increment, incId, incText, shingleK)
+      .select(col("id"), col("vms"))
+    val corp = shingleDocs(corpus, corpId, corpText, shingleK)
+      .select(col("id"), col("vms"))
+
+    val tagged = bandBuckets(inc, numHashes, bands)
+      .withColumn("side", lit("i"))
+      .unionByName(bandBuckets(corp, numHashes, bands)
+        .withColumn("side", lit("c")))
+
+    val iId = when(col("side") === "i", col("id"))
+    val cId = when(col("side") === "c", col("id"))
+    val grouped = tagged.groupBy("bucket")
+      .agg(
+        call_function("collect_list_capped", iId, lit(maxBucketSide))
+          .as("i_ids"),
+        call_function("collect_list_capped", cId, lit(maxBucketSide))
+          .as("c_ids"),
+        count(iId).as("ni"),
+        count(cId).as("nc"),
+        min(iId).as("min_i"),
+        min(cId).as("min_c"))
+      .filter(col("ni") >= 1 && col("nc") >= 1)
+      .observe("graft.minhash_against",
+        sum(when(col("ni") > maxBucketSide || col("nc") > maxBucketSide,
+          1L).otherwise(0L)).as("capped_buckets"),
+        count(lit(1)).as("active_buckets"))
+      .select(
+        when(col("ni") <= maxBucketSide && col("nc") <= maxBucketSide,
+          col("i_ids")).otherwise(array(col("min_i"))).as("i_ids"),
+        when(col("ni") <= maxBucketSide && col("nc") <= maxBucketSide,
+          col("c_ids")).otherwise(array(col("min_c"))).as("c_ids"))
+
+    val pairs = emitCrossPairs(grouped, inc.schema("id").dataType).distinct()
+
+    verifyJaccard(pairs, inc, corp, threshold)
+  }
+
+  /** Cross product of each bucket's two id lists: (i, c) per pair. */
+  private[graft] def emitCrossPairs(
+      groups: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pairSchema = StructType(Seq(
+      StructField("id1", idType, false), StructField("id2", idType, false)))
+    val penc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(pairSchema)
+    groups.select(col("i_ids"), col("c_ids")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val as = r.getSeq[Any](0)
+        val bs = r.getSeq[Any](1)
+        for { a <- as.iterator; b <- bs.iterator }
+          yield org.apache.spark.sql.Row(a, b)
+      }
+    }(penc)
   }
 
   /** Exact n-gram Jaccard dedup via inverted index (no LSH approximation):
@@ -638,16 +725,19 @@ object Dedup {
   /** Re-verify candidate pairs with exact Jaccard over the hashed-shingle
     * sets (deterministic: both sides of the oracle fold hash collisions
     * identically; at P=1e9+7 the set-jaccard is indistinguishable from
-    * string-shingle jaccard in practice).
+    * string-shingle jaccard in practice). id1 resolves against `docs1`,
+    * id2 against `docs2` — pass the same table twice for within-corpus
+    * pairs.
     */
   private def verifyJaccard(
       pairs: DataFrame,
-      docs: DataFrame,
+      docs1: DataFrame,
+      docs2: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.types._
     val joined = pairs
-      .join(docs.select(col("id").as("id1"), col("vms").as("sh1")), "id1")
-      .join(docs.select(col("id").as("id2"), col("vms").as("sh2")), "id2")
+      .join(docs1.select(col("id").as("id1"), col("vms").as("sh1")), "id1")
+      .join(docs2.select(col("id").as("id2"), col("vms").as("sh2")), "id2")
       .select("id1", "id2", "sh1", "sh2")
     // two-pointer intersect over the (sorted — see shingleDocs) hash
     // sets; array_intersect builds a hash set per row and ran 3x slower
