@@ -1609,6 +1609,37 @@ object SparkEntry {
          FROM cand JOIN based d1 ON id1 = d1.id JOIN based d2 ON id2 = d2.id)
        WHERE jaccard >= 0.3"""
 
+  // ------------------------------------------------------------------
+  // q49 — exact per-label embedding centroids (extension:
+  // Aggregators.fixedPointMeanVec as a udaf): the group-mean embedding,
+  // order-independent via exact fixed-point sums so the oracle matches
+  // bit-for-bit. Centroids explode to (label, dim, value) rows — scalar
+  // columns hash cleanly where array columns would not.
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val meanVec = udaf(graft.ops.Aggregators.fixedPointMeanVec,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    t(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(meanVec(col("embedding")).as("centroid"),
+        count(lit(1)).as("n"))
+      .select(col("label"), posexplode(col("centroid")), col("n"))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        col("col").as("c"), col("n"))
+  }
+
+  private val q49Sql =
+    """WITH fx AS (
+         SELECT label,
+           [CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS f
+         FROM embeddings),
+       u AS (SELECT label, unnest(f) AS xf, unnest(range(1, 65)) AS i FROM fx),
+       s AS (SELECT label, i, SUM(xf) AS sf FROM u GROUP BY label, i),
+       n AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label)
+       SELECT s.label, CAST(i AS INTEGER) AS dim,
+         CAST(sf AS DOUBLE) / cnt / 1048576.0 AS c,
+         cnt AS n
+       FROM s JOIN n ON s.label = n.label"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1658,6 +1689,7 @@ object SparkEntry {
     "q46_tfidf_keywords" -> (q46 _),
     "q47_pii_redaction" -> (q47 _),
     "q48_incremental_dedup" -> (q48 _),
+    "q49_label_centroids" -> (q49 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1679,6 +1711,7 @@ object SparkEntry {
     "q46_tfidf_keywords" -> q46Sql,
     "q47_pii_redaction" -> q47Sql,
     "q48_incremental_dedup" -> q48Sql,
+    "q49_label_centroids" -> q49Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
