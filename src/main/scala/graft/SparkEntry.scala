@@ -1640,6 +1640,30 @@ object SparkEntry {
          cnt AS n
        FROM s JOIN n ON s.label = n.label"""
 
+  // ------------------------------------------------------------------
+  // q50 — KMV distinct-count sketch (extension: Sketch.kmvDistinct):
+  // distinct texts estimated from the 256 smallest content hashes.
+  // k=256 < the fixture's distinct count, so the ESTIMATION arm (not
+  // the exact fallback) is exercised; the oracle reproduces the k-th
+  // smallest unit hash and the (k-1)/u_k estimate bit-for-bit.
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.kmvDistinct(
+      t(s, dir, "documents"), col("text"), k = 256)
+
+  private val q50Sql =
+    """WITH vals AS (
+         SELECT DISTINCT text AS v FROM documents WHERE text IS NOT NULL),
+       h AS (
+         SELECT v,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(v || ':kmv'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) / 4503599627370496.0 AS u
+         FROM vals),
+       kept AS (SELECT u FROM h ORDER BY u ASC, v ASC LIMIT 256),
+       agg AS (SELECT COUNT(*) AS n_kept, MAX(u) AS uk FROM kept)
+       SELECT CAST(n_kept AS BIGINT) AS n_kept,
+         CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+              ELSE 255.0 / uk END AS estimate
+       FROM agg"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1690,6 +1714,7 @@ object SparkEntry {
     "q47_pii_redaction" -> (q47 _),
     "q48_incremental_dedup" -> (q48 _),
     "q49_label_centroids" -> (q49 _),
+    "q50_kmv_distinct" -> (q50 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1712,6 +1737,7 @@ object SparkEntry {
     "q47_pii_redaction" -> q47Sql,
     "q48_incremental_dedup" -> q48Sql,
     "q49_label_centroids" -> q49Sql,
+    "q50_kmv_distinct" -> q50Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
