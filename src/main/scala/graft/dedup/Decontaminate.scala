@@ -59,17 +59,7 @@ object Decontaminate extends Serializable {
             seen.add(sb.toString)
             i += 1
           }
-          val vmSet = new java.util.LinkedHashSet[java.lang.Long]()
-          val it = seen.iterator()
-          while (it.hasNext) {
-            val d = md.digest(it.next().getBytes("UTF-8"))
-            val v = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
-            vmSet.add(v % Hashing.MinhashP)
-          }
-          val vms = new Array[Long](vmSet.size)
-          val vit = vmSet.iterator(); var jj = 0
-          while (vit.hasNext) { vms(jj) = vit.next(); jj += 1 }
-          java.util.Arrays.sort(vms)
+          val vms = Hashing.hashGramSet(seen, md)
           Iterator(org.apache.spark.sql.Row(r.get(0), vms.toIndexedSeq))
         }
       }

@@ -57,20 +57,9 @@ object Dedup {
           val seen = new java.util.LinkedHashSet[String]()
           var i = 0
           while (i <= text.length - k) { seen.add(text.substring(i, i + k)); i += 1 }
-          val vmSet = new java.util.LinkedHashSet[java.lang.Long]()
-          val it = seen.iterator()
-          while (it.hasNext) {
-            val d = md.digest(it.next().getBytes("UTF-8"))
-            // first 15 hex digits = unsigned top 8 bytes >>> 4 (60 bits)
-            val v = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
-            vmSet.add(v % Hashing.MinhashP)
-          }
-          val vms = new Array[Long](vmSet.size)
-          val vit = vmSet.iterator(); var jj = 0
-          while (vit.hasNext) { vms(jj) = vit.next(); jj += 1 }
-          // sorted: set semantics downstream are unchanged, and the
-          // jaccard verify intersects with a two-pointer walk
-          java.util.Arrays.sort(vms)
+          // shared hash tail (sorted: set semantics downstream are
+          // unchanged, and the jaccard verify intersects two-pointer)
+          val vms = Hashing.hashGramSet(seen, md)
           Iterator(org.apache.spark.sql.Row(r.get(0), vms.toIndexedSeq))
         }
       }
@@ -472,6 +461,13 @@ object Dedup {
       .select(col("id"), col("vms"))
     val corp = shingleDocs(corpus, corpId, corpText, shingleK)
       .select(col("id"), col("vms"))
+    // fail at plan time: the pair encoder and the verify joins type both
+    // sides from the increment's id — a mismatched corpus id type would
+    // otherwise surface as an encoder ClassCastException inside a task
+    require(inc.schema("id").dataType == corp.schema("id").dataType,
+      s"increment and corpus id types differ: " +
+        s"${inc.schema("id").dataType.catalogString} vs " +
+        s"${corp.schema("id").dataType.catalogString}")
 
     val tagged = bandBuckets(inc, numHashes, bands)
       .withColumn("side", lit("i"))
@@ -669,6 +665,10 @@ object Dedup {
     *   cache rule (NOTES.md) says to cache, and the sf0.1 interleaved
     *   A/B agrees (cached never loses, wins under CPU contention —
     *   recomputing the per-token md5 kernel 3x is pure waste).
+    *   LIFECYCLE: the cache is pinned until the session drops it — the
+    *   returned plan carries no unpersist handle, so a long-lived
+    *   session calling this repeatedly should `spark.catalog
+    *   .clearCache()` between corpora (as Bench does) or pass false.
     * @return (id1, id2, hamming int) for candidate pairs with
     *   hamming <= maxHamming, id1 < id2
     */

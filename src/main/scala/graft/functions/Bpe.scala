@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   *  - `train`: ONE distributed shuffle builds (word, count); the dict
   *    (vocabulary-sized, ≪ corpus — cap `maxVocabWords` bounds the
   *    collect explicitly) comes to the driver, and the merge loop runs
-  *    there — each iteration touches only words containing the merged
-  *    pair, never the corpus. This is the bounded-collect idiom
-  *    (IVF centroids, Prefix offsets): the dict IS the sufficient
-  *    statistic for BPE.
+  *    there over the dict only — the corpus is never touched again.
+  *    This is the bounded-collect idiom (IVF centroids, Prefix
+  *    offsets): the dict IS the sufficient statistic for BPE. The loop
+  *    recounts pairs over the whole dict each iteration — the SIMPLE
+  *    O(numMerges x dict-chars) variant, plenty for moderate merge
+  *    counts; for numMerges in the tens of thousands over a 2^20-word
+  *    dict, switch to the incremental-update formulation (maintain
+  *    pair counts, adjust only words containing the merged pair).
   *  - `tokenize`: map-only kernel with the (small) merge table in the
   *    task closure; each word re-tokenizes greedily by merge rank.
   *    Fuses into the scan; nothing shuffles.

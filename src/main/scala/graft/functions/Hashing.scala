@@ -41,6 +41,30 @@ object Hashing {
   def permute(i: Int, v: Column): Column =
     (v * (i + 1) + 40503L * i) % MinhashP
 
+  /** Kernel-side twin of [[md5Mod]] over a dedup'd gram set: hash each
+    * gram (first 15 md5 hex digits = top 8 bytes >>> 4, mod
+    * [[MinhashP]]), dedupe ON THE HASH, return ascending-sorted — the
+    * shared tail of every shingle kernel (char shingles, token
+    * n-grams). One definition so the hash convention can never drift
+    * between kernels and silently break their shared oracle mirror.
+    */
+  private[graft] def hashGramSet(
+      grams: java.util.LinkedHashSet[String],
+      md: java.security.MessageDigest): Array[Long] = {
+    val vmSet = new java.util.LinkedHashSet[java.lang.Long]()
+    val it = grams.iterator()
+    while (it.hasNext) {
+      val d = md.digest(it.next().getBytes("UTF-8"))
+      val v = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+      vmSet.add(v % MinhashP)
+    }
+    val vms = new Array[Long](vmSet.size)
+    val vit = vmSet.iterator(); var jj = 0
+    while (vit.hasNext) { vms(jj) = vit.next(); jj += 1 }
+    java.util.Arrays.sort(vms)
+    vms
+  }
+
   /** MinHash signature: array of `numHashes` minima over the shingle set.
     * Null/empty shingle arrays yield an empty signature. NOTE: prefer
     * computing the base array into its own materialized column and calling

@@ -274,7 +274,9 @@ object Multimodal {
       var pos = 12
       var channels = -1; var sampleRate = -1; var bits = -1
       var byteRate = -1L; var dataSize = -1L
-      while (pos + 8 <= bytes.length && (channels < 0 || dataSize < 0)) {
+      var malformed = false
+      while (!malformed && pos + 8 <= bytes.length &&
+          (channels < 0 || dataSize < 0)) {
         val id = new String(bytes, pos, 4, "US-ASCII")
         val size = bb.getInt(pos + 4).toLong & 0xffffffffL
         if (id == "fmt " && size >= 16 && pos + 8 + 16 <= bytes.length) {
@@ -285,9 +287,14 @@ object Multimodal {
         } else if (id == "data") {
           dataSize = math.min(size, (bytes.length - pos - 8).toLong)
         }
-        pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // advance in LONG space: a corrupt unsigned size near 2^32 would
+        // truncate to a non-positive Int step and spin this loop forever
+        val next = pos.toLong + 8L + size + (size & 1L)
+        if (next <= pos || next > Int.MaxValue) malformed = true
+        else pos = next.toInt
       }
-      if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || dataSize < 0)
+      if (malformed || channels <= 0 || sampleRate <= 0 || bits <= 0 ||
+          byteRate <= 0 || dataSize < 0)
         None
       else Some((channels, sampleRate, bits,
         dataSize * 1000L / byteRate))

@@ -65,8 +65,11 @@ object Aggregators {
           out.toIndexedSeq
         }
       def zero: (Seq[Long], Long) = (Seq.empty, 0L)
+      // null AND empty vectors are skipped entirely — counting an empty
+      // vector in the denominator while adding nothing to the sums would
+      // silently scale centroids toward zero
       def reduce(b: (Seq[Long], Long), a: Seq[Float]): (Seq[Long], Long) =
-        if (a == null) b
+        if (a == null || a.isEmpty) b
         else (zipSum(b._1, quantize(a).toIndexedSeq), b._2 + 1)
       def merge(x: (Seq[Long], Long), y: (Seq[Long], Long)): (Seq[Long], Long) =
         (zipSum(x._1, y._1), x._2 + y._2)

@@ -441,8 +441,10 @@ object Similarity extends Serializable {
       partials.foreach { r =>
         val c = r.getInt(0); val s = r.getSeq[Long](1); val n = r.getLong(2)
         if (totSums(c) == null) totSums(c) = new Array[Long](s.length)
+        // min-length fold, same ragged-dim tolerance as the kernel's acc
         var i = 0
-        while (i < s.length) { totSums(c)(i) += s(i); i += 1 }
+        val lim = math.min(s.length, totSums(c).length)
+        while (i < lim) { totSums(c)(i) += s(i); i += 1 }
         totCnts(c) += n
       }
       cents = Array.tabulate(cur.length) { c =>

@@ -48,6 +48,17 @@ class CrossDedupSpec extends SparkSpec {
     assert(out == Set((101L, 1L)))
   }
 
+  test("mismatched id types fail at plan time, not inside a task") {
+    import spark.implicits._
+    val inc = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val corp = Seq(("a", "some text here")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshAgainst(
+        inc, col("doc_id"), col("text"),
+        corp, col("doc_id"), col("text"))
+    }
+  }
+
   test("capped-bucket counts are observable via graft.minhash_against") {
     import spark.implicits._
     val txt = long("observe this bucket please", 12)

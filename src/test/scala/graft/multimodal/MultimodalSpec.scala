@@ -146,6 +146,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavHeader(bad) == None)
   }
 
+  test("wavHeader terminates on adversarial chunk sizes (no spin)") {
+    // 'JUNK' chunk with unsigned size 0xFFFFFFF8: as a signed Int the
+    // step would be 8 + (-8) = 0 — the long-space advance guard must
+    // detect the non-advancing walk and bail as malformed
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      .putInt(0)
+    assert(Multimodal.wavHeader(evil.array()) == None)
+    // zeroed bits-per-sample in an otherwise-valid fmt chunk: rejected
+    val zb = wavBytes(16000, 1, 50)
+    // find the fmt chunk's bits field (offset 12+8+14 for a canonical
+    // AudioSystem WAV: fmt data starts at 20, bits at 20+14)
+    zb(34) = 0; zb(35) = 0
+    assert(Multimodal.wavHeader(zb) == None)
+  }
+
   test("q32_multimodal runs end-to-end and yields one row per source") {
     val out = graft.SparkEntry.queries("q32_multimodal")(spark, sf("sf0.001"))
       .collect()

@@ -47,4 +47,15 @@ class AggregatorsSpec extends SparkSpec {
     assert(out(1) == Seq(2.0)) // null rows don't count toward the mean
     assert(out(2) == Seq.empty)
   }
+
+  test("empty vectors are skipped, not counted into the denominator") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq.empty[Float]), (1, Seq(2.0f, 4.0f)), (1, Seq(4.0f, 8.0f)))
+      .toDF("g", "v")
+    val out = df.groupBy("g").agg(meanVec(col("v")).as("m"))
+      .collect().map(_.getSeq[Double](1).toSeq).head
+    // mean of the two real vectors — an empty row must not scale it down
+    assert(out == Seq(3.0, 6.0))
+  }
 }
