@@ -1664,6 +1664,69 @@ object SparkEntry {
               ELSE 255.0 / uk END AS estimate
        FROM agg"""
 
+  // ------------------------------------------------------------------
+  // q51 — duplicate clusters over the HAMMING pair graph (composition:
+  // Components.connectedComponents ∘ Dedup.simhashPairs). Same closure
+  // oracle as q37, different pair source — the cluster layer is
+  // source-agnostic.
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Components.connectedComponents(
+      graft.dedup.Dedup.simhashPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        maxHamming = 3, bands = 4, maxBucketSize = 1000))
+
+  private val q51Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk FROM documents),
+       hashes AS (
+         SELECT doc_id, [substr(md5(t), 1, 8) for t in tk] AS hs FROM toks WHERE len(tk) > 0),
+       simhashed AS (
+         SELECT doc_id,
+           CAST(list_sum([
+             CASE WHEN 2 * list_sum([
+                 (strpos('0123456789abcdef', substr(h, b//4 + 1, 1)) - 1) // CAST(pow(2, 3 - (b % 4)) AS INTEGER) % 2
+               for h in hs]) >= len(hs)
+             THEN CAST(pow(2, 31 - b) AS BIGINT) ELSE 0 END
+           for b in range(0, 32)]) AS BIGINT) AS sh
+         FROM hashes),
+       zerosh AS (
+         SELECT doc_id, CAST(0 AS BIGINT) AS sh FROM toks WHERE len(tk) = 0),
+       sigs AS (SELECT * FROM simhashed UNION ALL SELECT * FROM zerosh),
+       bands AS (
+         SELECT doc_id, unnest([
+             CAST(b AS BIGINT) * 4294967296 +
+               ((sh // CAST(pow(2, (3 - b) * 8) AS BIGINT)) % 256)
+           for b in range(0, 4)]) AS bucket
+         FROM sigs),
+       ok_buckets AS (
+         SELECT bucket FROM bands GROUP BY bucket
+         HAVING COUNT(*) BETWEEN 2 AND 1000),
+       cand AS (
+         SELECT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         JOIN ok_buckets c ON a.bucket = c.bucket
+         UNION
+         SELECT min(doc_id) AS id1, max(doc_id) AS id2
+         FROM bands GROUP BY bucket HAVING COUNT(*) > 1000),
+       verified AS (
+         SELECT id1, id2 FROM (
+           SELECT c.id1, c.id2, bit_count(xor(s1.sh, s2.sh)) AS hamming
+           FROM cand c
+           JOIN sigs s1 ON c.id1 = s1.doc_id
+           JOIN sigs s2 ON c.id2 = s2.doc_id)
+         WHERE hamming <= 3),
+       edges AS (
+         SELECT id1 AS a, id2 AS b FROM verified
+         UNION SELECT id2, id1 FROM verified),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (
+         SELECT a AS id, LEAST(a, MIN(b)) AS component
+         FROM reach GROUP BY a)
+       SELECT id, component FROM comp"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1715,6 +1778,7 @@ object SparkEntry {
     "q48_incremental_dedup" -> (q48 _),
     "q49_label_centroids" -> (q49 _),
     "q50_kmv_distinct" -> (q50 _),
+    "q51_hamming_clusters" -> (q51 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1738,6 +1802,7 @@ object SparkEntry {
     "q48_incremental_dedup" -> q48Sql,
     "q49_label_centroids" -> q49Sql,
     "q50_kmv_distinct" -> q50Sql,
+    "q51_hamming_clusters" -> q51Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
