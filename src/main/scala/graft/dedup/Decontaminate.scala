@@ -72,6 +72,11 @@ object Decontaminate extends Serializable {
     * @param testSet  the evaluation set (small side, broadcast)
     * @param n        n-gram width in whitespace tokens (13 = the usual
     *                 decontamination convention)
+    * @param broadcastTest broadcast the test set's distinct gram hashes
+    *   (default — benchmarks are small by definition). Pass false when
+    *   the "test set" is itself corpus-sized (e.g. decontaminating
+    *   against another training corpus) to shuffle-join on the gram
+    *   hash instead; same lever as Keywords' `broadcastVocab`.
     * @return (id, n_shingles, n_contaminated, contamination) — one row
     *   per training doc with >= 1 n-gram; contamination = fraction of
     *   the doc's DISTINCT n-grams that appear anywhere in the test set.
@@ -81,13 +86,15 @@ object Decontaminate extends Serializable {
   def contamination(
       docs: DataFrame, docId: Column, docText: Column,
       testSet: DataFrame, testId: Column, testText: Column,
-      n: Int = 13): DataFrame = {
+      n: Int = 13,
+      broadcastTest: Boolean = true): DataFrame = {
     val d = tokenShingleDocs(docs, docId, docText, n)
-    val t = tokenShingleDocs(testSet, testId, testText, n)
+    val t0 = tokenShingleDocs(testSet, testId, testText, n)
       .select(explode(col("vms")).as("sh")).distinct()
       .withColumn("m", lit(1))
+    val t = if (broadcastTest) broadcast(t0) else t0
     d.select(col("id"), explode(col("vms")).as("sh"))
-      .join(broadcast(t), Seq("sh"), "left")
+      .join(t, Seq("sh"), "left")
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_shingles"),

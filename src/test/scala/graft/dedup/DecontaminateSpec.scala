@@ -56,6 +56,20 @@ class DecontaminateSpec extends SparkSpec {
     assert(c2 == 0L && f2 == 0.0)
   }
 
+  test("broadcastTest=false produces identical output") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val test = Seq((9L, "c d e f g h i j k l")).toDF("doc_id", "text")
+    def run(b: Boolean) = Decontaminate.contamination(
+        docs, col("doc_id"), col("text"),
+        test, col("doc_id"), col("text"), n = 5, broadcastTest = b)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(run(true) == run(false))
+  }
+
   test("contamination counts distinct grams once each") {
     import spark.implicits._
     // training doc repeats the leaked trigram; distinct-gram semantics
