@@ -306,6 +306,41 @@ object Dedup {
     * aggregates map-side. Replaces a posting-list self-join: one
     * grouping shuffle instead of join-build + probe + pair shuffle.
     */
+  /** THE capped-bucket grouping, shared by every single-corpus candidate
+    * generator (minhashLsh, simhashPairs, Similarity.nearDupPairs):
+    * ONE grouping shuffle of (bucket, id) rows; `collect_list_capped`
+    * bounds every aggregation buffer (map-side partials and the merge
+    * alike); over-cap buckets collapse to their deterministic
+    * [min, max] representative IN the same projection — exact
+    * aggregates over the whole bucket, NOT the capped arrival-ordered
+    * sample — so the grouping subtree has exactly ONE consumer (a
+    * second arm recomputes the whole bucket shuffle; measured +1 s at
+    * sf0.1). Capped-bucket counts are observable via
+    * `queryExecution.observedMetrics(metricName)` after any action —
+    * the retune signal for bands/bits/cap. One definition so the
+    * over-cap semantics can never drift between operators (they did
+    * once — VERDICT r4 #2).
+    */
+  private[graft] def cappedBucketGroups(
+      banded: DataFrame,
+      maxBucketSize: Int,
+      metricName: String): DataFrame =
+    banded.groupBy("bucket")
+      .agg(
+        call_function("collect_list_capped", col("id"),
+          lit(maxBucketSize)).as("ids"),
+        count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .filter(col("n") >= 2)
+      .observe(metricName,
+        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
+          .as("capped_buckets"),
+        count(lit(1)).as("active_buckets"))
+      .select(
+        when(col("n") <= maxBucketSize, col("ids"))
+          .otherwise(array(col("min_id"), col("max_id"))).as("ids"))
+
   private[graft] def emitPairs(groups: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import org.apache.spark.sql.types._
     val pairSchema = StructType(Seq(
@@ -393,34 +428,7 @@ object Dedup {
     val docs = if (cacheSignatures) docs0.cache() else docs0
 
     val banded = bandBuckets(docs, numHashes, bands)
-
-    // ONE grouping shuffle gathers each bucket's ids; collect_list_capped
-    // (graft's Catalyst aggregate) bounds every aggregation buffer by
-    // maxBucketSize even for mega-buckets. Over-cap buckets collapse to
-    // their deterministic [min, max] representative IN the same
-    // projection — exact aggregates over the whole bucket, NOT the capped
-    // arrival-ordered sample — so the grouping subtree has exactly ONE
-    // consumer (a second arm recomputes the whole bucket shuffle;
-    // measured +1 s at sf0.1 on the q30 sibling).
-    val grouped = banded.groupBy("bucket")
-      .agg(
-        call_function("collect_list_capped", col("id"),
-          lit(maxBucketSize)).as("ids"),
-        count(lit(1)).as("n"),
-        min(col("id")).as("min_id"),
-        max(col("id")).as("max_id"))
-      .filter(col("n") >= 2)
-      // capped-bucket recall loss is observable, not silent:
-      // queryExecution.observedMetrics("graft.minhash") reports the count
-      // after any action, the retune signal for bands/maxBucketSize
-      .observe("graft.minhash",
-        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
-          .as("capped_buckets"),
-        count(lit(1)).as("active_buckets"))
-      .select(
-        when(col("n") <= maxBucketSize, col("ids"))
-          .otherwise(array(col("min_id"), col("max_id"))).as("ids"))
-
+    val grouped = cappedBucketGroups(banded, maxBucketSize, "graft.minhash")
     val pairs = emitPairs(grouped, docs.schema("id").dataType).distinct()
 
     verifyJaccard(pairs, docs, docs, threshold)
@@ -695,23 +703,7 @@ object Dedup {
           .bitwiseAND(lit((1L << width) - 1))
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
-
-    val grouped = banded.groupBy("bucket")
-      .agg(
-        call_function("collect_list_capped", col("id"),
-          lit(maxBucketSize)).as("ids"),
-        count(lit(1)).as("n"),
-        min(col("id")).as("min_id"),
-        max(col("id")).as("max_id"))
-      .filter(col("n") >= 2)
-      .observe("graft.simhash",
-        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
-          .as("capped_buckets"),
-        count(lit(1)).as("active_buckets"))
-      .select(
-        when(col("n") <= maxBucketSize, col("ids"))
-          .otherwise(array(col("min_id"), col("max_id"))).as("ids"))
-
+    val grouped = cappedBucketGroups(banded, maxBucketSize, "graft.simhash")
     val pairs = emitPairs(grouped, sigs.schema("id").dataType).distinct()
 
     pairs

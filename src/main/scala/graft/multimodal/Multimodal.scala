@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   * sizes are skewed. A magic-byte pre-check keeps the non-image hot path
   * free of ImageIO reader lookups. Never collect payloads to the driver.
   */
-object Multimodal {
+object Multimodal extends Serializable {
 
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType, nullable = true),
@@ -58,11 +58,12 @@ object Multimodal {
     * ImageIO reader lookup per row.
     */
   private def looksLikeImage(b: Array[Byte]): Boolean =
-    b != null && b.length >= 3 && (
+    b != null && b.length >= 6 && (
       (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N') || // PNG
       (b(0) == 0xff.toByte && b(1) == 0xd8.toByte &&
         b(2) == 0xff.toByte) ||                              // JPEG
-      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||         // GIF
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&          // GIF87a/89a
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') ||
       (b(0) == 'B' && b(1) == 'M'))                          // BMP
 
   /** Header-parse (width, height, channels) via `javax.imageio` — reads
@@ -70,10 +71,15 @@ object Multimodal {
     * so this costs microseconds per image, not a full decode. None for
     * anything ImageIO can't read.
     */
+  // one-time per-JVM: in-memory streams, no tmp files (setUseCache is a
+  // process-wide static — flip it once, not per row)
+  @transient private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private[multimodal] def imageHeader(
       bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (!looksLikeImage(bytes)) return None
-    javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp files
+    imageIoInit
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -90,7 +96,10 @@ object Multimodal {
               val types = r.getImageTypes(0)
               if (types.hasNext) types.next().getNumComponents else 3
             } catch { case scala.util.control.NonFatal(_) => 3 }
-          Some((w, h, ch))
+          // a signature-colliding non-image can parse a garbage header;
+          // nonpositive dimensions fall through to the fake arm instead
+          // of escaping the documented bounds
+          if (w <= 0 || h <= 0) None else Some((w, h, ch))
         } catch { case scala.util.control.NonFatal(_) => None }
         finally r.dispose()
       }
@@ -113,37 +122,45 @@ object Multimodal {
     ((u32(0) % 1920 + 1).toInt, (u32(4) % 1080 + 1).toInt)
   }
 
+  final case class DecodedDims(width: Int, height: Int, channels: Int)
+
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** Image decode, metadata stage: REAL `javax.imageio` header parse for
     * decodable payloads (PNG/JPEG/GIF/BMP — true width/height/channels
     * from the codec header, no pixel decode), md5-derived deterministic
     * fake for everything else — so fabricated-payload pipelines stay
-    * oracle-able end to end (q32): fake width from md5 hex digits 1-8,
-    * height from digits 9-16 of the same digest.
+    * oracle-able end to end (q32: the fixture's lowercase word-soup
+    * bytes can never spell an image signature, so every fabricated
+    * payload provably takes the fake arm the oracle mirrors; fake width
+    * from md5 hex digits 1-8, height from digits 9-16 of the same
+    * digest).
+    *
+    * A scalar UDF over the content column only — NOT a whole-row
+    * kernel: the projection shape keeps column pruning and filter
+    * pushdown working through this stage and never re-serializes the
+    * (multi-MB) untouched columns. The header parse is per-row cheap,
+    * so the batch shape `extractFeatures` keeps for a real JNI decoder
+    * buys nothing here.
     */
   def decodeImageMeta(df: DataFrame, contentCol: String = "content")
       : DataFrame = {
-    val idx = df.schema.fieldIndex(contentCol)
-    val schema = df.schema.add("decoded", StructType(Seq(
-      StructField("width", IntegerType, false),
-      StructField("height", IntegerType, false),
-      StructField("channels", IntegerType, false))), nullable = false)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    df.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
-        // loadMediaDir's content column is nullable; a null payload
-        // decodes as empty bytes rather than poisoning width/height
-        val bytes =
-          if (r.isNullAt(idx)) Array.empty[Byte]
-          else r.getAs[Array[Byte]](idx)
-        val (w, h, ch) = imageHeader(bytes).getOrElse {
-          val (fw, fh) = fakeDims(md, bytes)
-          (fw, fh, 3)
-        }
-        Row.fromSeq(r.toSeq :+ Row(w, h, ch))
+    val decode = udf { bytes: Array[Byte] =>
+      // loadMediaDir's content column is nullable; a null payload
+      // decodes as empty bytes rather than poisoning width/height
+      val b = if (bytes == null) Array.empty[Byte] else bytes
+      imageHeader(b) match {
+        case Some((w, h, ch)) => DecodedDims(w, h, ch)
+        case None =>
+          val (fw, fh) = fakeDims(mdLocal.get(), b)
+          DecodedDims(fw, fh, 3)
       }
-    }(enc)
+    }
+    df.withColumn("decoded", decode(col(contentCol)))
   }
 
   /** STUB feature extraction: batch-shaped per-partition kernel. A real
@@ -201,6 +218,11 @@ object Multimodal {
       width: Int,
       height: Int,
       contentCol: String = "content"): DataFrame = {
+    // fail at plan-build time: the real-decode arm's BufferedImage
+    // would otherwise throw inside a task on the first decodable image
+    // while the fake arm tolerated the same bad target silently
+    require(width > 0 && height > 0,
+      s"target dimensions must be positive, got ${width}x$height")
     val idx = df.schema.fieldIndex(contentCol)
     val schema = StructType(df.schema.fields.map { f =>
       if (f.name == "decoded")

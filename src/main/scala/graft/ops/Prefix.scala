@@ -39,6 +39,10 @@ object Prefix {
     *   scale pass `StorageLevel.DISK_ONLY` (the table is the full input
     *   plus ordering — memory caching it evicts everything else), or
     *   write the ranged table to a tap and run both passes against the
+    *   tap. LIFECYCLE: the persist is pinned until the session drops it
+    *   (the returned plan depends on it, so it cannot be unpersisted
+    *   here) — a loop calling this per increment should
+    *   `spark.catalog.clearCache()` between invocations, or use the
     *   files.
     */
   def runningTotal(

@@ -549,30 +549,11 @@ object Similarity extends Serializable {
     val c = if (cacheCorpus) c0.cache() else c0
     val buckets = withBucketsKernel(c, "v", tables, bits, dim)
       .select(col("id"), col("bucket"))
-    // over-cap buckets collapse to their deterministic [min, max]
-    // representative IN the same projection — exact aggregates over the
-    // whole bucket, NOT the capped arrival-ordered sample — so the
-    // grouping subtree has exactly ONE consumer (a second arm would
-    // recompute the whole bucket shuffle; measured +1 s at sf0.1)
-    val grouped = buckets.groupBy("bucket")
-      .agg(
-        call_function("collect_list_capped", col("id"),
-          lit(maxBucketSize)).as("ids"),
-        count(lit(1)).as("n"),
-        min(col("id")).as("min_id"),
-        max(col("id")).as("max_id"))
-      .filter(col("n") >= 2)
-      // recall loss is observable, not silent: after any action on the
-      // result, queryExecution.observedMetrics("graft.neardup") reports
-      // how many buckets were capped (and so emitted only their
-      // representative pair) — the ops signal to retune bits/cap
-      .observe("graft.neardup",
-        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
-          .as("capped_buckets"),
-        count(lit(1)).as("active_buckets"))
-      .select(
-        when(col("n") <= maxBucketSize, col("ids"))
-          .otherwise(array(col("min_id"), col("max_id"))).as("ids"))
+    // the shared capped-bucket grouping (Dedup.cappedBucketGroups):
+    // bounded buffers, single-consumer over-cap representative collapse,
+    // observable capped counts
+    val grouped = graft.dedup.Dedup
+      .cappedBucketGroups(buckets, maxBucketSize, "graft.neardup")
     val pairs = graft.dedup.Dedup
       .emitPairs(grouped, c.schema("id").dataType)
       .distinct()
