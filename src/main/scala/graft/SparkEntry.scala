@@ -1727,6 +1727,69 @@ object SparkEntry {
          FROM reach GROUP BY a)
        SELECT id, component FROM comp"""
 
+  // ------------------------------------------------------------------
+  // q52 — per-source corpus report card (composition): doc counts,
+  // token totals, exact basis-point mean quality (the NOTES.md
+  // cross-engine rule — double means of derived scores tie-break
+  // differently per engine; integer basis points do not), English
+  // fraction, and fingerprint-duplicate counts. The one-look summary a
+  // data team pulls before a training run; one grouping shuffle.
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    t(s, dir, "documents")
+      .select(
+        col("source"),
+        Text.tokenCount(col("text")).as("ntok"),
+        Text.langId(col("text")).as("lid"),
+        Text.qualityScore(col("text")).as("q"),
+        Text.fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok").cast("long")).as("total_tokens"),
+        (sum(floor(col("q") * 1e4 + 0.5)).cast("double") /
+          count(lit(1)) / 1e4).as("mean_quality"),
+        sum(when(col("lid") === "en", 1L).otherwise(0L)).as("n_en"),
+        (count(lit(1)) - count_distinct(col("fp"))).as("n_fp_dups"))
+  }
+
+  private val q52Sql =
+    """WITH base0 AS (
+         SELECT source, text,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       scored AS (
+         SELECT source, text, tk,
+           len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS en,
+           len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], lower(t)))) AS de,
+           len(list_filter(tk, t -> list_contains(['le','la','les','de','et','est','un','une','dans','que'], lower(t)))) AS fr,
+           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           greatest(1.0 - (CASE WHEN len(text) > 0 THEN
+             CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+             ELSE 0.0 END) * 4, 0.0) * 0.3 +
+           least((CASE WHEN len(tk) > 0 THEN
+             CAST(len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+             ELSE 0.0 END) * 5, 1.0) * 0.3 AS q
+         FROM base0),
+       rep AS (
+         SELECT source,
+           len(tk) AS ntok,
+           CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+                WHEN en >= de AND en >= fr THEN 'en'
+                WHEN de >= fr THEN 'de'
+                ELSE 'fr' END AS lid,
+           q,
+           md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp
+         FROM scored)
+       SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         CAST(SUM(CAST(floor(q * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 10000.0 AS mean_quality,
+         CAST(SUM(CASE WHEN lid = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_fp_dups
+       FROM rep GROUP BY source"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1779,6 +1842,7 @@ object SparkEntry {
     "q49_label_centroids" -> (q49 _),
     "q50_kmv_distinct" -> (q50 _),
     "q51_hamming_clusters" -> (q51 _),
+    "q52_corpus_report" -> (q52 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1803,6 +1867,7 @@ object SparkEntry {
     "q49_label_centroids" -> q49Sql,
     "q50_kmv_distinct" -> q50Sql,
     "q51_hamming_clusters" -> q51Sql,
+    "q52_corpus_report" -> q52Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
