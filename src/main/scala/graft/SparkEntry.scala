@@ -1790,6 +1790,40 @@ object SparkEntry {
          CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_fp_dups
        FROM rep GROUP BY source"""
 
+  // ------------------------------------------------------------------
+  // q53 — column profiling (extension: Profile.describe): one
+  // aggregation pass, one driver row, per-column null/distinct/min/max.
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.describe(t(s, dir, "documents"))
+
+  private val q53Sql =
+    """SELECT 'doc_id' AS col_name,
+         CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+         CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+         CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM documents
+       UNION ALL
+       SELECT 'text',
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT text) AS BIGINT),
+         MIN(text), MAX(text) FROM documents
+       UNION ALL
+       SELECT 'lang',
+         CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT lang) AS BIGINT),
+         MIN(lang), MAX(lang) FROM documents
+       UNION ALL
+       SELECT 'source',
+         CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT source) AS BIGINT),
+         MIN(source), MAX(source) FROM documents
+       UNION ALL
+       SELECT 'n_chars',
+         CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+       FROM documents"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1843,6 +1877,7 @@ object SparkEntry {
     "q50_kmv_distinct" -> (q50 _),
     "q51_hamming_clusters" -> (q51 _),
     "q52_corpus_report" -> (q52 _),
+    "q53_profile" -> (q53 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1868,6 +1903,7 @@ object SparkEntry {
     "q50_kmv_distinct" -> q50Sql,
     "q51_hamming_clusters" -> q51Sql,
     "q52_corpus_report" -> q52Sql,
+    "q53_profile" -> q53Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
