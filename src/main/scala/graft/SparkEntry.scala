@@ -1824,6 +1824,31 @@ object SparkEntry {
          CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
        FROM documents"""
 
+  // ------------------------------------------------------------------
+  // q54 — ordered-funnel reach over the events table (extension:
+  // Funnel.funnel): signup -> view -> purchase, chained-min shape (one
+  // filter+join+min per step, no per-user buffers).
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnel(
+      t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
+      Seq("signup", "view", "purchase"))
+
+  private val q54Sql =
+    """WITH s1 AS (
+         SELECT user_id, MIN(ts) AS t FROM events
+         WHERE event_type = 'signup' GROUP BY user_id),
+       s2 AS (
+         SELECT e.user_id, MIN(e.ts) AS t FROM events e
+         JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+       s3 AS (
+         SELECT e.user_id, MIN(e.ts) AS t FROM events e
+         JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+       SELECT 1 AS step, 'signup' AS event_type, COUNT(*) AS n_users FROM s1
+       UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+       UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1878,6 +1903,7 @@ object SparkEntry {
     "q51_hamming_clusters" -> (q51 _),
     "q52_corpus_report" -> (q52 _),
     "q53_profile" -> (q53 _),
+    "q54_funnel" -> (q54 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1904,6 +1930,7 @@ object SparkEntry {
     "q51_hamming_clusters" -> q51Sql,
     "q52_corpus_report" -> q52Sql,
     "q53_profile" -> q53Sql,
+    "q54_funnel" -> q54Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis: how many users performed a given event sequence in
+  * timestamp order ("signup, then view, then purchase"). The classic
+  * product-analytics reach query.
+  */
+object Funnel {
+
+  /** Per-step reach counts for the ordered `steps` sequence.
+    *
+    * Chained-min formulation — THE scale-correct funnel shape: step i's
+    * reach is "users whose earliest step-i event is strictly after
+    * their step-(i-1) completion time", computed as one filter + join +
+    * min-aggregation per step over (user, ts) pairs. No per-user event
+    * buffers anywhere (the collect-the-sequence-per-user alternative
+    * holds a user's whole history in one aggregation buffer — a bot
+    * user is an OOM); reach tables only shrink as steps progress, and
+    * AQE broadcasts them once they are small. Ties: a same-timestamp
+    * event does NOT advance the funnel (strictly greater — document
+    * order within equal timestamps is not defined at scale).
+    *
+    * @return (step int 1-based, event_type, n_users) — one row per step
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(userCol.as("u"), tsCol.as("ts"), typeCol.as("et"))
+    var cur = e.filter(col("et") === steps.head)
+      .groupBy("u").agg(min(col("ts")).as("t"))
+    val perStep = scala.collection.mutable.ArrayBuffer[(String, Int, DataFrame)](
+      (steps.head, 1, cur))
+    steps.drop(1).zipWithIndex.foreach { case (st, i) =>
+      cur = e.filter(col("et") === st)
+        .join(cur.select(col("u"), col("t").as("prev")), Seq("u"))
+        .filter(col("ts") > col("prev"))
+        .groupBy("u").agg(min(col("ts")).as("t"))
+      perStep += ((st, i + 2, cur))
+    }
+    perStep.map { case (st, idx, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+}
