@@ -1673,7 +1673,12 @@ object SparkEntry {
     graft.dedup.Components.connectedComponents(
       graft.dedup.Dedup.simhashPairs(
         t(s, dir, "documents"), col("doc_id"), col("text"),
-        maxHamming = 3, bands = 4, maxBucketSize = 1000))
+        maxHamming = 3, bands = 4, maxBucketSize = 1000),
+      // radius-banded candidate graphs chain (a-b, b-c within radius
+      // without a-c): diameter ~12 at sf0.1, the measured case where
+      // doubling's extra shuffle pays for itself (q37's star-ish
+      // minhash graph measured 35% SLOWER with it — default off)
+      pointerDoubling = true)
 
   private val q51Sql =
     """WITH RECURSIVE toks AS (

@@ -11,17 +11,25 @@ import org.apache.spark.sql.functions._
   * give the exact cluster and its deterministic representative (min id).
   * No reference analog: hadron stops at pairs.
   *
-  * Algorithm: iterative min-label propagation as plain DataFrame joins —
-  * each round every node takes the min of its own and its neighbors'
-  * labels; converged when a round changes nothing. Rounds needed = graph
-  * diameter, which for near-dup clusters (dense, star-ish) is small;
-  * for adversarially long chains raise `maxIter` (or pre-close the
-  * pairs). Each round is two shuffles (join + groupBy) over the label
-  * table, whose width is one id + one label — at corpus scale the edge
-  * table is the candidate-pair output, orders of magnitude smaller than
-  * the corpus. Lineage is truncated per round with an eager
-  * localCheckpoint, the standard Spark idiom for iterative plans (an
-  * unbounded plan chain re-analyzes and re-optimizes quadratically).
+  * Algorithm: iterative min-label propagation, with OPT-IN pointer
+  * doubling — each round every node takes the min of its own and its
+  * neighbors' labels and (if `pointerDoubling`) then jumps to that
+  * label's own label (path compression, the Hash-to-Min idea). The jump
+  * roughly squares the propagation reach per round, so rounds become
+  * O(log diameter) instead of diameter — but it costs an extra shuffle
+  * and a second materialization per round, and near-dup graphs are
+  * usually star-shaped (diameter 2-3), where that overhead buys no
+  * round at all. MEASURED (sf0.1, NOTES.md): doubling made the
+  * star-ish minhash graph (q37) ~35% SLOWER and the chain-y
+  * radius-banded hamming graph (q51, diameter ~12) mildly faster —
+  * hence opt-in, for graphs known to chain (banded radius candidates:
+  * a-b and b-c within radius without a-c) or whenever diameter
+  * approaches maxIter. Converged when a round changes nothing. Labels
+  * are one id + one label wide; at corpus scale the edge table is the
+  * candidate-pair output, orders of magnitude smaller than the corpus.
+  * Lineage is truncated per round with eager localCheckpoints, the
+  * standard Spark idiom for iterative plans (an unbounded plan chain
+  * re-analyzes and re-optimizes quadratically).
   */
 object Components {
 
@@ -31,7 +39,10 @@ object Components {
     *         not converge — a partial labeling is wrong data, not a
     *         degraded answer.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      pointerDoubling: Boolean = false): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     import org.apache.spark.sql.types._
     val spark = pairs.sparkSession
@@ -49,26 +60,43 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // ONE action per round: the eager localCheckpoint materializes the
-      // new labels AND fills the changed-counter as a side effect of the
-      // same job (iterative rounds are job-overhead bound at small label
-      // counts, so a separate convergence-probe job would double the
-      // round cost). Only zero-vs-nonzero is read, so task retries
-      // inflating the counter are harmless.
+      // One action per round (two with doubling) — the convergence
+      // probe rides the final checkpoint's accumulator instead of its
+      // own job (rounds are job-overhead bound at small label counts).
+      // Only zero-vs-nonzero is read, so task retries inflating the
+      // counter are harmless.
       val changed = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
       // `own` tags each node's current-label row, so ONE groupBy yields
-      // both the new label (min over own + neighbors) and the previous
-      // one (min over the single own row) — no join back to the prior
-      // labels, which would be a second shuffle every round
-      val next = labels.withColumn("own", lit(true))
+      // both the gathered label (min over own + neighbors) and the
+      // previous one (min over the single own row) — no join back to
+      // the prior labels, which would be an extra shuffle every round.
+      val gathered0 = labels.withColumn("own", lit(true))
         .union(nbrMin.withColumn("own", lit(false)))
         .groupBy("id")
         .agg(
           min(col("lbl")).as("lbl"),
           min(when(col("own"), col("lbl"))).as("prev"))
+      val jumped =
+        if (!pointerDoubling) gathered0
+        else {
+          // pointer doubling: follow the gathered label to ITS gathered
+          // label. Monotone (gathered.lbl(y) <= y for every node y, own
+          // row included) and component-preserving (labels are always
+          // member ids), so the fixed point is unchanged. Checkpointed
+          // first: the jump consumes the gather twice. Labels are
+          // always node ids, so the left join's fallback never actually
+          // fires; coalesce keeps it total.
+          val gathered = gathered0.localCheckpoint(true)
+          gathered
+            .join(gathered.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+              Seq("lbl"), "left")
+            .select(col("id"),
+              coalesce(col("lbl2"), col("lbl")).as("lbl"), col("prev"))
+        }
+      val next = jumped
         .mapPartitions { rows =>
           rows.map { r =>
             if (r.get(1) != r.get(2)) changed.add(1L)
@@ -99,8 +127,9 @@ object Components {
       df: DataFrame,
       idCol: org.apache.spark.sql.Column,
       pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
-    val drop = connectedComponents(pairs, maxIter)
+      maxIter: Int = 25,
+      pointerDoubling: Boolean = false): DataFrame = {
+    val drop = connectedComponents(pairs, maxIter, pointerDoubling)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__drop_id"))
     df.join(drop, idCol === col("__drop_id"), "left_anti")

@@ -30,12 +30,28 @@ class ComponentsSpec extends SparkSpec {
     assert(path.size == 11)
   }
 
-  test("maxIter below the graph diameter fails loudly, not partially") {
+  test("maxIter below the needed rounds fails loudly, not partially") {
     import spark.implicits._
-    val longPath = (0L until 10L).map(i => (i, i + 1)).toDF("id1", "id2")
+    // pointer doubling reaches ~2^r in r rounds; a 300-path cannot
+    // finish (and detect convergence) in 3
+    val longPath = (0L until 300L).map(i => (i, i + 1)).toDF("id1", "id2")
     assertThrows[IllegalStateException] {
       Components.connectedComponents(longPath, maxIter = 3).collect()
     }
+  }
+
+  test("pointer doubling converges a 100-path within O(log d) rounds") {
+    import spark.implicits._
+    val path = (0L until 100L).map(i => (i, i + 1)).toDF("id1", "id2")
+    // without doubling this needs 100 rounds, far over maxIter = 12
+    val out = Components
+      .connectedComponents(path, maxIter = 12, pointerDoubling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 101 && out.values.toSet == Set(0L))
+    // plain propagation: same labels, just more rounds
+    val plain = Components.connectedComponents(path, maxIter = 110)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == out)
   }
 
   test("empty pair list yields empty components") {
