@@ -163,11 +163,68 @@ object Multimodal extends Serializable {
     df.withColumn("decoded", decode(col(contentCol)))
   }
 
-  /** STUB feature extraction: batch-shaped per-partition kernel. A real
-    * kernel would hand each batch of payloads to a native decoder and
-    * return fixed-length feature vectors; the fake derives a deterministic
-    * vector from payload bytes. The mapPartitions shape (batched pull,
-    * vector output) is exactly what a JNI bridge needs.
+  /** REAL per-channel pixel statistics for a decoded image: the first 6
+    * entries are R/G/B means then R/G/B standard deviations (all
+    * normalized to [0, 1]), the remaining `dim - 6` entries a normalized
+    * luminance histogram (ITU-R BT.601 weights). Deterministic — pixel
+    * order is fixed, sums are exact integer accumulations — so the kernel
+    * stays reproducible run to run like every other stage. For `dim < 6`
+    * the stats vector is truncated.
+    */
+  private[multimodal] def pixelStats(
+      img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val n = w.toLong * h
+    val sum = new Array[Long](3)
+    val sumSq = new Array[Long](3)
+    val bins = math.max(dim - 6, 0)
+    val hist = new Array[Long](math.max(bins, 1))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sum(0) += r; sum(1) += g; sum(2) += b
+        sumSq(0) += r.toLong * r; sumSq(1) += g.toLong * g
+        sumSq(2) += b.toLong * b
+        if (bins > 0) {
+          // BT.601 integer luma; 255 maps to the top bin, not bins
+          val luma = (299 * r + 587 * g + 114 * b) / 1000
+          hist(math.min(luma * bins / 256, bins - 1)) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](dim)
+    var c = 0
+    while (c < 3 && c < dim) {
+      out(c) = (sum(c).toDouble / n / 255.0).toFloat
+      c += 1
+    }
+    c = 0
+    while (c < 3 && c + 3 < dim) {
+      val mean = sum(c).toDouble / n
+      val variance = sumSq(c).toDouble / n - mean * mean
+      out(c + 3) = (math.sqrt(math.max(variance, 0.0)) / 255.0).toFloat
+      c += 1
+    }
+    var i = 0
+    while (i < bins) { out(i + 6) = (hist(i).toDouble / n).toFloat; i += 1 }
+    out
+  }
+
+  /** Feature extraction: batch-shaped per-partition kernel with the same
+    * two-arm contract as `decodeImageMeta` — REAL per-channel pixel
+    * statistics (`pixelStats`: channel means/stds + luminance histogram)
+    * for payloads `ImageIO` can decode, md5-derived deterministic fake for
+    * everything else. Fabricated corpora (q32: lowercase word-soup bytes
+    * that can never spell an image signature) provably take the fake arm,
+    * so the pipeline stays oracle-able; real image files get real
+    * features. The mapPartitions batch shape (batched pull, vector
+    * output) is exactly what a heavier JNI/embedding-model kernel needs.
     */
   def extractFeatures(
       df: DataFrame,
@@ -187,18 +244,29 @@ object Multimodal extends Serializable {
           val bytes =
             if (r.isNullAt(idx)) Array.empty[Byte]
             else r.getAs[Array[Byte]](idx)
-          val feats = Array.tabulate(dim) { i =>
-            // ??? real decoder goes here; deterministic fake — feature i =
-            // md5(payload ++ ":i") scaled to [0, 1). md5 (engine-neutral)
-            // keeps the fake oracle-able: DuckDB's md5(text || ':' || i)
-            // reproduces it exactly (q32).
-            md.update(bytes)
-            md.update((":" + i).getBytes("UTF-8"))
-            val d = md.digest() // resets the digest
-            var h = 0L
-            var j = 0
-            while (j < 4) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-            (h % 1000) / 1000.0f
+          val decoded =
+            if (looksLikeImage(bytes))
+              try
+                Option(javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            else None
+          val feats = decoded match {
+            case Some(img) => pixelStats(img, dim)
+            case None =>
+              Array.tabulate(dim) { i =>
+                // deterministic fake — feature i = md5(payload ++ ":i")
+                // scaled to [0, 1). md5 (engine-neutral) keeps the fake
+                // oracle-able: DuckDB's md5(text || ':' || i) reproduces
+                // it exactly (q32).
+                md.update(bytes)
+                md.update((":" + i).getBytes("UTF-8"))
+                val d = md.digest() // resets the digest
+                var h = 0L
+                var j = 0
+                while (j < 4) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+                (h % 1000) / 1000.0f
+              }
           }
           Row.fromSeq(r.toSeq :+ feats.toSeq)
         }

@@ -81,11 +81,14 @@ object Streaming {
                 cur = Some((e.ts, e.ts, 1L, e.value))
             }
           }
-          // close the final session in batch mode; in streaming, keep state
-          cur.foreach { case (s, last, n, v) =>
+          // close the final session in batch mode; in streaming, keep state.
+          // cur is None only for a zero-event group — unreachable without
+          // timeouts today, but the defensive form keeps a future
+          // timeout refactor from NPE-ing here (matches sessionizeStream).
+          cur.foreach { case c @ (s, last, n, v) =>
             sessions += SessionUpdate(uid, s, last, n, v)
+            state.update(c)
           }
-          state.update(cur.get)
           sessions.iterator
       }
   }

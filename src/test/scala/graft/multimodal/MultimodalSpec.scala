@@ -189,6 +189,57 @@ class MultimodalSpec extends SparkSpec {
     assert(again.toSeq == row.getAs[Array[Byte]](row.fieldIndex("content")).toSeq)
   }
 
+  /** A w×h PNG where every pixel is the given packed RGB. */
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("extractFeatures computes REAL per-channel statistics for " +
+      "decodable images") {
+    import spark.implicits._
+    // half pure red, half pure blue: channel means 0.5/0/0.5, red and
+    // blue stds exactly 0.5 (two-point distribution at 0 and 255),
+    // green std 0; both lumas (76, 29) land in histogram bin 0 of 2
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 2)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq(
+      ("redblue", baos.toByteArray),
+      ("gray", solidPng(3, 3, 0x0a141e)), // uniform (10, 20, 30)
+      ("fake", "definitely not an image".getBytes("UTF-8")))
+      .toDF("path", "content")
+    val out = Multimodal.extractFeatures(df, "content", dim = 8)
+      .select("path", "features").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val eps = 1e-3f
+    val rb = out("redblue")
+    assert(math.abs(rb(0) - 0.5f) < eps && rb(1) == 0.0f &&
+      math.abs(rb(2) - 0.5f) < eps)
+    assert(math.abs(rb(3) - 0.5f) < eps && rb(4) == 0.0f &&
+      math.abs(rb(5) - 0.5f) < eps)
+    assert(rb(6) == 1.0f && rb(7) == 0.0f)
+    val gray = out("gray")
+    assert(math.abs(gray(0) - 10f / 255) < eps &&
+      math.abs(gray(1) - 20f / 255) < eps &&
+      math.abs(gray(2) - 30f / 255) < eps)
+    assert(gray(3) == 0.0f && gray(4) == 0.0f && gray(5) == 0.0f)
+    // the undecodable payload still takes the bounded md5 fake
+    assert(out("fake").forall(f => f >= 0.0f && f < 1.0f))
+    // deterministic re-run, real arm included
+    val again = Multimodal.extractFeatures(df, "content", dim = 8)
+      .select("path", "features").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(out == again)
+  }
+
   test("sampleFrames explodes one row per sampled frame position") {
     import spark.implicits._
     val df = Seq(("v1", 2500L)).toDF("path", "dur")
