@@ -1854,6 +1854,54 @@ object SparkEntry {
        UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""
 
+  // ------------------------------------------------------------------
+  // q55 — line-level exact dedup (extension: Dedup.stripDuplicateLines,
+  // the C4/RefinedWeb boilerplate-removal step; the reference's record
+  // model is the line, Protocol.hs:235-242). The fixture's documents are
+  // single-line word soup, so the query first fabricates a multi-line
+  // text by chunking every 3 words into one "line" — a deterministic
+  // transform both engines express identically — then strips every line
+  // occurring more than once corpus-wide and reassembles the survivors
+  // in order (~34% of lines strip at sf0.01, so both arms are exercised).
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val chunks = transform(
+      sequence(lit(1), floor((size(ws) + k - 1) / lit(k)).cast("int")),
+      i => array_join(slice(ws, (i - 1) * k + 1, lit(k)), " "))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), array_join(chunks, "\n").as("multiline"))
+    graft.dedup.Dedup.stripDuplicateLines(
+        docs, col("doc_id"), col("multiline"), maxOccurrences = 1)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q55Sql =
+    """WITH w AS (
+         SELECT doc_id,
+           [array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' ')
+            for i in range(1, ((len(ws)+2)//3)+1)] AS chunks
+         FROM (SELECT doc_id, split(coalesce(text, ''), ' ') AS ws
+               FROM documents)),
+       n AS (
+         SELECT doc_id, generate_subscripts(chunks, 1) AS pos,
+           unnest(chunks) AS line
+         FROM w),
+       n2 AS (
+         SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM n),
+       d AS (
+         SELECT md5(norm) AS h FROM n2 WHERE len(norm) >= 1
+         GROUP BY 1 HAVING count(*) > 1),
+       m AS (
+         SELECT n2.doc_id, n2.pos, n2.line, d.h
+         FROM n2 LEFT JOIN d ON md5(n2.norm) = d.h)
+       SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(*) - count(h) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN h IS NULL THEN line END,
+           chr(10) ORDER BY pos), '') AS text_clean
+       FROM m GROUP BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -1909,6 +1957,7 @@ object SparkEntry {
     "q52_corpus_report" -> (q52 _),
     "q53_profile" -> (q53 _),
     "q54_funnel" -> (q54 _),
+    "q55_line_dedup" -> (q55 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1936,6 +1985,7 @@ object SparkEntry {
     "q52_corpus_report" -> q52Sql,
     "q53_profile" -> q53Sql,
     "q54_funnel" -> q54Sql,
+    "q55_line_dedup" -> q55Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

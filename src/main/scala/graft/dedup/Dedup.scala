@@ -714,6 +714,86 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Line-level exact dedup (the C4/RefinedWeb boilerplate-removal step):
+    * strip every line whose normalized form occurs more than
+    * `maxOccurrences` times ACROSS THE CORPUS, and reassemble each
+    * document from its surviving lines in original order. This is the
+    * duplication mode document-level dedup (`exact`/`fingerprint`/LSH)
+    * cannot see — navigation chrome, cookie banners, boilerplate headers
+    * repeated across otherwise-distinct pages — and it is the most
+    * faithful extension of the reference's data model, whose record unit
+    * IS the line (`/root/reference/src/Hadron/Protocol.hs:235-242,
+    * parseLine/linesConduit`).
+    *
+    * Normalization = `lower(trim(line))` (space-trim only — both engines
+    * agree); lines whose normalized form is shorter than `minLineChars`
+    * (blank lines, stray separators) are document STRUCTURE, not
+    * content: they never enter the count and are always kept.
+    *
+    * Plan shape, built for 100 TB:
+    *   1. posexplode lines → md5(norm) → groupBy(hash).count — the count
+    *      pass shuffles 16-byte hashes with map-side partial aggregation,
+    *      never line text;
+    *   2. `HAVING count > maxOccurrences` leaves only the boilerplate
+    *      hash set (small: boilerplate is by definition the repeated
+    *      tail), which the line stream LEFT-joins — AQE converts this to
+    *      a broadcast join at runtime when the set is small enough;
+    *   3. reassembly groups by document id; the `collect_list(when(keep,
+    *      struct(pos, line)))` buffer is bounded by a single document's
+    *      own line count, never by corpus cardinality.
+    * The text column is scanned twice (count pass + strip pass) — the
+    * standard two-pass C4 shape; a narrow double-scan beats one
+    * corpus-wide shuffle of full line text, and a staged pipeline can
+    * persist the exploded lines between the passes via a `Tap`.
+    *
+    * Every document survives, including one whose every line is stripped
+    * (`text_clean = ""`, `n_kept = 0`) — silently dropping emptied docs
+    * would corrupt downstream joins keyed on document id.
+    *
+    * @param maxOccurrences keep lines occurring at most this many times
+    *   corpus-wide (occurrences WITHIN one document count too)
+    * @param lineSep literal line separator (split and rejoin)
+    * @return (id, n_lines, n_kept, text_clean)
+    */
+  def stripDuplicateLines(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      maxOccurrences: Long = 1,
+      lineSep: String = "\n",
+      minLineChars: Int = 1): DataFrame = {
+    val sep = java.util.regex.Pattern.quote(lineSep) // Spark split is regex
+    val lines = df
+      .select(idCol.as("id"),
+        posexplode(split(coalesce(textCol, lit("")), sep))
+          .as(Seq("pos", "line")))
+      .withColumn("norm", lower(trim(col("line"))))
+      .withColumn("lh", md5(col("norm").cast("binary")))
+    val boilerplate = lines
+      .filter(length(col("norm")) >= minLineChars)
+      .groupBy(col("lh").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOccurrences)
+      .select("h")
+    lines
+      .join(boilerplate, lines("lh") === boilerplate("h"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        // collect_list drops the null branch of `when`: only kept lines
+        // buffer, but every doc keeps its group row
+        collect_list(when(col("h").isNull, struct(col("pos"), col("line"))))
+          .as("ks"),
+        count(col("h")).as("n_stripped"))
+      .select(
+        col("id"),
+        col("n_lines"),
+        (col("n_lines") - col("n_stripped")).as("n_kept"),
+        array_join(
+          transform(array_sort(col("ks")), x => x("line")), lineSep)
+          .as("text_clean"))
+  }
+
   /** Re-verify candidate pairs with exact Jaccard over the hashed-shingle
     * sets (deterministic: both sides of the oracle fold hash collisions
     * identically; at P=1e9+7 the set-jaccard is indistinguishable from
