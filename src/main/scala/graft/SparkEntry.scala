@@ -1855,6 +1855,36 @@ object SparkEntry {
        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""
 
   // ------------------------------------------------------------------
+  // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
+  // signup -> view -> purchase where each step must land within 24 h of
+  // the previous one — the conversion-window form of q54 (at sf0.01 the
+  // window cuts step-2 reach from 105 to 39, so it is load-bearing).
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnel(
+      t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
+      Seq("signup", "view", "purchase"), maxGapSeconds = Some(86400L))
+
+  private val q56Sql =
+    """WITH s1 AS (
+         SELECT user_id, MIN(ts) AS t FROM events
+         WHERE event_type = 'signup' GROUP BY user_id),
+       s2 AS (
+         SELECT e.user_id, MIN(e.ts) AS t FROM events e
+         JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'view' AND e.ts > s1.t
+           AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000
+         GROUP BY e.user_id),
+       s3 AS (
+         SELECT e.user_id, MIN(e.ts) AS t FROM events e
+         JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > s2.t
+           AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000
+         GROUP BY e.user_id)
+       SELECT 1 AS step, 'signup' AS event_type, COUNT(*) AS n_users FROM s1
+       UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+       UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""
+
+  // ------------------------------------------------------------------
   // q55 — line-level exact dedup (extension: Dedup.stripDuplicateLines,
   // the C4/RefinedWeb boilerplate-removal step; the reference's record
   // model is the line, Protocol.hs:235-242). The fixture's documents are
@@ -1958,6 +1988,7 @@ object SparkEntry {
     "q53_profile" -> (q53 _),
     "q54_funnel" -> (q54 _),
     "q55_line_dedup" -> (q55 _),
+    "q56_funnel_window" -> (q56 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1986,6 +2017,7 @@ object SparkEntry {
     "q53_profile" -> q53Sql,
     "q54_funnel" -> q54Sql,
     "q55_line_dedup" -> q55Sql,
+    "q56_funnel_window" -> q56Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

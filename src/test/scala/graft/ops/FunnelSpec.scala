@@ -29,6 +29,42 @@ class FunnelSpec extends SparkSpec {
     assert(out == Set((1, "a", 4L), (2, "b", 2L), (3, "c", 1L)))
   }
 
+  test("conversion window excludes a slow converter; boundary event at " +
+      "exactly maxGap still counts") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: converts within 2 min — inside a 3-min window
+      (1L, ts(0), "a"), (1L, ts(2), "b"),
+      // user 2: converts after 10 min — outside the window
+      (2L, ts(0), "a"), (2L, ts(10), "b"),
+      // user 3: b at EXACTLY maxGap after a — (prev, prev+gap] includes it
+      (3L, ts(0), "a"), (3L, ts(3), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val windowed = Funnel.funnel(events, col("user_id"), col("ts"),
+        col("event_type"), Seq("a", "b"), maxGapSeconds = Some(180L))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(windowed == Set((1, 3L), (2, 2L)))
+    // without a window all three convert
+    val open = Funnel.funnel(events, col("user_id"), col("ts"),
+        col("event_type"), Seq("a", "b"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(open == Set((1, 3L), (2, 3L)))
+  }
+
+  test("first-touch attribution: a lapsed window does NOT re-open on a " +
+      "later previous-step event") {
+    import spark.implicits._
+    // a at :00 (window lapses), a again at :08, b at :09 — first-touch
+    // anchors on the :00 a, so the user does not convert
+    val events = Seq(
+      (1L, ts(0), "a"), (1L, ts(8), "a"), (1L, ts(9), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(events, col("user_id"), col("ts"),
+        col("event_type"), Seq("a", "b"), maxGapSeconds = Some(120L))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(out == Set((1, 1L), (2, 0L)))
+  }
+
   test("later same-type events can still advance a funnel (min-chaining)") {
     import spark.implicits._
     // b happens before AND after a: the later b must count
