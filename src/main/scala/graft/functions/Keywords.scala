@@ -43,8 +43,17 @@ object Keywords {
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"))
     // tf rows are distinct (id, term) pairs, so counting them per term
-    // IS the document frequency — no second pass over the token stream
-    val dfreq0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // IS the document frequency — no second pass over the token stream.
+    // count(when(tf > 0, 1)), NOT count(1): the values are identical
+    // (tf >= 1 by construction), but count(1) lets the optimizer prune
+    // the tf column and rewrite this consumer's copy of the aggregate
+    // into a distinct-only shape — a DIFFERENT subtree below the
+    // (id, term) exchange, which kills exchange reuse and runs the token
+    // explode + shuffle TWICE (a plain count(tf) gets normalized back to
+    // count(1) for never-null columns, so the dependency must be one
+    // Catalyst cannot see through). KeywordsSpec pins the reuse.
+    val dfreq0 = tf.groupBy("term")
+      .agg(count(when(col("tf") > 0, 1)).as("df"))
     val dfreq = if (broadcastVocab) broadcast(dfreq0) else dfreq0
     val n = broadcast(df.agg(count_distinct(idCol).as("n")))
     tf.join(dfreq, "term")

@@ -47,6 +47,35 @@ class KeywordsSpec extends SparkSpec {
     assert(out == Seq("a", "b", "c"))
   }
 
+  test("plan: the tf aggregate is computed ONCE — its exchange is reused " +
+      "by the dfreq consumer and the token explode appears once") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // tfidfTopTerms consumes the tf subtree twice (dfreq + the join);
+    // only exchange reuse keeps that from doubling the token-explode
+    // shuffle. This pins the single-computation property the way
+    // TopKByScoreSpec pins partial-agg-below-exchange — a column rename
+    // between the two consumers would break subtree identity and
+    // silently recompute (the VERDICT r5 hazard).
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Seq(
+        (1L, "p q p"), (2L, "q r"), (3L, "p r r s")).toDF("doc_id", "text")
+      val plan = Keywords.tfidfTopTerms(df, col("doc_id"), col("text"))
+        .queryExecution.executedPlan
+      val reused = plan.collect { case r: ReusedExchangeExec => r }
+      assert(reused.nonEmpty,
+        s"tf subtree duplicated — no ReusedExchange in plan:\n$plan")
+      // exactly 2 generators: ONE token explode + the final posexplode;
+      // a recomputed tf subtree would add a second token explode
+      val gens = plan.collect { case g: GenerateExec => g }
+      assert(gens.size == 2,
+        s"expected 2 Generate nodes (token explode + posexplode), " +
+          s"got ${gens.size}:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("broadcastVocab=false produces identical output") {
     import spark.implicits._
     val df = Seq(
