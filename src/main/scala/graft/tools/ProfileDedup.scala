@@ -59,6 +59,47 @@ object ProfileDedup {
       spark.stop(); return
     }
 
+    if (args.contains("decon")) {
+      import graft.dedup.Decontaminate
+      // corpus-sized test side: 5% of the corpus, false arm forced
+      val test = df.filter(col("doc_id") % 20 === 0)
+      def arms(): Unit = {
+        // A: current shape — LEFT join shuffles every (id, gram) row
+        time("A left-join false arm")(Decontaminate.contamination(
+          df, col("doc_id"), col("text"), test, col("doc_id"), col("text"),
+          n = 13, broadcastTest = false).count())
+        // B: restructured — n_shingles map-side, INNER join only for hits
+        val d = Decontaminate.tokenShingleDocs(df, col("doc_id"), col("text"), 13)
+        val t0 = Decontaminate.tokenShingleDocs(
+            test, col("doc_id"), col("text"), 13)
+          .select(explode(col("vms")).as("sh")).distinct()
+        val perDoc = d.select(col("id"), size(col("vms")).as("n_shingles"))
+        val hits = d.select(col("id"), explode(col("vms")).as("sh"))
+          .join(t0, Seq("sh"))
+          .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+        time("B inner-join restructure")(perDoc.join(hits, Seq("id"), "left")
+          .select(col("id"), col("n_shingles"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+          .count())
+        // C: B + driver bloom pre-filter on the corpus gram stream
+        val t1 = Decontaminate.tokenShingleDocs(
+            test, col("doc_id"), col("text"), 13)
+          .select(explode(col("vms")).as("sh")).distinct()
+        val nTest = time("C bloom: test gram count")(t1.count())
+        val bf = time("C bloom build")(
+          t1.stat.bloomFilter("sh", nTest, 0.01))
+        val bfB = spark.sparkContext.broadcast(bf)
+        val mightContain = udf((x: Long) => bfB.value.mightContain(x))
+        val hitsC = d.select(col("id"), explode(col("vms")).as("sh"))
+          .filter(mightContain(col("sh")))
+          .join(t1, Seq("sh"))
+          .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+        time("C bloom+inner")(perDoc.join(hitsC, Seq("id"), "left").count())
+      }
+      arms(); println("[prof] ---- second pass (warm) ----"); arms()
+      spark.stop(); return
+    }
+
     time("FULL minhashLsh cold")(graft.dedup.Dedup.minhashLsh(
       df, col("doc_id"), col("text"), 8, 12, 3, 0.3, Int.MaxValue).count())
     time("FULL minhashLsh warm")(graft.dedup.Dedup.minhashLsh(
