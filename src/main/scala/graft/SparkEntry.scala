@@ -1855,6 +1855,71 @@ object SparkEntry {
        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""
 
   // ------------------------------------------------------------------
+  // q57 — product-quantized cosine top-k (extension: Similarity.pqTopK):
+  // m=8 subspaces x ksub=16 md5-seeded codebook entries, asymmetric
+  // distance scoring. The oracle re-derives the codebooks (seed rows =
+  // md5-ordered LIMIT 16, sliced per subspace), re-encodes every corpus
+  // vector (argmin L2, ties to the lower index), and mirrors the ADC
+  // fold nesting exactly: per-subspace 8-term left folds, then an
+  // s-ordered fold of the m subspace values.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.pqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10,
+      m = 8, ksub = 16, trainIters = 0)
+  }
+
+  private val q57Sql =
+    """WITH v AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+         FROM embeddings),
+       seed AS (
+         SELECT CAST(row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS c,
+           e AS ce
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       cb AS (
+         SELECT t.s, seed.c,
+           [ce[t.s*8 + j] for j in range(1, 9)] AS ent
+         FROM seed CROSS JOIN range(0, 8) t(s)),
+       enc AS (
+         SELECT vec_id, s, ent FROM (
+           SELECT v.vec_id, cb.s, cb.c, cb.ent,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+               list_sum([(v.e[cb.s*8 + j] - cb.ent[j]) *
+                         (v.e[cb.s*8 + j] - cb.ent[j])
+                         for j in range(1, 9)]) ASC, cb.c ASC) AS r
+           FROM v CROSS JOIN cb) WHERE r = 1),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       parts AS (
+         SELECT q.query_id, enc.vec_id AS corpus_id, enc.s,
+           list_sum([q.qe[enc.s*8 + j] * enc.ent[j]
+                     for j in range(1, 9)]) AS sdot,
+           list_sum([enc.ent[j] * enc.ent[j]
+                     for j in range(1, 9)]) AS snorm
+         FROM q CROSS JOIN enc WHERE q.query_id <> enc.vec_id),
+       agg AS (
+         SELECT query_id, corpus_id,
+           list_sum(list(sdot ORDER BY s)) AS dot,
+           list_sum(list(snorm ORDER BY s)) AS rnorm2
+         FROM parts GROUP BY query_id, corpus_id),
+       qn AS (
+         SELECT query_id,
+           sqrt(list_sum([qe[i]*qe[i] for i in range(1, 65)])) AS qnorm
+         FROM q),
+       scored AS (
+         SELECT a.query_id, a.corpus_id,
+           CASE WHEN a.rnorm2 > 0 AND qn.qnorm > 0
+                THEN a.dot / (qn.qnorm * sqrt(a.rnorm2)) ELSE 0.0 END AS sim
+         FROM agg a JOIN qn USING (query_id))
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -1989,6 +2054,7 @@ object SparkEntry {
     "q54_funnel" -> (q54 _),
     "q55_line_dedup" -> (q55 _),
     "q56_funnel_window" -> (q56 _),
+    "q57_pq_topk" -> (q57 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2018,6 +2084,7 @@ object SparkEntry {
     "q54_funnel" -> q54Sql,
     "q55_line_dedup" -> q55Sql,
     "q56_funnel_window" -> q56Sql,
+    "q57_pq_topk" -> q57Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -504,6 +504,255 @@ object Similarity extends Serializable {
         .select("query_id", "corpus_id", "sim"), k)
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids
+    * each, every centroid a `dsub = dim/m`-dim vector. Seeded from the
+    * `ksub` corpus vectors with lexicographically smallest
+    * (md5(id), id) — the same content-addressed discipline as
+    * `trainKmeans`, one seed ROW shared by all subspaces — then
+    * optionally refined with Lloyd iterations over ALL subspaces in ONE
+    * corpus pass per iteration: the kernel assigns each vector's m
+    * subvectors to their nearest (L2, ties to the lower index) centroids
+    * and accumulates 2^20 fixed-point sums per (subspace, centroid) —
+    * exact, order-independent, the NOTES.md convention — so the driver
+    * combines O(partitions * m * ksub) bounded rows per iteration and
+    * an oracle can reproduce the training bit-for-bit.
+    */
+  private def trainPqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.types._
+    val seeds: Array[Array[Double]] = corpus
+      .select(col(idCol).as("oid"), col(vecCol).as("ce"))
+      .orderBy(md5(col("oid").cast("string")), col("oid"))
+      .limit(ksub)
+      .collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    require(seeds.length == ksub,
+      s"corpus has fewer than ksub=$ksub vectors")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+
+    // codebooks(s)(c) = centroid c of subspace s
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
+      (s, c) => seeds(c).slice(s * dsub, (s + 1) * dsub)
+    }
+
+    val proj = corpus.select(col(vecCol).as("v"))
+    val partialSchema = StructType(Seq(
+      StructField("sub", IntegerType, false),
+      StructField("cent", IntegerType, false),
+      StructField("sums", ArrayType(LongType, false), false),
+      StructField("cnt", LongType, false)))
+    val penc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(partialSchema)
+
+    var it = 0
+    while (it < iters) {
+      val cur = cbs
+      val partials = proj.mapPartitions { rows =>
+        val sums = Array.fill(m, ksub)(null: Array[Long])
+        val cnts = Array.fill(m, ksub)(0L)
+        rows.foreach { r =>
+          val v = r.getSeq[Float](0)
+          if (v.length == dim) {
+            var s = 0
+            while (s < m) {
+              val best = nearestSubCentroid(v, s * dsub, dsub, cur(s))
+              if (sums(s)(best) == null) sums(s)(best) = new Array[Long](dsub)
+              val acc = sums(s)(best)
+              var j = 0
+              while (j < dsub) {
+                val x = v(s * dsub + j).toDouble * KmeansScale
+                acc(j) +=
+                  (if (x >= 0) math.floor(x + 0.5)
+                   else math.ceil(x - 0.5)).toLong
+                j += 1
+              }
+              cnts(s)(best) += 1
+              s += 1
+            }
+          }
+        }
+        for {
+          s <- (0 until m).iterator
+          c <- (0 until ksub).iterator
+          if cnts(s)(c) > 0
+        } yield org.apache.spark.sql.Row(
+          s, c, sums(s)(c).toIndexedSeq, cnts(s)(c))
+      }(penc).collect()
+
+      val totSums = Array.fill(m, ksub)(null: Array[Long])
+      val totCnts = Array.fill(m, ksub)(0L)
+      partials.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1)
+        val ss = r.getSeq[Long](2); val n = r.getLong(3)
+        if (totSums(s)(c) == null) totSums(s)(c) = new Array[Long](dsub)
+        var j = 0
+        while (j < dsub) { totSums(s)(c)(j) += ss(j); j += 1 }
+        totCnts(s)(c) += n
+      }
+      cbs = Array.tabulate(m, ksub) { (s, c) =>
+        if (totCnts(s)(c) == 0) cur(s)(c)
+        else totSums(s)(c).map(_.toDouble / totCnts(s)(c) / KmeansScale.toDouble)
+      }
+      it += 1
+    }
+    cbs
+  }
+
+  /** Nearest centroid of one subspace slice by L2 distance (left-fold
+    * double sum — the order every engine reproduces), ties to the lower
+    * centroid index.
+    */
+  private def nearestSubCentroid(
+      v: Seq[Float], off: Int, dsub: Int,
+      cb: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cb.length) {
+      val ent = cb(c)
+      var d = 0.0; var j = 0
+      while (j < dsub) {
+        val diff = v(off + j).toDouble - ent(j)
+        d += diff * diff; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cosine top-k over the product-quantized space — the next memory
+    * lever after `quantizedTopK`'s int8: a 64-dim float vector (256 B)
+    * becomes `m` byte codes (8 B at m=8) — 32x more corpus per
+    * executor — and scoring is an O(m) table lookup per candidate
+    * (asymmetric distance: the query stays full-precision, the corpus
+    * side is its reconstruction from per-subspace codebooks).
+    *
+    * sim(q, x) ≈ cos(q, x̂) where x̂ concatenates the chosen codebook
+    * entries: dot(q, x̂) and |x̂|² both decompose per subspace, so the
+    * kernel folds m table entries IN SUBSPACE ORDER (and each table
+    * entry is a dsub-element left fold) — the nested summation an
+    * oracle mirrors term for term. Per-query lookup tables build once
+    * per (partition, query) and cost m*ksub*dsub multiplies — amortized
+    * over the partition's corpus rows.
+    *
+    * Coarse pruning is deliberately NOT fused in here: compose with
+    * `ivfTopK`'s assignment when the corpus outgrows even the PQ codes
+    * (probe-then-rerank); this operator is the `quantizedTopK`
+    * counterpart, same broadcast-queries brute-scan shape, 8x denser.
+    * Residual encoding (PQ over v - coarse_centroid) is the classic
+    * next refinement; it needs the per-(centroid, subspace, code) cross
+    * tables documented in the IVF-PQ literature and is left until a
+    * corpus needs it.
+    *
+    * @param m    number of subspaces (dim % m == 0)
+    * @param ksub codebook size per subspace (<= 127: codes ride signed
+    *             bytes)
+    * @param trainIters Lloyd refinement passes over the corpus (0 =
+    *   md5-seeded codebooks only — the deterministic, oracle-friendly
+    *   default; training improves recall, see SimilaritySpec)
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16,
+      trainIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(ksub >= 1 && ksub <= 127, s"ksub must be in [1, 127], got $ksub")
+    require(m >= 1, s"m must be >= 1, got $m")
+    val spark = corpus.sparkSession
+    val cbs = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, trainIters)
+    val dsub = cbs(0)(0).length
+    val dim = m * dsub
+    // |codebook entry|^2 per (s, c): left fold, driver-side once
+    val normTab: Array[Array[Double]] = Array.tabulate(m, ksub) { (s, c) =>
+      val ent = cbs(s)(c)
+      var acc = 0.0; var j = 0
+      while (j < dsub) { acc += ent(j) * ent(j); j += 1 }
+      acc
+    }
+
+    // encode: map-only kernel, m byte codes per corpus vector
+    val cIn = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .repartition(spark.sparkContext.defaultParallelism, col("corpus_id"))
+    val encSchema = StructType(Seq(
+      cIn.schema("corpus_id"),
+      StructField("codes", ArrayType(ByteType, false), false)))
+    val enc0 = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(encSchema)
+    val encoded = cIn.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = r.getSeq[Float](1)
+        if (v.length != dim) Iterator.empty
+        else {
+          val codes = new Array[Byte](m)
+          var s = 0
+          while (s < m) {
+            codes(s) = nearestSubCentroid(v, s * dsub, dsub, cbs(s)).toByte
+            s += 1
+          }
+          Iterator(org.apache.spark.sql.Row(r.get(0), codes.toIndexedSeq))
+        }
+      }
+    }(enc0)
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val joined = encoded.join(broadcast(q),
+      col("query_id") =!= col("corpus_id"))
+    val ci = joined.schema.fieldIndex("corpus_id")
+    val cdi = joined.schema.fieldIndex("codes")
+    val qi = joined.schema.fieldIndex("query_id")
+    val qvi = joined.schema.fieldIndex("qv")
+    val scoredSchema = StructType(Seq(
+      joined.schema("query_id"), joined.schema("corpus_id"),
+      StructField("sim", DoubleType, false)))
+    val senc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(scoredSchema)
+    val scored = joined.mapPartitions { rows =>
+      // per-query ADC tables, built once per (partition, query):
+      // dotTab(s)(c) = dot(q_sub[s], codebook[s][c]) (dsub left fold)
+      val luts = new java.util.HashMap[Any, (Array[Array[Double]], Double)]()
+      rows.map { r =>
+        val qid = r.get(qi)
+        var lut = luts.get(qid)
+        if (lut == null) {
+          val qv = r.getSeq[Float](qvi)
+          val dotTab = Array.tabulate(m, ksub) { (s, c) =>
+            val ent = cbs(s)(c)
+            var acc = 0.0; var j = 0
+            while (j < dsub) { acc += qv(s * dsub + j).toDouble * ent(j); j += 1 }
+            acc
+          }
+          var qn = 0.0; var i = 0
+          while (i < qv.length) {
+            val x = qv(i).toDouble; qn += x * x; i += 1
+          }
+          lut = (dotTab, math.sqrt(qn))
+          luts.put(qid, lut)
+        }
+        val codes = r.getSeq[Byte](cdi)
+        // fold subspaces IN ORDER — the oracle's list_sum over the
+        // s-ordered per-subspace values
+        var dot = 0.0; var rn2 = 0.0
+        var s = 0
+        while (s < m) {
+          val c = codes(s).toInt
+          dot += lut._1(s)(c)
+          rn2 += normTab(s)(c)
+          s += 1
+        }
+        // zero-norm guard mirrors withQuantCosine (and the oracle's CASE)
+        val sim =
+          if (rn2 > 0 && lut._2 > 0) dot / (lut._2 * math.sqrt(rn2))
+          else 0.0
+        org.apache.spark.sql.Row(qid, r.get(ci), sim)
+      }
+    }(senc)
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH bucketing: bucket every
     * vector across `tables` signatures, pair within buckets (id1 < id2),
     * verify exact cosine ≥ threshold. The LSH stage keeps the pair space

@@ -86,6 +86,35 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.4, s"trained recall too low: $trained")
   }
 
+  test("pqTopK: product-quantized recall vs exact, vs int8, and " +
+      "trained-vs-seeded codebooks") {
+    val q = emb.filter(col("vec_id") % 5 === 0) // 100 queries: stable recall
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Set[(Long, Long)]): Double =
+      (exact intersect rows).size.toDouble / exact.size
+    val int8 = recallOf(
+      Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    def pqAt(iters: Int): Double = recallOf(
+      Similarity.pqTopK(emb, q, "vec_id", "embedding", 10,
+        m = 8, ksub = 16, trainIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val seeded = pqAt(0)
+    val trained = pqAt(2)
+    info(f"recall@10 — int8: $int8%.3f, pq seeded: $seeded%.3f, " +
+      f"pq trained: $trained%.3f")
+    // PQ compresses 8x beyond int8 (8 B vs 64 B per vector): its recall
+    // must be below int8's near-exact codes but far above chance
+    // (10 of 500 random ids ≈ 0.02)
+    assert(int8 > trained,
+      s"int8 should out-recall the 8x-lossier PQ: $int8 <= $trained")
+    assert(trained >= 0.2, s"trained PQ recall too low: $trained")
+    // Lloyd refinement moves codebooks onto the data's density
+    assert(trained > seeded,
+      s"PQ training did not improve recall: $trained <= $seeded")
+  }
+
   test("quantizedTopK: int8 codes keep high recall vs exact cosine") {
     val q = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
