@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   *    there over the dict only — the corpus is never touched again.
   *    This is the bounded-collect idiom (IVF centroids, Prefix
   *    offsets): the dict IS the sufficient statistic for BPE. The loop
-  *    recounts pairs over the whole dict each iteration — the SIMPLE
-  *    O(numMerges x dict-chars) variant, plenty for moderate merge
-  *    counts; for numMerges in the tens of thousands over a 2^20-word
-  *    dict, switch to the incremental-update formulation (maintain
-  *    pair counts, adjust only words containing the merged pair).
+  *    is the INCREMENTAL formulation: pair counts build once, then
+  *    each merge touches only the words that contain the merged pair
+  *    (tracked in a pair → word-indices posting map) and applies count
+  *    deltas — per-iteration cost scales with the merged pair's
+  *    support, not the whole dict, which is what makes tens of
+  *    thousands of merges over a 2^20-word dict a driver-side loop
+  *    instead of a job. BpeSpec pins equivalence against the naive
+  *    recount-every-iteration model.
   *  - `tokenize`: map-only kernel with the (small) merge table in the
   *    task closure; each word re-tokenizes greedily by merge rank.
   *    Fuses into the scan; nothing shuffles.
@@ -55,24 +58,38 @@ object Bpe extends Serializable {
       dict.map(_._1.map(_.toString).toArray)
     val counts: Array[Long] = dict.map(_._2)
 
+    // Incremental state: total pair counts + a posting map from pair to
+    // the indices of dict words currently containing it. Built once;
+    // each merge only touches the merged pair's postings.
+    val pairCounts = new java.util.HashMap[Merge, Long]()
+    val postings = new java.util.HashMap[Merge, java.util.HashSet[Integer]]()
+    def addWordPairs(i: Int, sign: Long): Unit = {
+      val w = words(i); val c = counts(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        val n = pairCounts.merge(p, sign * c, java.lang.Long.sum)
+        if (n == 0L) pairCounts.remove(p)
+        if (sign > 0)
+          postings.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+            .add(i)
+        j += 1
+      }
+      // stale postings (a word that no longer holds the pair) are fine:
+      // applyMerge no-ops on them and they never affect pairCounts
+    }
+    var i = 0
+    while (i < words.length) { addWordPairs(i, 1L); i += 1 }
+
     val merges = Vector.newBuilder[Merge]
     var m = 0
     var done = false
     while (m < numMerges && !done) {
-      val pairCounts = new java.util.HashMap[Merge, Long]()
-      var i = 0
-      while (i < words.length) {
-        val w = words(i); val c = counts(i)
-        var j = 0
-        while (j < w.length - 1) {
-          pairCounts.merge((w(j), w(j + 1)), c, java.lang.Long.sum)
-          j += 1
-        }
-        i += 1
-      }
       if (pairCounts.isEmpty) done = true
       else {
-        // deterministic argmax: count desc, then pair lexicographic asc
+        // deterministic argmax: count desc, then pair lexicographic asc.
+        // A scan over live pairs — already ≪ dict-chars; a heap would
+        // need stale-entry laundering for the same order guarantees.
         var best: Merge = null; var bestC = -1L
         val it = pairCounts.entrySet().iterator()
         while (it.hasNext) {
@@ -84,11 +101,22 @@ object Bpe extends Serializable {
           }
         }
         merges += best
-        i = 0
-        while (i < words.length) {
-          words(i) = applyMerge(words(i), best)
-          i += 1
+        // only words holding `best` change; retract their old pair
+        // counts, merge, re-add the new ones
+        val hosts = postings.remove(best)
+        if (hosts != null) {
+          val hit = hosts.iterator()
+          while (hit.hasNext) {
+            val wi = hit.next().intValue()
+            val merged = applyMerge(words(wi), best)
+            if (merged ne words(wi)) { // eq = stale posting, untouched
+              addWordPairs(wi, -1L)
+              words(wi) = merged
+              addWordPairs(wi, 1L)
+            }
+          }
         }
+        pairCounts.remove(best) // defensive: all hosts retracted it
         m += 1
       }
     }

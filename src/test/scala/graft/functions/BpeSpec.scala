@@ -38,6 +38,56 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge loop == the naive recount-every-iteration model") {
+    // plain-Scala reference: full pair recount each iteration, the
+    // formulation the incremental loop replaced
+    def naiveTrain(dict: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+      val words = dict.map(_._1.map(_.toString).toArray).toArray
+      val counts = dict.map(_._2).toArray
+      val out = Vector.newBuilder[(String, String)]
+      var m = 0; var done = false
+      while (m < numMerges && !done) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        for (i <- words.indices; j <- 0 until words(i).length - 1)
+          pc((words(i)(j), words(i)(j + 1))) =
+            pc.getOrElse((words(i)(j), words(i)(j + 1)), 0L) + counts(i)
+        if (pc.isEmpty) done = true
+        else {
+          val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += best
+          for (i <- words.indices) {
+            var k = 0; val w = words(i)
+            val buf = scala.collection.mutable.ArrayBuffer[String]()
+            while (k < w.length) {
+              if (k < w.length - 1 && w(k) == best._1 && w(k + 1) == best._2) {
+                buf += w(k) + w(k + 1); k += 2
+              } else { buf += w(k); k += 1 }
+            }
+            words(i) = buf.toArray
+          }
+          m += 1
+        }
+      }
+      out.result()
+    }
+    import spark.implicits._
+    // adversarial dict: repeated-char runs (overlapping pairs), shared
+    // prefixes/suffixes, a singleton — the cases where stale postings
+    // or bad retraction deltas would diverge
+    val corpus = Seq(
+      "aaaa aaa banana banana bandana low lower lowest",
+      "aaaa banana bananas abcabcabc low low")
+    val df = corpus.toDF("text")
+    val dict = corpus.flatMap(_.split(" ")).groupBy(identity).toSeq
+      .map { case (w, g) => (w, g.size.toLong) }
+      .sortBy { case (w, c) => (-c, w) }
+    for (n <- Seq(0, 1, 5, 12, 40)) {
+      val inc = Bpe.train(df, col("text"), n)
+      val ref = naiveTrain(dict, n)
+      assert(inc == ref, s"divergence at numMerges=$n: $inc vs $ref")
+    }
+  }
+
   test("zero merges = character tokenization; training is deterministic " +
       "across partitionings") {
     import spark.implicits._
