@@ -1920,6 +1920,60 @@ object SparkEntry {
          FROM scored) WHERE rank <= 10"""
 
   // ------------------------------------------------------------------
+  // q58 — SemDeDup semantic dedup (extension: Similarity.semDedup,
+  // Abbas et al. 2023): ONE trained Lloyd iteration of spherical k-means
+  // (nlist=8, the q42 fixed-point discipline so the oracle reproduces
+  // every centroid bit-for-bit) partitions the embeddings; within each
+  // cell a vector with a LOWER-ID neighbor at cosine >= 0.35 is removed
+  // (single-hop min-id keep rule — deliberately non-transitive so the
+  // removal set is one SQL self-join). Output = removed rows with their
+  // keeper and the keeper-pair cosine.
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.semDedup(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.35, nlist = 8, trainIters = 1)
+      .withColumnRenamed("id", "vec_id")
+
+  private val q58Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       fx AS (SELECT vec_id, e, [CAST(round(x * 1048576.0) AS BIGINT) for x in e] AS f FROM v),
+       seed AS (
+         SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cent_id, e AS ce
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, f, cent_id FROM (
+           SELECT fx.vec_id, fx.f, s.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+               list_sum([fx.e[i] * s.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([fx.e[i] * fx.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([s.ce[i] * s.ce[i] for i in range(1, 65)]))) DESC,
+               s.cent_id ASC) AS r
+           FROM fx CROSS JOIN seed s) WHERE r = 1),
+       u1 AS (SELECT cent_id, unnest(f) AS xf, unnest(range(1, 65)) AS i FROM a1),
+       s1 AS (SELECT cent_id, i, SUM(xf) AS sf FROM u1 GROUP BY cent_id, i),
+       n1 AS (SELECT cent_id, COUNT(*) AS cnt FROM a1 GROUP BY cent_id),
+       m1 AS (SELECT s1.cent_id, list(CAST(sf AS DOUBLE) / cnt / 1048576.0 ORDER BY i) AS ce
+              FROM s1 JOIN n1 USING (cent_id) GROUP BY s1.cent_id),
+       c1 AS (SELECT sd.cent_id, COALESCE(m1.ce, sd.ce) AS ce FROM seed sd LEFT JOIN m1 USING (cent_id)),
+       asg AS (
+         SELECT vec_id, e, cent_id FROM (
+           SELECT v.vec_id, v.e, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum([v.e[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM v CROSS JOIN c1 c) WHERE r = 1),
+       p AS (
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_sum([a.e[i] * b.e[i] for i in range(1, 65)]) /
+             (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
+              sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))) AS sim
+         FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+       SELECT id2 AS vec_id, MIN(id1) AS dup_of, arg_min(sim, id1) AS sim
+       FROM p WHERE sim >= 0.35 GROUP BY id2"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2055,6 +2109,7 @@ object SparkEntry {
     "q55_line_dedup" -> (q55 _),
     "q56_funnel_window" -> (q56 _),
     "q57_pq_topk" -> (q57 _),
+    "q58_semdedup" -> (q58 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2085,6 +2140,7 @@ object SparkEntry {
     "q55_line_dedup" -> q55Sql,
     "q56_funnel_window" -> q56Sql,
     "q57_pq_topk" -> q57Sql,
+    "q58_semdedup" -> q58Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

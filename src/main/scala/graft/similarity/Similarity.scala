@@ -456,12 +456,35 @@ object Similarity extends Serializable {
     cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
   }
 
+  /** Tag each row with its `n` nearest centroids by (cosine desc,
+    * cent_id asc) — the shared assignment kernel of `ivfTopK` and
+    * `semDedup`. Map-only: centroids ride the task closure (a bounded
+    * driver statistic), no corpus×nlist shuffle ever materializes.
+    */
+  private def assignNearest(
+      df: DataFrame, cents: Array[(Long, Array[Double])],
+      vecIdx: Int, n: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema.add(StructField("cent_id", LongType, false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = r.getSeq[Float](vecIdx)
+        cents.map { case (cid, ce) => (cid, cosFD(v, ce)) }
+          .sortBy { case (cid, s) => (-s, cid) }
+          .take(n)
+          .map { case (cid, _) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cid) }
+      }
+    }(enc)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       trainIters: Int = 0): DataFrame = {
-    import org.apache.spark.sql.types._
     val spark = corpus.sparkSession
     val cents: Array[(Long, Array[Double])] =
       if (trainIters > 0) trainKmeans(corpus, idCol, vecCol, nlist, trainIters)
@@ -471,31 +494,13 @@ object Similarity extends Serializable {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
 
-    def cos(a: Seq[Float], c: Array[Double]): Double = cosFD(a, c)
-
-    // (vec, nearest-n centroid ids by (sim desc, cent_id asc))
-    def assignKernel(df: DataFrame, vecIdx: Int, n: Int): DataFrame = {
-      val schema = df.schema.add(StructField("cent_id", LongType, false))
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(schema)
-      df.mapPartitions { rows =>
-        rows.flatMap { r =>
-          val v = r.getSeq[Float](vecIdx)
-          cents.map { case (cid, ce) => (cid, cos(v, ce)) }
-            .sortBy { case (cid, s) => (-s, cid) }
-            .take(n)
-            .map { case (cid, _) =>
-              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cid) }
-        }
-      }(enc)
-    }
-
     val par = spark.sparkContext.defaultParallelism
-    val assigned = assignKernel(
+    val assigned = assignNearest(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-        .repartition(par, col("corpus_id")), 1, 1)
-    val probes = assignKernel(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), 1, nprobe)
+        .repartition(par, col("corpus_id")), cents, 1, 1)
+    val probes = assignNearest(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      cents, 1, nprobe)
 
     val candidates = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("corpus_id"))
@@ -812,5 +817,71 @@ object Similarity extends Serializable {
       "v1", "v2", "sim")
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
+  }
+
+  /** SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
+    * arXiv:2303.09540) over an embedding column: spherical k-means
+    * partitions the corpus into `nlist` cells (trained by `trainKmeans`'s
+    * exact fixed-point Lloyd pass, so every centroid — and therefore the
+    * whole removal set — is reproducible in any engine), then within each
+    * cell a document is REMOVED iff some LOWER-ID cell member sits at
+    * cosine ≥ `threshold`. That single-hop min-id keep rule is
+    * deliberately NOT transitive: removal never cascades through chains
+    * of barely-similar documents, and the removal set is expressible as
+    * one SQL self-join (oracle-able). A removed row's `dup_of` — the
+    * smallest qualifying keeper — may itself be removed; feed the pair
+    * stream to `Components.connectedComponents` when transitive cluster
+    * semantics are wanted instead.
+    *
+    * Returns removed rows only: (id, dup_of, sim), `sim` = cosine of the
+    * (dup_of, id) pair.
+    *
+    * Scale shape: the pair space is confined to k-means cells — size
+    * `nlist` like sqrt(corpus) or finer and cells stay bounded — and
+    * `Dedup.cappedBucketGroups` bounds every cell buffer regardless
+    * (metric "graft.semdedup"): an over-cap cell collapses to its
+    * deterministic (min,max) representative pair, so a giant cluster of
+    * true duplicates still surfaces its max-id member rather than
+    * silently vanishing. Centroids are a bounded driver statistic
+    * (hadron's runOnce idiom, /root/reference/src/Hadron/
+    * Controller.hs:724-725); assignment is map-only; the only shuffles
+    * are the ONE cell grouping and the two narrow (id, vec) verify
+    * joins.
+    *
+    * @param cacheCorpus persist the two-column (id, vec) projection
+    *   across its three uses (assignment + both verify joins). Same
+    *   default-off tradeoff as `nearDupPairs`: at corpus scale a cache
+    *   is a full materialization of the input.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      trainIters: Int = 1,
+      maxClusterSize: Int = 100000,
+      cacheCorpus: Boolean = false): DataFrame = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val spark = corpus.sparkSession
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+    val c = if (cacheCorpus) c0.cache() else c0
+    val cents = trainKmeans(corpus, idCol, vecCol, nlist, trainIters)
+    val buckets = assignNearest(c, cents, 1, 1)
+      .select(col("id"), col("cent_id").as("bucket"))
+    val grouped = graft.dedup.Dedup
+      .cappedBucketGroups(buckets, maxClusterSize, "graft.semdedup")
+    // each id lives in exactly ONE cell (n=1 assignment), so the pair
+    // stream is duplicate-free by construction — no DISTINCT shuffle
+    val pairs = graft.dedup.Dedup.emitPairs(grouped, c.schema("id").dataType)
+    withCosineKernel(pairs
+      .join(c.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(c.select(col("id").as("id2"), col("v").as("v2")), "id2"),
+      "v1", "v2", "sim")
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id2").as("id"))
+      .agg(
+        min(col("id1")).as("dup_of"),
+        min_by(col("sim"), col("id1")).as("sim"))
   }
 }

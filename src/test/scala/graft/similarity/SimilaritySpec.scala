@@ -181,6 +181,59 @@ class SimilaritySpec extends SparkSpec {
     assert(aggNodes <= 2, s"bucket grouping duplicated in plan:\n$plan")
   }
 
+  test("semDedup removes higher-id members of planted duplicate groups " +
+      "and keeps everything else") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 97 + i * 13).toFloat)
+    val rows = Seq(
+      (1L, vec(1)), (2L, vec(1)),                    // exact dup pair
+      (3L, vec(3)), (4L, vec(3).updated(0, vec(3)(0) + 0.01f)), // near dup
+      (5L, vec(5)), (6L, vec(6)), (7L, vec(7)))
+    val out = Similarity.semDedup(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9, nlist = 2, trainIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(2L -> 1L, 4L -> 3L))
+  }
+
+  test("semDedup keep rule is single-hop min-id, not transitive " +
+      "(a chain removes every non-head link, each blaming its neighbor)") {
+    import spark.implicits._
+    // unit-circle chain at 20 deg steps: cos(20) = 0.94 >= 0.9 links
+    // neighbors, cos(40) = 0.77 < 0.9 does NOT link A-C directly
+    def at(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat
+        else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val df = Seq((1L, at(0)), (2L, at(20)), (3L, at(40)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = 0.9, nlist = 1, trainIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 2 dups to 1; 3 is NOT within threshold of 1, so it blames 2 —
+    // which is itself removed. Transitive semantics = Components'.
+    assert(out == Map(2L -> 1L, 3L -> 2L))
+  }
+
+  test("semDedup caps hot cells to the representative pair; the loss " +
+      "is observable") {
+    import spark.implicits._
+    val hot = Array.tabulate(64)(i => (i + 1).toFloat)
+    val df = (1L to 50L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val capped = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = 0.9, nlist = 1, trainIters = 1, maxClusterSize = 10)
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == Map(50L -> 1L)) // (min,max) representative only
+    val m = capped.queryExecution.observedMetrics("graft.semdedup")
+    assert(m.getAs[Long]("capped_buckets") == 1L)
+    val full = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = 0.9, nlist = 1, trainIters = 1, cacheCorpus = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full == (2L to 50L).map(i => i -> 1L).toMap) // all blame id 1
+  }
+
   test("multimodal stub pipeline: features have the declared shape") {
     import spark.implicits._
     val df = Seq(
