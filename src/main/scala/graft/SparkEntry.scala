@@ -1974,6 +1974,53 @@ object SparkEntry {
        FROM p WHERE sim >= 0.35 GROUP BY id2"""
 
   // ------------------------------------------------------------------
+  // q59 — corpus-trained bigram LM quality scores (extension:
+  // LangModel.bigramLmScore, the CCNet/RedPajama perplexity-filter
+  // shape): train add-one-smoothed bigram stats on an 80% reference
+  // split, score EVERY document by mean smoothed bigram probability in
+  // exact 2^20 fixed-point — so held-out docs exercise the unseen-bigram
+  // smoothing arm and the oracle reproduces every score bit-for-bit
+  // (a log-space perplexity would be an unreproducible float fold).
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    graft.functions.LangModel.bigramLmScore(
+        train = d.filter(col("doc_id") % 10 < 8),
+        trainId = col("doc_id"), trainText = col("text"),
+        score = d, scoreId = col("doc_id"), scoreText = col("text"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q59Sql =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       bi AS (
+         SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+           unnest(tk[2:len(tk)]) AS w2
+         FROM tk WHERE len(tk) >= 2),
+       c12 AS (
+         SELECT w1, w2, COUNT(*) AS c12 FROM bi
+         WHERE doc_id % 10 < 8 GROUP BY w1, w2),
+       c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+       vv AS (
+         SELECT COUNT(DISTINCT w) AS v FROM
+           (SELECT unnest(tk) AS w FROM tk WHERE doc_id % 10 < 8)),
+       sc AS (
+         SELECT b.doc_id,
+           ((COALESCE(m.c12, 0) + 1) * 1048576)
+             // (COALESCE(c.c1, 0) + (SELECT v FROM vv)) AS fx
+         FROM bi b
+         LEFT JOIN c12 m ON b.w1 = m.w1 AND b.w2 = m.w2
+         LEFT JOIN c1 c ON b.w1 = c.w1)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(fx) AS BIGINT) AS lm_fx_sum,
+         CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 1048576.0 AS score
+       FROM sc GROUP BY doc_id"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2110,6 +2157,7 @@ object SparkEntry {
     "q56_funnel_window" -> (q56 _),
     "q57_pq_topk" -> (q57 _),
     "q58_semdedup" -> (q58 _),
+    "q59_bigram_lm" -> (q59 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2141,6 +2189,7 @@ object SparkEntry {
     "q56_funnel_window" -> q56Sql,
     "q57_pq_topk" -> q57Sql,
     "q58_semdedup" -> q58Sql,
+    "q59_bigram_lm" -> q59Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

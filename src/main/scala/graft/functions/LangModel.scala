@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model quality scoring — the CCNet /
+  * RedPajama filter shape (Wenzek et al. 2020 train a KenLM on clean text
+  * and rank web documents by perplexity; the reference's analog is any
+  * per-record scoring conduit, /root/reference/src/Hadron/Basic.hs
+  * mapper stage).
+  *
+  * graft's variant is a bigram model with add-one smoothing, scored in
+  * EXACT fixed-point arithmetic: each bigram contributes
+  *
+  *   fx(w1 w2) = floor((c(w1 w2) + 1) * 2^20 / (c(w1 ·) + V))
+  *
+  * (integer division, all longs), and a document's score is the mean fx
+  * over its bigrams, divided back by 2^20. A log-space perplexity would
+  * be a float fold in corpus order — unreproducible across engines and
+  * partitionings — while this sum is order-independent and bit-exact, so
+  * the whole operator is oracle-able. Per-bigram monotonicity vs the
+  * true smoothed probability is preserved (fx is a monotone function of
+  * p), so threshold-style filtering ranks documents the same way.
+  */
+object LangModel {
+
+  private val Scale = 1L << 20
+
+  /** (id, w1, w2) bigram stream of a corpus — adjacent `Text.tokens`
+    * pairs; documents with fewer than two tokens contribute nothing.
+    */
+  private def bigrams(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = Text.tokens(text)
+    df.select(id.as("id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("id"), col("b.w1"), col("b.w2"))
+  }
+
+  /** Score every `score` document by the mean smoothed bigram probability
+    * under a model trained on `train` (which may be the same DataFrame —
+    * self-scoring — or a clean reference corpus, the CCNet setup).
+    * Returns (id, n_bigrams, lm_fx_sum, score): the exact fixed-point sum,
+    * its bigram count, and score = sum / n / 2^20 as a double (one
+    * division order, mirrored by any oracle). Documents with fewer than
+    * two tokens have no bigrams and are absent from the output.
+    *
+    * Unseen bigrams smooth to fx = floor(2^20 / (c(w1 ·) + V)) — unseen
+    * CONTEXTS to floor(2^20 / V) — so cross-corpus scoring is total.
+    *
+    * Scale shape: the model is two aggregations of the TRAIN bigram
+    * stream (map-side partial agg; the unigram table derives from the
+    * bigram table, never a second corpus pass). V is a 1-row distinct
+    * count cross-joined as a broadcast — never a driver action. Scoring
+    * is one join of the score-side bigram stream against the model,
+    * shuffled on (w1, w2) by default; `broadcastModel` is the lever when
+    * the model fits executors (clean-reference training sets — the
+    * common CCNet case); `minBigramCount` prunes the model's long tail
+    * (hapax bigrams are most of a web-scale model's rows and smoothing
+    * already handles them as unseen), the same df-cap discipline as the
+    * Jaccard posting index.
+    */
+  def bigramLmScore(
+      train: DataFrame, trainId: Column, trainText: Column,
+      score: DataFrame, scoreId: Column, scoreText: Column,
+      minBigramCount: Long = 1L,
+      broadcastModel: Boolean = false): DataFrame = {
+    require(minBigramCount >= 1, s"minBigramCount must be >= 1")
+    val tbi = bigrams(train, trainId, trainText)
+    val c12 = tbi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context totals BEFORE pruning: the denominator stays the true
+    // bigram-start count, so pruning only zeroes numerators (= unseen)
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val model0 = if (minBigramCount > 1L)
+      c12.filter(col("c12") >= minBigramCount) else c12
+    val model = if (broadcastModel) broadcast(model0) else model0
+    // the context table is vocab-sized — strictly smaller than the model,
+    // so it inherits the model's broadcast decision
+    val ctx = if (broadcastModel) broadcast(c1) else c1
+    val vocab = broadcast(
+      train.select(explode(Text.tokens(trainText)).as("w"))
+        .agg(count_distinct(col("w")).as("v")))
+
+    bigrams(score, scoreId, scoreText)
+      .join(model, Seq("w1", "w2"), "left")
+      // every bigram needs its context total (unseen bigrams included),
+      // so c1 rides a separate narrow join, never the model rows
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .select(col("id"),
+        ((coalesce(col("c12"), lit(0L)) + 1L) * Scale).as("num"),
+        (coalesce(col("c1"), lit(0L)) + col("v")).as("den"))
+      .withColumn("fx", expr("num div den"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("fx")).as("lm_fx_sum"))
+      .withColumn("score",
+        col("lm_fx_sum").cast("double") / col("n_bigrams") / Scale.toDouble)
+  }
+}
