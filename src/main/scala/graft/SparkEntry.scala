@@ -2021,6 +2021,42 @@ object SparkEntry {
        FROM sc GROUP BY doc_id"""
 
   // ------------------------------------------------------------------
+  // q60 — corpus snapshot delta (extension: SnapshotDiff.diff):
+  // yesterday's release (doc_id % 10 <> 3) vs today's (doc_id % 10 <> 7,
+  // with every doc_id % 5 == 0 text mutated) — added/removed/changed
+  // rows only, joined as (id, md5) so the shuffle never moves documents.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val neu = d.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+    graft.ops.SnapshotDiff.diff(
+        d.filter(col("doc_id") % 10 =!= 3), col("doc_id"), col("text"),
+        neu, col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q60Sql =
+    """WITH o AS (
+         SELECT doc_id, md5(text) AS old_hash FROM documents
+         WHERE doc_id % 10 <> 3),
+       n AS (
+         SELECT doc_id,
+           md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END)
+             AS new_hash
+         FROM documents WHERE doc_id % 10 <> 7)
+       SELECT doc_id, status, old_hash, new_hash FROM (
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_hash IS DISTINCT FROM n.new_hash THEN 'changed'
+           END AS status,
+           o.old_hash, n.new_hash
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+       WHERE status IS NOT NULL"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2158,6 +2194,7 @@ object SparkEntry {
     "q57_pq_topk" -> (q57 _),
     "q58_semdedup" -> (q58 _),
     "q59_bigram_lm" -> (q59 _),
+    "q60_snapshot_diff" -> (q60 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2190,6 +2227,7 @@ object SparkEntry {
     "q57_pq_topk" -> q57Sql,
     "q58_semdedup" -> q58Sql,
     "q59_bigram_lm" -> q59Sql,
+    "q60_snapshot_diff" -> q60Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
