@@ -2057,6 +2057,44 @@ object SparkEntry {
        WHERE status IS NOT NULL"""
 
   // ------------------------------------------------------------------
+  // q61 — concat-and-chop sequence packing (extension:
+  // Prefix.packSequences): the corpus concatenated in doc_id order is
+  // cut into 256-token training sequences, documents chopped at
+  // sequence boundaries — every sequence except the last is exactly
+  // full. Output = one span per (document, sequence) crossing. The
+  // oracle replays the same integer span math over a window cumsum
+  // (the single-partition plan packSequences' two-pass prefix replaces).
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.tokenCount(coalesce(col("text"), lit(""))).as("tok"))
+    graft.ops.Prefix.packSequences(d, "doc_id", "tok", 256L)
+      .select("doc_id", "seq_id", "tok_from", "tok_to", "seq_off")
+  }
+
+  private val q61Sql =
+    """WITH tc AS (
+         SELECT doc_id,
+           len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+             x -> x <> '')) AS tok
+         FROM documents),
+       rt AS (
+         SELECT doc_id, tok,
+           CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS run
+         FROM tc),
+       sp AS (SELECT doc_id, run - tok AS s, run AS e FROM rt WHERE tok > 0),
+       x AS (
+         SELECT doc_id, s, e,
+           unnest(generate_series(s // 256, (e - 1) // 256)) AS seq_id
+         FROM sp)
+       SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+         CAST(greatest(seq_id * 256, s) - s AS BIGINT) AS tok_from,
+         CAST(least((seq_id + 1) * 256, e) - s AS BIGINT) AS tok_to,
+         CAST(greatest(seq_id * 256, s) - seq_id * 256 AS BIGINT) AS seq_off
+       FROM x"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2195,6 +2233,7 @@ object SparkEntry {
     "q58_semdedup" -> (q58 _),
     "q59_bigram_lm" -> (q59 _),
     "q60_snapshot_diff" -> (q60 _),
+    "q61_seq_packing" -> (q61 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2228,6 +2267,7 @@ object SparkEntry {
     "q58_semdedup" -> q58Sql,
     "q59_bigram_lm" -> q59Sql,
     "q60_snapshot_diff" -> q60Sql,
+    "q61_seq_packing" -> q61Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

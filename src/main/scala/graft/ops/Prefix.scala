@@ -119,4 +119,49 @@ object Prefix {
         floor((col("__run") - col(tokenCol)) / budget).cast("long"))
       .drop("__run")
   }
+
+  /** Concat-and-chop sequence packing — the training-batch layout step:
+    * documents concatenated in `orderCol` order are cut into fixed
+    * `seqLen`-token sequences, documents CHOPPED at sequence boundaries
+    * (unlike `packIntoShards`, which lets a shard overflow to keep
+    * documents whole). Every sequence except the last is exactly full —
+    * zero padding waste, the standard LM pre-training layout.
+    *
+    * Each output row is one span: document `orderCol`'s tokens
+    * [tok_from, tok_to) (0-based, exclusive end, in DOCUMENT coords)
+    * land in sequence `seq_id` at offset `seq_off`. A document crossing
+    * k boundaries emits k+1 rows; zero-token documents emit nothing.
+    * All span arithmetic is integer (long `div`), a pure function of
+    * the running total — deterministic and engine-portable given a
+    * unique `orderCol`.
+    *
+    * Scale shape: `runningTotal`'s range exchange + O(partitions)
+    * driver offsets, then map-only span math; per-doc fan-out is
+    * ceil(tokens/seqLen)+1 rows, bounded. Nothing buffers a sequence's
+    * documents together — materializing actual packed sequences is the
+    * downstream writer's group-by, which this span table feeds with one
+    * narrow (seq_id-keyed) shuffle.
+    */
+  def packSequences(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      seqLen: Long,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    runningTotal(df, orderCol, tokenCol, "__run", storageLevel)
+      .filter(col(tokenCol) > 0)
+      .withColumn("__s", col("__run") - col(tokenCol).cast("long"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__s div ${seqLen}L"),
+        expr(s"(__run - 1) div ${seqLen}L"))))
+      .withColumn("tok_from",
+        greatest(col("seq_id") * seqLen, col("__s")) - col("__s"))
+      .withColumn("tok_to",
+        least((col("seq_id") + 1) * seqLen, col("__run")) - col("__s"))
+      .withColumn("seq_off",
+        greatest(col("seq_id") * seqLen, col("__s")) - col("seq_id") * seqLen)
+      .drop("__run", "__s")
+  }
 }

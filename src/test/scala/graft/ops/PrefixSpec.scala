@@ -59,6 +59,42 @@ class PrefixSpec extends SparkSpec {
     assert(out(3L) == 5L) // starts at 550
   }
 
+  test("packSequences chops the concatenated corpus into exactly full " +
+      "sequences (model equivalence vs a sequential packer)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val docs = (1L to 120L).map(i => (i, rng.nextInt(40))) // incl. len 0
+    val L = 32L
+    val out = Prefix.packSequences(
+        rng.shuffle(docs).toDF("id", "tok").repartition(9), "id", "tok", L)
+      .select("id", "seq_id", "tok_from", "tok_to", "seq_off")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+    // sequential reference: walk docs in id order, chop at L boundaries
+    var pos = 0L
+    val expected = docs.sortBy(_._1).flatMap { case (id, tok) =>
+      val spans = scala.collection.mutable.Buffer
+        .empty[(Long, Long, Long, Long, Long)]
+      var off = 0L
+      while (off < tok) {
+        val seq = (pos + off) / L
+        val take = math.min(tok - off, (seq + 1) * L - (pos + off))
+        spans += ((id, seq, off, off + take, (pos + off) % L))
+        off += take
+      }
+      pos += tok
+      spans
+    }
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == expected)
+    // every sequence except the last is exactly full
+    val bySeq = out.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val last = bySeq.keys.max
+    assert(bySeq.filter(_._1 != last).values.forall(_ == L))
+  }
+
   test("non-integral token values are rejected") {
     import spark.implicits._
     val df = Seq((1L, 1.5)).toDF("doc_id", "tok")
