@@ -2095,6 +2095,41 @@ object SparkEntry {
        FROM x"""
 
   // ------------------------------------------------------------------
+  // q62 — winnowing fingerprint near-dup pairs (extension:
+  // Dedup.winnowPairs, the MOSS algorithm): hash every char 20-gram,
+  // keep each 8-window's minimum (ties to earliest position via the
+  // packed (hash<<20|pos) encoding), pair documents sharing >= 2
+  // selected hashes — the substring-level detector MinHash dilutes.
+  // The cap cannot bind at test scale (maxBucketSize > corpus), so the
+  // oracle mirrors only the uncapped arm.
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.winnowPairs(
+      t(s, dir, "documents"),
+      col("doc_id"), coalesce(col("text"), lit("")),
+      k = 20, w = 8, minShared = 2L, maxBucketSize = 100000)
+
+  private val q62Sql =
+    """WITH g AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+       c AS (
+         SELECT doc_id,
+           [ CAST(list_sum([(strpos('0123456789abcdef', substr(md5(substr(t, i, 20)), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) * 1048576 + (i - 1)
+             for i in range(1, len(t) - 20 + 2) ] AS comb
+         FROM g WHERE len(t) >= 20),
+       sel AS (
+         SELECT doc_id, CASE WHEN len(comb) >= 8
+           THEN list_distinct([ list_min(comb[s:s+7])
+                                for s in range(1, len(comb) - 8 + 2) ])
+           ELSE [list_min(comb)] END AS fps
+         FROM c),
+       fh AS (
+         SELECT DISTINCT doc_id, unnest(fps) // 1048576 AS fh FROM sel),
+       p AS (
+         SELECT a.doc_id AS id1, b.doc_id AS id2
+         FROM fh a JOIN fh b ON a.fh = b.fh AND a.doc_id < b.doc_id)
+       SELECT id1, id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM p GROUP BY id1, id2 HAVING COUNT(*) >= 2"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2234,6 +2269,7 @@ object SparkEntry {
     "q59_bigram_lm" -> (q59 _),
     "q60_snapshot_diff" -> (q60 _),
     "q61_seq_packing" -> (q61 _),
+    "q62_winnow_pairs" -> (q62 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2268,6 +2304,7 @@ object SparkEntry {
     "q59_bigram_lm" -> q59Sql,
     "q60_snapshot_diff" -> q60Sql,
     "q61_seq_packing" -> q61Sql,
+    "q62_winnow_pairs" -> q62Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -836,4 +836,70 @@ object Dedup {
       }
     }(enc)
   }
+
+  /** Positions are packed into the low 20 bits of a winnowing
+    * fingerprint, hashes into the bits above — min over a window then
+    * picks (smallest hash, smallest position), one comparison.
+    */
+  private val WinnowPosCap = 1L << 20
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every char k-gram in position order, slide
+    * a `w`-hash window, keep each window's minimum (ties to the earliest
+    * position), dedupe. Guarantees: any shared substring of length
+    * ≥ k + w - 1 yields at least one shared selected hash, while only
+    * ~2/(w+1) of gram hashes are kept — an order-of-magnitude smaller
+    * posting volume than the full n-gram inverted index for the same
+    * detection floor. Documents shorter than one window keep their
+    * global minimum; shorter than k select nothing.
+    *
+    * Pure Column expressions (hash = `Hashing.md5Mod`, engine-portable),
+    * packed as (hash << 20 | pos) so window-min is ONE `array_min`.
+    * Position capacity is [[WinnowPosCap]] grams per document — beyond
+    * that, chunk the document first (doc-level operators here assume
+    * bounded docs, same contract as the shingle kernels).
+    */
+  private[graft] def winnowSelect(text: Column, k: Int, w: Int): Column = {
+    val comb = transform(Text.charShingles(text, k),
+      (g, i) => Hashing.md5Mod(g) * WinnowPosCap + i)
+    when(size(comb) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(comb) - w),
+        s => array_min(slice(comb, s + 1, lit(w))))))
+      .otherwise(when(size(comb) >= 1, array(array_min(comb)))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
+  /** Near-duplicate candidate pairs by shared winnowing fingerprints:
+    * (id1 < id2, n_shared) for every pair sharing at least `minShared`
+    * selected hashes. The substring-level detector of the dedup family —
+    * catches documents sharing long literal runs (boilerplate, quoted
+    * text, plagiarized passages) that whole-document MinHash dilutes
+    * below its threshold.
+    *
+    * Scale shape: selection is map-only; the posting stream is the
+    * winnowed ~2/(w+1) fraction of grams; grouping is THE shared
+    * capped-bucket primitive (metric "graft.winnow") — a fingerprint
+    * shared by a corpus-wide boilerplate string is exactly the hot
+    * bucket the cap bounds, contributing its (min,max) representative
+    * (counted as ONE shared hash) instead of a quadratic pair set.
+    * Mirror both arms in any oracle when the cap can bind.
+    */
+  def winnowPairs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 20, w: Int = 8,
+      minShared: Long = 2L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val sel = df.select(idCol.as("id"),
+      winnowSelect(textCol, k, w).as("fps"))
+    val buckets = sel.select(col("id"),
+      explode(array_distinct(
+        transform(col("fps"), c => shiftright(c, 20)))).as("bucket"))
+    val grouped = cappedBucketGroups(buckets, maxBucketSize, "graft.winnow")
+    emitPairs(grouped, sel.schema("id").dataType)
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }
