@@ -2130,6 +2130,78 @@ object SparkEntry {
        FROM p GROUP BY id1, id2 HAVING COUNT(*) >= 2"""
 
   // ------------------------------------------------------------------
+  // q63 — paragraph-granularity fuzzy dedup: explode documents into
+  // 12-word paragraphs (the q55 chunking convention, id packed as
+  // doc_id*1000+pos), run the UNCHANGED Dedup.minhashLsh over the
+  // paragraph table, keep cross-document pairs — the C4/RefinedWeb
+  // boilerplate-paragraph detector, demonstrating that the reference's
+  // line-granular record model (Protocol.hs:235-242) composes with
+  // every doc-level dedup operator by a projection change alone.
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val k = 12
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val chunks = transform(
+      sequence(lit(1), floor((size(ws) + k - 1) / lit(k)).cast("int")),
+      i => array_join(slice(ws, (i - 1) * k + 1, lit(k)), " "))
+    val paras = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(chunks))
+      .select((col("doc_id") * 1000 + col("pos")).as("para_id"),
+        col("col").as("para"))
+    graft.dedup.Dedup.minhashLsh(paras, col("para_id"), col("para"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+        maxBucketSize = 1000)
+      .filter(expr("id1 div 1000") =!= expr("id2 div 1000"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        expr("id1 div 1000").as("doc1"), expr("id2 div 1000").as("doc2"))
+  }
+
+  private val q63Sql =
+    """WITH w AS (
+         SELECT doc_id,
+           [array_to_string(ws[(i-1)*12+1:(i-1)*12+12], ' ')
+            for i in range(1, ((len(ws)+11)//12)+1)] AS chunks
+         FROM (SELECT doc_id, split(coalesce(text, ''), ' ') AS ws
+               FROM documents)),
+       paras AS (
+         SELECT doc_id * 1000 + (generate_subscripts(chunks, 1) - 1) AS id,
+           unnest(chunks) AS text
+         FROM w),
+       docs AS (
+         SELECT id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM paras WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       sigs AS (
+         SELECT id, vms,
+           [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM based),
+       bands AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       ok_buckets AS (
+         SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= 1000),
+       pairs AS (
+         SELECT a.id AS id1, b.id AS id2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
+         JOIN ok_buckets c ON a.bucket = c.bucket
+         UNION
+         SELECT min(id) AS id1, max(id) AS id2
+         FROM bands GROUP BY bucket HAVING COUNT(*) > 1000),
+       verified AS (
+         SELECT id1, id2,
+           len(list_intersect(d1.vms, d2.vms)) AS common,
+           len(d1.vms) AS n1, len(d2.vms) AS n2
+         FROM pairs JOIN sigs d1 ON id1 = d1.id JOIN sigs d2 ON id2 = d2.id)
+       SELECT id1, id2, CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard,
+         id1 // 1000 AS doc1, id2 // 1000 AS doc2
+       FROM verified
+       WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.3
+         AND id1 // 1000 <> id2 // 1000"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2270,6 +2342,7 @@ object SparkEntry {
     "q60_snapshot_diff" -> (q60 _),
     "q61_seq_packing" -> (q61 _),
     "q62_winnow_pairs" -> (q62 _),
+    "q63_para_neardup" -> (q63 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2305,6 +2378,7 @@ object SparkEntry {
     "q60_snapshot_diff" -> q60Sql,
     "q61_seq_packing" -> q61Sql,
     "q62_winnow_pairs" -> q62Sql,
+    "q63_para_neardup" -> q63Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
