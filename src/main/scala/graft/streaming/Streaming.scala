@@ -172,4 +172,107 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
+
+  final case class NearDupCandidate(id1: Long, id2: Long, est_jaccard: Double)
+
+  /** Streaming MinHash near-duplicate detection — `Dedup.minhashLsh`'s
+    * semantics for an ingestion stream: every incoming document is
+    * signature-hashed (identical shingle/permutation constants, so a
+    * document gets the SAME signature here as in the batch operator),
+    * LSH-banded, and matched against all prior documents sharing a band
+    * bucket. Jaccard is estimated as the fraction of matching signature
+    * components (the standard unbiased MinHash estimator) — exact
+    * shingle sets never enter the state store.
+    *
+    * Emission contract: a pair (min id, max id) is emitted in the batch
+    * its LATER member arrives, once per band bucket the two share —
+    * run `.dropDuplicates("id1","id2")` per sink batch (or a downstream
+    * batch pass) when exactly-once pairs matter. Within a batch,
+    * documents pair in ascending-id order, so output is deterministic
+    * for a given batching.
+    *
+    * State per bucket is a CAPPED list of (id, signature) —
+    * 8 B + 8·numHashes B per doc; `maxBucketState` is the same
+    * skew guard as `cappedBucketGroups`' over-cap rule: arrivals into a
+    * full bucket still pair against the stored members (dup clusters
+    * keep surfacing) but are not stored, bounding both state size and
+    * per-arrival work at `maxBucketState` comparisons. State never
+    * expires (NoTimeout): near-dup detection wants the full horizon —
+    * bound the run by restarting per corpus epoch, or dedup beyond the
+    * stream with the batch operator (same trade as `dedupStream`'s
+    * watermark note).
+    */
+  def nearDupStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      numHashes: Int = 12,
+      bands: Int = 3,
+      threshold: Double = 0.5,
+      maxBucketState: Int = 64): Dataset[NearDupCandidate] = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val P = graft.functions.Hashing.MinhashP
+
+    val banded: Dataset[(String, Long, Seq[Long])] = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null || text.length < shingleK) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i <= text.length - shingleK) {
+            seen.add(text.substring(i, i + shingleK)); i += 1
+          }
+          val vms = graft.functions.Hashing.hashGramSet(seen, md)
+          val sig = Array.tabulate(numHashes) { h =>
+            var min = Long.MaxValue
+            vms.foreach { v =>
+              val p = (v * (h + 1) + 40503L * h) % P
+              if (p < min) min = p
+            }
+            min
+          }
+          (0 until bands).iterator.map { b =>
+            val bucket = new StringBuilder().append(b).append('|')
+              .append(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+                .mkString(",")).toString
+            (bucket, id, sig.toSeq)
+          }
+        }
+      }
+
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          val initial = state.getOption.getOrElse(Seq.empty)
+          var stored = initial
+          val out = Vector.newBuilder[NearDupCandidate]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+            if (!stored.exists(_._1 == id)) {
+              stored.foreach { case (oid, osig) =>
+                var m = 0; var i = 0
+                while (i < numHashes) {
+                  if (sig(i) == osig(i)) m += 1
+                  i += 1
+                }
+                val est = m.toDouble / numHashes
+                if (est >= threshold)
+                  out += NearDupCandidate(
+                    math.min(id, oid), math.max(id, oid), est)
+              }
+              if (stored.size < maxBucketState) stored = stored :+ (id -> sig)
+            }
+          }
+          if (stored.size != initial.size) state.update(stored)
+          out.result().iterator
+      }
+  }
 }

@@ -104,6 +104,80 @@ class StreamingSpec extends SparkSpec {
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+  test("nearDupStream pairs a late near-duplicate against an earlier " +
+      "batch's document; unrelated docs never pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    val mem = MemoryStream[Doc]
+    val q = Streaming.nearDupStream(
+        mem.toDF(), idCol = "doc_id", textCol = "text",
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.5)
+      .writeStream.format("memory").queryName("nd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Doc(1, ts(0), base),
+        Doc(2, ts(1), "an entirely different document about cabbages and kings"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM nd").count() == 0)
+
+      // batch 2: a near-copy of doc 1 (small suffix change) + noise
+      mem.addData(
+        Doc(3, ts(10), base + "tail"),
+        Doc(4, ts(11), "yet more unrelated text that shares no phrases at all"))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id1, id2 FROM nd")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L)))
+      val est = spark.sql("SELECT max(est_jaccard) FROM nd")
+        .collect()(0).getDouble(0)
+      assert(est >= 0.5 && est <= 1.0)
+    } finally q.stop()
+  }
+
+  test("nearDupStream matches the batch operator's signatures: an exact " +
+      "duplicate estimates jaccard 1.0, in-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = Streaming.nearDupStream(
+        mem.toDF(), idCol = "doc_id", textCol = "text", threshold = 0.9)
+      .writeStream.format("memory").queryName("nd2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val text = "identical content arriving twice in one micro-batch here"
+      mem.addData(Doc(7, ts(0), text), Doc(9, ts(1), text))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT DISTINCT id1, id2, est_jaccard FROM nd2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((7L, 9L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("nearDupStream caps per-bucket state but still pairs arrivals " +
+      "against the stored members") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the same boilerplate paragraph repeated across the corpus"
+    val mem = MemoryStream[Doc]
+    val q = Streaming.nearDupStream(
+        mem.toDF(), idCol = "doc_id", textCol = "text",
+        threshold = 0.9, maxBucketState = 2)
+      .writeStream.format("memory").queryName("nd3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L to 5L).map(i => Doc(i, ts(i.toInt), text)): _*)
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id1, id2 FROM nd3")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // docs 1,2 stored; 3,4,5 each pair against BOTH stored members
+      // (2 + 2 + 2 pairs) plus the in-batch (1,2) pair
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L),
+        (2L, 4L), (1L, 5L), (2L, 5L)))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps the first occurrence of each content hash " +
       "across micro-batches") {
     import spark.implicits._
