@@ -858,6 +858,11 @@ object Dedup {
     * Position capacity is [[WinnowPosCap]] grams per document — beyond
     * that, chunk the document first (doc-level operators here assume
     * bounded docs, same contract as the shingle kernels).
+    *
+    * This Column form is the SPECIFICATION (it is what any SQL oracle
+    * mirrors); [[winnowDocs]] is the production kernel — interpreted
+    * HOFs re-evaluate the `comb` subtree per window, making this form
+    * O(grams × windows) digests. WinnowSpec pins kernel == Column.
     */
   private[graft] def winnowSelect(text: Column, k: Int, w: Int): Column = {
     val comb = transform(Text.charShingles(text, k),
@@ -870,6 +875,75 @@ object Dedup {
         .otherwise(array().cast("array<bigint>")))
   }
 
+  /** Kernel twin of [[winnowSelect]], emitting each document's DISTINCT
+    * selected hashes (positions dropped — matching keys on hash only).
+    * Two reasons it exists (WinnowSpec pins kernel == Column):
+    *
+    *  1. The Column form's `slice(comb, …)` re-evaluates the WHOLE
+    *     `comb` subtree per window — interpreted HOFs get no
+    *     subexpression elimination, so the Column arm is
+    *     O(grams × windows) md5 calls: a quadratic blowup that turns a
+    *     300-char doc into ~600k digests. The kernel hashes each gram
+    *     once.
+    *  2. Window minima use a monotonic deque — O(grams) amortized
+    *     total, vs O(grams × w) comparisons even for a CSE'd Column
+    *     plan.
+    */
+  private[graft] def winnowDocs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(idCol.as("id"), textCol.cast("string").as("__text"))
+      .repartition(par, col("id"))
+    val schema = StructType(Seq(
+      base.schema("id"),
+      StructField("fhs", ArrayType(LongType, false), false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    base.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val text = r.getString(1)
+        if (text == null || text.length < k) Iterator.empty
+        else {
+          val n = text.length - k + 1
+          // combined (hash << 20 | pos): one digest per gram
+          val comb = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+            val v = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+            comb(i) = (v % Hashing.MinhashP) * WinnowPosCap + i
+            i += 1
+          }
+          val sel = new java.util.LinkedHashSet[java.lang.Long]()
+          if (n < w) {
+            var min = comb(0); i = 1
+            while (i < n) { if (comb(i) < min) min = comb(i); i += 1 }
+            sel.add(min / WinnowPosCap)
+          } else {
+            // monotonic ascending deque of indices into comb
+            val dq = new java.util.ArrayDeque[Int]()
+            i = 0
+            while (i < n) {
+              while (!dq.isEmpty && comb(dq.peekLast) >= comb(i))
+                dq.pollLast()
+              dq.addLast(i)
+              if (dq.peekFirst <= i - w) dq.pollFirst()
+              if (i >= w - 1) sel.add(comb(dq.peekFirst) / WinnowPosCap)
+              i += 1
+            }
+          }
+          val out = new Array[Long](sel.size)
+          val it = sel.iterator(); i = 0
+          while (it.hasNext) { out(i) = it.next(); i += 1 }
+          Iterator(org.apache.spark.sql.Row(r.get(0), out.toIndexedSeq))
+        }
+      }
+    }(enc)
+  }
+
   /** Near-duplicate candidate pairs by shared winnowing fingerprints:
     * (id1 < id2, n_shared) for every pair sharing at least `minShared`
     * selected hashes. The substring-level detector of the dedup family —
@@ -877,7 +951,8 @@ object Dedup {
     * text, plagiarized passages) that whole-document MinHash dilutes
     * below its threshold.
     *
-    * Scale shape: selection is map-only; the posting stream is the
+    * Scale shape: selection is the map-only [[winnowDocs]] kernel (one
+    * digest per gram, deque window minima); the posting stream is the
     * winnowed ~2/(w+1) fraction of grams; grouping is THE shared
     * capped-bucket primitive (metric "graft.winnow") — a fingerprint
     * shared by a corpus-wide boilerplate string is exactly the hot
@@ -891,11 +966,8 @@ object Dedup {
       minShared: Long = 2L,
       maxBucketSize: Int = 1000): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val sel = df.select(idCol.as("id"),
-      winnowSelect(textCol, k, w).as("fps"))
-    val buckets = sel.select(col("id"),
-      explode(array_distinct(
-        transform(col("fps"), c => shiftright(c, 20)))).as("bucket"))
+    val sel = winnowDocs(df, idCol, textCol, k, w)
+    val buckets = sel.select(col("id"), explode(col("fhs")).as("bucket"))
     val grouped = cappedBucketGroups(buckets, maxBucketSize, "graft.winnow")
     emitPairs(grouped, sel.schema("id").dataType)
       .groupBy("id1", "id2")

@@ -41,6 +41,26 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("winnowDocs kernel == winnowSelect Column form (distinct hash " +
+      "sets, both short arms)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val docs = (1L to 40L).map { i =>
+      val len = rng.nextInt(200)
+      (i, (0 until len).map(_ => ('a' + rng.nextInt(5)).toChar).mkString)
+    }
+    val df = docs.toDF("id", "text")
+    val kernel = Dedup.winnowDocs(df, col("id"), col("text"), 10, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val column = df
+      .select(col("id"), Dedup.winnowSelect(col("text"), 10, 4).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Long](1).map(_ / (1L << 20)).toSet).toMap
+    assert(kernel == column)
+  }
+
   test("winnowPairs: a shared substring of length >= k + w - 1 is always " +
       "detected; unrelated docs are not") {
     import spark.implicits._
