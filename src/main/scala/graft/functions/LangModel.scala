@@ -51,17 +51,30 @@ object LangModel {
     * Unseen bigrams smooth to fx = floor(2^20 / (c(w1 ·) + V)) — unseen
     * CONTEXTS to floor(2^20 / V) — so cross-corpus scoring is total.
     *
-    * Scale shape: the model is two aggregations of the TRAIN bigram
-    * stream (map-side partial agg; the unigram table derives from the
-    * bigram table, never a second corpus pass). V is a 1-row distinct
-    * count cross-joined as a broadcast — never a driver action. Scoring
-    * is one join of the score-side bigram stream against the model,
-    * shuffled on (w1, w2) by default; `broadcastModel` is the lever when
-    * the model fits executors (clean-reference training sets — the
-    * common CCNet case); `minBigramCount` prunes the model's long tail
-    * (hapax bigrams are most of a web-scale model's rows and smoothing
-    * already handles them as unseen), the same df-cap discipline as the
-    * Jaccard posting index.
+    * Scale shape: the bigram-count table is ONE aggregation of the
+    * TRAIN bigram stream (map-side partial agg), PERSISTED — it is the
+    * model, a bounded statistic far smaller than the corpus, and both
+    * its consumers (the score join and the context-total derivation)
+    * read the cache instead of re-running the corpus explode (verified:
+    * uncached, Catalyst re-evaluates the aggregate per consumer because
+    * their pruned schemas differ, so the train corpus exploded twice).
+    * The vocabulary count is the one remaining extra train pass
+    * (explode → count_distinct, map-side partial): the true token vocab
+    * is not derivable from the bigram table; swap in `Sketch.kmvDistinct`
+    * when an approximate V is acceptable at scale. V rides a 1-row
+    * broadcast — never a driver action. Scoring is one join of the
+    * score-side bigram stream against the model, shuffled on (w1, w2)
+    * by default; `broadcastModel` is the lever when the model fits
+    * executors (clean-reference training sets — the common CCNet case);
+    * `minBigramCount` prunes the model's long tail (hapax bigrams are
+    * most of a web-scale model's rows and smoothing already handles
+    * them as unseen), the same df-cap discipline as the Jaccard posting
+    * index.
+    *
+    * CACHE LIFECYCLE: same contract as `Prefix.runningTotal` — the
+    * persisted model is pinned by the returned plan; a loop should
+    * `spark.catalog.clearCache()` between corpora, or pre-materialize
+    * the model to a tap.
     */
   def bigramLmScore(
       train: DataFrame, trainId: Column, trainText: Column,
@@ -71,6 +84,7 @@ object LangModel {
     require(minBigramCount >= 1, s"minBigramCount must be >= 1")
     val tbi = bigrams(train, trainId, trainText)
     val c12 = tbi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // context totals BEFORE pruning: the denominator stays the true
     // bigram-start count, so pruning only zeroes numerators (= unseen)
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
