@@ -2202,6 +2202,41 @@ object SparkEntry {
          AND id1 // 1000 <> id2 // 1000"""
 
   // ------------------------------------------------------------------
+  // q64 — semantic decontamination (extension:
+  // Similarity.semanticContamination): flag training vectors whose
+  // cosine to any held-out test vector (vec_id % 25 == 0) reaches 0.35
+  // — the embedding-space leakage control that catches paraphrases
+  // q43's n-gram overlap misses. Test set broadcast, corpus scanned
+  // once map-only.
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.semanticContamination(
+      corpus = emb.filter(col("vec_id") % 25 =!= 0),
+      corpusId = "vec_id", corpusVec = "embedding",
+      test = emb.filter(col("vec_id") % 25 === 0),
+      testId = "vec_id", testVec = "embedding",
+      threshold = 0.35)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  private val q64Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       tr AS (SELECT vec_id, e FROM v WHERE vec_id % 25 <> 0),
+       te AS (SELECT vec_id AS test_id, e AS te FROM v WHERE vec_id % 25 = 0),
+       scored AS (
+         SELECT tr.vec_id, te.test_id,
+           list_sum([tr.e[i] * te.te[i] for i in range(1, 65)]) /
+             (sqrt(list_sum([tr.e[i] * tr.e[i] for i in range(1, 65)])) *
+              sqrt(list_sum([te.te[i] * te.te[i] for i in range(1, 65)]))) AS sim
+         FROM tr CROSS JOIN te),
+       best AS (
+         SELECT vec_id, test_id, sim FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, test_id ASC) AS r
+           FROM scored) WHERE r = 1)
+       SELECT vec_id, test_id, sim FROM best WHERE sim >= 0.35"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2343,6 +2378,7 @@ object SparkEntry {
     "q61_seq_packing" -> (q61 _),
     "q62_winnow_pairs" -> (q62 _),
     "q63_para_neardup" -> (q63 _),
+    "q64_sem_decontaminate" -> (q64 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2379,6 +2415,7 @@ object SparkEntry {
     "q61_seq_packing" -> q61Sql,
     "q62_winnow_pairs" -> q62Sql,
     "q63_para_neardup" -> q63Sql,
+    "q64_sem_decontaminate" -> q64Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

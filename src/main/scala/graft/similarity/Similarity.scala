@@ -819,6 +819,54 @@ object Similarity extends Serializable {
       .select("id1", "id2", "sim")
   }
 
+  /** Semantic benchmark decontamination — the embedding-space twin of
+    * `Decontaminate.contamination` (which matches token n-grams):
+    * flag every corpus vector whose cosine to ANY test-set vector
+    * reaches `threshold`, with the nearest test id as evidence.
+    * Catches paraphrased leakage that exact n-gram overlap misses.
+    *
+    * Scale shape: the test set is a bounded driver statistic (the same
+    * assumption as Decontaminate's broadcastTest lever — test sets are
+    * benchmark-sized), shipped in the task closure; the corpus is
+    * scanned ONCE map-only — no join, no shuffle, output only the
+    * contaminated rows. Ties go to the lower test id (strict-greater
+    * fold over ids in ascending order), so the result is deterministic
+    * and one SQL window reproduces it.
+    */
+  def semanticContamination(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      test: DataFrame, testId: String, testVec: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types._
+    val testVecs: Array[(Long, Array[Double])] = test
+      .select(col(testId).cast("long"), col(testVec))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("v"))
+    val schema = StructType(Seq(
+      c.schema("id"),
+      StructField("test_id", LongType, false),
+      StructField("sim", DoubleType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    c.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = r.getSeq[Float](1)
+        var bestId = -1L; var bestSim = Double.NegativeInfinity
+        var i = 0
+        while (i < testVecs.length) {
+          val s = cosFD(v, testVecs(i)._2)
+          if (s > bestSim) { bestSim = s; bestId = testVecs(i)._1 }
+          i += 1
+        }
+        if (bestId >= 0 && bestSim >= threshold)
+          Iterator(org.apache.spark.sql.Row(r.get(0), bestId, bestSim))
+        else Iterator.empty
+      }
+    }(enc)
+  }
+
   /** SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
     * arXiv:2303.09540) over an embedding column: spherical k-means
     * partitions the corpus into `nlist` cells (trained by `trainKmeans`'s

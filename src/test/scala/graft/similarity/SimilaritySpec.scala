@@ -234,6 +234,27 @@ class SimilaritySpec extends SparkSpec {
     assert(full == (2L to 50L).map(i => i -> 1L).toMap) // all blame id 1
   }
 
+  test("semanticContamination flags corpus vectors near a test vector, " +
+      "with the nearest test id as evidence; clean vectors pass") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 97 + i * 13).toFloat)
+    val test = Seq((100L, vec(1)), (200L, vec(2)))
+      .toDF("vec_id", "embedding")
+    // clean docs are one-hot: cosine to any dense sin-vector is ~1/8
+    def oneHot(d: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == d) 1f else 0f)
+    val corpus = Seq(
+      (1L, vec(1)),                                   // exact copy of test 100
+      (2L, vec(2).updated(0, vec(2)(0) + 0.01f)),     // near test 200
+      (3L, oneHot(5)), (4L, oneHot(40)))              // clean
+    val out = Similarity.semanticContamination(
+        corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        test, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 100L, 2L -> 200L))
+  }
+
   test("multimodal stub pipeline: features have the declared shape") {
     import spark.implicits._
     val df = Seq(
