@@ -2237,6 +2237,54 @@ object SparkEntry {
        SELECT vec_id, test_id, sim FROM best WHERE sim >= 0.35"""
 
   // ------------------------------------------------------------------
+  // q65 — corpus-trained text classifier (extension:
+  // Classifier.nbLinear): NB-weighted linear scoring in exact 2^20
+  // fixed point, trained on an 80% split to predict the lang column,
+  // scored over EVERY document — the quality/language-classifier slot
+  // of a training-data pipeline, hash-exact under the oracle (argmax
+  // ties to the smaller label, weights by integer division).
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("text"), lit("")).as("text"))
+    graft.functions.Classifier.nbLinear(
+        train = d.filter(col("doc_id") % 10 < 8),
+        trainLabel = col("lang"), trainText = col("text"),
+        score = d, scoreId = col("doc_id"), scoreText = col("text"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q65Sql =
+    """WITH tk AS (
+         SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       ttk AS (
+         SELECT lang AS l, unnest(tk) AS t FROM tk WHERE doc_id % 10 < 8),
+       counts AS (SELECT l, t, COUNT(*) AS c FROM ttk GROUP BY l, t),
+       totals AS (
+         SELECT l, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY l),
+       voc AS (SELECT DISTINCT t FROM counts),
+       vv AS (SELECT COUNT(*) AS v FROM voc),
+       dense AS (
+         SELECT voc.t, totals.l,
+           ((COALESCE(c.c, 0) + 1) * 1048576)
+             // (totals.tot + (SELECT v FROM vv)) AS w
+         FROM voc CROSS JOIN totals
+         LEFT JOIN counts c ON c.t = voc.t AND c.l = totals.l),
+       stk AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+       sc AS (
+         SELECT s.doc_id, d.l, CAST(SUM(d.w) AS BIGINT) AS fx,
+           COUNT(*) AS n
+         FROM stk s JOIN dense d ON s.t = d.t GROUP BY s.doc_id, d.l)
+       SELECT doc_id, l AS pred_label, fx AS score_fx,
+         CAST(n AS BIGINT) AS n_scored_tokens
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY fx DESC, l ASC) AS r FROM sc)
+       WHERE r = 1"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2379,6 +2427,7 @@ object SparkEntry {
     "q62_winnow_pairs" -> (q62 _),
     "q63_para_neardup" -> (q63 _),
     "q64_sem_decontaminate" -> (q64 _),
+    "q65_classifier" -> (q65 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2416,6 +2465,7 @@ object SparkEntry {
     "q62_winnow_pairs" -> q62Sql,
     "q63_para_neardup" -> q63Sql,
     "q64_sem_decontaminate" -> q64Sql,
+    "q65_classifier" -> q65Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
