@@ -196,7 +196,10 @@ object Streaming {
     * skew guard as `cappedBucketGroups`' over-cap rule: arrivals into a
     * full bucket still pair against the stored members (dup clusters
     * keep surfacing) but are not stored, bounding both state size and
-    * per-arrival work at `maxBucketState` comparisons. State never
+    * per-arrival work at `maxBucketState` comparisons. (One batch's
+    * arrivals for one bucket do buffer in task memory before pairing —
+    * the standard flatMapGroupsWithState shape, same caveat as
+    * `sessionize`'s maxBufferedEvents note.) State never
     * expires (NoTimeout): near-dup detection wants the full horizon —
     * bound the run by restarting per corpus epoch, or dedup beyond the
     * stream with the batch operator (same trade as `dedupStream`'s
