@@ -2285,6 +2285,89 @@ object SparkEntry {
        WHERE r = 1"""
 
   // ------------------------------------------------------------------
+  // q66 — IVF-PQ ANN (extension: Similarity.ivfPqTopK): coarse cells
+  // route the search (q33's lowest-id quantizer, nprobe=2 of nlist=8),
+  // PQ codes compress what the cells store (q57's md5-seeded codebooks,
+  // asymmetric distance). The oracle composes the two proven CTE
+  // families and joins them on the cell — every score reproduced
+  // bit-for-bit.
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.ivfPqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10,
+      nlist = 8, nprobe = 2, m = 8, ksub = 16)
+  }
+
+  private val q66Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+       seed AS (
+         SELECT CAST(row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS c,
+           e AS ce
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       cb AS (
+         SELECT t.s, seed.c,
+           [ce[t.s*8 + j] for j in range(1, 9)] AS ent
+         FROM seed CROSS JOIN range(0, 8) t(s)),
+       asg AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT v.vec_id, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum([v.e[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM v CROSS JOIN cents c) WHERE r = 1),
+       enc AS (
+         SELECT vec_id, s, ent FROM (
+           SELECT v.vec_id, cb.s, cb.c, cb.ent,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+               list_sum([(v.e[cb.s*8 + j] - cb.ent[j]) *
+                         (v.e[cb.s*8 + j] - cb.ent[j])
+                         for j in range(1, 9)]) ASC, cb.c ASC) AS r
+           FROM v CROSS JOIN cb) WHERE r = 1),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       probe AS (
+         SELECT query_id, qe, cent_id FROM (
+           SELECT q.query_id, q.qe, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+               list_sum([q.qe[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([q.qe[i] * q.qe[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM q CROSS JOIN cents c) WHERE r <= 2),
+       parts AS (
+         SELECT p.query_id, a.vec_id AS corpus_id, enc.s,
+           list_sum([p.qe[enc.s*8 + j] * enc.ent[j]
+                     for j in range(1, 9)]) AS sdot,
+           list_sum([enc.ent[j] * enc.ent[j]
+                     for j in range(1, 9)]) AS snorm
+         FROM probe p JOIN asg a USING (cent_id)
+         JOIN enc ON enc.vec_id = a.vec_id
+         WHERE p.query_id <> a.vec_id),
+       agg AS (
+         SELECT query_id, corpus_id,
+           list_sum(list(sdot ORDER BY s)) AS dot,
+           list_sum(list(snorm ORDER BY s)) AS rnorm2
+         FROM parts GROUP BY query_id, corpus_id),
+       qn AS (
+         SELECT query_id,
+           sqrt(list_sum([qe[i]*qe[i] for i in range(1, 65)])) AS qnorm
+         FROM q),
+       scored AS (
+         SELECT a.query_id, a.corpus_id,
+           CASE WHEN a.rnorm2 > 0 AND qn.qnorm > 0
+                THEN a.dot / (qn.qnorm * sqrt(a.rnorm2)) ELSE 0.0 END AS sim
+         FROM agg a JOIN qn USING (query_id))
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2428,6 +2511,7 @@ object SparkEntry {
     "q63_para_neardup" -> (q63 _),
     "q64_sem_decontaminate" -> (q64 _),
     "q65_classifier" -> (q65 _),
+    "q66_ivfpq" -> (q66 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2466,6 +2550,7 @@ object SparkEntry {
     "q63_para_neardup" -> q63Sql,
     "q64_sem_decontaminate" -> q64Sql,
     "q65_classifier" -> q65Sql,
+    "q66_ivfpq" -> q66Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

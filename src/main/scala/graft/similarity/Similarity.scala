@@ -706,6 +706,21 @@ object Similarity extends Serializable {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val joined = encoded.join(broadcast(q),
       col("query_id") =!= col("corpus_id"))
+    topKPerQuery(adcScore(joined, cbs, normTab, m, dsub), k)
+  }
+
+  /** ADC scoring over a joined stream carrying (query_id, qv, corpus_id,
+    * codes): per-query lookup tables built once per (partition, query) —
+    * dotTab(s)(c) = dot(q_sub[s], codebook[s][c]), a dsub left fold —
+    * then each candidate costs m table lookups, folded in subspace
+    * order (the oracle's list_sum over s-ordered per-subspace values).
+    * Shared by `pqTopK` (brute scan) and `ivfPqTopK` (probed cells).
+    */
+  private def adcScore(
+      joined: DataFrame, cbs: Array[Array[Array[Double]]],
+      normTab: Array[Array[Double]], m: Int, dsub: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ksub = cbs(0).length
     val ci = joined.schema.fieldIndex("corpus_id")
     val cdi = joined.schema.fieldIndex("codes")
     val qi = joined.schema.fieldIndex("query_id")
@@ -715,9 +730,7 @@ object Similarity extends Serializable {
       StructField("sim", DoubleType, false)))
     val senc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(scoredSchema)
-    val scored = joined.mapPartitions { rows =>
-      // per-query ADC tables, built once per (partition, query):
-      // dotTab(s)(c) = dot(q_sub[s], codebook[s][c]) (dsub left fold)
+    joined.mapPartitions { rows =>
       val luts = new java.util.HashMap[Any, (Array[Array[Double]], Double)]()
       rows.map { r =>
         val qid = r.get(qi)
@@ -738,8 +751,6 @@ object Similarity extends Serializable {
           luts.put(qid, lut)
         }
         val codes = r.getSeq[Byte](cdi)
-        // fold subspaces IN ORDER — the oracle's list_sum over the
-        // s-ordered per-subspace values
         var dot = 0.0; var rn2 = 0.0
         var s = 0
         while (s < m) {
@@ -755,7 +766,96 @@ object Similarity extends Serializable {
         org.apache.spark.sql.Row(qid, r.get(ci), sim)
       }
     }(senc)
-    topKPerQuery(scored, k)
+  }
+
+  /** IVF-PQ: coarse cells route the search (only ~nprobe/nlist of the
+    * corpus is scored per query), PQ codes compress what's stored in
+    * them (8 B at m=8 vs 256 B float) — the FAISS-style at-scale ANN
+    * default, composed from the same two trained, oracle-reproducible
+    * quantizers as `ivfTopK` and `pqTopK`. One fused map-only corpus
+    * pass assigns each vector's cell AND its m byte codes; queries
+    * probe their `nprobe` nearest cells and ADC-score only co-celled
+    * codes. Codes quantize the RAW vector (not the cell residual —
+    * the same simplification `pqTopK` documents; residual encoding is
+    * the classic refinement and slots into the encode kernel when a
+    * corpus needs it).
+    *
+    * Scale: the corpus never leaves its partitions at full precision —
+    * the candidate join moves (cent_id, id, 8 B codes) for the probed
+    * fraction only; queries broadcast; the final rank is the bounded
+    * `topk_by` fold. Everything deterministic: both quantizers are
+    * md5-seeded (optionally Lloyd-refined in exact fixed point), ADC
+    * folds are order-pinned, so an oracle reproduces every score.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16,
+      coarseTrainIters: Int = 0, pqTrainIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(ksub >= 1 && ksub <= 127, s"ksub must be in [1, 127], got $ksub")
+    require(m >= 1, s"m must be >= 1, got $m")
+    val spark = corpus.sparkSession
+    val cents: Array[(Long, Array[Double])] =
+      if (coarseTrainIters > 0)
+        trainKmeans(corpus, idCol, vecCol, nlist, coarseTrainIters)
+      else corpus
+        .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
+        .orderBy(col("cent_id")).limit(nlist)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cbs = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, pqTrainIters)
+    val dsub = cbs(0)(0).length
+    val dim = m * dsub
+    val normTab: Array[Array[Double]] = Array.tabulate(m, ksub) { (s, c) =>
+      val ent = cbs(s)(c)
+      var acc = 0.0; var j = 0
+      while (j < dsub) { acc += ent(j) * ent(j); j += 1 }
+      acc
+    }
+
+    // fused corpus pass: coarse cell (cosine, strict > = ties to the
+    // lower cent in iteration order — cents are id-ascending, matching
+    // assignNearest's (sim desc, cent_id asc)) + m byte codes
+    val cIn = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .repartition(spark.sparkContext.defaultParallelism, col("corpus_id"))
+    val encSchema = StructType(Seq(
+      cIn.schema("corpus_id"),
+      StructField("cent_id", LongType, false),
+      StructField("codes", ArrayType(ByteType, false), false)))
+    val enc0 = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(encSchema)
+    val encoded = cIn.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = r.getSeq[Float](1)
+        if (v.length != dim) Iterator.empty
+        else {
+          var bestC = -1L; var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val s = cosFD(v, cents(c)._2)
+            if (s > bestSim) { bestSim = s; bestC = cents(c)._1 }
+            c += 1
+          }
+          val codes = new Array[Byte](m)
+          var s = 0
+          while (s < m) {
+            codes(s) = nearestSubCentroid(v, s * dsub, dsub, cbs(s)).toByte
+            s += 1
+          }
+          Iterator(org.apache.spark.sql.Row(
+            r.get(0), bestC, codes.toIndexedSeq))
+        }
+      }
+    }(enc0)
+
+    val probes = assignNearest(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      cents, 1, nprobe)
+    val joined = encoded.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    topKPerQuery(adcScore(joined, cbs, normTab, m, dsub), k)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH bucketing: bucket every

@@ -234,6 +234,28 @@ class SimilaritySpec extends SparkSpec {
     assert(full == (2L to 50L).map(i => i -> 1L).toMap) // all blame id 1
   }
 
+  test("ivfPqTopK with a single cell degenerates to pqTopK exactly " +
+      "(ids and sims); with cells, results come from probed cells only") {
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val flat = rows(Similarity.pqTopK(emb, q, "vec_id", "embedding", 10,
+      m = 8, ksub = 16))
+    val oneCell = rows(Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      10, nlist = 1, nprobe = 1, m = 8, ksub = 16))
+    assert(oneCell == flat)
+    val probed = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10,
+      nlist = 8, nprobe = 2, m = 8, ksub = 16)
+    assert(probed.count() > 0)
+    // probing ALL cells restores the flat scan's candidate space:
+    // identical codes + ADC => identical top-k
+    val all = rows(Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10,
+      nlist = 8, nprobe = 8, m = 8, ksub = 16))
+      .map(t => (t._1, t._2))
+    assert(all == flat.map(t => (t._1, t._2)))
+  }
+
   test("semanticContamination flags corpus vectors near a test vector, " +
       "with the nearest test id as evidence; clean vectors pass") {
     import spark.implicits._
