@@ -2368,6 +2368,73 @@ object SparkEntry {
          FROM scored) WHERE rank <= 10"""
 
   // ------------------------------------------------------------------
+  // q67 — cross-corpus incremental SemDeDup (extension:
+  // Similarity.semDedupAgainst): today's increment (vec_id % 10 == 0)
+  // flagged against the standing base corpus within k-means cells
+  // TRAINED ON THE BASE (one fixed-point Lloyd iteration, q58's
+  // discipline) — increment-internal duplicates deliberately not
+  // compared. The daily-ingest shape of semantic dedup.
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.semDedupAgainst(
+      increment = emb.filter(col("vec_id") % 10 === 0),
+      base = emb.filter(col("vec_id") % 10 =!= 0),
+      idCol = "vec_id", vecCol = "embedding",
+      threshold = 0.35, nlist = 8, trainIters = 1)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  private val q67Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       b AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+       inc AS (SELECT vec_id, e FROM v WHERE vec_id % 10 = 0),
+       fx AS (SELECT vec_id, e, [CAST(round(x * 1048576.0) AS BIGINT) for x in e] AS f FROM b),
+       seed AS (
+         SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cent_id, e AS ce
+         FROM b ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, f, cent_id FROM (
+           SELECT fx.vec_id, fx.f, s.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+               list_sum([fx.e[i] * s.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([fx.e[i] * fx.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([s.ce[i] * s.ce[i] for i in range(1, 65)]))) DESC,
+               s.cent_id ASC) AS r
+           FROM fx CROSS JOIN seed s) WHERE r = 1),
+       u1 AS (SELECT cent_id, unnest(f) AS xf, unnest(range(1, 65)) AS i FROM a1),
+       s1 AS (SELECT cent_id, i, SUM(xf) AS sf FROM u1 GROUP BY cent_id, i),
+       n1 AS (SELECT cent_id, COUNT(*) AS cnt FROM a1 GROUP BY cent_id),
+       m1 AS (SELECT s1.cent_id, list(CAST(sf AS DOUBLE) / cnt / 1048576.0 ORDER BY i) AS ce
+              FROM s1 JOIN n1 USING (cent_id) GROUP BY s1.cent_id),
+       c1 AS (SELECT sd.cent_id, COALESCE(m1.ce, sd.ce) AS ce FROM seed sd LEFT JOIN m1 USING (cent_id)),
+       basg AS (
+         SELECT vec_id, e, cent_id FROM (
+           SELECT b.vec_id, b.e, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+               list_sum([b.e[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM b CROSS JOIN c1 c) WHERE r = 1),
+       iasg AS (
+         SELECT vec_id, e, cent_id FROM (
+           SELECT i.vec_id, i.e, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+               list_sum([i.e[x] * c.ce[x] for x in range(1, 65)]) /
+                 (sqrt(list_sum([i.e[x] * i.e[x] for x in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[x] * c.ce[x] for x in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM inc i CROSS JOIN c1 c) WHERE r = 1),
+       p AS (
+         SELECT i.vec_id AS id1, b2.vec_id AS id2,
+           list_sum([i.e[x] * b2.e[x] for x in range(1, 65)]) /
+             (sqrt(list_sum([i.e[x] * i.e[x] for x in range(1, 65)])) *
+              sqrt(list_sum([b2.e[x] * b2.e[x] for x in range(1, 65)]))) AS sim
+         FROM iasg i JOIN basg b2 ON i.cent_id = b2.cent_id)
+       SELECT id1 AS vec_id, MIN(id2) AS dup_of, arg_min(sim, id2) AS sim
+       FROM p WHERE sim >= 0.35 GROUP BY id1"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2512,6 +2579,7 @@ object SparkEntry {
     "q64_sem_decontaminate" -> (q64 _),
     "q65_classifier" -> (q65 _),
     "q66_ivfpq" -> (q66 _),
+    "q67_semdedup_incr" -> (q67 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2551,6 +2619,7 @@ object SparkEntry {
     "q64_sem_decontaminate" -> q64Sql,
     "q65_classifier" -> q65Sql,
     "q66_ivfpq" -> q66Sql,
+    "q67_semdedup_incr" -> q67Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

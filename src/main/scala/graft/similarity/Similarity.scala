@@ -1001,6 +1001,81 @@ object Similarity extends Serializable {
     *   default-off tradeoff as `nearDupPairs`: at corpus scale a cache
     *   is a full materialization of the input.
     */
+  /** Cross-corpus incremental SemDeDup — `semDedup`'s semantics for the
+    * daily-increment shape (the `Dedup.minhashLshAgainst` counterpart):
+    * flag every INCREMENT vector with a base-corpus vector at cosine ≥
+    * `threshold` in its k-means cell. Increment-internal pairs are NOT
+    * compared (run `semDedup` on the increment separately when wanted).
+    * Centroids train on the BASE — the standing corpus defines the cell
+    * geometry and increments route into it, so a base processed once
+    * keeps its assignment across increments.
+    *
+    * Returns flagged increment rows: (id, dup_of, sim), dup_of = the
+    * smallest qualifying base id (ties by id — deterministic).
+    *
+    * Scale shape: per-side capped cell lists (metric
+    * "graft.semdedup_against", the minhashLshAgainst grouping) — an
+    * over-cap cell degrades to its two min ids, one cross pair — and
+    * only CROSS-side pairs materialize: |inc| × cell-fraction work, not
+    * |base|².
+    */
+  def semDedupAgainst(
+      increment: DataFrame, base: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      trainIters: Int = 1,
+      maxCellSide: Int = 100000): DataFrame = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val spark = base.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val cents = trainKmeans(base, idCol, vecCol, nlist, trainIters)
+    val inc = increment.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(par, col("id"))
+    val bs = base.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(par, col("id"))
+    val tagged = assignNearest(inc, cents, 1, 1)
+      .select(col("cent_id").as("bucket"), col("id"), lit("i").as("side"))
+      .unionByName(assignNearest(bs, cents, 1, 1)
+        .select(col("cent_id").as("bucket"), col("id"), lit("c").as("side")))
+
+    val iId = when(col("side") === "i", col("id"))
+    val cId = when(col("side") === "c", col("id"))
+    val grouped = tagged.groupBy("bucket")
+      .agg(
+        call_function("collect_list_capped", iId, lit(maxCellSide))
+          .as("i_ids"),
+        call_function("collect_list_capped", cId, lit(maxCellSide))
+          .as("c_ids"),
+        count(iId).as("ni"),
+        count(cId).as("nc"),
+        min(iId).as("min_i"),
+        min(cId).as("min_c"))
+      .filter(col("ni") >= 1 && col("nc") >= 1)
+      .observe("graft.semdedup_against",
+        sum(when(col("ni") > maxCellSide || col("nc") > maxCellSide,
+          1L).otherwise(0L)).as("capped_buckets"),
+        count(lit(1)).as("active_buckets"))
+      .select(
+        when(col("ni") <= maxCellSide && col("nc") <= maxCellSide,
+          col("i_ids")).otherwise(array(col("min_i"))).as("i_ids"),
+        when(col("ni") <= maxCellSide && col("nc") <= maxCellSide,
+          col("c_ids")).otherwise(array(col("min_c"))).as("c_ids"))
+
+    // one cell per id -> the cross-pair stream is duplicate-free
+    val pairs = graft.dedup.Dedup
+      .emitCrossPairs(grouped, inc.schema("id").dataType)
+    withCosineKernel(pairs
+      .join(inc.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(bs.select(col("id").as("id2"), col("v").as("v2")), "id2"),
+      "v1", "v2", "sim")
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id1").as("id"))
+      .agg(
+        min(col("id2")).as("dup_of"),
+        min_by(col("sim"), col("id2")).as("sim"))
+  }
+
   def semDedup(
       corpus: DataFrame,
       idCol: String, vecCol: String,

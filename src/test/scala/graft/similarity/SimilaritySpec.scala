@@ -256,6 +256,39 @@ class SimilaritySpec extends SparkSpec {
     assert(all == flat.map(t => (t._1, t._2)))
   }
 
+  test("semDedupAgainst flags increment vectors near base members only " +
+      "(increment-internal duplicates are not compared)") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 97 + i * 13).toFloat)
+    val base = Seq((10L, vec(1)), (20L, vec(2)), (30L, vec(3)))
+      .toDF("vec_id", "embedding")
+    val inc = Seq(
+      (101L, vec(1)),   // dup of base 10
+      (102L, vec(4)),   // clean
+      (103L, vec(4)))   // clean vs BASE (dup of 102 must NOT flag it)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedupAgainst(inc, base,
+        "vec_id", "embedding", threshold = 0.9, nlist = 2, trainIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(101L -> 10L))
+  }
+
+  test("semDedupAgainst caps a hot cell to one cross pair; the loss is " +
+      "observable") {
+    import spark.implicits._
+    val hot = Array.tabulate(64)(i => (i + 1).toFloat)
+    val base = (1L to 30L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val inc = (101L to 130L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val capped = Similarity.semDedupAgainst(inc, base,
+      "vec_id", "embedding", threshold = 0.9, nlist = 1, trainIters = 1,
+      maxCellSide = 5)
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == Map(101L -> 1L)) // (min_i, min_c) representative
+    val m = capped.queryExecution.observedMetrics("graft.semdedup_against")
+    assert(m.getAs[Long]("capped_buckets") == 1L)
+  }
+
   test("semanticContamination flags corpus vectors near a test vector, " +
       "with the nearest test id as evidence; clean vectors pass") {
     import spark.implicits._
