@@ -2435,6 +2435,105 @@ object SparkEntry {
        FROM p WHERE sim >= 0.35 GROUP BY id1"""
 
   // ------------------------------------------------------------------
+  // q68 — RESIDUAL IVF-PQ (extension: ivfPqTopK residual=true, the
+  // classic FAISS IVFPQ): codes quantize v - cell_centroid (residuals
+  // materialized as floats — one deterministic rounding both engines
+  // express), and ADC reconstructs |ce + dec(codes)|^2 via the cell
+  // cross tables. Every fold order is pinned (dotqc + s-ordered parts;
+  // cen2 + 2*cross + ent, left-to-right) so the oracle reproduces each
+  // score bit-for-bit.
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.ivfPqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10,
+      nlist = 8, nprobe = 2, m = 8, ksub = 16, residual = true)
+  }
+
+  private val q68Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+       asg AS (
+         SELECT vec_id, e, cent_id FROM (
+           SELECT v.vec_id, v.e, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum([v.e[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM v CROSS JOIN cents c) WHERE r = 1),
+       res AS (
+         SELECT a.vec_id, a.cent_id,
+           [CAST(CAST(a.e[i] - c.ce[i] AS FLOAT) AS DOUBLE) for i in range(1, 65)] AS re
+         FROM asg a JOIN cents c USING (cent_id)),
+       seed AS (
+         SELECT CAST(row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS c,
+           re AS ce
+         FROM res ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       cb AS (
+         SELECT t.s, seed.c, [ce[t.s*8 + j] for j in range(1, 9)] AS ent
+         FROM seed CROSS JOIN range(0, 8) t(s)),
+       enc AS (
+         SELECT vec_id, cent_id, s, ent FROM (
+           SELECT r0.vec_id, r0.cent_id, cb.s, cb.c, cb.ent,
+             ROW_NUMBER() OVER (PARTITION BY r0.vec_id, cb.s ORDER BY
+               list_sum([(r0.re[cb.s*8 + j] - cb.ent[j]) *
+                         (r0.re[cb.s*8 + j] - cb.ent[j])
+                         for j in range(1, 9)]) ASC, cb.c ASC) AS rr
+           FROM res r0 CROSS JOIN cb) WHERE rr = 1),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       probe AS (
+         SELECT query_id, qe, cent_id FROM (
+           SELECT q.query_id, q.qe, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+               list_sum([q.qe[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([q.qe[i] * q.qe[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM q CROSS JOIN cents c) WHERE r <= 2),
+       parts AS (
+         SELECT p.query_id, enc.vec_id AS corpus_id, enc.cent_id, enc.s,
+           list_sum([p.qe[enc.s*8 + j] * enc.ent[j]
+                     for j in range(1, 9)]) AS sdot,
+           list_sum([c.ce[enc.s*8 + j] * enc.ent[j]
+                     for j in range(1, 9)]) AS crossd,
+           list_sum([enc.ent[j] * enc.ent[j]
+                     for j in range(1, 9)]) AS entn
+         FROM probe p JOIN enc ON p.cent_id = enc.cent_id
+         JOIN cents c ON c.cent_id = enc.cent_id
+         WHERE p.query_id <> enc.vec_id),
+       qc AS (
+         SELECT p.query_id, p.cent_id,
+           list_sum([p.qe[i] * c.ce[i] for i in range(1, 65)]) AS dotqc,
+           list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]) AS cen2
+         FROM probe p JOIN cents c USING (cent_id)),
+       qn AS (
+         SELECT query_id,
+           sqrt(list_sum([qe[i]*qe[i] for i in range(1, 65)])) AS qnorm
+         FROM q),
+       agg AS (
+         SELECT query_id, corpus_id, cent_id,
+           list_sum(list(sdot ORDER BY s)) AS pdot,
+           list_sum(list(crossd ORDER BY s)) AS pcross,
+           list_sum(list(entn ORDER BY s)) AS pent
+         FROM parts GROUP BY query_id, corpus_id, cent_id),
+       scored AS (
+         SELECT a.query_id, a.corpus_id,
+           CASE WHEN (qc.cen2 + 2 * a.pcross + a.pent) > 0 AND qn.qnorm > 0
+                THEN (qc.dotqc + a.pdot) /
+                     (qn.qnorm * sqrt(qc.cen2 + 2 * a.pcross + a.pent))
+                ELSE 0.0 END AS sim
+         FROM agg a
+         JOIN qc ON a.query_id = qc.query_id AND a.cent_id = qc.cent_id
+         JOIN qn ON a.query_id = qn.query_id)
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2580,6 +2679,7 @@ object SparkEntry {
     "q65_classifier" -> (q65 _),
     "q66_ivfpq" -> (q66 _),
     "q67_semdedup_incr" -> (q67 _),
+    "q68_ivfpq_residual" -> (q68 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2620,6 +2720,7 @@ object SparkEntry {
     "q65_classifier" -> q65Sql,
     "q66_ivfpq" -> q66Sql,
     "q67_semdedup_incr" -> q67Sql,
+    "q68_ivfpq_residual" -> q68Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -792,11 +792,13 @@ object Similarity extends Serializable {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16,
-      coarseTrainIters: Int = 0, pqTrainIters: Int = 0): DataFrame = {
+      coarseTrainIters: Int = 0, pqTrainIters: Int = 0,
+      residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
     require(ksub >= 1 && ksub <= 127, s"ksub must be in [1, 127], got $ksub")
     require(m >= 1, s"m must be >= 1, got $m")
     val spark = corpus.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val cents: Array[(Long, Array[Double])] =
       if (coarseTrainIters > 0)
         trainKmeans(corpus, idCol, vecCol, nlist, coarseTrainIters)
@@ -805,7 +807,54 @@ object Similarity extends Serializable {
         .orderBy(col("cent_id")).limit(nlist)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    val cbs = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, pqTrainIters)
+
+    /** cell of v by (cosine desc, iteration order asc) — cents are
+      * id-ascending, so strict > matches assignNearest's tie rule;
+      * returns the INDEX into cents. */
+    def cellIdx(v: Seq[Float]): Int = {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val s = cosFD(v, cents(c)._2)
+        if (s > bestSim) { bestSim = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    /** residual = v − cell centroid, materialized as FLOATS (one
+      * deterministic rounding both the codebook trainer's Seq[Float]
+      * contract and any oracle's CAST AS FLOAT reproduce). */
+    def residOf(v: Seq[Float], ci: Int): Array[Float] = {
+      val ce = cents(ci)._2
+      Array.tabulate(v.length)(i => (v(i).toDouble - ce(i)).toFloat)
+    }
+
+    val cIn = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .repartition(par, col("corpus_id"))
+
+    // codebooks train on raw vectors (flat PQ) or on cell residuals
+    // (classic IVF-PQ): the residual table is a map-only derivation —
+    // recomputed per training pass, the family's no-cache default
+    val pqInput =
+      if (!residual) corpus.select(col(idCol).as("pid"), col(vecCol).as("pv"))
+      else {
+        val rSchema = StructType(Seq(
+          cIn.schema("corpus_id").copy(name = "pid"),
+          StructField("pv", ArrayType(FloatType, false), false)))
+        val rEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+          .encoderFor(rSchema)
+        cIn.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val v = r.getSeq[Float](1)
+            val ci = cellIdx(v)
+            if (ci < 0) Iterator.empty
+            else Iterator(org.apache.spark.sql.Row(
+              r.get(0), residOf(v, ci).toIndexedSeq))
+          }
+        }(rEnc)
+      }
+    val cbs = trainPqCodebooks(pqInput, "pid", "pv", m, ksub, pqTrainIters)
     val dsub = cbs(0)(0).length
     val dim = m * dsub
     val normTab: Array[Array[Double]] = Array.tabulate(m, ksub) { (s, c) =>
@@ -815,11 +864,8 @@ object Similarity extends Serializable {
       acc
     }
 
-    // fused corpus pass: coarse cell (cosine, strict > = ties to the
-    // lower cent in iteration order — cents are id-ascending, matching
-    // assignNearest's (sim desc, cent_id asc)) + m byte codes
-    val cIn = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .repartition(spark.sparkContext.defaultParallelism, col("corpus_id"))
+    // fused corpus pass: coarse cell + m byte codes (of the raw vector
+    // or of its residual)
     val encSchema = StructType(Seq(
       cIn.schema("corpus_id"),
       StructField("cent_id", LongType, false),
@@ -831,21 +877,16 @@ object Similarity extends Serializable {
         val v = r.getSeq[Float](1)
         if (v.length != dim) Iterator.empty
         else {
-          var bestC = -1L; var bestSim = Double.NegativeInfinity
-          var c = 0
-          while (c < cents.length) {
-            val s = cosFD(v, cents(c)._2)
-            if (s > bestSim) { bestSim = s; bestC = cents(c)._1 }
-            c += 1
-          }
+          val ci = cellIdx(v)
+          val enc: Seq[Float] = if (residual) residOf(v, ci).toIndexedSeq else v
           val codes = new Array[Byte](m)
           var s = 0
           while (s < m) {
-            codes(s) = nearestSubCentroid(v, s * dsub, dsub, cbs(s)).toByte
+            codes(s) = nearestSubCentroid(enc, s * dsub, dsub, cbs(s)).toByte
             s += 1
           }
           Iterator(org.apache.spark.sql.Row(
-            r.get(0), bestC, codes.toIndexedSeq))
+            r.get(0), cents(ci)._1, codes.toIndexedSeq))
         }
       }
     }(enc0)
@@ -855,7 +896,102 @@ object Similarity extends Serializable {
       cents, 1, nprobe)
     val joined = encoded.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("corpus_id"))
-    topKPerQuery(adcScore(joined, cbs, normTab, m, dsub), k)
+    val scored =
+      if (!residual) adcScore(joined, cbs, normTab, m, dsub)
+      else adcScoreResidual(joined, cents, cbs, normTab, m, dsub)
+    topKPerQuery(scored, k)
+  }
+
+  /** Residual-ADC scoring: the reconstruction is x̂ = ce + dec(codes),
+    * so dot(q, x̂) = dot(q, ce) + Σ_s dotTab and
+    * |x̂|² = |ce|² + 2·Σ_s dot(ce_s, ent) + Σ_s |ent|². The cell cross
+    * tables are bounded driver statistics (nlist × m × ksub doubles).
+    * Accumulation order is pinned for the oracle: each Σ_s is its own
+    * s-ordered fold, then combined left-to-right — mirror as
+    * `dotqc + list_sum(...)` and `cen2 + 2*list_sum(...) +
+    * list_sum(...)`.
+    */
+  private def adcScoreResidual(
+      joined: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      cbs: Array[Array[Array[Double]]],
+      normTab: Array[Array[Double]],
+      m: Int, dsub: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ksub = cbs(0).length
+    val dim = m * dsub
+    val idxOfCell: Map[Long, Int] =
+      cents.zipWithIndex.map { case ((cid, _), i) => cid -> i }.toMap
+    val ceNorm2: Array[Double] = cents.map { case (_, ce) =>
+      var acc = 0.0; var i = 0
+      while (i < ce.length) { acc += ce(i) * ce(i); i += 1 }
+      acc
+    }
+    // crossTab(cell)(s)(c) = dot(ce_sub[s], codebook[s][c]) — dsub fold
+    val crossTab: Array[Array[Array[Double]]] =
+      Array.tabulate(cents.length, m, ksub) { (ci, s, c) =>
+        val ce = cents(ci)._2; val ent = cbs(s)(c)
+        var acc = 0.0; var j = 0
+        while (j < dsub) { acc += ce(s * dsub + j) * ent(j); j += 1 }
+        acc
+      }
+    val ci0 = joined.schema.fieldIndex("corpus_id")
+    val cdi = joined.schema.fieldIndex("codes")
+    val cli = joined.schema.fieldIndex("cent_id")
+    val qi = joined.schema.fieldIndex("query_id")
+    val qvi = joined.schema.fieldIndex("qv")
+    val scoredSchema = StructType(Seq(
+      joined.schema("query_id"), joined.schema("corpus_id"),
+      StructField("sim", DoubleType, false)))
+    val senc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(scoredSchema)
+    joined.mapPartitions { rows =>
+      // per-query: subspace dot tables + norm; per (query, cell): dot(q, ce)
+      val qluts = new java.util.HashMap[Any, (Array[Array[Double]], Double)]()
+      val qcDots = new java.util.HashMap[(Any, Int), java.lang.Double]()
+      rows.map { r =>
+        val qid = r.get(qi)
+        var lut = qluts.get(qid)
+        val qv = r.getSeq[Float](qvi)
+        if (lut == null) {
+          val dotTab = Array.tabulate(m, ksub) { (s, c) =>
+            val ent = cbs(s)(c)
+            var acc = 0.0; var j = 0
+            while (j < dsub) { acc += qv(s * dsub + j).toDouble * ent(j); j += 1 }
+            acc
+          }
+          var qn = 0.0; var i = 0
+          while (i < qv.length) { val x = qv(i).toDouble; qn += x * x; i += 1 }
+          lut = (dotTab, math.sqrt(qn))
+          qluts.put(qid, lut)
+        }
+        val cell = idxOfCell(r.getLong(cli))
+        var dotQC = qcDots.get((qid, cell))
+        if (dotQC == null) {
+          val ce = cents(cell)._2
+          var acc = 0.0; var i = 0
+          while (i < dim) { acc += qv(i).toDouble * ce(i); i += 1 }
+          dotQC = acc
+          qcDots.put((qid, cell), dotQC)
+        }
+        val codes = r.getSeq[Byte](cdi)
+        var partsDot = 0.0; var crossSum = 0.0; var entSum = 0.0
+        var s = 0
+        while (s < m) {
+          val c = codes(s).toInt
+          partsDot += lut._1(s)(c)
+          crossSum += crossTab(cell)(s)(c)
+          entSum += normTab(s)(c)
+          s += 1
+        }
+        val dot = dotQC + partsDot
+        val rn2 = ceNorm2(cell) + 2.0 * crossSum + entSum
+        val sim =
+          if (rn2 > 0 && lut._2 > 0) dot / (lut._2 * math.sqrt(rn2))
+          else 0.0
+        org.apache.spark.sql.Row(qid, r.get(ci0), sim)
+      }
+    }(senc)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH bucketing: bucket every

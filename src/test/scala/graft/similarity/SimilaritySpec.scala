@@ -256,6 +256,30 @@ class SimilaritySpec extends SparkSpec {
     assert(all == flat.map(t => (t._1, t._2)))
   }
 
+  test("residual IVF-PQ: deterministic across invocations; recall vs " +
+      "exact is sane and at least flat-PQ-competitive on the fixture") {
+    val q = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, q,
+      "vec_id", "embedding", 10))
+    val flat = pairs(Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      10, nlist = 4, nprobe = 4, m = 8, ksub = 16))
+    val res1 = pairs(Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      10, nlist = 4, nprobe = 4, m = 8, ksub = 16, residual = true))
+    val res2 = pairs(Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      10, nlist = 4, nprobe = 4, m = 8, ksub = 16, residual = true))
+    assert(res1 == res2) // bit-determinism across runs
+    def recall(a: Set[(Long, Long)]) =
+      (a intersect exact).size.toDouble / exact.size
+    assert(recall(res1) >= 0.05, s"residual recall ${recall(res1)}")
+    // residuals are smaller than raw vectors, so the same 16-entry
+    // codebook quantizes them at least as well in practice; allow a
+    // small fixture-noise slack rather than pinning superiority
+    assert(recall(res1) >= recall(flat) - 0.15,
+      s"residual ${recall(res1)} far below flat ${recall(flat)}")
+  }
+
   test("semDedupAgainst flags increment vectors near base members only " +
       "(increment-internal duplicates are not compared)") {
     import spark.implicits._
