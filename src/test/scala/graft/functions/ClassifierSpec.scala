@@ -80,6 +80,21 @@ class ClassifierSpec extends SparkSpec {
     assert(run(train, docs, broadcastModel = true) == expected)
   }
 
+  test("plan shape: token counts aggregate once — the model's consumers " +
+      "all read the cache") {
+    import spark.implicits._
+    val train = Seq(("x", "alpha beta"), ("y", "alpha gamma"))
+    val docs = Seq((1L, "alpha beta gamma"))
+    try {
+      val plan = Classifier.nbLinear(
+          train.toDF("label", "text"), col("label"), col("text"),
+          docs.toDF("id", "text"), col("id"), col("text"))
+        .queryExecution.executedPlan.toString
+      val cacheReads = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(cacheReads >= 3, s"model cache not shared:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   test("n_scored_tokens counts in-vocabulary occurrences with " +
       "multiplicity, identically across classes") {
     val train = Seq(("x", "alpha beta"), ("y", "alpha gamma"))

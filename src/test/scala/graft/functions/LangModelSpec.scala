@@ -82,6 +82,20 @@ class LangModelSpec extends SparkSpec {
       naive(train, Seq((10L, "a c"), (11L, "a b"))))
   }
 
+  test("plan shape: the bigram model aggregates once — every consumer " +
+      "reads the cache (dropping the persist re-runs the train explode)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"a b c d$i e")).toSeq
+    try {
+      val plan = LangModel.bigramLmScore(
+          docs.toDF("id", "text"), col("id"), col("text"),
+          docs.toDF("id", "text"), col("id"), col("text"))
+        .queryExecution.executedPlan.toString
+      val cacheReads = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(cacheReads >= 2, s"model cache not shared:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   test("documents with fewer than two tokens are absent from the output") {
     val train = Seq((1L, "a b"))
     val out = run(train, Seq((10L, "solo"), (11L, ""), (12L, "a b")))
