@@ -2534,6 +2534,76 @@ object SparkEntry {
          FROM scored) WHERE rank <= 10"""
 
   // ------------------------------------------------------------------
+  // q69 — perplexity-stratified corpus sampling (composition: LangModel
+  // score -> fixed buckets -> content-addressed per-bucket keep rates —
+  // the CCNet pipeline tail: keep fluent text, downsample the tail).
+  // Deterministic end to end: scores are exact fixed point (q59),
+  // bucket thresholds are constants, membership is the md5 unit hash
+  // (q36), so the kept set is reproducible in any engine.
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val scored = graft.functions.LangModel.bigramLmScore(
+      train = d.filter(col("doc_id") % 10 < 8),
+      trainId = col("doc_id"), trainText = col("text"),
+      score = d, scoreId = col("doc_id"), scoreText = col("text"))
+    val bucketed = scored.withColumn("bucket",
+      when(col("score") >= 0.035, "head")
+        .when(col("score") >= 0.0335, "middle")
+        .otherwise("tail"))
+    val rate = when(col("bucket") === "head", 1.0)
+      .when(col("bucket") === "middle", 0.5)
+      .otherwise(0.1)
+    bucketed
+      .withColumn("kept",
+        (graft.ops.Sampling.unitHash(col("id"), "ppl") < rate)
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+  }
+
+  private val q69Sql =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       bi AS (
+         SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+           unnest(tk[2:len(tk)]) AS w2
+         FROM tk WHERE len(tk) >= 2),
+       c12 AS (
+         SELECT w1, w2, COUNT(*) AS c12 FROM bi
+         WHERE doc_id % 10 < 8 GROUP BY w1, w2),
+       c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+       vv AS (
+         SELECT COUNT(DISTINCT w) AS v FROM
+           (SELECT unnest(tk) AS w FROM tk WHERE doc_id % 10 < 8)),
+       sc AS (
+         SELECT b.doc_id,
+           ((COALESCE(m.c12, 0) + 1) * 1048576)
+             // (COALESCE(c.c1, 0) + (SELECT v FROM vv)) AS fx
+         FROM bi b
+         LEFT JOIN c12 m ON b.w1 = m.w1 AND b.w2 = m.w2
+         LEFT JOIN c1 c ON b.w1 = c.w1),
+       doc AS (
+         SELECT doc_id,
+           CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 1048576.0 AS score
+         FROM sc GROUP BY doc_id),
+       bkt AS (
+         SELECT doc_id,
+           CASE WHEN score >= 0.035 THEN 'head'
+                WHEN score >= 0.0335 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':ppl'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) / 4503599627370496.0 AS u
+         FROM doc)
+       SELECT bucket, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN u < (CASE bucket WHEN 'head' THEN 1.0
+                                 WHEN 'middle' THEN 0.5 ELSE 0.1 END)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM bkt GROUP BY bucket"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2680,6 +2750,7 @@ object SparkEntry {
     "q66_ivfpq" -> (q66 _),
     "q67_semdedup_incr" -> (q67 _),
     "q68_ivfpq_residual" -> (q68 _),
+    "q69_ppl_mixture" -> (q69 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2721,6 +2792,7 @@ object SparkEntry {
     "q66_ivfpq" -> q66Sql,
     "q67_semdedup_incr" -> q67Sql,
     "q68_ivfpq_residual" -> q68Sql,
+    "q69_ppl_mixture" -> q69Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
