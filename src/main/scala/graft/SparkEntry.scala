@@ -2604,6 +2604,66 @@ object SparkEntry {
        FROM bkt GROUP BY bucket"""
 
   // ------------------------------------------------------------------
+  // q70 — transitive semantic duplicate clusters (composition:
+  // Components over Similarity.semDedupPairs — the q37/q51 shape for
+  // the semantic family): the single-hop pair stream of q58, closed
+  // into connected components. Oracle closes the same verified pairs
+  // with a recursive CTE and takes each id's min reachable id.
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Components.connectedComponents(
+      graft.similarity.Similarity.semDedupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nlist = 8, trainIters = 1))
+
+  private val q70Sql =
+    """WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       fx AS (SELECT vec_id, e, [CAST(round(x * 1048576.0) AS BIGINT) for x in e] AS f FROM v),
+       seed AS (
+         SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cent_id, e AS ce
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, f, cent_id FROM (
+           SELECT fx.vec_id, fx.f, s.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+               list_sum([fx.e[i] * s.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([fx.e[i] * fx.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([s.ce[i] * s.ce[i] for i in range(1, 65)]))) DESC,
+               s.cent_id ASC) AS r
+           FROM fx CROSS JOIN seed s) WHERE r = 1),
+       u1 AS (SELECT cent_id, unnest(f) AS xf, unnest(range(1, 65)) AS i FROM a1),
+       s1 AS (SELECT cent_id, i, SUM(xf) AS sf FROM u1 GROUP BY cent_id, i),
+       n1 AS (SELECT cent_id, COUNT(*) AS cnt FROM a1 GROUP BY cent_id),
+       m1 AS (SELECT s1.cent_id, list(CAST(sf AS DOUBLE) / cnt / 1048576.0 ORDER BY i) AS ce
+              FROM s1 JOIN n1 USING (cent_id) GROUP BY s1.cent_id),
+       c1 AS (SELECT sd.cent_id, COALESCE(m1.ce, sd.ce) AS ce FROM seed sd LEFT JOIN m1 USING (cent_id)),
+       asg AS (
+         SELECT vec_id, e, cent_id FROM (
+           SELECT v.vec_id, v.e, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum([v.e[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM v CROSS JOIN c1 c) WHERE r = 1),
+       verified AS (
+         SELECT a.vec_id AS id1, b.vec_id AS id2
+         FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         WHERE list_sum([a.e[i] * b.e[i] for i in range(1, 65)]) /
+             (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
+              sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))) >= 0.35),
+       edges AS (
+         SELECT id1 AS a, id2 AS b FROM verified
+         UNION SELECT id2, id1 FROM verified),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (
+         SELECT a AS id, LEAST(a, MIN(b)) AS component
+         FROM reach GROUP BY a)
+       SELECT id, component FROM comp"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2751,6 +2811,7 @@ object SparkEntry {
     "q67_semdedup_incr" -> (q67 _),
     "q68_ivfpq_residual" -> (q68 _),
     "q69_ppl_mixture" -> (q69 _),
+    "q70_sem_clusters" -> (q70 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2793,6 +2854,7 @@ object SparkEntry {
     "q67_semdedup_incr" -> q67Sql,
     "q68_ivfpq_residual" -> q68Sql,
     "q69_ppl_mixture" -> q69Sql,
+    "q70_sem_clusters" -> q70Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -1212,7 +1212,12 @@ object Similarity extends Serializable {
         min_by(col("sim"), col("id2")).as("sim"))
   }
 
-  def semDedup(
+  /** The verified in-cell similarity pair stream `semDedup` reduces —
+    * exposed so `Components.connectedComponents` can cluster it
+    * transitively (the q37/q51 composition for the semantic family).
+    * Same cell/cap/verify machinery; (id1 < id2, sim) rows.
+    */
+  def semDedupPairs(
       corpus: DataFrame,
       idCol: String, vecCol: String,
       threshold: Double,
@@ -1238,9 +1243,21 @@ object Similarity extends Serializable {
       .join(c.select(col("id").as("id2"), col("v").as("v2")), "id2"),
       "v1", "v2", "sim")
       .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      trainIters: Int = 1,
+      maxClusterSize: Int = 100000,
+      cacheCorpus: Boolean = false): DataFrame =
+    semDedupPairs(corpus, idCol, vecCol, threshold, nlist, trainIters,
+        maxClusterSize, cacheCorpus)
       .groupBy(col("id2").as("id"))
       .agg(
         min(col("id1")).as("dup_of"),
         min_by(col("sim"), col("id1")).as("sim"))
-  }
 }
