@@ -34,6 +34,18 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param pairs (id1, id2) rows, undirected, any extra columns ignored
+    * @param maxDriverEdges fast-path bound: a pair graph at or under
+    *   this many (distinct, directed) edges is collected and solved
+    *   with driver union-find — one job instead of one-per-round. The
+    *   pair graph is the dedup output, orders of magnitude smaller
+    *   than the corpus, so at test scale it is a bounded driver
+    *   statistic (the runOnce idiom); at 100 TB it can still be huge,
+    *   so the edge COUNT (already paid: it builds the cache the
+    *   distributed rounds need anyway) gates the collect and anything
+    *   larger takes the label-propagation path unchanged. MEASURED
+    *   (sf0.1, NOTES.md round 6): q37 1.63→1.32 s, q51 4.62→2.69 s,
+    *   q70 4.39→1.15 s — the rounds were job-overhead-bound, not
+    *   data-bound. Set 0 to force the distributed path.
     * @return (id, component) for every id in `pairs`; component = min id
     *         of the connected component. Throws if `maxIter` rounds do
     *         not converge — a partial labeling is wrong data, not a
@@ -42,14 +54,51 @@ object Components {
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 25,
-      pointerDoubling: Boolean = false): DataFrame = {
+      pointerDoubling: Boolean = false,
+      maxDriverEdges: Long = 4000000L): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     import org.apache.spark.sql.types._
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
-      .cache() // probed every round
+      .cache() // probed every round (and by the fast-path gate)
+    val nEdges = edges.count()
+    if (nEdges <= maxDriverEdges) {
+      // driver union-find (min-root): identical fixed point as the
+      // label propagation — component = min id reachable
+      val es = edges.collect()
+      val parent = new java.util.HashMap[Any, Any]()
+      implicit val anyOrd: Ordering[Any] =
+        (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // min id becomes the root
+          if (anyOrd.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val outSchema = StructType(Seq(
+        StructField("id", edges.schema("src").dataType, false),
+        StructField("component", edges.schema("src").dataType, false)))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val it = parent.keySet().iterator()
+      while (it.hasNext) {
+        val id = it.next()
+        rows.add(org.apache.spark.sql.Row(id, find(id)))
+      }
+      edges.unpersist()
+      return spark.createDataFrame(rows, outSchema)
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)

@@ -36,7 +36,8 @@ class ComponentsSpec extends SparkSpec {
     // finish (and detect convergence) in 3
     val longPath = (0L until 300L).map(i => (i, i + 1)).toDF("id1", "id2")
     assertThrows[IllegalStateException] {
-      Components.connectedComponents(longPath, maxIter = 3).collect()
+      Components.connectedComponents(longPath, maxIter = 3,
+        maxDriverEdges = 0L).collect()
     }
   }
 
@@ -45,13 +46,33 @@ class ComponentsSpec extends SparkSpec {
     val path = (0L until 100L).map(i => (i, i + 1)).toDF("id1", "id2")
     // without doubling this needs 100 rounds, far over maxIter = 12
     val out = Components
-      .connectedComponents(path, maxIter = 12, pointerDoubling = true)
+      .connectedComponents(path, maxIter = 12, pointerDoubling = true,
+        maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size == 101 && out.values.toSet == Set(0L))
     // plain propagation: same labels, just more rounds
-    val plain = Components.connectedComponents(path, maxIter = 110)
+    val plain = Components.connectedComponents(path, maxIter = 110,
+      maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(plain == out)
+  }
+
+  test("driver union-find fast path == distributed label propagation " +
+      "on random graphs (both orders of the same fixed point)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // mixed shapes: random edges + a chain + an isolated pair
+    val edges = ((1 to 150).map(_ =>
+        (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+        .filter { case (a, b) => a != b } ++
+      (100L until 130L).map(i => (i, i + 1)) :+ ((500L, 501L))).toSeq
+    val df = rng.shuffle(edges).toDF("id1", "id2")
+    val fast = Components.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Components
+      .connectedComponents(df, maxIter = 60, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
   }
 
   test("empty pair list yields empty components") {
