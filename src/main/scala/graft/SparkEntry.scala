@@ -2664,6 +2664,69 @@ object SparkEntry {
        SELECT id, component FROM comp"""
 
   // ------------------------------------------------------------------
+  // q71 — trigram LM with stupid backoff (extension:
+  // LangModel.trigramLmScore, Brants et al. 2007): the higher-order
+  // companion to q59 — trigram maximum-likelihood with 0.4-backoff to
+  // bigram then unigram, every arm exact integer arithmetic so the
+  // oracle reproduces all four backoff branches bit-for-bit. Held-out
+  // docs (doc_id % 10 >= 8) exercise the backoff arms.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    graft.functions.LangModel.trigramLmScore(
+        train = d.filter(col("doc_id") % 10 < 8),
+        trainId = col("doc_id"), trainText = col("text"),
+        score = d, scoreId = col("doc_id"), scoreText = col("text"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q71Sql =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       tr AS (
+         SELECT doc_id, unnest(tk[1:len(tk)-2]) AS w1,
+           unnest(tk[2:len(tk)-1]) AS w2, unnest(tk[3:len(tk)]) AS w3
+         FROM tk WHERE len(tk) >= 3),
+       bi AS (
+         SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+           unnest(tk[2:len(tk)]) AS w2
+         FROM tk WHERE len(tk) >= 2),
+       c123 AS (
+         SELECT w1, w2, w3, COUNT(*) AS c123 FROM tr
+         WHERE doc_id % 10 < 8 GROUP BY w1, w2, w3),
+       cb AS (
+         SELECT w1, w2, COUNT(*) AS cb FROM bi
+         WHERE doc_id % 10 < 8 GROUP BY w1, w2),
+       cu AS (
+         SELECT w, COUNT(*) AS cu FROM
+           (SELECT doc_id, unnest(tk) AS w FROM tk)
+         WHERE doc_id % 10 < 8 GROUP BY w),
+       nn AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM cu),
+       sc AS (
+         SELECT t.doc_id,
+           CASE
+             WHEN COALESCE(m.c123, 0) > 0 AND COALESCE(b12.cb, 0) > 0
+               THEN (m.c123 * 1048576) // b12.cb
+             WHEN COALESCE(b23.cb, 0) > 0 AND COALESCE(u2.cu, 0) > 0
+               THEN (2 * ((b23.cb * 1048576) // u2.cu)) // 5
+             WHEN COALESCE(u3.cu, 0) > 0
+               THEN (4 * ((u3.cu * 1048576) // (SELECT n FROM nn))) // 25
+             ELSE 0 END AS fx
+         FROM tr t
+         LEFT JOIN c123 m ON t.w1 = m.w1 AND t.w2 = m.w2 AND t.w3 = m.w3
+         LEFT JOIN cb b12 ON t.w1 = b12.w1 AND t.w2 = b12.w2
+         LEFT JOIN cb b23 ON t.w2 = b23.w1 AND t.w3 = b23.w2
+         LEFT JOIN cu u2 ON t.w2 = u2.w
+         LEFT JOIN cu u3 ON t.w3 = u3.w)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(SUM(fx) AS BIGINT) AS lm_fx_sum,
+         CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 1048576.0 AS score
+       FROM sc GROUP BY doc_id"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2812,6 +2875,7 @@ object SparkEntry {
     "q68_ivfpq_residual" -> (q68 _),
     "q69_ppl_mixture" -> (q69 _),
     "q70_sem_clusters" -> (q70 _),
+    "q71_trigram_backoff" -> (q71 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2855,6 +2919,7 @@ object SparkEntry {
     "q68_ivfpq_residual" -> q68Sql,
     "q69_ppl_mixture" -> q69Sql,
     "q70_sem_clusters" -> q70Sql,
+    "q71_trigram_backoff" -> q71Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

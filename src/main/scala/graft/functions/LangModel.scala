@@ -76,6 +76,93 @@ object LangModel {
     * `spark.catalog.clearCache()` between corpora, or pre-materialize
     * the model to a tap.
     */
+  /** (id, w1, w2, w3) trigram stream — adjacent token triples. */
+  private def trigrams(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = Text.tokens(text)
+    df.select(id.as("id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 2),
+        zip_with(
+          slice(col("tk"), lit(2), size(col("tk")) - 2),
+          slice(col("tk"), lit(3), size(col("tk")) - 2),
+          (b, c) => struct(b.as("w2"), c.as("w3"))),
+        (a, bc) => struct(a.as("w1"), bc("w2").as("w2"), bc("w3").as("w3"))))
+        .as("t"))
+      .select(col("id"), col("t.w1"), col("t.w2"), col("t.w3"))
+  }
+
+  /** Trigram language-model scoring with STUPID BACKOFF (Brants et al.
+    * 2007 — the web-scale LM that skips normalized discounting):
+    *
+    *   S(w3 | w1 w2) = c123/c12          if the trigram was seen
+    *                 = 0.4 · c23/c2      else if the bigram was seen
+    *                 = 0.16 · c3/N       else if the unigram was seen
+    *                 = 0                 otherwise
+    *
+    * in exact 2^20 fixed point: each arm is integer division (0.4 = 2/5
+    * and 0.16 = 4/25 as integer multiply-then-divide), so the score is
+    * order-independent and engine-reproducible like [[bigramLmScore]].
+    * Returns (id, n_trigrams, lm_fx_sum, score); documents with fewer
+    * than three tokens are absent.
+    *
+    * Scale shape: three persisted count tables (tri/bi/uni — the model,
+    * bounded aggregates far smaller than the corpus; same cache
+    * lifecycle as [[bigramLmScore]]); N rides a 1-row broadcast. The
+    * score-side trigram stream takes FIVE narrow model joins (c123,
+    * c12, c23, c2, c3) — `broadcastModel` collapses them all to
+    * broadcast hash joins when the model fits executors, the common
+    * clean-reference case.
+    */
+  def trigramLmScore(
+      train: DataFrame, trainId: Column, trainText: Column,
+      score: DataFrame, scoreId: Column, scoreText: Column,
+      broadcastModel: Boolean = false): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def bc(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val tri = trigrams(train, trainId, trainText)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+      .persist(lvl)
+    val bi = bigrams(train, trainId, trainText)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persist(lvl)
+    val uni = train
+      .select(explode(Text.tokens(trainText)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .persist(lvl)
+    val n = broadcast(uni.agg(sum(col("cu")).as("n")))
+
+    trigrams(score, scoreId, scoreText)
+      .join(bc(tri), Seq("w1", "w2", "w3"), "left")
+      .join(bc(bi.select(col("w1"), col("w2"), col("cb").as("c12"))),
+        Seq("w1", "w2"), "left")
+      .join(bc(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("c23"))), Seq("w2", "w3"), "left")
+      .join(bc(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+        Seq("w2"), "left")
+      .join(bc(uni.select(col("w").as("w3"), col("cu").as("c3"))),
+        Seq("w3"), "left")
+      .crossJoin(n)
+      .select(col("id"),
+        coalesce(col("c123"), lit(0L)).as("c123"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c23"), lit(0L)).as("c23"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c3"), lit(0L)).as("c3"),
+        col("n"))
+      .withColumn("fx", expr(s"""CASE
+        WHEN c123 > 0 AND c12 > 0 THEN (c123 * ${Scale}L) div c12
+        WHEN c23 > 0 AND c2 > 0 THEN (2 * ((c23 * ${Scale}L) div c2)) div 5
+        WHEN c3 > 0 THEN (4 * ((c3 * ${Scale}L) div n)) div 25
+        ELSE 0 END"""))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(col("fx")).as("lm_fx_sum"))
+      .withColumn("score",
+        col("lm_fx_sum").cast("double") / col("n_trigrams") / Scale.toDouble)
+  }
+
   def bigramLmScore(
       train: DataFrame, trainId: Column, trainText: Column,
       score: DataFrame, scoreId: Column, scoreText: Column,

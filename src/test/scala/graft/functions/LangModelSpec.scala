@@ -96,6 +96,84 @@ class LangModelSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  /** Naive stupid-backoff reference: exact longs, same arms. */
+  private def naive3(
+      train: Seq[(Long, String)], score: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Double)] = {
+    val S = 1L << 20
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    def tris(s: String) = { val t = toks(s); t.lazyZip(t.drop(1)).lazyZip(t.drop(2)).toSeq }
+    def bis(s: String) = { val t = toks(s); t.zip(t.drop(1)) }
+    val c123 = train.flatMap(d => tris(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cb = train.flatMap(d => bis(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cu = train.flatMap(d => toks(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cu.values.sum
+    score.flatMap { case (id, text) =>
+      val ts = tris(text)
+      if (ts.isEmpty) None
+      else {
+        val fxs = ts.map { case (w1, w2, w3) =>
+          val t = c123.getOrElse((w1, w2, w3), 0L)
+          val b12 = cb.getOrElse((w1, w2), 0L)
+          val b23 = cb.getOrElse((w2, w3), 0L)
+          val u2 = cu.getOrElse(w2, 0L)
+          val u3 = cu.getOrElse(w3, 0L)
+          if (t > 0 && b12 > 0) (t * S) / b12
+          else if (b23 > 0 && u2 > 0) (2 * ((b23 * S) / u2)) / 5
+          else if (u3 > 0) (4 * ((u3 * S) / n)) / 25
+          else 0L
+        }
+        Some(id -> ((ts.size.toLong, fxs.sum,
+          fxs.sum.toDouble / ts.size / S.toDouble)))
+      }
+    }.toMap
+  }
+
+  private def run3(
+      train: Seq[(Long, String)], score: Seq[(Long, String)],
+      broadcastModel: Boolean = false): Map[Long, (Long, Long, Double)] = {
+    import spark.implicits._
+    try LangModel.trigramLmScore(
+        train.toDF("id", "text"), col("id"), col("text"),
+        score.toDF("id", "text"), col("id"), col("text"),
+        broadcastModel = broadcastModel)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    finally spark.catalog.clearCache()
+  }
+
+  test("stupid backoff hits every arm: trigram, bigram, unigram, unseen") {
+    // train: "a b c a b d" -> tri (a,b,c),(b,c,a),(c,a,b),(a,b,d)
+    val train = Seq((1L, "a b c a b d"))
+    // "a b c": trigram hit -> (1 * 2^20) / c12(a,b)=2
+    assert(run3(train, Seq((10L, "a b c")))(10L)._2 == (1L << 20) / 2)
+    // "x b c": trigram miss, bigram (b,c)=1 hit, c2=cu(b)=2
+    //   -> (2 * ((1 * 2^20) / 2)) / 5
+    assert(run3(train, Seq((11L, "x b c")))(11L)._2 ==
+      (2L * ((1L << 20) / 2)) / 5)
+    // "x y d": both miss, unigram d=1, N=6 -> (4 * (2^20 / 6)) / 25
+    assert(run3(train, Seq((12L, "x y d")))(12L)._2 ==
+      (4L * ((1L << 20) / 6)) / 25)
+    // "x y z": fully unseen -> 0
+    assert(run3(train, Seq((13L, "x y z")))(13L)._2 == 0L)
+  }
+
+  test("trigram backoff matches the naive model on an adversarial " +
+      "corpus, both join arms") {
+    val docs = (1L to 35L).map { i =>
+      val words = (0 until (i % 8 + 1).toInt)
+        .map(j => s"w${(i * 29 + j * 13) % 9}")
+      (i, words.mkString(" "))
+    }
+    val expected = naive3(docs, docs)
+    assert(run3(docs, docs) == expected)
+    assert(run3(docs, docs, broadcastModel = true) == expected)
+  }
+
   test("documents with fewer than two tokens are absent from the output") {
     val train = Seq((1L, "a b"))
     val out = run(train, Seq((10L, "solo"), (11L, ""), (12L, "a b")))
