@@ -96,6 +96,21 @@ class LangModelSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("plan shape: the trigram backoff's bi/uni tables each serve two " +
+      "joins from the cache (uncached they would re-explode the corpus)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"a b c d$i e f")).toSeq
+    try {
+      val plan = LangModel.trigramLmScore(
+          docs.toDF("id", "text"), col("id"), col("text"),
+          docs.toDF("id", "text"), col("id"), col("text"))
+        .queryExecution.executedPlan.toString
+      // tri x1 + bi x2 (c12, c23) + uni x2 (c2, c3) + N derivation = 6+
+      val cacheReads = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(cacheReads >= 6, s"model caches not shared:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   /** Naive stupid-backoff reference: exact longs, same arms. */
   private def naive3(
       train: Seq[(Long, String)], score: Seq[(Long, String)])
