@@ -61,6 +61,25 @@ class WinnowSpec extends SparkSpec {
     assert(kernel == column)
   }
 
+  test("kernel == naive across random (k, w) parameter combinations") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val docs = (1L to 15L).map { i =>
+      val len = rng.nextInt(80)
+      (i, (0 until len).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+    }
+    val df = docs.toDF("id", "text")
+    for ((k, w) <- Seq((3, 2), (5, 9), (12, 4), (25, 3))) {
+      val kernel = Dedup.winnowDocs(df, col("id"), col("text"), k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      docs.foreach { case (id, text) =>
+        val expect = naive(text, k, w).map(_ / (1L << 20))
+        assert(kernel.getOrElse(id, Set.empty[Long]) == expect,
+          s"doc $id len ${text.length} k=$k w=$w")
+      }
+    }
+  }
+
   test("winnowPairs: a shared substring of length >= k + w - 1 is always " +
       "detected; unrelated docs are not") {
     import spark.implicits._
