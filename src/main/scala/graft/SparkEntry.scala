@@ -2727,6 +2727,51 @@ object SparkEntry {
        FROM sc GROUP BY doc_id"""
 
   // ------------------------------------------------------------------
+  // q72 — substring-level decontamination via winnowing (extension:
+  // Dedup.winnowContamination): the third decontamination leg after
+  // q43 (token n-grams) and q64 (embeddings) — per training doc
+  // (doc_id % 20 <> 0), the fraction of its selected winnow hashes
+  // found anywhere in the test split (doc_id % 20 = 0). Quoted test
+  // substrings of length >= k+w-1 are guaranteed hits at ~2/(w+1) of
+  // the gram-index posting volume.
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.dedup.Dedup.winnowContamination(
+        docs = d.filter(col("doc_id") % 20 =!= 0),
+        docId = col("doc_id"), docText = coalesce(col("text"), lit("")),
+        testSet = d.filter(col("doc_id") % 20 === 0),
+        testId = col("doc_id"), testText = coalesce(col("text"), lit("")),
+        k = 20, w = 8)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q72Sql =
+    """WITH g AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+       c AS (
+         SELECT doc_id,
+           [ CAST(list_sum([(strpos('0123456789abcdef', substr(md5(substr(t, i, 20)), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) * 1048576 + (i - 1)
+             for i in range(1, len(t) - 20 + 2) ] AS comb
+         FROM g WHERE len(t) >= 20),
+       sel AS (
+         SELECT doc_id, CASE WHEN len(comb) >= 8
+           THEN list_distinct([ list_min(comb[s:s+7])
+                                for s in range(1, len(comb) - 8 + 2) ])
+           ELSE [list_min(comb)] END AS fps
+         FROM c),
+       fh AS (
+         SELECT DISTINCT doc_id, unnest(fps) // 1048576 AS fh FROM sel),
+       teh AS (SELECT DISTINCT fh FROM fh WHERE doc_id % 20 = 0),
+       corp AS (SELECT doc_id, fh FROM fh WHERE doc_id % 20 <> 0),
+       nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM corp GROUP BY doc_id),
+       hits AS (
+         SELECT c2.doc_id, COUNT(*) AS n_matched
+         FROM corp c2 JOIN teh USING (fh) GROUP BY c2.doc_id)
+       SELECT n.doc_id, CAST(n.n_fp AS BIGINT) AS n_fp,
+         CAST(COALESCE(h.n_matched, 0) AS BIGINT) AS n_matched,
+         CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / n.n_fp AS contamination
+       FROM nfp n LEFT JOIN hits h ON n.doc_id = h.doc_id"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2876,6 +2921,7 @@ object SparkEntry {
     "q69_ppl_mixture" -> (q69 _),
     "q70_sem_clusters" -> (q70 _),
     "q71_trigram_backoff" -> (q71 _),
+    "q72_winnow_decontaminate" -> (q72 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2920,6 +2966,7 @@ object SparkEntry {
     "q69_ppl_mixture" -> q69Sql,
     "q70_sem_clusters" -> q70Sql,
     "q71_trigram_backoff" -> q71Sql,
+    "q72_winnow_decontaminate" -> q72Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

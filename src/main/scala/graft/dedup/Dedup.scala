@@ -974,4 +974,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Substring-level benchmark decontamination via winnowing — the third
+    * leg of the decontamination family (exact token n-grams:
+    * `Decontaminate.contamination`; embedding space:
+    * `Similarity.semanticContamination`): per corpus document, the
+    * fraction of its selected winnow hashes that also appear in the
+    * test set. By the winnowing guarantee, any test substring of length
+    * ≥ k + w - 1 quoted verbatim in a corpus document shares at least
+    * one selected hash, at ~2/(w+1) of the n-gram index's posting
+    * volume — quoted-benchmark leakage detection that token-gram
+    * overlap pays w× more to find.
+    *
+    * Returns (id, n_fp, n_matched, contamination) per corpus document
+    * with at least one gram; documents shorter than k select nothing
+    * and are absent (undetectable at this k).
+    *
+    * Scale shape: the `Decontaminate` restructure — the test-side hash
+    * set broadcasts (`broadcastTest`, the benchmark-sized default);
+    * only HITS flow through the join and the per-doc aggregation; the
+    * per-doc totals come map-side from the selection, joined back at
+    * the end.
+    */
+  def winnowContamination(
+      docs: DataFrame, docId: Column, docText: Column,
+      testSet: DataFrame, testId: Column, testText: Column,
+      k: Int = 20, w: Int = 8,
+      broadcastTest: Boolean = true): DataFrame = {
+    val d = winnowDocs(docs, docId, docText, k, w)
+    val t0 = winnowDocs(testSet, testId, testText, k, w)
+      .select(explode(col("fhs")).as("fh")).distinct()
+    val t = if (broadcastTest) broadcast(t0) else t0
+    val hits = d.select(col("id"), explode(col("fhs")).as("fh"))
+      .join(t, "fh")
+      .groupBy("id").agg(count(lit(1)).as("n_matched"))
+    d.select(col("id"), size(col("fhs")).cast("long").as("n_fp"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_fp"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_fp"))
+  }
 }

@@ -96,6 +96,29 @@ class WinnowSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("winnowContamination flags a verbatim quote of length >= k+w-1 " +
+      "and scores clean docs zero; broadcast and shuffle arms agree") {
+    import spark.implicits._
+    val quote = "for score and seven years ago our fathers brought forth"
+    val test = Seq((900L, s"benchmark question: $quote end"))
+      .toDF("id", "text")
+    val docs = Seq(
+      (1L, s"some training text that quotes $quote in the middle of it"),
+      (2L, "completely original content with no overlap whatsoever here"),
+      (3L, "ab")) // shorter than k: absent
+      .toDF("id", "text")
+    def run(bt: Boolean) = Dedup.winnowContamination(
+        docs, col("id"), col("text"), test, col("id"), col("text"),
+        k = 20, w = 8, broadcastTest = bt)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val out = run(true)
+    assert(out(1L)._2 >= 1L, s"quote not detected: $out")
+    assert(out(2L)._2 == 0L)
+    assert(!out.contains(3L))
+    assert(run(false) == out)
+  }
+
   test("winnowPairs counts shared fingerprints and enforces minShared") {
     import spark.implicits._
     val a = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
