@@ -33,6 +33,35 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Id orderings guaranteed to match Spark's `min()` on the driver:
+    * integral types (natural order) and String (Spark compares
+    * UTF8String BYTES — java's String.compareTo differs on supplementary
+    * characters, so Strings compare by their UTF-8 encoding here). Any
+    * other id type skips the fast path rather than risking a
+    * path-dependent component label.
+    */
+  private def driverOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some((a: Any, b: Any) => java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue))
+      case StringType =>
+        Some((a: Any, b: Any) => {
+          val x = a.asInstanceOf[String].getBytes("UTF-8")
+          val y = b.asInstanceOf[String].getBytes("UTF-8")
+          val n = math.min(x.length, y.length)
+          var i = 0; var c = 0
+          while (c == 0 && i < n) {
+            c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1
+          }
+          if (c != 0) c else java.lang.Integer.compare(x.length, y.length)
+        })
+      case _ => None
+    }
+  }
+
   /** @param pairs (id1, id2) rows, undirected, any extra columns ignored
     * @param maxDriverEdges fast-path bound: a pair graph at or under
     *   this many (distinct, directed) edges is collected and solved
@@ -42,10 +71,15 @@ object Components {
     *   statistic (the runOnce idiom); at 100 TB it can still be huge,
     *   so the edge COUNT (already paid: it builds the cache the
     *   distributed rounds need anyway) gates the collect and anything
-    *   larger takes the label-propagation path unchanged. MEASURED
-    *   (sf0.1, NOTES.md round 6): q37 1.63→1.32 s, q51 4.62→2.69 s,
-    *   q70 4.39→1.15 s — the rounds were job-overhead-bound, not
-    *   data-bound. Set 0 to force the distributed path.
+    *   larger takes the label-propagation path unchanged. The gate is
+    *   a row count, not bytes — size it down for WIDE ids (long URLs):
+    *   the 1M default costs ~tens of MB at typical id widths. Only
+    *   integral and String ids take the fast path (see
+    *   [[driverOrdering]]); other types go distributed regardless.
+    *   MEASURED (sf0.1, NOTES.md round 6): q37 1.63→1.32 s, q51
+    *   4.62→2.69 s, q70 4.39→1.15 s — the rounds were
+    *   job-overhead-bound, not data-bound. Set 0 to force the
+    *   distributed path.
     * @return (id, component) for every id in `pairs`; component = min id
     *         of the connected component. Throws if `maxIter` rounds do
     *         not converge — a partial labeling is wrong data, not a
@@ -55,7 +89,7 @@ object Components {
       pairs: DataFrame,
       maxIter: Int = 25,
       pointerDoubling: Boolean = false,
-      maxDriverEdges: Long = 4000000L): DataFrame = {
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     import org.apache.spark.sql.types._
     val spark = pairs.sparkSession
@@ -63,14 +97,14 @@ object Components {
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .cache() // probed every round (and by the fast-path gate)
+    val idOrd = driverOrdering(edges.schema("src").dataType)
     val nEdges = edges.count()
-    if (nEdges <= maxDriverEdges) {
+    if (idOrd.isDefined && nEdges <= maxDriverEdges) {
       // driver union-find (min-root): identical fixed point as the
       // label propagation — component = min id reachable
+      val ord = idOrd.get
       val es = edges.collect()
       val parent = new java.util.HashMap[Any, Any]()
-      implicit val anyOrd: Ordering[Any] =
-        (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
       def find(x: Any): Any = {
         var r = x
         while (parent.get(r) != r) r = parent.get(r)
@@ -84,7 +118,7 @@ object Components {
         if (!parent.containsKey(b)) parent.put(b, b)
         val ra = find(a); val rb = find(b)
         if (ra != rb) { // min id becomes the root
-          if (anyOrd.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
       val outSchema = StructType(Seq(

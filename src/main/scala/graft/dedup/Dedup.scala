@@ -66,6 +66,45 @@ object Dedup {
     }(enc)
   }
 
+  /** Minhash signature of a hashed-gram set — THE scalar permutation
+    * fold (`Hashing.permute`'s arithmetic) shared by the batch band
+    * kernel and `Streaming.nearDupStream`, whose contract is
+    * bit-identity with the batch operator. One definition so the
+    * constants can never drift between batch and stream.
+    */
+  private[graft] def minhashSignature(
+      vms: Iterable[Long], numHashes: Int): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      var min = Long.MaxValue
+      val it = vms.iterator
+      while (it.hasNext) {
+        val v = it.next()
+        val h = (v * (i + 1) + 40503L * i) % Hashing.MinhashP
+        if (h < min) min = h
+      }
+      sig(i) = min; i += 1
+    }
+    sig
+  }
+
+  /** LSH band key `"b|s,s,..."` for band `b` of a signature — the one
+    * wire format for band buckets, shared batch/stream like
+    * [[minhashSignature]].
+    */
+  private[graft] def bandKey(
+      sig: Array[Long], b: Int, rowsPerBand: Int): String = {
+    val sb = new StringBuilder().append(b).append('|')
+    var j = b * rowsPerBand
+    val end = j + rowsPerBand
+    while (j < end) {
+      if (j > b * rowsPerBand) sb.append(',')
+      sb.append(sig(j)); j += 1
+    }
+    sb.toString
+  }
+
   /** Minhash signature + LSH band keys as a typed kernel (same rationale
     * as shingleDocs: HOF lambdas don't codegen; this loop is the hot
     * path). Emits `bands` rows per doc: (id, "band|sig,sig,...").
@@ -81,28 +120,9 @@ object Dedup {
       .encoderFor(schema)
     in.mapPartitions { rows =>
       rows.flatMap { r =>
-        val vms = r.getSeq[Long](1)
-        val sig = new Array[Long](numHashes)
-        var i = 0
-        while (i < numHashes) {
-          var min = Long.MaxValue
-          val it = vms.iterator
-          while (it.hasNext) {
-            val v = it.next()
-            val h = (v * (i + 1) + 40503L * i) % Hashing.MinhashP
-            if (h < min) min = h
-          }
-          sig(i) = min; i += 1
-        }
+        val sig = minhashSignature(r.getSeq[Long](1), numHashes)
         (0 until bands).iterator.map { b =>
-          val sb = new StringBuilder().append(b).append('|')
-          var j = b * rowsPerBand
-          val end = j + rowsPerBand
-          while (j < end) {
-            if (j > b * rowsPerBand) sb.append(',')
-            sb.append(sig(j)); j += 1
-          }
-          org.apache.spark.sql.Row(r.get(0), sb.toString)
+          org.apache.spark.sql.Row(r.get(0), bandKey(sig, b, rowsPerBand))
         }
       }
     }(enc)
@@ -856,12 +876,14 @@ object Dedup {
     * Pure Column expressions (hash = `Hashing.md5Mod`, engine-portable),
     * packed as (hash << 20 | pos) so window-min is ONE `array_min`.
     * Position capacity is [[WinnowPosCap]] grams per document — beyond
-    * that, chunk the document first (doc-level operators here assume
-    * bounded docs, same contract as the shingle kernels).
+    * that, chunk the document first. The production kernel
+    * ([[winnowDocs]]) enforces the cap with a loud per-doc error; this
+    * Column form does not (it is the SPECIFICATION any SQL oracle
+    * mirrors, and `when`-expressible guards cannot throw) — keep inputs
+    * within capacity when using it directly.
     *
-    * This Column form is the SPECIFICATION (it is what any SQL oracle
-    * mirrors); [[winnowDocs]] is the production kernel — interpreted
-    * HOFs re-evaluate the `comb` subtree per window, making this form
+    * [[winnowDocs]] is also the performance path — interpreted HOFs
+    * re-evaluate the `comb` subtree per window, making this form
     * O(grams × windows) digests. WinnowSpec pins kernel == Column.
     */
   private[graft] def winnowSelect(text: Column, k: Int, w: Int): Column = {
@@ -908,6 +930,12 @@ object Dedup {
         if (text == null || text.length < k) Iterator.empty
         else {
           val n = text.length - k + 1
+          // positions ride the low 20 bits: past WinnowPosCap they would
+          // silently corrupt the hash field — fail loudly naming the doc
+          // (the sessionize discipline); chunk oversized docs upstream
+          if (n > WinnowPosCap) throw new IllegalArgumentException(
+            s"winnowDocs: document ${r.get(0)} has $n grams, over the " +
+              s"position capacity $WinnowPosCap — chunk it first")
           // combined (hash << 20 | pos): one digest per gram
           val comb = new Array[Long](n)
           var i = 0

@@ -33,9 +33,13 @@ object Classifier {
     * argmax by (score desc, label asc) — deterministic. The weight
     * table is DENSE over vocab × classes, so every in-vocabulary token
     * contributes to every class (n_scored_tokens is identical across a
-    * document's classes); tokens unseen in ANY training class
-    * contribute equally to all classes and are dropped. Documents with
-    * zero in-vocabulary tokens are absent from the output.
+    * document's classes); tokens unseen in ANY training class are
+    * DROPPED — note this differs from strict add-one NB, where an OOV
+    * token would add the class-DEPENDENT floor 2^20/(T_l+V) (favoring
+    * classes with less training mass); dropping them is part of this
+    * scorer's definition, chosen so the score depends only on
+    * in-vocabulary evidence. Documents with zero in-vocabulary tokens
+    * are absent from the output.
     *
     * Scale shape: token counts are ONE aggregation of the train token
     * stream, persisted (the model statistic — its four consumers read

@@ -40,42 +40,6 @@ object LangModel {
       .select(col("id"), col("b.w1"), col("b.w2"))
   }
 
-  /** Score every `score` document by the mean smoothed bigram probability
-    * under a model trained on `train` (which may be the same DataFrame —
-    * self-scoring — or a clean reference corpus, the CCNet setup).
-    * Returns (id, n_bigrams, lm_fx_sum, score): the exact fixed-point sum,
-    * its bigram count, and score = sum / n / 2^20 as a double (one
-    * division order, mirrored by any oracle). Documents with fewer than
-    * two tokens have no bigrams and are absent from the output.
-    *
-    * Unseen bigrams smooth to fx = floor(2^20 / (c(w1 ·) + V)) — unseen
-    * CONTEXTS to floor(2^20 / V) — so cross-corpus scoring is total.
-    *
-    * Scale shape: the bigram-count table is ONE aggregation of the
-    * TRAIN bigram stream (map-side partial agg), PERSISTED — it is the
-    * model, a bounded statistic far smaller than the corpus, and both
-    * its consumers (the score join and the context-total derivation)
-    * read the cache instead of re-running the corpus explode (verified:
-    * uncached, Catalyst re-evaluates the aggregate per consumer because
-    * their pruned schemas differ, so the train corpus exploded twice).
-    * The vocabulary count is the one remaining extra train pass
-    * (explode → count_distinct, map-side partial): the true token vocab
-    * is not derivable from the bigram table; swap in `Sketch.kmvDistinct`
-    * when an approximate V is acceptable at scale. V rides a 1-row
-    * broadcast — never a driver action. Scoring is one join of the
-    * score-side bigram stream against the model, shuffled on (w1, w2)
-    * by default; `broadcastModel` is the lever when the model fits
-    * executors (clean-reference training sets — the common CCNet case);
-    * `minBigramCount` prunes the model's long tail (hapax bigrams are
-    * most of a web-scale model's rows and smoothing already handles
-    * them as unseen), the same df-cap discipline as the Jaccard posting
-    * index.
-    *
-    * CACHE LIFECYCLE: same contract as `Prefix.runningTotal` — the
-    * persisted model is pinned by the returned plan; a loop should
-    * `spark.catalog.clearCache()` between corpora, or pre-materialize
-    * the model to a tap.
-    */
   /** (id, w1, w2, w3) trigram stream — adjacent token triples. */
   private def trigrams(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tk = Text.tokens(text)
@@ -163,6 +127,42 @@ object LangModel {
         col("lm_fx_sum").cast("double") / col("n_trigrams") / Scale.toDouble)
   }
 
+  /** Score every `score` document by the mean smoothed bigram probability
+    * under a model trained on `train` (which may be the same DataFrame —
+    * self-scoring — or a clean reference corpus, the CCNet setup).
+    * Returns (id, n_bigrams, lm_fx_sum, score): the exact fixed-point sum,
+    * its bigram count, and score = sum / n / 2^20 as a double (one
+    * division order, mirrored by any oracle). Documents with fewer than
+    * two tokens have no bigrams and are absent from the output.
+    *
+    * Unseen bigrams smooth to fx = floor(2^20 / (c(w1 ·) + V)) — unseen
+    * CONTEXTS to floor(2^20 / V) — so cross-corpus scoring is total.
+    *
+    * Scale shape: the bigram-count table is ONE aggregation of the
+    * TRAIN bigram stream (map-side partial agg), PERSISTED — it is the
+    * model, a bounded statistic far smaller than the corpus, and both
+    * its consumers (the score join and the context-total derivation)
+    * read the cache instead of re-running the corpus explode (verified:
+    * uncached, Catalyst re-evaluates the aggregate per consumer because
+    * their pruned schemas differ, so the train corpus exploded twice).
+    * The vocabulary count is the one remaining extra train pass
+    * (explode → count_distinct, map-side partial): the true token vocab
+    * is not derivable from the bigram table; swap in `Sketch.kmvDistinct`
+    * when an approximate V is acceptable at scale. V rides a 1-row
+    * broadcast — never a driver action. Scoring is one join of the
+    * score-side bigram stream against the model, shuffled on (w1, w2)
+    * by default; `broadcastModel` is the lever when the model fits
+    * executors (clean-reference training sets — the common CCNet case);
+    * `minBigramCount` prunes the model's long tail (hapax bigrams are
+    * most of a web-scale model's rows and smoothing already handles
+    * them as unseen), the same df-cap discipline as the Jaccard posting
+    * index.
+    *
+    * CACHE LIFECYCLE: same contract as `Prefix.runningTotal` — the
+    * persisted model is pinned by the returned plan; a loop should
+    * `spark.catalog.clearCache()` between corpora, or pre-materialize
+    * the model to a tap.
+    */
   def bigramLmScore(
       train: DataFrame, trainId: Column, trainText: Column,
       score: DataFrame, scoreId: Column, scoreText: Column,

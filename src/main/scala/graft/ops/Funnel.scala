@@ -33,7 +33,10 @@ object Funnel {
     * a per-user sequence scan — exactly the unbounded per-user buffer
     * this shape exists to avoid — and the first-touch answer is the
     * standard one). The gap compares `unix_micros` values, exact on
-    * both engines.
+    * both engines — which means `tsCol` must be a TIMESTAMP when
+    * `maxGapSeconds` is set (the unwindowed funnel accepts any
+    * orderable type; `unix_micros` does not resolve on numeric epoch
+    * columns — cast them first).
     *
     * @return (step int 1-based, event_type, n_users) — one row per step
     */

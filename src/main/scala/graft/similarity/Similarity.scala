@@ -703,7 +703,11 @@ object Similarity extends Serializable {
       }
     }(enc0)
 
+    // wrong-dim queries are skipped like wrong-dim corpus rows (the
+    // encode kernel's guard) — not a task-killing index error in the
+    // ADC lookup-table build
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(size(col("qv")) === dim)
     val joined = encoded.join(broadcast(q),
       col("query_id") =!= col("corpus_id"))
     topKPerQuery(adcScore(joined, cbs, normTab, m, dsub), k)
@@ -891,8 +895,11 @@ object Similarity extends Serializable {
       }
     }(enc0)
 
+    // wrong-dim queries are skipped like wrong-dim corpus rows — not a
+    // task-killing index error in the ADC lookup-table build
     val probes = assignNearest(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .filter(size(col("qv")) === dim),
       cents, 1, nprobe)
     val joined = encoded.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("corpus_id"))
@@ -1103,40 +1110,6 @@ object Similarity extends Serializable {
     }(enc)
   }
 
-  /** SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
-    * arXiv:2303.09540) over an embedding column: spherical k-means
-    * partitions the corpus into `nlist` cells (trained by `trainKmeans`'s
-    * exact fixed-point Lloyd pass, so every centroid — and therefore the
-    * whole removal set — is reproducible in any engine), then within each
-    * cell a document is REMOVED iff some LOWER-ID cell member sits at
-    * cosine ≥ `threshold`. That single-hop min-id keep rule is
-    * deliberately NOT transitive: removal never cascades through chains
-    * of barely-similar documents, and the removal set is expressible as
-    * one SQL self-join (oracle-able). A removed row's `dup_of` — the
-    * smallest qualifying keeper — may itself be removed; feed the pair
-    * stream to `Components.connectedComponents` when transitive cluster
-    * semantics are wanted instead.
-    *
-    * Returns removed rows only: (id, dup_of, sim), `sim` = cosine of the
-    * (dup_of, id) pair.
-    *
-    * Scale shape: the pair space is confined to k-means cells — size
-    * `nlist` like sqrt(corpus) or finer and cells stay bounded — and
-    * `Dedup.cappedBucketGroups` bounds every cell buffer regardless
-    * (metric "graft.semdedup"): an over-cap cell collapses to its
-    * deterministic (min,max) representative pair, so a giant cluster of
-    * true duplicates still surfaces its max-id member rather than
-    * silently vanishing. Centroids are a bounded driver statistic
-    * (hadron's runOnce idiom, /root/reference/src/Hadron/
-    * Controller.hs:724-725); assignment is map-only; the only shuffles
-    * are the ONE cell grouping and the two narrow (id, vec) verify
-    * joins.
-    *
-    * @param cacheCorpus persist the two-column (id, vec) projection
-    *   across its three uses (assignment + both verify joins). Same
-    *   default-off tradeoff as `nearDupPairs`: at corpus scale a cache
-    *   is a full materialization of the input.
-    */
   /** Cross-corpus incremental SemDeDup — `semDedup`'s semantics for the
     * daily-increment shape (the `Dedup.minhashLshAgainst` counterpart):
     * flag every INCREMENT vector with a base-corpus vector at cosine ≥
@@ -1246,6 +1219,40 @@ object Similarity extends Serializable {
       .select("id1", "id2", "sim")
   }
 
+  /** SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
+    * arXiv:2303.09540) over an embedding column: spherical k-means
+    * partitions the corpus into `nlist` cells (trained by `trainKmeans`'s
+    * exact fixed-point Lloyd pass, so every centroid — and therefore the
+    * whole removal set — is reproducible in any engine), then within each
+    * cell a document is REMOVED iff some LOWER-ID cell member sits at
+    * cosine ≥ `threshold`. That single-hop min-id keep rule is
+    * deliberately NOT transitive: removal never cascades through chains
+    * of barely-similar documents, and the removal set is expressible as
+    * one SQL self-join (oracle-able). A removed row's `dup_of` — the
+    * smallest qualifying keeper — may itself be removed; feed the pair
+    * stream to `Components.connectedComponents` when transitive cluster
+    * semantics are wanted instead.
+    *
+    * Returns removed rows only: (id, dup_of, sim), `sim` = cosine of the
+    * (dup_of, id) pair.
+    *
+    * Scale shape: the pair space is confined to k-means cells — size
+    * `nlist` like sqrt(corpus) or finer and cells stay bounded — and
+    * `Dedup.cappedBucketGroups` bounds every cell buffer regardless
+    * (metric "graft.semdedup"): an over-cap cell collapses to its
+    * deterministic (min,max) representative pair, so a giant cluster of
+    * true duplicates still surfaces its max-id member rather than
+    * silently vanishing. Centroids are a bounded driver statistic
+    * (hadron's runOnce idiom, /root/reference/src/Hadron/
+    * Controller.hs:724-725); assignment is map-only; the only shuffles
+    * are the ONE cell grouping and the two narrow (id, vec) verify
+    * joins.
+    *
+    * @param cacheCorpus persist the two-column (id, vec) projection
+    *   across its three uses (assignment + both verify joins). Same
+    *   default-off tradeoff as `nearDupPairs`: at corpus scale a cache
+    *   is a full materialization of the input.
+    */
   def semDedup(
       corpus: DataFrame,
       idCol: String, vecCol: String,

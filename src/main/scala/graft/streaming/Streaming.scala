@@ -219,7 +219,6 @@ object Streaming {
     val spark = docs.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
-    val P = graft.functions.Hashing.MinhashP
 
     val banded: Dataset[(String, Long, Seq[Long])] = docs
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
@@ -234,19 +233,13 @@ object Streaming {
             seen.add(text.substring(i, i + shingleK)); i += 1
           }
           val vms = graft.functions.Hashing.hashGramSet(seen, md)
-          val sig = Array.tabulate(numHashes) { h =>
-            var min = Long.MaxValue
-            vms.foreach { v =>
-              val p = (v * (h + 1) + 40503L * h) % P
-              if (p < min) min = p
-            }
-            min
-          }
+          // the batch operator's own signature fold and band-key format
+          // (Dedup.minhashSignature/bandKey) — shared code, not a copy,
+          // so batch/stream bit-identity cannot drift
+          val sig = graft.dedup.Dedup
+            .minhashSignature(vms.toIndexedSeq, numHashes)
           (0 until bands).iterator.map { b =>
-            val bucket = new StringBuilder().append(b).append('|')
-              .append(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-                .mkString(",")).toString
-            (bucket, id, sig.toSeq)
+            (graft.dedup.Dedup.bandKey(sig, b, rowsPerBand), id, sig.toSeq)
           }
         }
       }
