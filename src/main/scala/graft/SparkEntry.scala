@@ -2132,7 +2132,9 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // q63 — paragraph-granularity fuzzy dedup: explode documents into
   // 12-word paragraphs (the q55 chunking convention, id packed as
-  // doc_id*1000+pos), run the UNCHANGED Dedup.minhashLsh over the
+  // doc_id·2^20 + pos — the WinnowPosCap stride, so documents up to
+  // 2^20 chunks = ~12.6M words never collide into a neighbour's id
+  // space), run the UNCHANGED Dedup.minhashLsh over the
   // paragraph table, keep cross-document pairs — the C4/RefinedWeb
   // boilerplate-paragraph detector, demonstrating that the reference's
   // line-granular record model (Protocol.hs:235-242) composes with
@@ -2145,14 +2147,15 @@ object SparkEntry {
       i => array_join(slice(ws, (i - 1) * k + 1, lit(k)), " "))
     val paras = t(s, dir, "documents")
       .select(col("doc_id"), posexplode(chunks))
-      .select((col("doc_id") * 1000 + col("pos")).as("para_id"),
+      .select((col("doc_id") * 1048576L + col("pos")).as("para_id"),
         col("col").as("para"))
     graft.dedup.Dedup.minhashLsh(paras, col("para_id"), col("para"),
         shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
         maxBucketSize = 1000)
-      .filter(expr("id1 div 1000") =!= expr("id2 div 1000"))
+      .filter(expr("id1 div 1048576") =!= expr("id2 div 1048576"))
       .select(col("id1"), col("id2"), col("jaccard"),
-        expr("id1 div 1000").as("doc1"), expr("id2 div 1000").as("doc2"))
+        expr("id1 div 1048576").as("doc1"),
+        expr("id2 div 1048576").as("doc2"))
   }
 
   private val q63Sql =
@@ -2163,7 +2166,7 @@ object SparkEntry {
          FROM (SELECT doc_id, split(coalesce(text, ''), ' ') AS ws
                FROM documents)),
        paras AS (
-         SELECT doc_id * 1000 + (generate_subscripts(chunks, 1) - 1) AS id,
+         SELECT doc_id * 1048576 + (generate_subscripts(chunks, 1) - 1) AS id,
            unnest(chunks) AS text
          FROM w),
        docs AS (
@@ -2196,10 +2199,10 @@ object SparkEntry {
            len(d1.vms) AS n1, len(d2.vms) AS n2
          FROM pairs JOIN sigs d1 ON id1 = d1.id JOIN sigs d2 ON id2 = d2.id)
        SELECT id1, id2, CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard,
-         id1 // 1000 AS doc1, id2 // 1000 AS doc2
+         id1 // 1048576 AS doc1, id2 // 1048576 AS doc2
        FROM verified
        WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.3
-         AND id1 // 1000 <> id2 // 1000"""
+         AND id1 // 1048576 <> id2 // 1048576"""
 
   // ------------------------------------------------------------------
   // q64 — semantic decontamination (extension:

@@ -72,14 +72,23 @@ object Components {
     *   so the edge COUNT (already paid: it builds the cache the
     *   distributed rounds need anyway) gates the collect and anything
     *   larger takes the label-propagation path unchanged. The gate is
-    *   a row count, not bytes — size it down for WIDE ids (long URLs):
-    *   the 1M default costs ~tens of MB at typical id widths. Only
-    *   integral and String ids take the fast path (see
+    *   a row count backed by a byte gate (`maxDriverBytes`): String
+    *   ids are measured by actual total length in the same job that
+    *   materializes the edge cache, so a million long-URL ids cannot
+    *   blow the driver heap just because the row count looked small.
+    *   Only integral and String ids take the fast path (see
     *   [[driverOrdering]]); other types go distributed regardless.
-    *   MEASURED (sf0.1, NOTES.md round 6): q37 1.63→1.32 s, q51
-    *   4.62→2.69 s, q70 4.39→1.15 s — the rounds were
-    *   job-overhead-bound, not data-bound. Set 0 to force the
+    *   `maxIter` is NOT applicable on the fast path — union-find
+    *   reaches the exact fixed point in one pass, so no convergence
+    *   check exists to fail. MEASURED (sf0.1, NOTES.md round 6): q37
+    *   1.63→1.32 s, q51 4.62→2.69 s, q70 4.39→1.15 s — the rounds
+    *   were job-overhead-bound, not data-bound. Set 0 to force the
     *   distributed path.
+    * @param maxDriverBytes fast-path byte gate: estimated id payload
+    *   (sum of UTF-8 lengths for String ids; 16 bytes/edge for
+    *   integral ids) must also fit under this bound before edges are
+    *   collected. Driver-side boxing overhead multiplies this several
+    *   times over, hence a default well under typical driver heaps.
     * @return (id, component) for every id in `pairs`; component = min id
     *         of the connected component. Throws if `maxIter` rounds do
     *         not converge — a partial labeling is wrong data, not a
@@ -89,7 +98,8 @@ object Components {
       pairs: DataFrame,
       maxIter: Int = 25,
       pointerDoubling: Boolean = false,
-      maxDriverEdges: Long = 1000000L): DataFrame = {
+      maxDriverEdges: Long = 1000000L,
+      maxDriverBytes: Long = 256L << 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     import org.apache.spark.sql.types._
     val spark = pairs.sparkSession
@@ -98,8 +108,18 @@ object Components {
       .distinct()
       .cache() // probed every round (and by the fast-path gate)
     val idOrd = driverOrdering(edges.schema("src").dataType)
-    val nEdges = edges.count()
-    if (idOrd.isDefined && nEdges <= maxDriverEdges) {
+    // one job materializes the cache AND yields both gate statistics
+    val (nEdges, estBytes) = edges.schema("src").dataType match {
+      case StringType =>
+        val r = edges
+          .agg(count(lit(1)), sum(length(col("src")) + length(col("dst"))))
+          .head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      case _ =>
+        val n = edges.count()
+        (n, n * 16L)
+    }
+    if (idOrd.isDefined && nEdges <= maxDriverEdges && estBytes <= maxDriverBytes) {
       // driver union-find (min-root): identical fixed point as the
       // label propagation — component = min id reachable
       val ord = idOrd.get

@@ -852,7 +852,9 @@ object Similarity extends Serializable {
           rows.flatMap { r =>
             val v = r.getSeq[Float](1)
             val ci = cellIdx(v)
-            if (ci < 0) Iterator.empty
+            // wrong-dim rows are skipped here exactly like the encode
+            // pass below — not an index error inside residOf
+            if (ci < 0 || v.length != cents(ci)._2.length) Iterator.empty
             else Iterator(org.apache.spark.sql.Row(
               r.get(0), residOf(v, ci).toIndexedSeq))
           }

@@ -196,7 +196,11 @@ object Streaming {
     * skew guard as `cappedBucketGroups`' over-cap rule: arrivals into a
     * full bucket still pair against the stored members (dup clusters
     * keep surfacing) but are not stored, bounding both state size and
-    * per-arrival work at `maxBucketState` comparisons. (One batch's
+    * per-arrival work at `maxBucketState` comparisons. Over-cap
+    * arrivals ARE remembered by id (a capped 8·`maxBucketState`-entry
+    * set, 8 B each), so a doc re-delivered in a later micro-batch does
+    * not re-emit its pairs; only past that second cap can a re-arrival
+    * repeat an emission. (One batch's
     * arrivals for one bucket do buffer in task memory before pairing —
     * the standard flatMapGroupsWithState shape, same caveat as
     * `sessionize`'s maxBufferedEvents note.) State never
@@ -245,14 +249,18 @@ object Streaming {
       }
 
     banded.groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupCandidate](
+      .flatMapGroupsWithState[
+        (Seq[(Long, Seq[Long])], Seq[Long]), NearDupCandidate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_, rows, state: GroupState[Seq[(Long, Seq[Long])]]) =>
-          val initial = state.getOption.getOrElse(Seq.empty)
-          var stored = initial
+        (_, rows, state: GroupState[(Seq[(Long, Seq[Long])], Seq[Long])]) =>
+          val initial = state.getOption.getOrElse((Seq.empty, Seq.empty))
+          var stored = initial._1
+          // ids that arrived at a full bucket: remembered (capped) so a
+          // re-delivery in a later batch does not re-emit its pairs
+          var overflowSeen = initial._2
           val out = Vector.newBuilder[NearDupCandidate]
           rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
-            if (!stored.exists(_._1 == id)) {
+            if (!stored.exists(_._1 == id) && !overflowSeen.contains(id)) {
               stored.foreach { case (oid, osig) =>
                 var m = 0; var i = 0
                 while (i < numHashes) {
@@ -265,9 +273,13 @@ object Streaming {
                     math.min(id, oid), math.max(id, oid), est)
               }
               if (stored.size < maxBucketState) stored = stored :+ (id -> sig)
+              else if (overflowSeen.size < maxBucketState * 8)
+                overflowSeen = overflowSeen :+ id
             }
           }
-          if (stored.size != initial.size) state.update(stored)
+          if (stored.size != initial._1.size ||
+              overflowSeen.size != initial._2.size)
+            state.update((stored, overflowSeen))
           out.result().iterator
       }
   }

@@ -178,6 +178,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream does not re-emit pairs when an over-cap document " +
+      "is re-delivered in a later micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the same boilerplate paragraph repeated across the corpus"
+    val mem = MemoryStream[Doc]
+    val q = Streaming.nearDupStream(
+        mem.toDF(), idCol = "doc_id", textCol = "text",
+        threshold = 0.9, maxBucketState = 2)
+      .writeStream.format("memory").queryName("nd4")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L to 4L).map(i => Doc(i, ts(i.toInt), text)): _*)
+      q.processAllAvailable()
+      val n1 = spark.sql("SELECT * FROM nd4").count()
+      // doc 4 arrived at a full bucket (cap 2) and was not stored; a
+      // re-delivery must be recognized from the overflow-seen set
+      mem.addData(Doc(4, ts(10), text))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM nd4").count() == n1)
+    } finally q.stop()
+  }
+
   test("dedupStream keeps the first occurrence of each content hash " +
       "across micro-batches") {
     import spark.implicits._
