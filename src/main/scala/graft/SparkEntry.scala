@@ -2775,6 +2775,229 @@ object SparkEntry {
        FROM nfp n LEFT JOIN hits h ON n.doc_id = h.doc_id"""
 
   // ------------------------------------------------------------------
+  // q73 — STREAMING MinHash near-dup (extension:
+  // Streaming.nearDupStream), driven end-to-end as a real multi-batch
+  // Structured Streaming job: documents are pre-split into 4 parquet
+  // files fed through a file-stream source one file per trigger, so
+  // candidate pairs surface across micro-batch boundaries from
+  // flatMapGroupsWithState per-bucket state. The emitted pair SET is
+  // batching-invariant (each co-bucket pair emits exactly once, when
+  // its later member arrives — in whichever batch that is), so the
+  // batch LSH banding oracle reproduces it exactly: stream and batch
+  // share signature/band-key code (Dedup.minhashSignature/bandKey).
+  // est_jaccard is the signature-agreement fraction m/12; duplicates
+  // from multi-band collisions are collapsed with DISTINCT on both
+  // sides. maxBucketState is set far above any fixture bucket so the
+  // skew cap (spec-covered) never binds here.
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q73_")
+    val streamDir = base.resolve("stream"); val tmpDir = base.resolve("tmp")
+    java.nio.file.Files.createDirectories(streamDir)
+    // four deterministic splits (doc_id mod 4) written in ONE job via
+    // partitionBy, then staged with staggered modification times so the
+    // file source's (ts, path) ordering gives a reproducible batch
+    // sequence
+    docs.withColumn("b", pmod(col("doc_id"), lit(4)))
+      .repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
+    (0 until 4).foreach { b =>
+      val part = new java.io.File(tmpDir.resolve(s"b=$b").toString)
+        .listFiles().find(f => f.getName.endsWith(".parquet")).get
+      val dst = streamDir.resolve(f"batch_$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1500000000000L + b * 60000L)
+    }
+    val src = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = "q73_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // per-batch stateful-stage width: 8 state partitions suffice for the
+    // fixture and cut 4 micro-batches' task overhead 4× vs the session's
+    // 32; the conf only pins THIS query's state layout (checkpoints are
+    // per-run temp dirs, so no stored-state compatibility concern)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.Streaming.nearDupStream(
+            src, idCol = "doc_id", textCol = "text",
+            shingleK = 8, numHashes = 12, bands = 3, threshold = 0.5,
+            maxBucketState = 100000)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("id1"), col("id2"), col("est_jaccard"))
+      .distinct()
+  }
+
+  private val q73Sql =
+    """WITH docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       sigs AS (
+         SELECT id, [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM based),
+       bands AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       pairs AS (
+         SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id),
+       est AS (
+         SELECT id1, id2,
+           len([i for i in range(1, 13) if s1.sig[i] = s2.sig[i]]) AS m
+         FROM pairs JOIN sigs s1 ON id1 = s1.id JOIN sigs s2 ON id2 = s2.id)
+       SELECT id1, id2, CAST(m AS DOUBLE) / 12 AS est_jaccard
+       FROM est WHERE m >= 6"""
+
+  // ------------------------------------------------------------------
+  // q74 — BPE subword tokenizer (extension: Bpe.train/tokenize),
+  // oracled cross-engine: the DuckDB side replays the exact merge loop
+  // (count desc, pair lex asc argmax; left-to-right non-overlapping
+  // merge-all) as a recursive CTE over the word-frequency dict, then
+  // replays tokenizeWord's lowest-rank-first greedy apply for the
+  // sample docs — so the learned vocabulary's determinism contract
+  // (pure function of the corpus, independent of partitioning) is
+  // pinned against an independent engine, not just BpeSpec's in-JVM
+  // model. Output: 30 merge rows (rank, left, right) + every subword
+  // of the doc_id%50 sample, position-indexed.
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val merges = graft.functions.Bpe.train(docs, col("text"), numMerges = 30)
+    val mergeDf = merges.zipWithIndex
+      .map { case ((l, r), i) => ("merge", -1L, i.toLong, l, r) }
+      .toDF("kind", "did", "ord", "s1", "s2")
+    val toks = graft.functions.Bpe.tokenize(
+        docs.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
+        merges)
+      .select(col("id").cast("long").as("did"), posexplode(col("subwords")))
+      .select(lit("tok").as("kind"), col("did"),
+        col("pos").cast("long").as("ord"), col("col").as("s1"),
+        lit("").as("s2"))
+    mergeDf.unionByName(toks)
+  }
+
+  // The tab (chr(9)) pair separator is safe: tokens come from \s+
+  // splits, so no token contains whitespace, and tab sorts below every
+  // printable character, so 'l'||tab||'r' string order == (l, r) tuple
+  // order. The mergeword kernel (repeated in `steps` and `tok`) takes
+  // occurrence j of the pair iff its consecutive-match streak parity is
+  // odd — exactly applyMerge's left-to-right skip-after-merge rule.
+  private val q74Sql =
+    """WITH RECURSIVE
+       dict AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w
+               FROM documents WHERE text IS NOT NULL)
+         WHERE w <> '' GROUP BY w
+         ORDER BY cnt DESC, w ASC LIMIT 1048576),
+       init AS (
+         SELECT list({'toks': [substr(w, i, 1) for i in range(1, len(w)+1)],
+                      'cnt': cnt} ORDER BY cnt DESC, w ASC) AS st
+         FROM dict),
+       steps AS (
+         SELECT 0 AS it, st, CAST(NULL AS VARCHAR) AS bl,
+           CAST(NULL AS VARCHAR) AS br
+         FROM init
+         UNION ALL
+         SELECT it + 1,
+           [{'toks': [ list_filter(
+               [ CASE WHEN j < len(w.toks) AND mw[j]
+                        AND ((j - coalesce(list_max([k for k in range(1, j+1) if NOT mw[k]]), 0)) % 2 = 1)
+                      THEN w.toks[j] || w.toks[j+1]
+                      WHEN j > 1 AND mw[j-1]
+                        AND (((j-1) - coalesce(list_max([k for k in range(1, j) if NOT mw[k]]), 0)) % 2 = 1)
+                      THEN NULL
+                      ELSE w.toks[j] END
+                 for j in range(1, len(w.toks)+1) ],
+               x -> x IS NOT NULL)
+             for mw in [[w.toks[j] = lpart AND w.toks[j+1] = rpart
+                         for j in range(1, len(w.toks))]] ][1],
+             'cnt': w.cnt} for w in st],
+           lpart, rpart
+         FROM (
+           SELECT it, st,
+             string_split(best.s, chr(9))[1] AS lpart,
+             string_split(best.s, chr(9))[2] AS rpart,
+             best
+           FROM (
+             SELECT it, st,
+               list_sort([{'negc': -list_sum([p2.c for p2 in plist if p2.s = ps]),
+                           's': ps}
+                          for ps in list_distinct([q.s for q in plist])])[1] AS best
+             FROM (
+               SELECT it, st,
+                 flatten([[{'s': w.toks[i] || chr(9) || w.toks[i+1], 'c': w.cnt}
+                           for i in range(1, len(w.toks))] for w in st]) AS plist
+               FROM steps WHERE it < 30)))
+         WHERE best IS NOT NULL
+       ),
+       mlist AS (
+         SELECT list(bl || chr(9) || br ORDER BY it) AS ml
+         FROM steps WHERE it > 0),
+       rp AS (
+         SELECT [{'s': ml[i], 'rk': i} for i in range(1, len(ml)+1)
+                 if len([j for j in range(i+1, len(ml)+1) if ml[j] = ml[i]]) = 0] AS rp
+         FROM mlist),
+       sample AS (
+         SELECT doc_id, generate_subscripts(ws, 1) AS widx, unnest(ws) AS word
+         FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+               FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL)),
+       tok AS (
+         SELECT doc_id, widx,
+           [substr(word, i, 1) for i in range(1, len(word)+1)] AS toks, 0 AS tit
+         FROM sample
+         UNION ALL
+         SELECT doc_id, widx,
+           [ list_filter(
+               [ CASE WHEN j < len(toks) AND mw[j]
+                        AND ((j - coalesce(list_max([k for k in range(1, j+1) if NOT mw[k]]), 0)) % 2 = 1)
+                      THEN toks[j] || toks[j+1]
+                      WHEN j > 1 AND mw[j-1]
+                        AND (((j-1) - coalesce(list_max([k for k in range(1, j) if NOT mw[k]]), 0)) % 2 = 1)
+                      THEN NULL
+                      ELSE toks[j] END
+                 for j in range(1, len(toks)+1) ],
+               x -> x IS NOT NULL)
+             for mw in [[toks[j] || chr(9) || toks[j+1] = best.s
+                         for j in range(1, len(toks))]] ][1],
+           tit + 1
+         FROM (
+           SELECT doc_id, widx, toks, tit,
+             list_sort([{'rk': r.rk, 's': r.s} for r in rp.rp
+                        if len([j for j in range(1, len(toks))
+                                if toks[j] || chr(9) || toks[j+1] = r.s]) > 0])[1] AS best
+           FROM tok, rp)
+         WHERE best IS NOT NULL
+       ),
+       final AS (
+         SELECT doc_id, widx, toks
+         FROM (SELECT doc_id, widx, toks, tit,
+                 row_number() OVER (PARTITION BY doc_id, widx ORDER BY tit DESC) AS rn
+               FROM tok)
+         WHERE rn = 1),
+       docsub AS (
+         SELECT doc_id, flatten(list(toks ORDER BY widx)) AS subs
+         FROM final GROUP BY doc_id)
+       SELECT 'merge' AS kind, CAST(-1 AS BIGINT) AS did,
+         CAST(it - 1 AS BIGINT) AS ord, bl AS s1, br AS s2
+       FROM steps WHERE it > 0
+       UNION ALL
+       SELECT 'tok', doc_id, CAST(generate_subscripts(subs, 1) - 1 AS BIGINT),
+         unnest(subs), ''
+       FROM docsub"""
+
+  // ------------------------------------------------------------------
   // q56 — windowed funnel (extension: Funnel.funnel maxGapSeconds):
   // signup -> view -> purchase where each step must land within 24 h of
   // the previous one — the conversion-window form of q54 (at sf0.01 the
@@ -2925,6 +3148,8 @@ object SparkEntry {
     "q70_sem_clusters" -> (q70 _),
     "q71_trigram_backoff" -> (q71 _),
     "q72_winnow_decontaminate" -> (q72 _),
+    "q73_stream_neardup" -> (q73 _),
+    "q74_bpe" -> (q74 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2970,6 +3195,8 @@ object SparkEntry {
     "q70_sem_clusters" -> q70Sql,
     "q71_trigram_backoff" -> q71Sql,
     "q72_winnow_decontaminate" -> q72Sql,
+    "q73_stream_neardup" -> q73Sql,
+    "q74_bpe" -> q74Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
