@@ -2859,6 +2859,83 @@ object SparkEntry {
        FROM est WHERE m >= 6"""
 
   // ------------------------------------------------------------------
+  // q75 — STAGED incremental dedup (extension: Dedup.corpusMinhashTable
+  // + minhashLshAgainstPrepared through a Pipeline Stage with RSSkip):
+  // the corpus side's shingle+signature+banding pass materializes ONCE
+  // to a deterministic tap (Stage.auto's content-addressed location),
+  // and every later run — the daily increment, a bench re-iteration —
+  // skips it (Pipeline.run returns no stage names) and re-reads the
+  // (id, vms, buckets) table. Semantics are exactly
+  // minhashLshAgainst's (PipelineSpec pins arm equality); this query
+  // exists to oracle the MEMOIZED path end-to-end. Increment = doc_id
+  // % 10 == 1 against the rest.
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tmpRoot = "/tmp/graft_q75/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val docTap = graft.tap.Tap.parquet(s"$dir/documents.parquet")
+    val prep = graft.pipeline.Stage.auto(
+        "q75-corpus-banding-v1", Seq(docTap), tmpRoot) {
+      case Seq(docs) =>
+        graft.dedup.Dedup.corpusMinhashTable(
+          docs.filter(col("doc_id") % 10 =!= 1),
+          col("doc_id"), col("text"),
+          shingleK = 8, numHashes = 12, bands = 3)
+      case other => sys.error(s"q75 stage expects 1 input, got $other")
+    }
+    new graft.pipeline.Pipeline(s, Seq(prep)).run()
+    graft.dedup.Dedup.minhashLshAgainstPrepared(
+      increment = d.filter(col("doc_id") % 10 === 1),
+      incId = col("doc_id"), incText = col("text"),
+      prepared = prep.output.read(s),
+      shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+      maxBucketSide = 1000)
+  }
+
+  private val q75Sql =
+    """WITH docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       sigs AS (
+         SELECT id, vms,
+           [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM based),
+       bands AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       tagged AS (
+         SELECT id, bucket, CASE WHEN id % 10 = 1 THEN 'i' ELSE 'c' END AS side
+         FROM bands),
+       bk AS (
+         SELECT bucket,
+           COUNT(CASE WHEN side = 'i' THEN 1 END) AS ni,
+           COUNT(CASE WHEN side = 'c' THEN 1 END) AS nc,
+           MIN(CASE WHEN side = 'i' THEN id END) AS min_i,
+           MIN(CASE WHEN side = 'c' THEN id END) AS min_c
+         FROM tagged GROUP BY bucket
+         HAVING COUNT(CASE WHEN side = 'i' THEN 1 END) >= 1
+            AND COUNT(CASE WHEN side = 'c' THEN 1 END) >= 1),
+       cand AS (
+         SELECT a.id AS id1, b.id AS id2
+         FROM tagged a JOIN tagged b ON a.bucket = b.bucket
+           AND a.side = 'i' AND b.side = 'c'
+         JOIN bk ON a.bucket = bk.bucket
+         WHERE bk.ni <= 1000 AND bk.nc <= 1000
+         UNION
+         SELECT min_i AS id1, min_c AS id2 FROM bk
+         WHERE ni > 1000 OR nc > 1000)
+       SELECT id1, id2, jaccard FROM (
+         SELECT id1, id2,
+           CAST(len(list_intersect(d1.vms, d2.vms)) AS DOUBLE) /
+             (len(d1.vms) + len(d2.vms) - len(list_intersect(d1.vms, d2.vms))) AS jaccard
+         FROM cand JOIN based d1 ON id1 = d1.id JOIN based d2 ON id2 = d2.id)
+       WHERE jaccard >= 0.3"""
+
+  // ------------------------------------------------------------------
   // q74 — BPE subword tokenizer (extension: Bpe.train/tokenize),
   // oracled cross-engine: the DuckDB side replays the exact merge loop
   // (count desc, pair lex asc argmax; left-to-right non-overlapping
@@ -3150,6 +3227,7 @@ object SparkEntry {
     "q72_winnow_decontaminate" -> (q72 _),
     "q73_stream_neardup" -> (q73 _),
     "q74_bpe" -> (q74 _),
+    "q75_staged_incremental" -> (q75 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3197,6 +3275,7 @@ object SparkEntry {
     "q72_winnow_decontaminate" -> q72Sql,
     "q73_stream_neardup" -> q73Sql,
     "q74_bpe" -> q74Sql,
+    "q75_staged_incremental" -> q75Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -471,8 +471,9 @@ object Dedup {
     *
     * At deployment scale the corpus side's banding is the expensive arm;
     * persist it once with a `Tap` and re-read per increment (the
-    * RSSkip staged-pipeline idiom) — the plan here recomputes it, which
-    * is the right default for a one-shot call.
+    * RSSkip staged-pipeline idiom — [[corpusMinhashTable]] +
+    * [[minhashLshAgainstPrepared]]) — the plan here recomputes it,
+    * which is the right default for a one-shot call.
     *
     * @return (id1 = increment id, id2 = corpus id, jaccard) with
     *   jaccard >= threshold
@@ -497,10 +498,88 @@ object Dedup {
         s"${inc.schema("id").dataType.catalogString} vs " +
         s"${corp.schema("id").dataType.catalogString}")
 
-    val tagged = bandBuckets(inc, numHashes, bands)
+    crossSidePairs(inc, bandBuckets(corp, numHashes, bands), corp,
+      numHashes, bands, threshold, maxBucketSide)
+  }
+
+  /** The corpus arm of [[minhashLshAgainst]] as ONE materializable table
+    * — the "persist it once with a Tap and re-read per increment"
+    * lever above, made code. Row per corpus doc: (id, vms, buckets),
+    * buckets = the `bands` LSH band keys. Write this through a
+    * `Stage` with `RSSkip` and feed it to [[minhashLshAgainstPrepared]]
+    * for each increment: the corpus-side shingle+md5+signature pass
+    * (the expensive arm at deployment scale) runs once per corpus
+    * epoch, not once per increment. One kernel emits sigs and band
+    * keys together — no second pass, no groupBy to reassemble.
+    */
+  def corpusMinhashTable(
+      corpus: DataFrame, corpId: Column, corpText: Column,
+      shingleK: Int = 8,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rowsPerBand = numHashes / bands
+    val sigs = shingleDocs(corpus, corpId, corpText, shingleK)
+      .select(col("id"), col("vms"))
+    val schema = StructType(Seq(
+      sigs.schema("id"),
+      StructField("vms", ArrayType(LongType, false), false),
+      StructField("buckets", ArrayType(StringType, false), false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    sigs.mapPartitions { rows =>
+      rows.map { r =>
+        val vms = r.getSeq[Long](1)
+        val sig = minhashSignature(vms, numHashes)
+        val buckets = (0 until bands).map(b => bandKey(sig, b, rowsPerBand))
+        org.apache.spark.sql.Row(r.get(0), vms, buckets)
+      }
+    }(enc)
+  }
+
+  /** [[minhashLshAgainst]] against a PREPARED corpus table (from
+    * [[corpusMinhashTable]], usually re-read from a tap): only the
+    * increment is shingled and banded; the corpus side streams straight
+    * out of the materialized (id, vms, buckets) rows. `numHashes`/
+    * `bands` apply to the increment and MUST match the values the
+    * corpus table was built with — band keys embed the band index and
+    * row width, so a mismatch yields empty buckets, not wrong pairs.
+    */
+  def minhashLshAgainstPrepared(
+      increment: DataFrame, incId: Column, incText: Column,
+      prepared: DataFrame,
+      shingleK: Int = 8,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSide: Int = 1000): DataFrame = {
+    val inc = shingleDocs(increment, incId, incText, shingleK)
+      .select(col("id"), col("vms"))
+    require(inc.schema("id").dataType == prepared.schema("id").dataType,
+      s"increment and prepared-corpus id types differ: " +
+        s"${inc.schema("id").dataType.catalogString} vs " +
+        s"${prepared.schema("id").dataType.catalogString}")
+    crossSidePairs(inc,
+      prepared.select(col("id"), explode(col("buckets")).as("bucket")),
+      prepared.select(col("id"), col("vms")),
+      numHashes, bands, threshold, maxBucketSide)
+  }
+
+  /** Shared tail of the two `minhashLshAgainst` forms: per-side capped
+    * bucket grouping over the increment's (freshly banded) rows and the
+    * corpus's (id, bucket) rows, cross-side pairs, jaccard verify.
+    */
+  private def crossSidePairs(
+      incSigs: DataFrame,
+      corpBanded: DataFrame,
+      corpSigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucketSide: Int): DataFrame = {
+    val tagged = bandBuckets(incSigs, numHashes, bands)
       .withColumn("side", lit("i"))
-      .unionByName(bandBuckets(corp, numHashes, bands)
-        .withColumn("side", lit("c")))
+      .unionByName(corpBanded.withColumn("side", lit("c")))
 
     val iId = when(col("side") === "i", col("id"))
     val cId = when(col("side") === "c", col("id"))
@@ -525,9 +604,10 @@ object Dedup {
         when(col("ni") <= maxBucketSide && col("nc") <= maxBucketSide,
           col("c_ids")).otherwise(array(col("min_c"))).as("c_ids"))
 
-    val pairs = emitCrossPairs(grouped, inc.schema("id").dataType).distinct()
+    val pairs = emitCrossPairs(grouped, incSigs.schema("id").dataType)
+      .distinct()
 
-    verifyJaccard(pairs, inc, corp, threshold)
+    verifyJaccard(pairs, incSigs, corpSigs, threshold)
   }
 
   /** Cross product of each bucket's two id lists: (i, c) per pair. */

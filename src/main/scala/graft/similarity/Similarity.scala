@@ -1070,25 +1070,53 @@ object Similarity extends Serializable {
     * reaches `threshold`, with the nearest test id as evidence.
     * Catches paraphrased leakage that exact n-gram overlap misses.
     *
-    * Scale shape: the test set is a bounded driver statistic (the same
-    * assumption as Decontaminate's broadcastTest lever — test sets are
-    * benchmark-sized), shipped in the task closure; the corpus is
-    * scanned ONCE map-only — no join, no shuffle, output only the
-    * contaminated rows. Ties go to the lower test id (strict-greater
-    * fold over ids in ascending order), so the result is deterministic
-    * and one SQL window reproduces it.
+    * Scale shape, two arms behind one contract (identical output —
+    * SimilaritySpec pins arm equality including tie-breaks):
+    *
+    *  - test row count ≤ `maxBroadcastTest`: the test set is a bounded
+    *    driver statistic (the same assumption as Decontaminate's
+    *    broadcastTest lever — test sets are benchmark-sized), shipped
+    *    in the task closure; the corpus is scanned ONCE map-only — no
+    *    join, no shuffle, output only the contaminated rows.
+    *  - larger: a distributed join arm — cross join (Spark picks
+    *    BroadcastNestedLoopJoin while the test side fits the broadcast
+    *    threshold, shuffle-replicate CartesianProduct beyond) scored by
+    *    the same cosine kernel, then a per-corpus-id argmax aggregate.
+    *    The exact semantics are inherently |corpus|×|test| compute;
+    *    this arm distributes that product instead of failing on a
+    *    driver collect.
+    *
+    * Ties go to the lower test id (strict-greater fold over ids in
+    * ascending order / max over (sim, -test_id) structs — identical
+    * because both arms share cosFD's operation order bit-for-bit), so
+    * the result is deterministic and one SQL window reproduces it.
     */
   def semanticContamination(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       test: DataFrame, testId: String, testVec: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBroadcastTest: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.types._
-    val testVecs: Array[(Long, Array[Double])] = test
-      .select(col(testId).cast("long"), col(testVec))
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("v"))
+    val tdf = test.select(col(testId).cast("long").as("test_id"),
+      col(testVec).as("tv"))
+    if (tdf.count() > maxBroadcastTest) {
+      // NaN sims (zero-norm vectors) are dropped by the pre-argmax
+      // threshold filter — mirroring the closure arm, where NaN never
+      // wins the strict-greater fold
+      val scored = withCosineKernel(c.crossJoin(tdf), "v", "tv", "sim")
+        .filter(col("sim") >= threshold)
+      return scored
+        .groupBy("id")
+        .agg(max(struct(col("sim"), (-col("test_id")).as("nid"),
+          col("test_id"))).as("b"))
+        .select(col("id"), col("b.test_id").as("test_id"),
+          col("b.sim").as("sim"))
+    }
+    val testVecs: Array[(Long, Array[Double])] = tdf
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
-    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("v"))
     val schema = StructType(Seq(
       c.schema("id"),
       StructField("test_id", LongType, false),

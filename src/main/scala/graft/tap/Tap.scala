@@ -84,14 +84,37 @@ object Tap {
 
   /** `concatTaps` analog (Controller.hs:364-376): several same-schema taps
     * read as one DataFrame. Multi-path load keeps per-file parallelism and
-    * partition pruning; no per-file decoder dispatch is needed because the
-    * format carries its own schema.
+    * partition pruning; per-TAP dispatch suffices when each tap owns its
+    * paths — for mixed-format files interleaved in ONE directory (the
+    * reference's per-FILE stem match) use [[concatByFile]].
     */
   def concat(spark: SparkSession, taps: Seq[Tap]): DataFrame = {
     require(taps.nonEmpty, "concat of zero taps")
     if (taps.map(t => (t.format, t.options, t.schema)).distinct.size == 1)
       taps.head.copy(paths = taps.flatMap(_.paths)).read(spark)
     else taps.map(_.read(spark)).reduce(_ unionByName _)
+  }
+
+  /** Per-FILE decoder dispatch within one directory — the exact
+    * `concatTaps` case the reference implements by matching the CURRENT
+    * FILENAME against each tap's location stem (Controller.hs:364-376)
+    * to pick that file's decoder. Relationally: one load per tap with a
+    * `pathGlobFilter`, unioned by name. The glob prunes at file-LISTING
+    * time, so each decoder only ever opens its own files — same
+    * dispatch, no driver-side file loop, and each side keeps its own
+    * pushdown/pruning. Globs should partition the directory; a file
+    * matching two globs is read twice (same as two reference taps
+    * claiming one stem).
+    */
+  def concatByFile(
+      spark: SparkSession,
+      dir: String,
+      tapsByGlob: Seq[(String, Tap)]): DataFrame = {
+    require(tapsByGlob.nonEmpty, "concatByFile of zero taps")
+    tapsByGlob.map { case (glob, t) =>
+      t.copy(paths = Seq(dir),
+        options = t.options + ("pathGlobFilter" -> glob)).read(spark)
+    }.reduce(_ unionByName _)
   }
 
   /** `readTap` analog (Controller.hs:383-412): load a whole tap into

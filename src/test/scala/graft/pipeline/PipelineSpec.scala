@@ -166,6 +166,45 @@ class PipelineSpec extends SparkSpec {
     assert(staged.head._1 > 0)
   }
 
+  test("staged incremental dedup: the prepared-corpus arm equals the " +
+      "one-shot minhashLshAgainst, and the second run skips the corpus " +
+      "pass (RSSkip memoization)") {
+    import graft.dedup.Dedup
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+    val inc = docs.filter(col("doc_id") % 10 === 1)
+    val corp = docs.filter(col("doc_id") % 10 =!= 1)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+
+    val oneShot = key(Dedup.minhashLshAgainst(
+      inc, col("doc_id"), col("text"), corp, col("doc_id"), col("text"),
+      shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3))
+
+    val base = tmp()
+    val stage = Stage.auto("inc-dedup-corpus",
+        Seq(Tap.parquet(dir + "/documents.parquet")), base) {
+      case Seq(d) =>
+        Dedup.corpusMinhashTable(d.filter(col("doc_id") % 10 =!= 1),
+          col("doc_id"), col("text"), shingleK = 8, numHashes = 12,
+          bands = 3)
+      case other => sys.error(s"expected 1 input, got $other")
+    }
+    def runOnce(): (Seq[String], Set[(Long, Long, Double)]) = {
+      val ran = new Pipeline(spark, Seq(stage)).run()
+      (ran, key(Dedup.minhashLshAgainstPrepared(
+        inc, col("doc_id"), col("text"), stage.output.read(spark),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3)))
+    }
+    val (ran1, out1) = runOnce()
+    val (ran2, out2) = runOnce()
+    assert(ran1 == Seq("inc-dedup-corpus")) // first run computes
+    assert(ran2 == Nil)                     // second run memoized
+    assert(out1 == oneShot && out2 == oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("multi-stage pipeline chains outputs in program order") {
     val base = tmp()
     val s1 = Stage("a", Seq(Tap.parquet(sf("sf0.001") + "/nation.parquet")),

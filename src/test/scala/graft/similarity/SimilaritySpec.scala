@@ -334,6 +334,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 100L, 2L -> 200L))
   }
 
+  test("semanticContamination join arm emits exactly the broadcast arm's " +
+      "rows, including sims and lower-test-id tie-breaks") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i => math.sin(seed * 97 + i * 13).toFloat)
+    // test ids 5 and 7 share ONE vector: every corpus row nearest to it
+    // ties exactly and must resolve to id 5 in both arms
+    val test = Seq((5L, vec(3)), (7L, vec(3)), (9L, vec(4)))
+      .toDF("vec_id", "embedding")
+    val corpus = (1L to 40L)
+      .map(i => (i, vec((i % 6).toInt))).toDF("vec_id", "embedding")
+    def run(maxBroadcast: Long) = Similarity.semanticContamination(
+        corpus, "vec_id", "embedding", test, "vec_id", "embedding",
+        threshold = 0.2, maxBroadcastTest = maxBroadcast)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val broadcastArm = run(maxBroadcast = 1000000L)
+    val joinArm = run(maxBroadcast = 0L)
+    assert(broadcastArm == joinArm) // bit-identical sims: same kernel
+    assert(broadcastArm.nonEmpty)
+    assert(broadcastArm.filter(_._3 > 0.999).forall(_._2 != 7L))
+  }
+
   test("multimodal stub pipeline: features have the declared shape") {
     import spark.implicits._
     val df = Seq(

@@ -13,6 +13,29 @@ class TapSpec extends SparkSpec {
     assert(n.count() == 2 * 25)
   }
 
+  test("concatByFile dispatches decoders per file inside one mixed " +
+      "directory (the reference's filename-stem match)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-mixed")
+    Files.write(dir.resolve("part0.csv"),
+      "id,name\n1,alpha\n2,beta\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("part1.json"),
+      """{"id":3,"name":"gamma"}
+        |{"id":4,"name":"delta"}
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("part2.csv"),
+      "id,name\n5,epsilon\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = Tap.concatByFile(spark, dir.toString, Seq(
+      "*.csv" -> Tap(Nil, "csv", Map("header" -> "true"),
+        Some(schema)),
+      "*.json" -> Tap(Nil, "json", Map.empty, Some(schema))))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, "delta"), (5L, "epsilon")))
+  }
+
   test("merge tags two different-schema taps (mergeTaps analog)") {
     val m = Tap.merge(spark,
       Tap.parquet(sf("sf0.001") + "/region.parquet"),
