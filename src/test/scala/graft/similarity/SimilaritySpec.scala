@@ -357,6 +357,38 @@ class SimilaritySpec extends SparkSpec {
     assert(broadcastArm.filter(_._3 > 0.999).forall(_._2 != 7L))
   }
 
+  test("job shape: ivfPqTopK trains each quantizer exactly once — " +
+      "coarse seed + iters, PQ seed + iters; a refactor that doubles a " +
+      "training pass fails here (the LangModel cache-pin's counterpart " +
+      "for driver-collected models)") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i => math.sin(seed * 31 + i * 7).toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-pin")
+    (1L to 64L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir.toString + "/corpus")
+    val corpus = spark.read.parquet(dir.toString + "/corpus")
+    val queries = (101L to 104L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val sc = spark.sparkContext
+    sc.setJobGroup("ivfpq-train-pin", "training-pass pin", false)
+    val df =
+      try Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 2, m = 4, ksub = 8,
+        coarseTrainIters = 2, pqTrainIters = 2, residual = true)
+      finally sc.clearJobGroup()
+    val trainJobs = sc.statusTracker.getJobIdsForGroup("ivfpq-train-pin")
+      .length
+    // construction-time jobs ARE the training passes: coarse = 1 md5-seed
+    // collect + 2 Lloyd iterations, PQ = 1 seed collect + 2 iterations.
+    // The absolute count (9, not 6) includes executeTake's incremental
+    // scale-up sub-jobs inside the two seed collects — a pinned snapshot
+    // like the InMemoryTableScan counts: an accidentally doubled
+    // training pass adds at least one corpus-scan job and fails here.
+    assert(trainJobs == 9, s"training pass count drifted: $trainJobs")
+    assert(df.collect().nonEmpty)
+  }
+
   test("multimodal stub pipeline: features have the declared shape") {
     import spark.implicits._
     val df = Seq(
