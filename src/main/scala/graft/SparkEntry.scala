@@ -462,16 +462,21 @@ object SparkEntry {
 
   // ------------------------------------------------------------------
   // q20 — SimHash exact-match near-dup groups (extension:
-  // Dedup.simhashGroups; 32-bit simhash from md5 prefixes).
+  // Dedup.simhashGroups; 64-bit simhash from md5 prefixes). The
+  // fingerprint crosses the oracle boundary as 16 hex digits — a
+  // signed BIGINT would force the oracle into fragile two's-complement
+  // reconstruction, hex is bit-exact in both engines.
   private def q20(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.simhashGroups(
-      t(s, dir, "documents"), col("doc_id"), col("text"))
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(format_string("%016x", col("sh")).as("sh"),
+        col("keep_id"), col("n_dups"))
 
   private val q20Sql =
     """WITH toks AS (
          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk FROM documents),
        hashes AS (
-         SELECT doc_id, [substr(md5(t), 1, 8) for t in tk] AS hs FROM toks WHERE len(tk) > 0),
+         SELECT doc_id, [substr(md5(t), 1, 16) for t in tk] AS hs FROM toks WHERE len(tk) > 0),
        simhashed AS (
          SELECT doc_id,
            CAST(list_sum([
@@ -479,10 +484,17 @@ object SparkEntry {
                  (strpos('0123456789abcdef', substr(h, b//4 + 1, 1)) - 1) // CAST(pow(2, 3 - (b % 4)) AS INTEGER) % 2
                for h in hs]) >= len(hs)
              THEN CAST(pow(2, 31 - b) AS BIGINT) ELSE 0 END
-           for b in range(0, 32)]) AS BIGINT) AS sh
+           for b in range(0, 32)]) AS BIGINT) AS hi,
+           CAST(list_sum([
+             CASE WHEN 2 * list_sum([
+                 (strpos('0123456789abcdef', substr(h, b//4 + 1, 1)) - 1) // CAST(pow(2, 3 - (b % 4)) AS INTEGER) % 2
+               for h in hs]) >= len(hs)
+             THEN CAST(pow(2, 63 - b) AS BIGINT) ELSE 0 END
+           for b in range(32, 64)]) AS BIGINT) AS lo
          FROM hashes)
-       SELECT sh, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-       FROM simhashed GROUP BY sh HAVING COUNT(*) > 1"""
+       SELECT printf('%08x%08x', hi, lo) AS sh,
+         MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       FROM simhashed GROUP BY 1 HAVING COUNT(*) > 1"""
 
   // ------------------------------------------------------------------
   // q21 — per-document text-quality metrics (extension: Text.*).
@@ -1243,7 +1255,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // q41 — hamming-radius SimHash near-dup pairs (extension:
   // Dedup.simhashPairs): the banded wider-radius variant of q20. 4 bands
-  // of 8 bits guarantee recall at hamming <= 3 by pigeonhole; exact
+  // of 16 bits guarantee recall at hamming <= 3 by pigeonhole; exact
   // bit_count(xor) verify. Oracle mirrors the band buckets (same packed
   // band-key arithmetic), the capped/representative arms, and the verify.
   private def q41(s: SparkSession, dir: String): DataFrame =
@@ -1255,7 +1267,7 @@ object SparkEntry {
     """WITH toks AS (
          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk FROM documents),
        hashes AS (
-         SELECT doc_id, [substr(md5(t), 1, 8) for t in tk] AS hs FROM toks WHERE len(tk) > 0),
+         SELECT doc_id, [substr(md5(t), 1, 16) for t in tk] AS hs FROM toks WHERE len(tk) > 0),
        simhashed AS (
          SELECT doc_id,
            CAST(list_sum([
@@ -1263,16 +1275,24 @@ object SparkEntry {
                  (strpos('0123456789abcdef', substr(h, b//4 + 1, 1)) - 1) // CAST(pow(2, 3 - (b % 4)) AS INTEGER) % 2
                for h in hs]) >= len(hs)
              THEN CAST(pow(2, 31 - b) AS BIGINT) ELSE 0 END
-           for b in range(0, 32)]) AS BIGINT) AS sh
+           for b in range(0, 32)]) AS BIGINT) AS hi,
+           CAST(list_sum([
+             CASE WHEN 2 * list_sum([
+                 (strpos('0123456789abcdef', substr(h, b//4 + 1, 1)) - 1) // CAST(pow(2, 3 - (b % 4)) AS INTEGER) % 2
+               for h in hs]) >= len(hs)
+             THEN CAST(pow(2, 63 - b) AS BIGINT) ELSE 0 END
+           for b in range(32, 64)]) AS BIGINT) AS lo
          FROM hashes),
        zerosh AS (
-         SELECT doc_id, CAST(0 AS BIGINT) AS sh FROM toks WHERE len(tk) = 0),
+         SELECT doc_id, CAST(0 AS BIGINT) AS hi, CAST(0 AS BIGINT) AS lo
+         FROM toks WHERE len(tk) = 0),
        sigs AS (SELECT * FROM simhashed UNION ALL SELECT * FROM zerosh),
        bands AS (
          SELECT doc_id, unnest([
-             CAST(b AS BIGINT) * 4294967296 +
-               ((sh // CAST(pow(2, (3 - b) * 8) AS BIGINT)) % 256)
-           for b in range(0, 4)]) AS bucket
+             0 * 4294967296 + hi // 65536,
+             1 * 4294967296 + hi % 65536,
+             2 * 4294967296 + lo // 65536,
+             3 * 4294967296 + lo % 65536]) AS bucket
          FROM sigs),
        ok_buckets AS (
          SELECT bucket FROM bands GROUP BY bucket
@@ -1286,7 +1306,8 @@ object SparkEntry {
          FROM bands GROUP BY bucket HAVING COUNT(*) > 1000)
        SELECT id1, id2, hamming FROM (
          SELECT c.id1, c.id2,
-           CAST(bit_count(xor(s1.sh, s2.sh)) AS INTEGER) AS hamming
+           CAST(bit_count(xor(s1.hi, s2.hi)) +
+                bit_count(xor(s1.lo, s2.lo)) AS INTEGER) AS hamming
          FROM cand c
          JOIN sigs s1 ON c.id1 = s1.doc_id
          JOIN sigs s2 ON c.id2 = s2.doc_id)
@@ -1684,7 +1705,7 @@ object SparkEntry {
     """WITH RECURSIVE toks AS (
          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk FROM documents),
        hashes AS (
-         SELECT doc_id, [substr(md5(t), 1, 8) for t in tk] AS hs FROM toks WHERE len(tk) > 0),
+         SELECT doc_id, [substr(md5(t), 1, 16) for t in tk] AS hs FROM toks WHERE len(tk) > 0),
        simhashed AS (
          SELECT doc_id,
            CAST(list_sum([
@@ -1692,16 +1713,24 @@ object SparkEntry {
                  (strpos('0123456789abcdef', substr(h, b//4 + 1, 1)) - 1) // CAST(pow(2, 3 - (b % 4)) AS INTEGER) % 2
                for h in hs]) >= len(hs)
              THEN CAST(pow(2, 31 - b) AS BIGINT) ELSE 0 END
-           for b in range(0, 32)]) AS BIGINT) AS sh
+           for b in range(0, 32)]) AS BIGINT) AS hi,
+           CAST(list_sum([
+             CASE WHEN 2 * list_sum([
+                 (strpos('0123456789abcdef', substr(h, b//4 + 1, 1)) - 1) // CAST(pow(2, 3 - (b % 4)) AS INTEGER) % 2
+               for h in hs]) >= len(hs)
+             THEN CAST(pow(2, 63 - b) AS BIGINT) ELSE 0 END
+           for b in range(32, 64)]) AS BIGINT) AS lo
          FROM hashes),
        zerosh AS (
-         SELECT doc_id, CAST(0 AS BIGINT) AS sh FROM toks WHERE len(tk) = 0),
+         SELECT doc_id, CAST(0 AS BIGINT) AS hi, CAST(0 AS BIGINT) AS lo
+         FROM toks WHERE len(tk) = 0),
        sigs AS (SELECT * FROM simhashed UNION ALL SELECT * FROM zerosh),
        bands AS (
          SELECT doc_id, unnest([
-             CAST(b AS BIGINT) * 4294967296 +
-               ((sh // CAST(pow(2, (3 - b) * 8) AS BIGINT)) % 256)
-           for b in range(0, 4)]) AS bucket
+             0 * 4294967296 + hi // 65536,
+             1 * 4294967296 + hi % 65536,
+             2 * 4294967296 + lo // 65536,
+             3 * 4294967296 + lo % 65536]) AS bucket
          FROM sigs),
        ok_buckets AS (
          SELECT bucket FROM bands GROUP BY bucket
@@ -1715,7 +1744,8 @@ object SparkEntry {
          FROM bands GROUP BY bucket HAVING COUNT(*) > 1000),
        verified AS (
          SELECT id1, id2 FROM (
-           SELECT c.id1, c.id2, bit_count(xor(s1.sh, s2.sh)) AS hamming
+           SELECT c.id1, c.id2,
+             bit_count(xor(s1.hi, s2.hi)) + bit_count(xor(s1.lo, s2.lo)) AS hamming
            FROM cand c
            JOIN sigs s1 ON c.id1 = s1.doc_id
            JOIN sigs s2 ON c.id2 = s2.doc_id)

@@ -688,11 +688,18 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** 32-bit simhash per document as a typed kernel (same rationale as
+  /** 64-bit simhash per document as a typed kernel (same rationale as
     * shingleDocs: the Column simhash, Hashing.simhash, runs interpreted
-    * inside HOF lambdas). Identical output: per-token md5 -> 32-bit value
-    * -> majority vote per bit; token-less docs hash to 0.
-    * Output schema: (id <input type>, sh bigint).
+    * inside HOF lambdas). Identical output: per-token md5 -> 64-bit value
+    * (first 8 digest bytes) -> majority vote per bit; token-less docs
+    * hash to 0. 64 bits, NOT 32: banding cuts the fingerprint into
+    * `bands` segments, and segment-value RANDOM collisions scale as
+    * n²/2^width — 8-bit segments (32/4) made candidate volume quadratic
+    * from ~50k docs (measured: the round-7 scale ladder caught q41/q51
+    * at exponent ~1.5); 16-bit segments push that knee out 256×, the
+    * classic 64-bit fingerprint choice (Manku, Jain & Das Sarma 2007).
+    * Output schema: (id <input type>, sh bigint, bit 63 = MSB of the
+    * digest — sh is SIGNED; consumers compare bits, never magnitudes).
     */
   private[graft] def simhashSignatures(
       df: DataFrame,
@@ -712,19 +719,20 @@ object Dedup {
         val toks =
           if (text == null) Array.empty[String]
           else text.split("\\s+").filter(_.nonEmpty)
-        val counts = new Array[Int](32)
+        val counts = new Array[Int](64)
         toks.foreach { t =>
           val d = md.digest(t.getBytes("UTF-8"))
-          val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          var v = 0L
+          var k = 0
+          while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
           var b = 0
-          while (b < 32) { counts(b) += ((v >>> (31 - b)) & 1L).toInt; b += 1 }
+          while (b < 64) { counts(b) += ((v >>> (63 - b)) & 1L).toInt; b += 1 }
         }
         var sh = 0L
         if (toks.nonEmpty) {
           var b = 0
-          while (b < 32) {
-            if (2 * counts(b) >= toks.length) sh += 1L << (31 - b)
+          while (b < 64) {
+            if (2 * counts(b) >= toks.length) sh |= 1L << (63 - b)
             b += 1
           }
         }
@@ -733,7 +741,7 @@ object Dedup {
     }(enc)
   }
 
-  /** SimHash near-dup: docs whose 32-bit simhash match exactly (tight
+  /** SimHash near-dup: docs whose 64-bit simhash match exactly (tight
     * near-dup band). For a wider radius see `simhashPairs`.
     */
   def simhashGroups(
@@ -746,7 +754,7 @@ object Dedup {
       .filter(col("n_dups") > 1)
 
   /** Banded hamming-radius SimHash near-dup pairs: the wider-radius
-    * variant `simhashGroups`' scaladoc promises. The 32-bit simhash is
+    * variant `simhashGroups`' scaladoc promises. The 64-bit simhash is
     * cut into `bands` contiguous segments; by pigeonhole, two signatures
     * within hamming distance `maxHamming` agree EXACTLY on at least one
     * band whenever `bands >= maxHamming + 1` (the distance can corrupt at
@@ -788,12 +796,12 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 1000,
       cacheSignatures: Boolean = true): DataFrame = {
-    require(bands >= 1 && 32 % bands == 0,
-      s"bands must divide 32, got $bands")
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"radius guarantee needs bands >= maxHamming + 1 " +
         s"(got bands=$bands, maxHamming=$maxHamming)")
-    val width = 32 / bands
+    val width = 64 / bands
     val sigs0 = simhashSignatures(df, idCol, textCol)
     val sigs = if (cacheSignatures) sigs0.cache() else sigs0
 

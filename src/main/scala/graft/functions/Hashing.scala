@@ -95,32 +95,43 @@ object Hashing {
         b.cast("string"), lit("|"),
         array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
 
-  /** 32-bit SimHash over a token array: majority vote per bit position of
-    * each token's 32-bit hash (first 8 md5 hex digits). Single pass over
-    * the tokens with an array-of-counts accumulator — one md5 + 32 cheap
-    * integer ops per token, instead of 32 re-scans.
+  /** 64-bit SimHash over a token array: majority vote per bit position of
+    * each token's 64-bit hash (first 16 md5 hex digits). Single pass over
+    * the tokens with an array-of-counts accumulator — one md5 + 64 cheap
+    * integer ops per token, instead of 64 re-scans. Computed as two
+    * 32-bit halves because the double-safe bit-extraction trick below
+    * (exact only to 2^53) and `conv(...).cast("long")` (unsigned
+    * overflow) both break past 32 bits; the halves recombine with a
+    * plain shift. 64 bits, not 32, for the same banding-collision
+    * reason as `Dedup.simhashSignatures` (whose kernel this must match
+    * bit-for-bit).
     */
   def simhash(toks: Column): Column = {
-    // one 32-bit value per token (hex digits are exact in a double-free path)
-    val vals = transform(toks,
-      t => conv(substring(md5Hex(t), 1, 8), 16, 10).cast("long"))
+    // one 32-bit value per token half (hex digits are exact in a
+    // double-free path)
+    def vals(from: Int) = transform(toks,
+      t => conv(substring(md5Hex(t), from, 8), 16, 10).cast("long"))
     // 2^e as long — powers of two are exact in double for all e here, and
     // the HOF lambdas need Column shifts, which shiftleft/right don't take
     def pow2(e: Column): Column = pow(lit(2.0), e.cast("double")).cast("long")
-    // counts[b] = number of tokens with bit b set (b=0 is the MSB);
+    // counts[b] = number of tokens with bit b set (b=0 is the half's MSB);
     // bit extraction (v / 2^(31-b)) % 2 is exact: dividing by a power of
     // two only shifts the float exponent
-    val counts = aggregate(vals,
-      array_repeat(lit(0L), 32),
-      (acc, v) => zip_with(acc,
-        transform(sequence(lit(0), lit(31)),
-          b => (v.cast("double") / pow2(lit(31) - b)).cast("long") % 2),
-        (a, x) => a + x))
-    val n = size(vals)
-    val sh = aggregate(
-      zip_with(counts, sequence(lit(0), lit(31)),
-        (c, b) => when(c * 2 >= n, pow2(lit(31) - b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    def half(from: Int): Column = {
+      val vs = vals(from)
+      val counts = aggregate(vs,
+        array_repeat(lit(0L), 32),
+        (acc, v) => zip_with(acc,
+          transform(sequence(lit(0), lit(31)),
+            b => (v.cast("double") / pow2(lit(31) - b)).cast("long") % 2),
+          (a, x) => a + x))
+      val n = size(vs)
+      aggregate(
+        zip_with(counts, sequence(lit(0), lit(31)),
+          (c, b) => when(c * 2 >= n, pow2(lit(31) - b)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val sh = shiftleft(half(1), 32).bitwiseOR(half(9))
     when(size(toks) > 0, sh).otherwise(lit(0L))
   }
 

@@ -63,7 +63,15 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r("a") == r("b"))
     assert(r("a") != r("c"))
-    assert(r("a") >= 0 && r("a") <= 0xFFFFFFFFL)
+    // 64-bit fingerprint: any long value is legal (sign bit = digest MSB);
+    // pin the width by matching the typed kernel, which FunctionsSpec
+    // can reach via the package-private simhashSignatures
+    import spark.implicits._
+    val kernel = graft.dedup.Dedup.simhashSignatures(
+        Seq(("a", "alpha beta gamma delta")).toDF("id", "text"),
+        col("id"), col("text"))
+      .collect().head.getLong(1)
+    assert(r("a") == kernel, "Column simhash drifted from the kernel")
   }
 
   test("hammingDistance counts differing bits") {
