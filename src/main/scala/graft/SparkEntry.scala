@@ -711,22 +711,44 @@ object SparkEntry {
   // oracle's HAVING COUNT(*) <= 1000 bucket filter, exactly as q18/q34;
   // over-cap buckets contribute a (min,max) representative pair, mirrored
   // by the UNION arm with HAVING COUNT(*) > 1000.
-  private def q30(s: SparkSession, dir: String): DataFrame =
+  // 12-bit signatures x 8 tables, NOT the old 6x3: 64 buckets/table made
+  // random co-bucketing quadratic by ~20k vectors (round-7 ladder,
+  // NOTES.md). The fixture has no true near-dups (max pair cosine 0.51),
+  // so the query PLANTS one paraphrase-grade copy per vector — one
+  // dimension negated: exact arithmetic in both engines, cosine ≈ 0.96
+  // — and detects the copies at threshold 0.9. That is the operator's
+  // actual regime (near-DUPLICATES); hyperplane LSH at cosine ~0.45 is
+  // structurally low-recall at any scalable (bits, tables).
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
     graft.similarity.Similarity.nearDupPairs(
-      t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
-      threshold = 0.4, bits = 6, tables = 3, maxBucketSize = 1000)
+      e.unionByName(planted), "vec_id", "embedding", dim = 64,
+      threshold = 0.9, bits = 12, tables = 8, maxBucketSize = 1000)
+  }
 
   private val q30Sql =
-    """WITH planes AS (
+    """WITH emb2 AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000,
+           [CASE WHEN i = 1 THEN CAST(-embedding[i] AS FLOAT)
+                 ELSE embedding[i] END
+            for i in range(1, len(embedding)+1)] AS embedding
+         FROM embeddings),
+       planes AS (
          SELECT t.t, p.p, d.d,
            CAST(list_sum([(strpos('0123456789abcdef', substr(md5('t' || t.t || ':p' || p.p || ':d' || d.d), j, 1)) - 1) * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)]) AS BIGINT) - 2147483648 AS w
-         FROM (SELECT range AS t FROM range(0,3)) t
-         CROSS JOIN (SELECT range AS p FROM range(0,6)) p
+         FROM (SELECT range AS t FROM range(0,8)) t
+         CROSS JOIN (SELECT range AS p FROM range(0,12)) p
          CROSS JOIN (SELECT range AS d FROM range(0,64)) d),
        vx AS (
          SELECT vec_id, dd.d,
            CAST(round(CAST(embedding[dd.d + 1] AS DOUBLE) * 1048576) AS BIGINT) AS xi
-         FROM embeddings CROSS JOIN (SELECT range AS d FROM range(0,64)) dd),
+         FROM emb2 CROSS JOIN (SELECT range AS d FROM range(0,64)) dd),
        proj AS (
          SELECT vec_id, pl.t, pl.p, SUM(vx.xi * pl.w) AS s
          FROM vx JOIN planes pl ON vx.d = pl.d
@@ -744,7 +766,7 @@ object SparkEntry {
          UNION
          SELECT min(vec_id) AS id1, max(vec_id) AS id2
          FROM sigs GROUP BY bucket HAVING COUNT(*) > 1000),
-       v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings)
+       v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM emb2)
        SELECT id1, id2,
          list_sum([v1.e[i] * v2.e[i] for i in range(1, len(v1.e)+1)]) /
            (sqrt(list_sum([v1.e[i] * v1.e[i] for i in range(1, len(v1.e)+1)])) *
@@ -752,7 +774,7 @@ object SparkEntry {
        FROM pairs JOIN v v1 ON id1 = v1.vec_id JOIN v v2 ON id2 = v2.vec_id
        WHERE list_sum([v1.e[i] * v2.e[i] for i in range(1, len(v1.e)+1)]) /
            (sqrt(list_sum([v1.e[i] * v1.e[i] for i in range(1, len(v1.e)+1)])) *
-            sqrt(list_sum([v2.e[i] * v2.e[i] for i in range(1, len(v2.e)+1)]))) >= 0.4"""
+            sqrt(list_sum([v2.e[i] * v2.e[i] for i in range(1, len(v2.e)+1)]))) >= 0.9"""
 
   // ------------------------------------------------------------------
   // q31 — typed Dataset + Aggregator: the combiner-compatible fold reduce

@@ -1009,6 +1009,18 @@ object Similarity extends Serializable {
     * sub-quadratic at corpus scale; recall rises with `tables` and falls
     * with `bits` (tune per corpus duplicate profile).
     *
+    * SIZE `bits` TO THE CORPUS, not to the recall target alone: each
+    * table has 2^bits buckets, so RANDOM co-bucketing alone contributes
+    * ~tables·n²/2^(bits+1) candidate pairs whatever the data looks like.
+    * The round-7 scale ladder measured the old 6-bit default (64
+    * buckets/table) at scaling exponent ~1.5 by 20k vectors (NOTES.md);
+    * 12 bits pushes that knee out 64×, and recall is recovered by
+    * raising `tables` (the standard hyperplane-LSH (bits, tables)
+    * trade — more, narrower tables). Rule of thumb: bits ≳
+    * log2(n / desired-bucket-size), then pick tables for recall at
+    * your threshold: recall ≈ 1 − (1 − p^bits)^tables with
+    * p = 1 − θ/π.
+    *
     * Pair generation is the capped grouped shape shared with
     * `Dedup.minhashLsh`: ONE grouping shuffle gathers each bucket's ids
     * (`collect_list_capped` bounds the aggregation buffer), buckets with
@@ -1039,7 +1051,7 @@ object Similarity extends Serializable {
       corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int,
       threshold: Double,
-      bits: Int = 6, tables: Int = 3,
+      bits: Int = 12, tables: Int = 8,
       maxBucketSize: Int = 1000,
       cacheCorpus: Boolean = false): DataFrame = {
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
