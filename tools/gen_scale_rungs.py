@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Build the synthetic scale-ladder rungs used by NOTES.md's round-7
+scaling measurements (driver-side tooling, like compare.py — the
+library itself never depends on this).
+
+Replicates sf0.1's `documents` and `embeddings` tables 3x and 10x with
+per-replica DETERMINISTIC transforms chosen so each replica keeps its
+own internal duplicate/similarity structure while sharing none with
+the others — a bigger crawl's shape, not an all-duplicates pathology:
+
+  documents:  per-replica bijective lowercase-alphabet rotation
+              (replica r's shingle sets are disjoint from replica 0's;
+              verified zero shared 8-gram shingles between replicas
+              of the same doc)
+  embeddings: per-replica sign flips on dimensions selected by the
+              replica index's bits (a diagonal +/-1 transform, so
+              in-replica cosines are preserved EXACTLY; the same
+              vector under two replicas lands at cos ~0.4)
+
+Usage:
+  python3 tools/gen_scale_rungs.py [--src /root/testdata/sf0.1] \
+      [--out /tmp/graft_scale_root]
+
+Then time any documents/embeddings-only query per rung:
+  SPARK_GRAFT_SF_DIR=<out>/docs/x10 SPARK_GRAFT_ITERS=1 \
+      SPARK_GRAFT_QUERIES=q41_simhash_hamming sbt "runMain graft.Bench"
+"""
+import argparse
+import os
+
+import duckdb
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def doc_arms(src, reps):
+    arms = []
+    for r in range(reps):
+        rot = ALPHA[r:] + ALPHA[:r]
+        arms.append(f"""
+          SELECT doc_id + {r}*10000000 AS doc_id,
+                 translate(text, '{ALPHA}', '{rot}') AS text,
+                 * EXCLUDE (doc_id, text)
+          FROM read_parquet('{src}/documents.parquet')""")
+    return " UNION ALL ".join(arms)
+
+
+def emb_arms(src, reps):
+    arms = []
+    for r in range(reps):
+        arms.append(f"""
+          SELECT vec_id + {r}*10000000 AS vec_id,
+            [CASE WHEN ({r} // CAST(pow(2, (i-1) % 4) AS INTEGER)) % 2 = 1
+                  THEN CAST(-embedding[i] AS FLOAT)
+                  ELSE embedding[i] END
+             for i in range(1, len(embedding)+1)] AS embedding,
+            label
+          FROM read_parquet('{src}/embeddings.parquet')""")
+    return " UNION ALL ".join(arms)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/graft_scale_root")
+    args = ap.parse_args()
+
+    con = duckdb.connect()
+    for name, reps in [("x3", 3), ("x10", 10)]:
+        for kind, arms in [("docs", doc_arms(args.src, reps)),
+                           ("emb", emb_arms(args.src, reps))]:
+            d = os.path.join(args.out, kind, name)
+            os.makedirs(d, exist_ok=True)
+            table = "documents" if kind == "docs" else "embeddings"
+            dst = os.path.join(d, f"{table}.parquet")
+            con.execute(f"COPY ({arms}) TO '{dst}' (FORMAT PARQUET)")
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+            print(f"{dst}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
