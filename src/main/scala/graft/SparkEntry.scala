@@ -3204,6 +3204,87 @@ object SparkEntry {
            chr(10) ORDER BY pos), '') AS text_clean
        FROM m GROUP BY doc_id"""
 
+  // ------------------------------------------------------------------
+  // q76 — as-of join (extension: TemporalJoin.asofJoin): each purchase
+  // event picks up the user's latest prior view (inclusive), nulled when
+  // older than 24 h. One union + one window shuffle — the scalable as-of
+  // shape; the oracle is DuckDB's native ASOF LEFT JOIN with the same
+  // tolerance applied post-match. The right side is pre-aggregated to
+  // one row per (user, ts) (max value) — asofJoin's documented
+  // determinism precondition.
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    graft.ops.TemporalJoin.asofJoin(
+        purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("view_value"), toleranceMicros = Some(86400L * 1000000L))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        date_format(col("matched_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("view_ts"),
+        col("view_value"),
+        col("value").as("purchase_value"))
+  }
+
+  private val q76Sql =
+    """WITH r AS (
+         SELECT user_id, ts, MAX(value) AS view_value
+         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       l AS (
+         SELECT event_id, user_id, ts, value AS purchase_value
+         FROM events WHERE event_type = 'purchase')
+       SELECT l.event_id, l.user_id,
+         strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         CASE WHEN r.ts IS NOT NULL
+                AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+              THEN strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') END AS view_ts,
+         CASE WHEN r.ts IS NOT NULL
+                AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+              THEN r.view_value END AS view_value,
+         l.purchase_value
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+  // ------------------------------------------------------------------
+  // q77 — interval/range join (extension: TemporalJoin.rangeJoin):
+  // purchases falling in any error's 10-minute blast window, with NO
+  // key between the sides — the pure inequality join Spark would plan
+  // as a BroadcastNestedLoopJoin. rangeJoin grids both sides onto
+  // 10-minute buckets (each interval spans ≤ 2) and equi-joins on the
+  // bucket id; the oracle is DuckDB's native inequality (IE) join.
+  // Aggregated per window to keep the output stable and small.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val win = 600L * 1000000L // 10 min in micros
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + win).as("hi"))
+    val points = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    graft.ops.TemporalJoin.rangeJoin(
+        points, "p_us", intervals, "lo", "hi", bucketWidth = win)
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("sum_value"),
+        min(col("p_id")).as("first_p_id"))
+  }
+
+  private val q77Sql =
+    """SELECT e.event_id AS win_id,
+         COUNT(*) AS n_purchases,
+         CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         MIN(p.event_id) AS first_p_id
+       FROM events e JOIN events p
+         ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTES
+       WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+       GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -3280,6 +3361,8 @@ object SparkEntry {
     "q73_stream_neardup" -> (q73 _),
     "q74_bpe" -> (q74 _),
     "q75_staged_incremental" -> (q75 _),
+    "q76_asof_join" -> (q76 _),
+    "q77_range_join" -> (q77 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3328,6 +3411,8 @@ object SparkEntry {
     "q73_stream_neardup" -> q73Sql,
     "q74_bpe" -> q74Sql,
     "q75_staged_incremental" -> q75Sql,
+    "q76_asof_join" -> q76Sql,
+    "q77_range_join" -> q77Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
