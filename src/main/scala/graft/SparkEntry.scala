@@ -3285,6 +3285,129 @@ object SparkEntry {
        WHERE e.event_type = 'error' AND p.event_type = 'purchase'
        GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q78 — BM25 keyword search (extension: Search.bm25TopK): three
+  // keyword queries ranked over the documents corpus, top-10 each.
+  // All-integer 2^20 fixed-point scoring (rational idf — no log), so
+  // the DuckDB oracle replays the identical arithmetic and hashes
+  // match. The ranking collapses through the bounded topk_by aggregate
+  // (map-side partials), not a rank window.
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Search.bm25TopK(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq(
+        ("hash_join", Seq("hash", "join")),
+        ("window_stream", Seq("window", "agg", "stream")),
+        ("slow_scan", Seq("slow", "scan"))),
+      k = 10)
+
+  private val q78Sql =
+    """WITH toks AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+             '\s+'), x -> x <> '')) AS tok
+         FROM documents),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dl AS (
+         SELECT doc_id,
+           len(list_filter(string_split_regex(lower(coalesce(text, '')),
+             '\s+'), x -> x <> '')) AS dl
+         FROM documents),
+       corpus AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+       q(query_id, tok) AS (VALUES
+         ('hash_join', 'hash'), ('hash_join', 'join'),
+         ('window_stream', 'window'), ('window_stream', 'agg'),
+         ('window_stream', 'stream'),
+         ('slow_scan', 'slow'), ('slow_scan', 'scan')),
+       df AS (
+         SELECT tf.tok, count(*) AS df FROM tf
+         WHERE tf.tok IN (SELECT tok FROM q) GROUP BY 1),
+       scored AS (
+         SELECT q.query_id, tf.doc_id,
+           (2*(2*c.n - 2*df.df + 1)*1048576 + (2*df.df + 1))
+             // (2*(2*df.df + 1)) AS idf_fp,
+           (2*(44*tf.tf*c.sum_dl)*1048576
+              + (20*tf.tf*c.sum_dl + 6*c.sum_dl + 18*dl.dl*c.n))
+             // (2*(20*tf.tf*c.sum_dl + 6*c.sum_dl + 18*dl.dl*c.n)) AS tfc_fp
+         FROM q JOIN tf ON q.tok = tf.tok
+         JOIN df ON q.tok = df.tok
+         JOIN dl ON tf.doc_id = dl.doc_id
+         CROSS JOIN corpus c),
+       agg AS (
+         SELECT query_id, doc_id,
+           CAST(sum((2*idf_fp*tfc_fp + 1048576) // (2*1048576)) AS BIGINT)
+             AS score_fp
+         FROM scored GROUP BY 1, 2)
+       SELECT query_id, doc_id, score_fp,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY score_fp DESC, doc_id ASC) AS rank
+       FROM agg
+       QUALIFY rank <= 10"""
+
+  // ------------------------------------------------------------------
+  // q79 — heavy hitters (extension: Sketch.heavyHitters): word bigrams
+  // occurring >= 40 times, found via a count-min sketch candidate
+  // filter + exact verify. The sketch can only over-admit, so the
+  // output is EXACTLY the group-by HAVING oracle — sketch parameters
+  // change shuffle volume, never rows.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.Text.tokens(
+      lower(coalesce(col("text"), lit(""))))
+    // bigrams via zip_with(ws, ws[2:]), NOT wordShingles: zip_with's
+    // array arguments evaluate once per ROW, while the transform+slice
+    // lambda in wordShingles re-evaluates the token array per ELEMENT
+    // under interpreted HOF evaluation (the NOTES.md blowup) — measured
+    // 7.3 s -> sub-second for this query at sf0.1. The trailing
+    // (last-token, null) pair concats to null and is filtered.
+    val bigrams = t(s, dir, "documents")
+      .select(explode(zip_with(
+        toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .filter(col("bg").isNotNull)
+    graft.ops.Sketch.heavyHitters(bigrams, col("bg"), minCount = 40L)
+  }
+
+  private val q79Sql =
+    """WITH w AS (
+         SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+           '\s+'), x -> x <> '') AS ws
+         FROM documents),
+       b AS (
+         SELECT unnest([ws[i] || ' ' || ws[i+1]
+                        for i in range(1, len(ws))]) AS value
+         FROM w WHERE len(ws) >= 2)
+       SELECT value, count(*) AS cnt FROM b
+       GROUP BY 1 HAVING count(*) >= 40"""
+
+  // ------------------------------------------------------------------
+  // q80 — sliding-window chunking (extension: Chunking.chunkTokens):
+  // 64-token windows advancing by 48 (16-token overlap) — the
+  // retrieval/embedding prep shape. Map-only kernel; the oracle replays
+  // the same starts/slices as a DuckDB list comprehension.
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.chunkTokens(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      size = 64, overlap = 16)
+
+  private val q80Sql =
+    """WITH w AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(coalesce(text, ''),
+             '\s+'), x -> x <> '') AS ws
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+           [struct_pack(idx := i - 1,
+              txt := array_to_string(ws[(i-1)*48+1:(i-1)*48+64], ' '),
+              n := len(ws[(i-1)*48+1:(i-1)*48+64]))
+            for i in range(1, greatest(0, (len(ws)-64+47)//48)+2)] AS chunks
+         FROM w WHERE len(ws) > 0)
+       SELECT doc_id,
+         CAST(u.idx AS BIGINT) AS chunk_idx,
+         u.txt AS chunk_text,
+         CAST(u.n AS BIGINT) AS n_tokens
+       FROM (SELECT doc_id, unnest(chunks) AS u FROM c)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -3363,6 +3486,9 @@ object SparkEntry {
     "q75_staged_incremental" -> (q75 _),
     "q76_asof_join" -> (q76 _),
     "q77_range_join" -> (q77 _),
+    "q78_bm25_search" -> (q78 _),
+    "q79_heavy_hitters" -> (q79 _),
+    "q80_chunking" -> (q80 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3413,6 +3539,9 @@ object SparkEntry {
     "q75_staged_incremental" -> q75Sql,
     "q76_asof_join" -> q76Sql,
     "q77_range_join" -> q77Sql,
+    "q78_bm25_search" -> q78Sql,
+    "q79_heavy_hitters" -> q79Sql,
+    "q80_chunking" -> q80Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -27,6 +27,98 @@ object Sketch {
     * estimate is exact; otherwise estimate = (k-1) / u_k with u_k the
     * k-th smallest unit hash.
     */
+  /** Exact heavy hitters ("every value occurring >= minCount times")
+    * with a count-min sketch doing the scale work.
+    *
+    * Why not a plain groupBy+HAVING: at corpus scale the group-by
+    * shuffles EVERY distinct value (the long tail is the data).
+    * Instead: pass 1 folds each partition into a d×w count-min sketch
+    * (Cormode & Muthukrishnan 2005) — counter arrays sum elementwise,
+    * so the merged sketch is order-independent and deterministic; the
+    * per-partition partials (O(partitions × d × w) longs) are merged on
+    * the driver like the k-means training partials, a bounded model
+    * statistic, never row data. Pass 2 filters the raw stream through
+    * the broadcast sketch BEFORE the exact group-by — only occurrences
+    * of candidate values reach the exchange. CMS only ever
+    * OVER-estimates, so candidates ⊇ true heavy hitters and the exact
+    * downstream count + HAVING makes the output exactly the true set —
+    * the sketch parameters affect shuffle volume, never results.
+    *
+    * Hashing: one md5 per value; row j's slot is Kirsch-Mitzenmacher
+    * double hashing `(h1 + j·h2) mod w` over the digest's two 8-byte
+    * halves — deterministic, no seed state.
+    *
+    * Sizing: width ~ (expected heavy-hitter count × 10) keeps collision
+    * inflation (and thus false candidates) low; depth 4 gives
+    * P[inflate > 2N/w] ≤ e^-4 per value. False candidates cost shuffle,
+    * not correctness.
+    *
+    * @return (value string, cnt long) — exact counts, all values with
+    *   cnt >= minCount.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      valueCol: Column,
+      minCount: Long,
+      depth: Int = 4,
+      width: Int = 8192): DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(valueCol.cast("string").as("v"))
+      .filter(col("v").isNotNull).as[String]
+
+    // (h1, h2) from the digest's two 8-byte halves; row j's slot is
+    // Kirsch-Mitzenmacher (h1 + j·h2) mod width — computed inline in
+    // both passes, no per-value allocation
+    val partials = vals.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sk = new Array[Long](depth * width)
+      it.foreach { v =>
+        val d = md.digest(v.getBytes("UTF-8"))
+        val bb = java.nio.ByteBuffer.wrap(d)
+        val h1 = bb.getLong(0)
+        val h2 = bb.getLong(8) | 1L // odd, so j·h2 walks all residues
+        var j = 0
+        while (j < depth) {
+          sk(j * width + (((h1 + j * h2) & Long.MaxValue) % width).toInt) += 1L
+          j += 1
+        }
+      }
+      Iterator.single(sk)
+    }.collect()
+    val merged = new Array[Long](depth * width)
+    partials.foreach { p =>
+      var i = 0
+      while (i < merged.length) { merged(i) += p(i); i += 1 }
+    }
+    val bc = spark.sparkContext.broadcast(merged)
+
+    val mc = minCount
+    val (dep, wid) = (depth, width)
+    val candidates = vals.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sk = bc.value
+      it.filter { v =>
+        val d = md.digest(v.getBytes("UTF-8"))
+        val bb = java.nio.ByteBuffer.wrap(d)
+        val h1 = bb.getLong(0)
+        val h2 = bb.getLong(8) | 1L
+        var est = Long.MaxValue
+        var j = 0
+        while (j < dep && est >= mc) {
+          val c = sk(j * wid + (((h1 + j * h2) & Long.MaxValue) % wid).toInt)
+          if (c < est) est = c
+          j += 1
+        }
+        est >= mc
+      }
+    }.toDF("value")
+    candidates.groupBy("value").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= mc)
+  }
+
   def kmvDistinct(
       df: DataFrame,
       valueCol: Column,

@@ -36,6 +36,39 @@ class SketchSpec extends SparkSpec {
     assert(a == run(5, 3))    // duplication: same distinct set, same sketch
   }
 
+  test("heavyHitters returns exactly the >= minCount set with exact " +
+      "counts, regardless of sketch size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // zipfian-ish: value v-i appears ~ 3000/i times
+    val rows = (1 to 60).flatMap(i => Seq.fill(3000 / i)(s"v-$i")) ++
+      (1 to 2000).map(i => s"tail-${rnd.nextInt(1500)}")
+    val df = rnd.shuffle(rows).toDF("x").repartition(7)
+    val want = rows.groupBy(identity).view
+      .mapValues(_.size.toLong).filter(_._2 >= 100L).toMap
+    // a deliberately TINY sketch (many collisions): more false
+    // candidates shuffle, but the exact verify keeps output identical
+    for (w <- Seq(16, 8192)) {
+      val got = Sketch.heavyHitters(df, col("x"), 100L, width = w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"width=$w")
+    }
+  }
+
+  test("heavyHitters is insensitive to partitioning and handles " +
+      "empty/threshold edge cases") {
+    import spark.implicits._
+    val rows = Seq.fill(10)("a") ++ Seq.fill(9)("b") ++ Seq("c")
+    def run(parts: Int) =
+      Sketch.heavyHitters(rows.toDF("x").repartition(parts), col("x"), 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run(1) == Set(("a", 10L)))   // b at 9 is below, c far below
+    assert(run(1) == run(6))
+    val empty = Sketch.heavyHitters(
+      Seq.empty[String].toDF("x"), col("x"), 1L).collect()
+    assert(empty.isEmpty)
+  }
+
   test("degenerate inputs") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
