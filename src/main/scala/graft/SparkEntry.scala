@@ -27,9 +27,20 @@ object SparkEntry {
     // nanosAsLong (see Sessions.base). Restore a typed timestamp column via
     // integer division (nanos are ~1e18 — double division would lose
     // precision); truncation to micros matches DuckDB's ns→us cast.
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // Gated on the ARRIVING type, not the table name: a micros-written
+    // events file (e.g. the DuckDB-generated scale rungs — its parquet
+    // writer downcasts ns to us) reads as a typed timestamp already, and
+    // `ts div 1000` on THAT would silently divide epoch-seconds.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // micros-written files (e.g. DuckDB-generated scale rungs) read
+        // as NTZ; normalize to TIMESTAMP in the UTC session so
+        // unix_micros & friends resolve identically to the fixture path
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** sum of doubles made exact + order-independent via decimal. */

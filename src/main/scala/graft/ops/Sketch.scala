@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
+  /** Per-thread MessageDigest for executor-side fold closures (object
+    * member, so closures reference it statically instead of capturing).
+    */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** One-row (n_kept, estimate) distinct-count estimate of `valueCol`.
     *
     * Plan shape: the k smallest hashes ride graft's bounded `topk_by`
@@ -32,12 +41,13 @@ object Sketch {
     *
     * Why not a plain groupBy+HAVING: at corpus scale the group-by
     * shuffles EVERY distinct value (the long tail is the data).
-    * Instead: pass 1 folds each partition into a d×w count-min sketch
-    * (Cormode & Muthukrishnan 2005) — counter arrays sum elementwise,
-    * so the merged sketch is order-independent and deterministic; the
-    * per-partition partials (O(partitions × d × w) longs) are merged on
-    * the driver like the k-means training partials, a bounded model
-    * statistic, never row data. Pass 2 filters the raw stream through
+    * Instead: pass 1 folds the stream into a d×w count-min sketch
+    * (Cormode & Muthukrishnan 2005) via `treeAggregate` — counter
+    * arrays sum elementwise, so the merged sketch is order-independent
+    * and deterministic, and the layered combine means the driver
+    * receives ONE d×w array, not one per partition (a 1000-executor
+    * fleet with a wide sketch would otherwise land gigabytes of
+    * partials on the driver). Pass 2 filters the raw stream through
     * the broadcast sketch BEFORE the exact group-by — only occurrences
     * of candidate values reach the exchange. CMS only ever
     * OVER-estimates, so candidates ⊇ true heavy hitters and the exact
@@ -48,10 +58,14 @@ object Sketch {
     * double hashing `(h1 + j·h2) mod w` over the digest's two 8-byte
     * halves — deterministic, no seed state.
     *
-    * Sizing: width ~ (expected heavy-hitter count × 10) keeps collision
-    * inflation (and thus false candidates) low; depth 4 gives
-    * P[inflate > 2N/w] ≤ e^-4 per value. False candidates cost shuffle,
-    * not correctness.
+    * Sizing — the lever that decides whether the sketch prunes at all:
+    * a row's expected collision inflation is ~ total_occurrences /
+    * width, so pruning needs `width >> total_occurrences / minCount`
+    * (rule of thumb: 10× that ratio). Below it every counter exceeds
+    * the threshold and pass 2 degrades to the plain group-by (correct,
+    * just unpruned). Depth fights unlucky single-row collisions:
+    * P[min over d rows inflates > 2·total/width] ≤ 2^-d per value.
+    * False candidates cost shuffle, never correctness.
     *
     * @return (value string, cnt long) — exact counts, all values with
     *   cnt >= minCount.
@@ -71,32 +85,31 @@ object Sketch {
 
     // (h1, h2) from the digest's two 8-byte halves; row j's slot is
     // Kirsch-Mitzenmacher (h1 + j·h2) mod width — computed inline in
-    // both passes, no per-value allocation
-    val partials = vals.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val sk = new Array[Long](depth * width)
-      it.foreach { v =>
-        val d = md.digest(v.getBytes("UTF-8"))
+    // both passes, no per-value allocation. The MessageDigest is cached
+    // per thread (treeAggregate's seqOp has no per-partition setup hook).
+    val dep = depth
+    val wid = width
+    val merged = vals.rdd.treeAggregate(new Array[Long](dep * wid))(
+      seqOp = { (sk, v) =>
+        val d = Sketch.md5Local.get().digest(v.getBytes("UTF-8"))
         val bb = java.nio.ByteBuffer.wrap(d)
         val h1 = bb.getLong(0)
         val h2 = bb.getLong(8) | 1L // odd, so j·h2 walks all residues
         var j = 0
-        while (j < depth) {
-          sk(j * width + (((h1 + j * h2) & Long.MaxValue) % width).toInt) += 1L
+        while (j < dep) {
+          sk(j * wid + (((h1 + j * h2) & Long.MaxValue) % wid).toInt) += 1L
           j += 1
         }
-      }
-      Iterator.single(sk)
-    }.collect()
-    val merged = new Array[Long](depth * width)
-    partials.foreach { p =>
-      var i = 0
-      while (i < merged.length) { merged(i) += p(i); i += 1 }
-    }
+        sk
+      },
+      combOp = { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
     val bc = spark.sparkContext.broadcast(merged)
 
     val mc = minCount
-    val (dep, wid) = (depth, width)
     val candidates = vals.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val sk = bc.value

@@ -92,9 +92,12 @@ object TemporalJoin {
 
     val inTol = toleranceMicros match {
       case Some(tol) =>
+        // cast("timestamp") is a no-op for TIMESTAMP and interprets
+        // TIMESTAMP_NTZ in the session zone — unix_micros alone rejects
+        // NTZ columns outright
         col("__m").isNotNull &&
-          unix_micros(col(leftTs)) -
-            unix_micros(col("__m.matched_ts")) <= tol
+          unix_micros(col(leftTs).cast("timestamp")) -
+            unix_micros(col("__m.matched_ts").cast("timestamp")) <= tol
       case None => col("__m").isNotNull
     }
     val gated = matched.withColumn(

@@ -16,6 +16,12 @@ the others — a bigger crawl's shape, not an all-duplicates pathology:
               replica index's bits (a diagonal +/-1 transform, so
               in-replica cosines are preserved EXACTLY; the same
               vector under two replicas lands at cos ~0.4)
+  events:     per-replica +400-day timestamp shift with offset
+              user/event ids — the longer-retention scaling shape:
+              each replica keeps its own temporal structure (as-of
+              matches, windows, funnels) and interacts with no other.
+              Written as TIMESTAMP_NS to match the fixture's physical
+              type (Spark reads it via nanosAsLong).
 
 Usage:
   python3 tools/gen_scale_rungs.py [--src /root/testdata/sf0.1] \
@@ -59,6 +65,18 @@ def emb_arms(src, reps):
     return " UNION ALL ".join(arms)
 
 
+def event_arms(src, reps):
+    arms = []
+    for r in range(reps):
+        arms.append(f"""
+          SELECT event_id + {r}*100000000 AS event_id,
+                 CAST(ts + INTERVAL ({r}*400) DAYS AS TIMESTAMP_NS) AS ts,
+                 user_id + {r}*10000000 AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{src}/events.parquet')""")
+    return " UNION ALL ".join(arms)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -68,10 +86,12 @@ def main():
     con = duckdb.connect()
     for name, reps in [("x3", 3), ("x10", 10)]:
         for kind, arms in [("docs", doc_arms(args.src, reps)),
-                           ("emb", emb_arms(args.src, reps))]:
+                           ("emb", emb_arms(args.src, reps)),
+                           ("events", event_arms(args.src, reps))]:
             d = os.path.join(args.out, kind, name)
             os.makedirs(d, exist_ok=True)
-            table = "documents" if kind == "docs" else "embeddings"
+            table = {"docs": "documents", "emb": "embeddings",
+                     "events": "events"}[kind]
             dst = os.path.join(d, f"{table}.parquet")
             con.execute(f"COPY ({arms}) TO '{dst}' (FORMAT PARQUET)")
             n = con.execute(
