@@ -3419,6 +3419,78 @@ object SparkEntry {
          CAST(u.n AS BIGINT) AS n_tokens
        FROM (SELECT doc_id, unnest(chunks) AS u FROM c)"""
 
+  // ------------------------------------------------------------------
+  // q81 — forward as-of join (extension: TemporalJoin.asofJoin with
+  // direction="forward"): each signup picks up the user's EARLIEST
+  // following purchase, nulled past 7 days — the time-to-convert shape.
+  // Same single window pass as q76, descending; oracle is DuckDB ASOF
+  // with the inequality flipped.
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts")
+    graft.ops.TemporalJoin.asofJoin(
+        signups, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purchase_value"),
+        toleranceMicros = Some(7L * 86400L * 1000000L),
+        direction = "forward")
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        date_format(col("matched_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("purchase_ts"),
+        col("purchase_value"))
+  }
+
+  private val q81Sql =
+    """WITH r AS (
+         SELECT user_id, ts, MAX(value) AS purchase_value
+         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       l AS (
+         SELECT event_id, user_id, ts
+         FROM events WHERE event_type = 'signup')
+       SELECT l.event_id, l.user_id,
+         strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         CASE WHEN r.ts IS NOT NULL
+                AND epoch_us(r.ts) - epoch_us(l.ts) <= 604800000000
+              THEN strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f')
+         END AS purchase_ts,
+         CASE WHEN r.ts IS NOT NULL
+                AND epoch_us(r.ts) - epoch_us(l.ts) <= 604800000000
+              THEN r.purchase_value END AS purchase_value
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ts <= r.ts"""
+
+  // ------------------------------------------------------------------
+  // q82 — bloom-prefiltered anti join (extension: BloomJoin.antiJoin):
+  // revenue per returnflag over lineitems whose order is NOT urgent.
+  // The bloom's definite-no arm keeps ~80% of lineitems out of the
+  // exchange entirely; false positives are cleared by the exact anti
+  // arm, so the output equals the plain NOT-IN oracle.
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.ops.BloomJoin.antiJoin(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        urgent, col("o_orderkey"),
+        expectedItems = 4000L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice")).as("revenue"))
+  }
+
+  private val q82Sql =
+    """SELECT l_returnflag,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+       FROM lineitem
+       WHERE l_orderkey NOT IN (
+         SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -3500,6 +3572,8 @@ object SparkEntry {
     "q78_bm25_search" -> (q78 _),
     "q79_heavy_hitters" -> (q79 _),
     "q80_chunking" -> (q80 _),
+    "q81_asof_forward" -> (q81 _),
+    "q82_bloom_anti_join" -> (q82 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3553,6 +3627,8 @@ object SparkEntry {
     "q78_bm25_search" -> q78Sql,
     "q79_heavy_hitters" -> q79Sql,
     "q80_chunking" -> q80Sql,
+    "q81_asof_forward" -> q81Sql,
+    "q82_bloom_anti_join" -> q82Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -18,7 +18,9 @@ object TemporalJoin {
 
   /** As-of join: attach to each left row the LATEST right row with
     * `right.tsCol <= left.tsCol` (backward direction, inclusive) on the
-    * same key, as one window pass over the union of both sides.
+    * same key — or, with `direction = "forward"`, the EARLIEST right
+    * row with `right.tsCol >= left.tsCol` — as one window pass over the
+    * union of both sides.
     *
     * Shape, and why it scales: both sides are tagged and unioned, then
     * a single `Window.partitionBy(keys).orderBy(ts, side)` carries the
@@ -41,11 +43,14 @@ object TemporalJoin {
     * range-bucket the key by time first and stitch the bucket
     * boundaries (carry each bucket's last right row into the next).
     *
-    * @param toleranceMicros when set, a match older than
-    *   `left.ts - tolerance` is nulled out (the match is still found —
-    *   tolerance filters, it does not redefine "latest").
+    * @param toleranceMicros when set, a match further than `tolerance`
+    *   from `left.ts` (older for backward, later for forward) is nulled
+    *   out (the match is still found — tolerance filters, it does not
+    *   redefine "latest"/"earliest").
     * @param rightPayload right columns to carry (must not collide with
     *   left column names; `rightTs` is always carried as `matched_ts`).
+    * @param direction "backward" (default: latest prior) or "forward"
+    *   (earliest following) — both inclusive at equal timestamps.
     * @return every left row (all its columns), plus `matched_ts` and
     *   the payload columns, null when no match (or out of tolerance).
     */
@@ -56,8 +61,11 @@ object TemporalJoin {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("matched_ts"),
       "left side already has a matched_ts column")
@@ -83,8 +91,14 @@ object TemporalJoin {
         lit(null).cast(r.schema("__payload").dataType).as("__payload")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
+    // Backward walks time ascending and carries the last prior right
+    // row; forward is the mirror image — descending, carrying the last
+    // FOLLOWING right row. Both order __side after __ts so an equal-ts
+    // right row is already visible to the left row (inclusive).
+    val tsOrder =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r.unionByName(l)
       .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
@@ -95,9 +109,14 @@ object TemporalJoin {
         // cast("timestamp") is a no-op for TIMESTAMP and interprets
         // TIMESTAMP_NTZ in the session zone — unix_micros alone rejects
         // NTZ columns outright
-        col("__m").isNotNull &&
-          unix_micros(col(leftTs).cast("timestamp")) -
-            unix_micros(col("__m.matched_ts").cast("timestamp")) <= tol
+        val gap =
+          if (direction == "backward")
+            unix_micros(col(leftTs).cast("timestamp")) -
+              unix_micros(col("__m.matched_ts").cast("timestamp"))
+          else
+            unix_micros(col("__m.matched_ts").cast("timestamp")) -
+              unix_micros(col(leftTs).cast("timestamp"))
+        col("__m").isNotNull && gap <= tol
       case None => col("__m").isNotNull
     }
     val gated = matched.withColumn(

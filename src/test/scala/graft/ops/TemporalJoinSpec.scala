@@ -91,6 +91,55 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("asofJoin forward picks the earliest following right row, " +
+    "inclusive, with forward tolerance") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(3), "a"),  // next right is ts(5)
+      (1L, ts(5), "b"),  // equal ts -> inclusive
+      (1L, ts(20), "c"), // after all -> no match
+      (2L, ts(0), "d")   // next right ts(30) but out of 10-min tolerance
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts(1), 1.0), (1L, ts(5), 2.0), (2L, ts(30), 3.0)
+    ).toDF("k", "t", "rv")
+    val out = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        Seq("rv"), toleranceMicros = Some(600L * 1000000),
+        direction = "forward")
+      .select("lv", "rv").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(out == Set(
+      ("a", Some(2.0)), ("b", Some(2.0)), ("c", None), ("d", None)))
+  }
+
+  test("asofJoin forward matches a reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val left = (1 to 200).map(i =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(50), rnd.nextInt(60)), i))
+      .toDF("k", "t", "i")
+    val right = (1 to 150).map(i =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(50), rnd.nextInt(60)),
+        i.toDouble))
+      .toDF("k", "t", "rv")
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+    val got = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        Seq("rv"), direction = "forward")
+      .select("k", "t", "i", "rv").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2),
+        Option(r.get(3)))).toSet
+    val rRows = right.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val want = left.collect().map { lr =>
+      val (k, t, i) = (lr.getLong(0), lr.getTimestamp(1), lr.getInt(2))
+      val later = rRows.filter(r => r._1 == k && !r._2.before(t))
+      val m = if (later.isEmpty) None
+        else Some(later.minBy(_._2.getTime)._3)
+      (k, t, i, m)
+    }.toSet
+    assert(got == want)
+  }
+
   test("rangeJoin pairs each point with every containing interval " +
     "exactly once, across bucket boundaries") {
     import spark.implicits._
