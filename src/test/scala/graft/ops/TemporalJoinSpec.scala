@@ -187,6 +187,37 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got.toSet == want)
   }
 
+  test("plan shape: asofJoin is ONE window over ONE exchange; rangeJoin " +
+    "never plans a nested-loop or cartesian join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val left = Seq((1L, ts(1), "x")).toDF("k", "t", "lv")
+      val right = Seq((1L, ts(0), 1.0)).toDF("k", "t", "rv")
+      val asofPlan = TemporalJoin.asofJoin(left, right, Seq("k"), "t",
+        "t", Seq("rv")).queryExecution.executedPlan
+      assert(asofPlan.collect { case w: WindowExec => w }.size == 1,
+        s"expected exactly one window:\n$asofPlan")
+      assert(asofPlan.collect { case e: ShuffleExchangeExec => e }.size == 1,
+        s"as-of must cost exactly one shuffle:\n$asofPlan")
+
+      val points = Seq((5L, "p")).toDF("v", "pid")
+      val intervals = Seq((0L, 10L, "i")).toDF("lo", "hi", "iid")
+      val rangePlan = TemporalJoin.rangeJoin(points, "v", intervals,
+        "lo", "hi", 10L).queryExecution.executedPlan
+      val bad = rangePlan.collect {
+        case b: BroadcastNestedLoopJoinExec => b
+        case c: CartesianProductExec => c
+      }
+      assert(bad.isEmpty,
+        s"range join degenerated to a nested loop/cartesian:\n$rangePlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("rangeJoin hard-errors on an interval spanning too many buckets") {
     import spark.implicits._
     val points = Seq((5L, "p")).toDF("v", "pid")
