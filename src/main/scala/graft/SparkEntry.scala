@@ -3491,6 +3491,76 @@ object SparkEntry {
          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
        GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q83 — per-group KMV distinct sketch (extension:
+  // Sketch.kmvDistinctByGroup): distinct texts per language in ONE
+  // grouped bounded aggregation. k=72 deliberately straddles the
+  // fixture's group cardinalities so both estimate arms run (fr/de
+  // exact below k; es/zh/en through (k-1)/u_k) and the oracle replays
+  // the md5 unit hashes per group.
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.kmvDistinctByGroup(
+      t(s, dir, "documents"), Seq("lang"), col("text"), k = 72)
+
+  private val q83Sql =
+    """WITH vals AS (
+         SELECT DISTINCT lang AS g, text AS v FROM documents
+         WHERE text IS NOT NULL),
+       h AS (
+         SELECT g, v,
+           CAST(list_sum([(strpos('0123456789abcdef',
+               substr(md5(v || ':kmv'), j, 1)) - 1) *
+               CAST(pow(16, 13 - j) AS BIGINT)
+             for j in range(1, 14)]) AS BIGINT)
+             / 4503599627370496.0 AS u
+         FROM vals),
+       kept AS (
+         SELECT g, u,
+           row_number() OVER (PARTITION BY g ORDER BY u ASC, v ASC) AS r
+         FROM h QUALIFY r <= 72),
+       agg AS (SELECT g, COUNT(*) AS n_kept, MAX(u) AS uk
+               FROM kept GROUP BY g)
+       SELECT g AS lang, CAST(n_kept AS BIGINT) AS n_kept,
+         CASE WHEN n_kept < 72 THEN CAST(n_kept AS DOUBLE)
+              ELSE 71.0 / uk END AS estimate
+       FROM agg"""
+
+  // ------------------------------------------------------------------
+  // q84 — histogram quantiles (extension: Profile.histogramQuantiles):
+  // p50/p90/p99 of l_extendedprice on a fixed 1024-bin grid. The grid
+  // width 110000/1024 is dyadic, so every double in the pipeline is
+  // exact and the oracle replays the arithmetic bit-identically —
+  // the determinism t-digest/GK sketches cannot give.
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.histogramQuantiles(
+      t(s, dir, "lineitem"), col("l_extendedprice"),
+      lo = 0.0, hi = 110000.0, bins = 1024,
+      quantiles = Seq(0.5, 0.9, 0.99))
+
+  private val q84Sql =
+    """WITH b AS (
+         SELECT CAST(least(greatest(
+             floor((l_extendedprice - 0.0) / (110000.0 / 1024)), 0),
+             1023) AS BIGINT) AS bin,
+           count(*) AS n
+         FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+       c AS (
+         SELECT bin, n,
+           sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n) OVER () AS total
+         FROM b),
+       q(quantile) AS (
+         SELECT CAST(x AS DOUBLE) FROM (VALUES (0.5), (0.9), (0.99)) t(x)),
+       probe AS (
+         SELECT q.quantile, MIN(c.bin) AS bin,
+           MIN_BY(c.cum, c.bin) AS n_le
+         FROM q JOIN c ON c.cum >= ceil(q.quantile * c.total)
+         GROUP BY 1)
+       SELECT quantile,
+         0.0 + (bin + 1) * (110000.0 / 1024) AS approx_value,
+         CAST(n_le AS BIGINT) AS n_le
+       FROM probe"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -3574,6 +3644,8 @@ object SparkEntry {
     "q80_chunking" -> (q80 _),
     "q81_asof_forward" -> (q81 _),
     "q82_bloom_anti_join" -> (q82 _),
+    "q83_kmv_by_group" -> (q83 _),
+    "q84_histogram_quantiles" -> (q84 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3629,6 +3701,8 @@ object SparkEntry {
     "q80_chunking" -> q80Sql,
     "q81_asof_forward" -> q81Sql,
     "q82_bloom_anti_join" -> q82Sql,
+    "q83_kmv_by_group" -> q83Sql,
+    "q84_histogram_quantiles" -> q84Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

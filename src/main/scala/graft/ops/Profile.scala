@@ -50,4 +50,71 @@ object Profile {
         r.getAs[String](s"__max_$c"))
     }.toDF()
   }
+
+  /** Deterministic approximate quantiles via a fixed histogram: bin the
+    * values on a caller-chosen [lo, hi) grid, cumulate the (≤ bins)
+    * counts, and report each quantile as the UPPER EDGE of the first
+    * bin whose cumulative count reaches `ceil(q · total)`.
+    *
+    * Why not `approx_percentile` / t-digest / Greenwald-Khanna: their
+    * merge results depend on partition boundaries, so two runs of the
+    * same job can disagree — unverifiable against an independent
+    * oracle (the KMV-over-HLL argument, [[Sketch.kmvDistinct]]). The
+    * histogram's integer bin counts are sums — order-independent, so
+    * the answer is bit-identical everywhere; accuracy is the grid
+    * resolution (hi − lo)/bins, the caller's explicit knob.
+    *
+    * Shape: one map-side-combined groupBy over ≤ `bins` keys; the
+    * cumulative walk and quantile probe run on the ≤ bins aggregated
+    * rows (single-partition window — bounded by construction, the
+    * Prefix.scala discipline). Values outside [lo, hi) clamp to the
+    * edge bins, so a mis-estimated range degrades accuracy, never
+    * correctness of the cumulative counts. Null values are ignored.
+    *
+    * @param lo inclusive grid start; @param hi exclusive grid end.
+    * @return (quantile double, approx_value double = bin upper edge,
+    *   n_le long = cumulative count through that bin), one row per
+    *   requested quantile; empty input yields no rows.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      valueCol: org.apache.spark.sql.Column,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      quantiles: Seq[Double]): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    require(hi > lo, s"empty value range [$lo, $hi)")
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $quantiles")
+    val w = (hi - lo) / bins
+    val binCol = least(greatest(
+      floor((valueCol - lo) / w), lit(0.0)), lit((bins - 1).toDouble))
+      .cast("long")
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy(binCol.as("bin")).agg(count(lit(1)).as("n"))
+    val cum = counts.withColumn("cum",
+      sum("n").over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("total", sum("n").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy()
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = quantiles.toDF("quantile")
+    qs.crossJoin(cum)
+      .filter(col("cum") >= ceil(col("quantile") * col("total")))
+      .groupBy("quantile")
+      .agg(min("bin").as("bin"),
+        min_by(col("cum"), col("bin")).as("n_le"))
+      .select(
+        col("quantile"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("approx_value"),
+        col("n_le"))
+  }
 }

@@ -142,11 +142,43 @@ object Sketch {
       .filter(col("v").isNotNull)
       .withColumn("score", -Sampling.unitHash(col("v"), salt))
       .agg(call_function("topk_by", col("v"), col("score"), lit(k)).as("top"))
-      .select(
-        size(col("top")).cast("long").as("n_kept"),
-        when(size(col("top")) < k, size(col("top")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) /
-            -element_at(col("top"), k).getField("score"))
-          .as("estimate"))
+      .select(kmvEstimate(k): _*)
   }
+
+  /** Per-group [[kmvDistinct]]: one KMV sketch per key of `groupCols`,
+    * in a single aggregation — the "distinct users per segment" report
+    * at corpus scale. Exactly the global sketch's plan with a grouped
+    * `topk_by` (map-side k-bounded partials per group), so the shuffle
+    * carries at most k hashes per (partition, group), never the
+    * groups' distinct-value streams.
+    *
+    * @return groupCols ++ (n_kept, estimate) — same estimate contract
+    *   as [[kmvDistinct]] (exact below k) per group.
+    */
+  def kmvDistinctByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      k: Int = 1024,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(groupCols.nonEmpty,
+      "use kmvDistinct for the ungrouped sketch")
+    df.select(groupCols.map(col) :+ valueCol.cast("string").as("v"): _*)
+      .filter(col("v").isNotNull)
+      .withColumn("score", -Sampling.unitHash(col("v"), salt))
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("topk_by", col("v"), col("score"), lit(k)).as("top"))
+      .select(groupCols.map(col) ++ kmvEstimate(k): _*)
+  }
+
+  /** The (n_kept, estimate) tail shared by both sketch forms: exact
+    * below k, else (k-1)/u_k with u_k the k-th smallest unit hash.
+    */
+  private def kmvEstimate(k: Int): Seq[Column] = Seq(
+    size(col("top")).cast("long").as("n_kept"),
+    when(size(col("top")) < k, size(col("top")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        -element_at(col("top"), k).getField("score"))
+      .as("estimate"))
 }

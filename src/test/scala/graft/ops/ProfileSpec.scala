@@ -21,6 +21,54 @@ class ProfileSpec extends SparkSpec {
     assert(out("v") == ((0L, 2L, "10", "30")))
   }
 
+  test("histogramQuantiles: exact-reference agreement within one bin") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vals = (1 to 10000).map(_ => rnd.nextDouble() * 100.0)
+    val df = vals.toDF("v").repartition(7)
+    val out = Profile.histogramQuantiles(df, col("v"),
+        lo = 0.0, hi = 100.0, bins = 200, quantiles = Seq(0.25, 0.5, 0.95))
+      .collect()
+      .map(r => r.getDouble(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val sorted = vals.sorted
+    for (q <- Seq(0.25, 0.5, 0.95)) {
+      val exact = sorted(math.ceil(q * vals.size).toInt - 1)
+      val (approx, nLe) = out(q)
+      assert(math.abs(approx - exact) <= 0.5 + 1e-9, // one bin width
+        s"q=$q approx=$approx exact=$exact")
+      // n_le really is the count <= the reported edge
+      assert(nLe == vals.count(_ < approx) ||
+        nLe == vals.count(_ <= approx))
+      // and reaches the quantile threshold
+      assert(nLe >= math.ceil(q * vals.size).toLong)
+    }
+  }
+
+  test("histogramQuantiles: clamping, determinism across partitionings, " +
+      "empty input") {
+    import spark.implicits._
+    // values beyond [lo, hi) clamp into the edge bins
+    val df = Seq(-5.0, 0.0, 1.0, 9.0, 99.0).toDF("v")
+    val out = Profile.histogramQuantiles(df, col("v"), 0.0, 10.0, 10,
+        Seq(0.2, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // ceil(0.2*5)=1: first bin (holds -5 clamped and 0) -> edge 1.0
+    assert(out(0.2) == 1.0)
+    // q=1.0 needs all 5: the 99.0 clamps into the LAST bin -> edge 10.0
+    assert(out(1.0) == 10.0)
+
+    val big = (1 to 5000).map(i => (i % 997).toDouble).toDF("v")
+    def run(parts: Int) = Profile.histogramQuantiles(
+        big.repartition(parts), col("v"), 0.0, 1000.0, 128, Seq(0.5))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(run(2) == run(13))
+
+    val empty = Profile.histogramQuantiles(
+      Seq.empty[Double].toDF("v"), col("v"), 0.0, 1.0, 4, Seq(0.5))
+    assert(empty.collect().isEmpty)
+  }
+
   test("column subset and unknown-column guard") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("id", "s")

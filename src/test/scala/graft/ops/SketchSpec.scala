@@ -69,6 +69,25 @@ class SketchSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("kmvDistinctByGroup: per-group arms match the global sketch " +
+      "run on each group alone") {
+    import spark.implicits._
+    // group a: 20 distinct (exact arm at k=64); b: 500 (estimate arm)
+    val rows = (1 to 200).map(i => ("a", s"v${i % 20}")) ++
+      (1 to 1000).map(i => ("b", s"w${i % 500}"))
+    val df = rows.toDF("g", "x").repartition(5)
+    val grouped = Sketch.kmvDistinctByGroup(df, Seq("g"), col("x"), k = 64)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Sketch.kmvDistinct(df.filter(col("g") === g), col("x"),
+        k = 64).collect().map(r => (r.getLong(0), r.getDouble(1))).head
+      assert(grouped(g) == solo, s"group $g")
+    }
+    assert(grouped("a") == ((20L, 20.0)))
+    assert(math.abs(grouped("b")._2 - 500) / 500.0 < 0.4)
+  }
+
   test("degenerate inputs") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
