@@ -3561,6 +3561,54 @@ object SparkEntry {
          CAST(n_le AS BIGINT) AS n_le
        FROM probe"""
 
+  // ------------------------------------------------------------------
+  // q85 — grouped top-k frequent values (extension: Sketch.topKByGroup):
+  // top-3 tokens per language. Exact counts through two bounded
+  // aggregations (map-side partials both times) — no rank window over
+  // the count table; ties break value-ascending inside topk_by.
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(
+      col("lang"),
+      explode(graft.functions.Text.tokens(
+        lower(coalesce(col("text"), lit(""))))).as("tok"))
+    graft.ops.Sketch.topKByGroup(toks, Seq("lang"), col("tok"), k = 3)
+  }
+
+  private val q85Sql =
+    """WITH toks AS (
+         SELECT lang,
+           unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+             '\s+'), x -> x <> '')) AS v
+         FROM documents),
+       c AS (SELECT lang, v, count(*) AS cnt FROM toks GROUP BY 1, 2)
+       SELECT lang, v AS value, cnt,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY cnt DESC, v ASC) AS rank
+       FROM c
+       QUALIFY rank <= 3"""
+
+  // ------------------------------------------------------------------
+  // q86 — pivot/crosstab (builtin `pivot` with an EXPLICIT value list —
+  // the implicit form runs a distinct-collection job first and its
+  // column order is data-dependent): events per ISO weekday × type.
+  // Spark `weekday` is 0=Monday; +1 aligns with DuckDB's isodow.
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((weekday(col("ts")) + 1).as("wd"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  private val q86Sql =
+    """SELECT isodow(ts) AS wd,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'error') AS error,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'view') AS view
+       FROM events GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -3646,6 +3694,8 @@ object SparkEntry {
     "q82_bloom_anti_join" -> (q82 _),
     "q83_kmv_by_group" -> (q83 _),
     "q84_histogram_quantiles" -> (q84 _),
+    "q85_topk_by_group" -> (q85 _),
+    "q86_pivot" -> (q86 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3703,6 +3753,8 @@ object SparkEntry {
     "q82_bloom_anti_join" -> q82Sql,
     "q83_kmv_by_group" -> q83Sql,
     "q84_histogram_quantiles" -> q84Sql,
+    "q85_topk_by_group" -> q85Sql,
+    "q86_pivot" -> q86Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -172,6 +172,38 @@ object Sketch {
       .select(groupCols.map(col) ++ kmvEstimate(k): _*)
   }
 
+  /** Top-k most frequent values per group — "top domains per language"
+    * — as two bounded aggregations: exact (group, value) counts
+    * (map-side combined), then the k best per group through `topk_by`
+    * (score = count, ties broken value-ascending inside the aggregate,
+    * so results are deterministic without a rank-window shuffle of the
+    * whole count table). For a long-tailed value column at corpus
+    * scale, compose with [[heavyHitters]] first to prune the tail
+    * before the per-group count.
+    *
+    * @return groupCols ++ (value string, cnt long, rank long 1-based)
+    */
+  def topKByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty, "topKByGroup needs group columns")
+    df.select(groupCols.map(col) :+ valueCol.cast("string").as("v"): _*)
+      .filter(col("v").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("topk_by",
+        col("v"), col("cnt").cast("double"), lit(k)).as("top"))
+      .select(groupCols.map(col) :+ posexplode(col("top")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("col.id").as("value"),
+        col("col.score").cast("long").as("cnt"),
+        (col("pos") + 1).cast("long").as("rank")): _*)
+  }
+
   /** The (n_kept, estimate) tail shared by both sketch forms: exact
     * below k, else (k-1)/u_k with u_k the k-th smallest unit hash.
     */

@@ -88,6 +88,20 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(grouped("b")._2 - 500) / 500.0 < 0.4)
   }
 
+  test("topKByGroup: exact counts, deterministic tie-break, k cap") {
+    import spark.implicits._
+    val rows = Seq.fill(5)(("g1", "b")) ++ Seq.fill(5)(("g1", "a")) ++
+      Seq.fill(2)(("g1", "c")) ++ Seq.fill(9)(("g2", "z"))
+    val out = Sketch.topKByGroup(rows.toDF("g", "x").repartition(4),
+        Seq("g"), col("x"), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // g1: a and b tie at 5 -> value-ascending puts a first; c cut by k
+    assert(out == Set(
+      ("g1", "a", 5L, 1L), ("g1", "b", 5L, 2L), ("g2", "z", 9L, 1L)))
+  }
+
   test("degenerate inputs") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
