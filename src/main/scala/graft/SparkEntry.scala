@@ -3609,6 +3609,94 @@ object SparkEntry {
          count(*) FILTER (event_type = 'view') AS view
        FROM events GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q87 — time-series resample with gap fill (extension:
+  // Resample.resample): hourly event counts + value sums per type on
+  // the COMPLETE per-type hour grid (215 empty hours materialized at
+  // sf0.01), sums forward-filled across gaps. The oracle rebuilds the
+  // grid with unnest(range(lo, hi+1)) and the same ignore-nulls
+  // last_value walk.
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.resample(
+        t(s, dir, "events"), Seq("event_type"), col("ts"),
+        bucketMicros = 3600L * 1000000L,
+        aggs = Seq(dsum(col("value")).as("sum_value")),
+        ffill = Seq("sum_value"))
+      .select(col("event_type"),
+        date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket_start"),
+        col("n"), col("sum_value"))
+
+  private val q87Sql =
+    """WITH b AS (
+         SELECT event_type,
+           CAST(floor(epoch_us(ts)/3600000000) AS BIGINT) AS bkt, value
+         FROM events),
+       pb AS (
+         SELECT event_type, bkt, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM b GROUP BY 1, 2),
+       span AS (SELECT event_type, min(bkt) lo, max(bkt) hi
+                FROM pb GROUP BY 1),
+       grid AS (
+         SELECT event_type, unnest(range(lo, hi + 1)) AS bkt FROM span),
+       j AS (
+         SELECT grid.event_type, grid.bkt,
+           coalesce(pb.n, 0) AS n, pb.sum_value
+         FROM grid LEFT JOIN pb
+           ON grid.event_type = pb.event_type AND grid.bkt = pb.bkt),
+       f AS (
+         SELECT event_type, bkt, n,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bkt
+             ROWS UNBOUNDED PRECEDING) AS sum_value
+         FROM j)
+       SELECT event_type,
+         strftime(make_timestamp(bkt * 3600000000),
+           '%Y-%m-%d %H:%M:%S') AS bucket_start,
+         n, sum_value
+       FROM f"""
+
+  // ------------------------------------------------------------------
+  // q88 — weekly cohort retention (composition, like q34/q54): users
+  // grouped by first-signup week, counted active per subsequent week.
+  // act is distinct (user, week) BEFORE the join, so the count is
+  // distinct users without a count_distinct expand; cohort weeks
+  // surface as the week-start date.
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val wk = 604800L * 1000000L
+    val ev = t(s, dir, "events")
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      .withColumn("cw", floor(unix_micros(col("first_ts")) / wk))
+    val active = ev.select(col("user_id"),
+      floor(unix_micros(col("ts")) / wk).as("w")).distinct()
+    cohorts.join(active, Seq("user_id"))
+      .filter(col("w") >= col("cw"))
+      .groupBy(
+        date_format(expr(s"timestamp_micros(cw * ${wk}L)"), "yyyy-MM-dd")
+          .as("cohort_week"),
+        (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  private val q88Sql =
+    """WITH su AS (
+         SELECT user_id,
+           CAST(floor(epoch_us(min(ts))/604800000000) AS BIGINT) AS cw
+         FROM events WHERE event_type = 'signup' GROUP BY 1),
+       act AS (
+         SELECT DISTINCT user_id,
+           CAST(floor(epoch_us(ts)/604800000000) AS BIGINT) AS w
+         FROM events)
+       SELECT strftime(make_timestamp(su.cw * 604800000000),
+           '%Y-%m-%d') AS cohort_week,
+         act.w - su.cw AS week_offset,
+         count(*) AS n_active
+       FROM su JOIN act ON su.user_id = act.user_id
+       WHERE act.w >= su.cw
+       GROUP BY 1, 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -3696,6 +3784,8 @@ object SparkEntry {
     "q84_histogram_quantiles" -> (q84 _),
     "q85_topk_by_group" -> (q85 _),
     "q86_pivot" -> (q86 _),
+    "q87_resample_gapfill" -> (q87 _),
+    "q88_cohort_retention" -> (q88 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3755,6 +3845,8 @@ object SparkEntry {
     "q84_histogram_quantiles" -> q84Sql,
     "q85_topk_by_group" -> q85Sql,
     "q86_pivot" -> q86Sql,
+    "q87_resample_gapfill" -> q87Sql,
+    "q88_cohort_retention" -> q88Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
