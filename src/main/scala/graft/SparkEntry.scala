@@ -3697,6 +3697,42 @@ object SparkEntry {
        WHERE act.w >= su.cw
        GROUP BY 1, 2"""
 
+  // ------------------------------------------------------------------
+  // q89 — grouped histogram quantiles (extension:
+  // Profile.histogramQuantilesByGroup): p50/p95 of event value per
+  // event_type on a shared 1024-bin grid over [0, 512) (512/1024 = 0.5,
+  // dyadic — every double exact, q84 discipline; covers the fixture's
+  // max value ~490 without edge clamping).
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.histogramQuantilesByGroup(
+      t(s, dir, "events"), Seq("event_type"), col("value"),
+      lo = 0.0, hi = 512.0, bins = 1024, quantiles = Seq(0.5, 0.95))
+
+  private val q89Sql =
+    """WITH b AS (
+         SELECT event_type,
+           CAST(least(greatest(floor((value - 0.0) / 0.5), 0),
+             1023) AS BIGINT) AS bin,
+           count(*) AS n
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       c AS (
+         SELECT event_type, bin, n,
+           sum(n) OVER (PARTITION BY event_type ORDER BY bin
+             ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n) OVER (PARTITION BY event_type) AS total
+         FROM b),
+       q(quantile) AS (
+         SELECT CAST(x AS DOUBLE) FROM (VALUES (0.5), (0.95)) t(x)),
+       probe AS (
+         SELECT c.event_type, q.quantile, MIN(c.bin) AS bin,
+           MIN_BY(c.cum, c.bin) AS n_le
+         FROM q JOIN c ON c.cum >= ceil(q.quantile * c.total)
+         GROUP BY 1, 2)
+       SELECT event_type, quantile,
+         0.0 + (bin + 1) * 0.5 AS approx_value,
+         CAST(n_le AS BIGINT) AS n_le
+       FROM probe"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -3786,6 +3822,7 @@ object SparkEntry {
     "q86_pivot" -> (q86 _),
     "q87_resample_gapfill" -> (q87 _),
     "q88_cohort_retention" -> (q88 _),
+    "q89_quantiles_by_group" -> (q89 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3847,6 +3884,7 @@ object SparkEntry {
     "q86_pivot" -> q86Sql,
     "q87_resample_gapfill" -> q87Sql,
     "q88_cohort_retention" -> q88Sql,
+    "q89_quantiles_by_group" -> q89Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

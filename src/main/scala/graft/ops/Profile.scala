@@ -82,7 +82,26 @@ object Profile {
       lo: Double,
       hi: Double,
       bins: Int,
+      quantiles: Seq[Double]): DataFrame =
+    histogramQuantilesByGroup(df, Seq.empty, valueCol, lo, hi, bins,
+      quantiles)
+
+  /** Per-group [[histogramQuantiles]] — "p99 per source" on one shared
+    * grid. Same plan with the group keys threaded through every stage;
+    * the cumulative window partitions by group (≤ bins rows each), so
+    * no stage ever holds more than a group's bin counts.
+    *
+    * @return groupCols ++ (quantile, approx_value, n_le) per group.
+    */
+  def histogramQuantilesByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      lo: Double,
+      hi: Double,
+      bins: Int,
       quantiles: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(bins >= 1, "bins must be positive")
     require(hi > lo, s"empty value range [$lo, $hi)")
     require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
@@ -91,30 +110,26 @@ object Profile {
     val binCol = least(greatest(
       floor((valueCol - lo) / w), lit(0.0)), lit((bins - 1).toDouble))
       .cast("long")
+    val gcols = groupCols.map(col)
     val counts = df.filter(valueCol.isNotNull)
-      .groupBy(binCol.as("bin")).agg(count(lit(1)).as("n"))
-    val cum = counts.withColumn("cum",
-      sum("n").over(org.apache.spark.sql.expressions.Window
-        .orderBy("bin")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
-      .withColumn("total", sum("n").over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy()
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .groupBy(gcols :+ binCol.as("bin"): _*).agg(count(lit(1)).as("n"))
+    val byGroup = Window.partitionBy(gcols: _*)
+    val cum = counts
+      .withColumn("cum", sum("n").over(byGroup.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("n").over(byGroup
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val spark = df.sparkSession
     import spark.implicits._
     val qs = quantiles.toDF("quantile")
     qs.crossJoin(cum)
       .filter(col("cum") >= ceil(col("quantile") * col("total")))
-      .groupBy("quantile")
+      .groupBy(gcols :+ col("quantile"): _*)
       .agg(min("bin").as("bin"),
         min_by(col("cum"), col("bin")).as("n_le"))
-      .select(
+      .select(gcols ++ Seq(
         col("quantile"),
         (lit(lo) + (col("bin") + 1) * lit(w)).as("approx_value"),
-        col("n_le"))
+        col("n_le")): _*)
   }
 }

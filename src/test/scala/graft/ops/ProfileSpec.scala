@@ -69,6 +69,25 @@ class ProfileSpec extends SparkSpec {
     assert(empty.collect().isEmpty)
   }
 
+  test("histogramQuantilesByGroup matches the global form per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map(_ => ("a", rnd.nextDouble() * 50)) ++
+      (1 to 1000).map(_ => ("b", 50 + rnd.nextDouble() * 50))
+    val df = rows.toDF("g", "v").repartition(6)
+    val grouped = Profile.histogramQuantilesByGroup(df, Seq("g"),
+        col("v"), 0.0, 100.0, 128, Seq(0.5, 0.9))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    for (g <- Seq("a", "b"); q <- Seq(0.5, 0.9)) {
+      val solo = Profile.histogramQuantiles(df.filter(col("g") === g),
+          col("v"), 0.0, 100.0, 128, Seq(q))
+        .collect().map(r => (r.getDouble(1), r.getLong(2))).head
+      assert(grouped((g, q)) == solo, s"group $g q $q")
+    }
+  }
+
   test("column subset and unknown-column guard") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("id", "s")
