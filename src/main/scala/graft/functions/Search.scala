@@ -29,22 +29,28 @@ object Search {
 
   /** BM25 top-k documents per query.
     *
-    * Plan shape, and why it scales: one tokenize + tf aggregation over
-    * the corpus (map-side combined), dl/corpus-stats derived from tf
-    * (no second text pass), df computed ONLY for query tokens (the tf
-    * stream is filtered to the query vocabulary before the df
-    * aggregation and the scoring join — a thousand-term query workload
-    * shuffles a thousand tokens' postings, not the corpus vocabulary).
-    * Queries and per-token df are broadcast; the scored (query, doc)
-    * stream collapses through the bounded `topk_by` aggregate, so only
-    * k-row partials per partition reach the final exchange — never a
+    * Plan shape, and why it scales: two map-only tokenization passes
+    * over the corpus text (one exploding into the tf aggregation, one
+    * counting into dl — dl deliberately comes from the docs table so a
+    * token-less document still counts in N, at the price of the second
+    * pass), with df computed ONLY for query tokens (the tf stream is
+    * filtered to the query vocabulary before the df aggregation and
+    * the scoring join — a thousand-term query workload shuffles a
+    * thousand tokens' postings, not the corpus vocabulary). Queries
+    * and per-token df are broadcast; the scored (query, doc) stream
+    * collapses through the bounded `topk_by` aggregate, so only k-row
+    * partials per partition reach the final exchange — never a
     * corpus-wide rank window.
     *
-    * Determinism bounds: exact while `44 * tf * sum_dl * 2^21 < 2^63`
-    * (tf · Σdl < ~5e16) and `(2N+1) · 2^21 < 2^63` — far beyond any
-    * single-table corpus this runs on per-batch; shard the corpus (and
-    * merge stats) before the bound, or rank on doubles and drop the
-    * cross-engine guarantee.
+    * Determinism bounds — the BINDING one is the ranking stage:
+    * `topk_by` scores are doubles, so a total score_fp must stay under
+    * 2^53 for exact rank order and exact round-trip of the emitted
+    * score (per-term scores reach ~(2N/df)·2^20·2.2, so e.g. a
+    * 100-term query over a corpus with min df = 1 needs N ≲ 2^24;
+    * realistic df keeps it far looser). The integer arithmetic
+    * upstream additionally needs `44 · tf · Σdl · 2^21 < 2^63`
+    * (tf · Σdl < ~5e16) and `(2N+1) · 2^21 < 2^63`. Shard the corpus
+    * (and merge stats) before either bound.
     *
     * @param queries (query_id, terms); terms are deduped — a repeated
     *   query term does not double-count.

@@ -78,32 +78,38 @@ object BloomJoin {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val spark = left.sparkSession
-    val keyType = left.select(leftKey).schema.head.dataType
     import org.apache.spark.sql.types._
     // integral keys are PUT and TESTED as longs on both sides — a
-    // width mismatch (int right, long left) must not change the hash
-    val buildKey = keyType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        rightKey.cast("long")
-      case StringType => rightKey
+    // width mismatch (int right, long left) must not change the hash.
+    // The FAMILIES must agree outright: a string-vs-integral pair
+    // would put long hashes and probe string hashes, and the resulting
+    // bloom false NEGATIVES silently drop matching rows (the one
+    // mistake the exact downstream join cannot repair).
+    def family(dt: DataType, side: String): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
       case other => throw new IllegalArgumentException(
-        s"bloom join key must be integral or string, got " +
+        s"bloom join $side key must be integral or string, got " +
           s"${other.catalogString}")
     }
+    val leftIntegral = family(left.select(leftKey).schema.head.dataType,
+      "left")
+    val rightIntegral = family(right.select(rightKey).schema.head.dataType,
+      "right")
+    require(leftIntegral == rightIntegral,
+      "bloom join key families differ (one side integral, one string) — " +
+        "hash domains would not match; cast one side explicitly")
+    val buildKey = if (rightIntegral) rightKey.cast("long") else rightKey
     val bf = right.stat.bloomFilter(buildKey, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val hit: Column = keyType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+    val hit: Column =
+      if (leftIntegral)
         udf((k: java.lang.Long) =>
           k != null && bc.value.mightContainLong(k)).apply(
           leftKey.cast("long"))
-      case StringType =>
+      else
         udf((k: String) =>
           k != null && bc.value.mightContainString(k)).apply(leftKey)
-      case other => throw new IllegalArgumentException(
-        s"bloom join key must be integral or string, got " +
-          s"${other.catalogString}")
-    }
     (left.filter(hit), left.filter(!hit))
   }
 }

@@ -55,6 +55,21 @@ class BloomJoinSpec extends SparkSpec {
     assert(got == (2 to 100 by 2).map(_.toLong).toSet)
   }
 
+  test("cross-family keys (string vs integral) are rejected, not " +
+      "silently mis-hashed") {
+    import spark.implicits._
+    val left = Seq("5", "7").toDF("k")
+    val right = Seq(5L, 6L).toDF("rk")
+    // hash domains differ (putLong vs mightContainString) -> bloom
+    // false NEGATIVES would silently drop matches; must fail fast
+    intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(left, col("k"), right, col("rk"), 10)
+    }
+    intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(right, col("rk"), left, col("k"), 10)
+    }
+  }
+
   test("unsupported key type fails fast") {
     import spark.implicits._
     val left = Seq(1.5, 2.5).toDF("k")
