@@ -3733,6 +3733,57 @@ object SparkEntry {
          CAST(n_le AS BIGINT) AS n_le
        FROM probe"""
 
+  // ------------------------------------------------------------------
+  // q90 — fixed-point PageRank (extension: PageRank.pageRank): supplier
+  // importance over the bidirectional part↔supplier co-occurrence
+  // graph, 3 iterations, top-20 by (rank desc, id asc). Every division
+  // is an integer floor at 2^20 scale, so the oracle unrolls the
+  // iterations (the q42 Lloyd-unroll discipline) and hashes match.
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        (col("l_suppkey") + 10000000L).as("sp")).distinct()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .unionByName(pairs.select(col("sp").as("src"), col("p").as("dst")))
+    graft.ops.PageRank.pageRank(edges, col("src"), col("dst"), iters = 3)
+      .orderBy(col("rank_fp").desc, col("id").asc)
+      .limit(20)
+  }
+
+  private val q90Sql =
+    """WITH pairs AS (
+         SELECT DISTINCT l_partkey AS p, 10000000 + l_suppkey AS s
+         FROM lineitem),
+       e AS (SELECT p AS u, s AS v FROM pairs
+             UNION ALL SELECT s, p FROM pairs),
+       nodes AS (SELECT DISTINCT u AS id FROM e),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+       r0 AS (SELECT id, (1048576 // n) AS r FROM nodes, nn),
+       c1 AS (SELECT e.v AS id, sum(r0.r // deg.d) AS cs
+              FROM e JOIN r0 ON e.u = r0.id
+              JOIN deg ON deg.u = e.u GROUP BY 1),
+       r1 AS (SELECT nodes.id,
+                (15 * 1048576 // (100 * nn.n))
+                  + (85 * coalesce(c1.cs, 0)) // 100 AS r
+              FROM nodes LEFT JOIN c1 ON nodes.id = c1.id, nn),
+       c2 AS (SELECT e.v AS id, sum(r1.r // deg.d) AS cs
+              FROM e JOIN r1 ON e.u = r1.id
+              JOIN deg ON deg.u = e.u GROUP BY 1),
+       r2 AS (SELECT nodes.id,
+                (15 * 1048576 // (100 * nn.n))
+                  + (85 * coalesce(c2.cs, 0)) // 100 AS r
+              FROM nodes LEFT JOIN c2 ON nodes.id = c2.id, nn),
+       c3 AS (SELECT e.v AS id, sum(r2.r // deg.d) AS cs
+              FROM e JOIN r2 ON e.u = r2.id
+              JOIN deg ON deg.u = e.u GROUP BY 1),
+       r3 AS (SELECT nodes.id,
+                (15 * 1048576 // (100 * nn.n))
+                  + (85 * coalesce(c3.cs, 0)) // 100 AS r
+              FROM nodes LEFT JOIN c3 ON nodes.id = c3.id, nn)
+       SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3
+       ORDER BY r DESC, id ASC LIMIT 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -3823,6 +3874,7 @@ object SparkEntry {
     "q87_resample_gapfill" -> (q87 _),
     "q88_cohort_retention" -> (q88 _),
     "q89_quantiles_by_group" -> (q89 _),
+    "q90_pagerank" -> (q90 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3885,6 +3937,7 @@ object SparkEntry {
     "q87_resample_gapfill" -> q87Sql,
     "q88_cohort_retention" -> q88Sql,
     "q89_quantiles_by_group" -> q89Sql,
+    "q90_pagerank" -> q90Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
