@@ -3743,8 +3743,12 @@ object SparkEntry {
     val pairs = t(s, dir, "lineitem")
       .select(col("l_partkey").as("p"),
         (col("l_suppkey") + 10000000L).as("sp")).distinct()
-    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
-      .unionByName(pairs.select(col("sp").as("src"), col("p").as("dst")))
+    // both directions from ONE distinct pass (a union of two reads of
+    // `pairs` would recompute the lineitem distinct per arm)
+    val edges = pairs.select(explode(array(
+        struct(col("p").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("p").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     graft.ops.PageRank.pageRank(edges, col("src"), col("dst"), iters = 3)
       .orderBy(col("rank_fp").desc, col("id").asc)
       .limit(20)

