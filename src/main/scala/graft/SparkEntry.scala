@@ -3788,7 +3788,73 @@ object SparkEntry {
        SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3
        ORDER BY r DESC, id ASC LIMIT 20"""
 
+  // ------------------------------------------------------------------
+  // q91 — DSIR importance resampling (extension: Dsir.resampleTopK):
+  // select the 50 raw documents whose hashed-unigram distribution best
+  // matches the src1–src4 target slice, scored by the published
+  // log-likelihood ratio in exact 2^20 fixed point (ilog2Fx — integer
+  // binary logarithm, bit-identical cross-engine; the oracle replays
+  // the 20-round squaring loop in a recursive CTE).
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dsir.resampleTopK(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      col("source").isin("src1", "src2", "src3", "src4"),
+      k = 50, buckets = 1024)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("dsir_fx"))
+
+  private val q91Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, source,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS t
+         FROM documents),
+       bt AS (
+         SELECT doc_id, source,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1)
+             * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)])
+             % 1024 AS BIGINT) AS b
+         FROM toks),
+       qc AS (SELECT b, count(*) AS qn FROM bt GROUP BY b),
+       pc AS (SELECT b, count(*) AS pn FROM bt
+              WHERE source IN ('src1','src2','src3','src4') GROUP BY b),
+       ptot AS (SELECT coalesce(sum(pn), 0) AS pt FROM pc),
+       qtot AS (SELECT sum(qn) AS qt FROM qc),
+       vals(v) AS (
+         SELECT DISTINCT v FROM (
+           SELECT qn + 1 AS v FROM qc
+           UNION ALL SELECT coalesce(pc.pn, 0) + 1
+             FROM qc LEFT JOIN pc USING (b)
+           UNION ALL SELECT pt + 1024 FROM ptot
+           UNION ALL SELECT qt + 1024 FROM qtot)),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       w AS (
+         SELECT qc.b, (lp.fx - lpt.fx) - (lq.fx - lqt.fx) AS lam
+         FROM qc LEFT JOIN pc USING (b), ptot, qtot
+         JOIN lgf lp ON lp.v = coalesce(pc.pn, 0) + 1
+         JOIN lgf lq ON lq.v = qc.qn + 1
+         JOIN lgf lpt ON lpt.v = ptot.pt + 1024
+         JOIN lgf lqt ON lqt.v = qtot.qt + 1024),
+       score AS (
+         SELECT bt.doc_id, count(*) AS n_tokens, sum(w.lam) AS dsir_fx
+         FROM bt JOIN w USING (b) GROUP BY bt.doc_id)
+       SELECT doc_id, n_tokens, CAST(dsir_fx AS BIGINT) AS dsir_fx
+       FROM score ORDER BY dsir_fx DESC, doc_id ASC LIMIT 50"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_dsir" -> (q91 _),
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
     "q27_lsh_ann" -> (q27 _),
@@ -3942,6 +4008,7 @@ object SparkEntry {
     "q88_cohort_retention" -> q88Sql,
     "q89_quantiles_by_group" -> q89Sql,
     "q90_pagerank" -> q90Sql,
+    "q91_dsir" -> q91Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
