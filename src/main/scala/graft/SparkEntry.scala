@@ -3853,7 +3853,57 @@ object SparkEntry {
        SELECT doc_id, n_tokens, CAST(dsir_fx AS BIGINT) AS dsir_fx
        FROM score ORDER BY dsir_fx DESC, doc_id ASC LIMIT 50"""
 
+  // ------------------------------------------------------------------
+  // q92 — fixed-point HITS (extension: Hits.hits): hubs/authorities on
+  // the DIRECTED part→supplier graph, 2 rounds, top-20 authorities.
+  // Sum-normalization per half-round keeps every value an exact
+  // integer; the oracle unrolls both rounds (q90 discipline).
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst")).distinct()
+    graft.ops.Hits.hits(edges, col("src"), col("dst"), iters = 2)
+      .orderBy(col("auth_fp").desc, col("id").asc)
+      .limit(20)
+  }
+
+  private val q92Sql =
+    """WITH pairs AS (
+         SELECT DISTINCT l_partkey AS u, 10000000 + l_suppkey AS v
+         FROM lineitem),
+       nodes AS (SELECT u AS id FROM pairs UNION SELECT v FROM pairs),
+       h0 AS (SELECT id, CAST(1048576 AS BIGINT) AS h FROM nodes),
+       a1r AS (SELECT nodes.id, coalesce(t.s, 0) AS a FROM nodes LEFT JOIN
+               (SELECT v AS id, sum(h0.h) AS s FROM pairs
+                JOIN h0 ON pairs.u = h0.id GROUP BY 1) t USING (id)),
+       a1 AS (SELECT id, CASE WHEN tot > 0 THEN (a * 1048576) // tot
+                ELSE 0 END AS a
+              FROM a1r, (SELECT sum(a) AS tot FROM a1r) x),
+       h1r AS (SELECT nodes.id, coalesce(t.s, 0) AS h FROM nodes LEFT JOIN
+               (SELECT u AS id, sum(a1.a) AS s FROM pairs
+                JOIN a1 ON pairs.v = a1.id GROUP BY 1) t USING (id)),
+       h1 AS (SELECT id, CASE WHEN tot > 0 THEN (h * 1048576) // tot
+                ELSE 0 END AS h
+              FROM h1r, (SELECT sum(h) AS tot FROM h1r) x),
+       a2r AS (SELECT nodes.id, coalesce(t.s, 0) AS a FROM nodes LEFT JOIN
+               (SELECT v AS id, sum(h1.h) AS s FROM pairs
+                JOIN h1 ON pairs.u = h1.id GROUP BY 1) t USING (id)),
+       a2 AS (SELECT id, CASE WHEN tot > 0 THEN (a * 1048576) // tot
+                ELSE 0 END AS a
+              FROM a2r, (SELECT sum(a) AS tot FROM a2r) x),
+       h2r AS (SELECT nodes.id, coalesce(t.s, 0) AS h FROM nodes LEFT JOIN
+               (SELECT u AS id, sum(a2.a) AS s FROM pairs
+                JOIN a2 ON pairs.v = a2.id GROUP BY 1) t USING (id)),
+       h2 AS (SELECT id, CASE WHEN tot > 0 THEN (h * 1048576) // tot
+                ELSE 0 END AS h
+              FROM h2r, (SELECT sum(h) AS tot FROM h2r) x)
+       SELECT h2.id, CAST(h2.h AS BIGINT) AS hub_fp,
+         CAST(a2.a AS BIGINT) AS auth_fp
+       FROM h2 JOIN a2 USING (id)
+       ORDER BY auth_fp DESC, id ASC LIMIT 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_hits" -> (q92 _),
     "q91_dsir" -> (q91 _),
     "q30_embedding_neardup" -> (q30 _),
     "q31_typed_aggregator" -> (q31 _),
@@ -4009,6 +4059,7 @@ object SparkEntry {
     "q89_quantiles_by_group" -> q89Sql,
     "q90_pagerank" -> q90Sql,
     "q91_dsir" -> q91Sql,
+    "q92_hits" -> q92Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

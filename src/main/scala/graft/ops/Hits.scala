@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration HITS (Kleinberg hubs & authorities) over an edge
+  * table — the companion to [[PageRank]] for bipartite-flavored link
+  * analysis (which suppliers anchor many parts vs which parts are
+  * anchored by good suppliers; in a corpus, which pages point at
+  * authorities vs are pointed at). Same determinism contract as
+  * PageRank: 2^20 fixed point, integer floors only, exactly `iters`
+  * rounds, so an oracle can replay the loop bit-for-bit.
+  *
+  * Semantics per round (all integer):
+  *   a_raw(v) = Σ over edges u→v of h(u);  a(v) = a_raw(v)·S // Σa_raw
+  *   h_raw(u) = Σ over edges u→v of a(v);  h(u) = h_raw(u)·S // Σh_raw
+  * starting from h ≡ S. Sum-normalization (not the float L2 of the
+  * original paper) keeps the arithmetic exact; scores are comparable
+  * within a run. Nodes with no in-edges have authority 0 and stay in
+  * the output; likewise hub 0 for sink nodes.
+  *
+  * Overflow bound: Σa_raw ≤ S·|E|, and a_raw·S ≤ 2^40·|E| — safe for
+  * |E| < 2^22 per the raw product, so the normalizing division runs on
+  * the SUM-scaled values as `a_raw·S // tot` with a_raw ≤ S·maxdeg;
+  * require maxdeg·S·S < 2^63 ⇒ in-degree < 2^23 (~8.4 M). Beyond that,
+  * pre-aggregate duplicate edges or shift scales down.
+  *
+  * Scale shape: edges persisted once; each half-round is one join of
+  * the (N-row) score table into the edge table plus a map-side-combined
+  * groupBy, with the same broadcast gate as PageRank — below
+  * `broadcastNodesUpTo` nodes the edge table never shuffles. The
+  * normalizing total is a 1-row aggregate cross-joined back via
+  * broadcast (the `Classifier.v1` idiom) — no driver round-trip inside
+  * the loop.
+  */
+object Hits {
+
+  val Scale: Long = 1L << 20
+
+  def hits(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      iters: Int,
+      broadcastNodesUpTo: Long = PageRank.DefaultBroadcastNodesUpTo)
+      : DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges.select(srcCol.cast("long").as("u"),
+      dstCol.cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .persist()
+    try {
+      val nodes = e.select(col("u").as("id"))
+        .union(e.select(col("v").as("id"))).distinct().persist()
+      val n = nodes.count()
+      require(n > 0, "empty graph")
+      val gate = n <= broadcastNodesUpTo
+      def maybeB(df: DataFrame): DataFrame = if (gate) broadcast(df) else df
+
+      // Σ over a score column, normalized back to 2^20 scale: the 1-row
+      // total is broadcast, never collected
+      def normalize(raw: DataFrame, c: String): DataFrame = {
+        val tot = broadcast(raw.agg(sum(col(c)).as("tot")))
+        raw.crossJoin(tot)
+          .select(col("id"),
+            when(col("tot") > 0, expr(s"($c * ${Scale}L) div tot"))
+              .otherwise(0L).as(c))
+      }
+
+      var hub = nodes.withColumn("h", lit(Scale))
+      var auth: DataFrame = null
+      for (_ <- 1 to iters) {
+        val aRaw = e.join(
+          maybeB(hub.withColumnRenamed("id", "u")), Seq("u"))
+          .groupBy(col("v").as("id")).agg(sum(col("h")).as("a"))
+        val aAll = nodes.join(aRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+        auth = normalize(aAll, "a")
+        val hRaw = e.join(
+          maybeB(auth.withColumnRenamed("id", "v")), Seq("v"))
+          .groupBy(col("u").as("id")).agg(sum(col("a")).as("h"))
+        val hAll = nodes.join(hRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+        hub = normalize(hAll, "h")
+      }
+      val out = hub.join(auth, Seq("id"))
+        .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+        .localCheckpoint()
+      nodes.unpersist()
+      out
+    } finally {
+      e.unpersist()
+    }
+  }
+}
