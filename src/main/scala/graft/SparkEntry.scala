@@ -3902,7 +3902,61 @@ object SparkEntry {
        FROM h2 JOIN a2 USING (id)
        ORDER BY auth_fp DESC, id ASC LIMIT 20"""
 
+  // ------------------------------------------------------------------
+  // q93 — stream-static enrichment (extension: Streaming.enrich): the
+  // events stream joined per micro-batch to the broadcast customer
+  // dimension, then aggregated per market segment in complete mode.
+  // Unlike q73 the answer is BATCHING-INVARIANT (a global agg over all
+  // arrivals), so the file-split staging needs no ordering guarantees —
+  // the memory sink's final snapshot equals the batch join+agg, which
+  // is exactly what the oracle runs.
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q93_")
+    val streamDir = base.resolve("stream"); val tmpDir = base.resolve("tmp")
+    java.nio.file.Files.createDirectories(streamDir)
+    ev.withColumn("b", pmod(col("event_id"), lit(4)))
+      .repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
+    (0 until 4).foreach { b =>
+      val part = new java.io.File(tmpDir.resolve(s"b=$b").toString)
+        .listFiles().find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, streamDir.resolve(f"batch_$b%02d.parquet"))
+    }
+    val evSchema = ev.schema
+    val src = s.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val sink = "q93_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.Streaming.enrich(src, dim, Seq("user_id"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("segment"), col("n"), col("total_value"))
+      .localCheckpoint()
+  }
+
+  private val q93Sql =
+    """SELECT c.c_mktsegment AS segment, count(*) AS n,
+         CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_stream_enrich" -> (q93 _),
     "q92_hits" -> (q92 _),
     "q91_dsir" -> (q91 _),
     "q30_embedding_neardup" -> (q30 _),
@@ -4060,6 +4114,7 @@ object SparkEntry {
     "q90_pagerank" -> q90Sql,
     "q91_dsir" -> q91Sql,
     "q92_hits" -> q92Sql,
+    "q93_stream_enrich" -> q93Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

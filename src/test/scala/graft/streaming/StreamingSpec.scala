@@ -230,4 +230,31 @@ class StreamingSpec extends SparkSpec {
         Set("doc_id", "ts", "text"))
     } finally q.stop()
   }
+
+  test("enrich joins each micro-batch against the broadcast dimension " +
+      "and matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = Streaming.enrich(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1, ts(0), 1L, "a", 1.0), Event(2, ts(1), 3L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(2), 2L, "c", 3.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, tier FROM enriched")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // inner join: user 3 has no dim row and is dropped; state-free,
+      // so cross-batch arrivals enrich identically
+      assert(got == Set((1L, "gold"), (3L, "silver")))
+    } finally q.stop()
+    // the static side carries the broadcast hint (map-only per batch)
+    val batchPlan = Streaming.enrich(
+      Seq(Event(1, ts(0), 1L, "a", 1.0)).toDF(), dim, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
+  }
 }
