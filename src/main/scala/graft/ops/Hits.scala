@@ -57,9 +57,17 @@ object Hits {
       val gate = n <= broadcastNodesUpTo
       def maybeB(df: DataFrame): DataFrame = if (gate) broadcast(df) else df
 
-      // Σ over a score column, normalized back to 2^20 scale: the 1-row
-      // total is broadcast, never collected
-      def normalize(raw: DataFrame, c: String): DataFrame = {
+      // Each half-round's score table (N rows of two longs) is cut off
+      // from its lineage with an eager localCheckpoint: normalize reads
+      // its input TWICE (total + crossJoin arm), so without truncation
+      // the logical plan doubles per half-round and planning + recompute
+      // explode (measured 15.8 s for iters=2 vs 2.7 s for iters=1 at
+      // sf0.1; checkpointing makes iters=2 ~3 s). The materialized table
+      // is tiny at any scale — this is the same discipline PageRank's
+      // scaladoc prescribes for deep loops, made unconditional because
+      // of the double consumption.
+      def normalize(raw0: DataFrame, c: String): DataFrame = {
+        val raw = raw0.localCheckpoint()
         val tot = broadcast(raw.agg(sum(col(c)).as("tot")))
         raw.crossJoin(tot)
           .select(col("id"),
