@@ -77,6 +77,20 @@ def event_arms(src, reps):
     return " UNION ALL ".join(arms)
 
 
+def graph_arms(src, reps):
+    # lineitem's (l_partkey, l_suppkey) pair graph, replicated into
+    # DISJOINT id spaces (offsets stay under the 10^7 dst shift q90/q92
+    # apply, so src/dst ranges never collide): each replica is its own
+    # connected region — a bigger catalog's shape, not a denser graph.
+    arms = []
+    for r in range(reps):
+        arms.append(f"""
+          SELECT l_partkey + {r}*1000000 AS l_partkey,
+                 l_suppkey + {r}*1000000 AS l_suppkey
+          FROM read_parquet('{src}/lineitem.parquet')""")
+    return " UNION ALL ".join(arms)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -87,11 +101,12 @@ def main():
     for name, reps in [("x3", 3), ("x10", 10)]:
         for kind, arms in [("docs", doc_arms(args.src, reps)),
                            ("emb", emb_arms(args.src, reps)),
-                           ("events", event_arms(args.src, reps))]:
+                           ("events", event_arms(args.src, reps)),
+                           ("graph", graph_arms(args.src, reps))]:
             d = os.path.join(args.out, kind, name)
             os.makedirs(d, exist_ok=True)
             table = {"docs": "documents", "emb": "embeddings",
-                     "events": "events"}[kind]
+                     "events": "events", "graph": "lineitem"}[kind]
             dst = os.path.join(d, f"{table}.parquet")
             con.execute(f"COPY ({arms}) TO '{dst}' (FORMAT PARQUET)")
             n = con.execute(
