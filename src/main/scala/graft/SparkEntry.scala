@@ -3955,7 +3955,160 @@ object SparkEntry {
        FROM events e JOIN customer c ON e.user_id = c.c_custkey
        GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q94 — token-distribution Shannon entropy (extension:
+  // Entropy.tokenEntropy): the scale-free repetition/quality score, in
+  // exact 2^20 fixed point via ilog2Fx so the oracle replays the same
+  // 20-round squaring loop (the q91 discipline) over per-doc token
+  // counts. Map-only: per-doc counting is local, nothing shuffles.
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Entropy.tokenEntropy(
+      t(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_tokens"), col("entropy_fx"))
+
+  private val q94Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS t
+         FROM documents),
+       tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+       nd AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
+       vals(v) AS (
+         SELECT DISTINCT c FROM tc UNION SELECT DISTINCT n FROM nd),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       sc AS (SELECT tc.doc_id, sum(tc.c * lgf.fx) AS s
+              FROM tc JOIN lgf ON lgf.v = tc.c GROUP BY 1),
+       e AS (SELECT nd.doc_id, nd.n,
+               lgf.fx - (sc.s // nd.n) AS entropy_fx
+             FROM nd JOIN lgf ON lgf.v = nd.n JOIN sc USING (doc_id))
+       SELECT d.doc_id, CAST(coalesce(e.n, 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(e.entropy_fx, 0) AS BIGINT) AS entropy_fx
+       FROM documents d LEFT JOIN e USING (doc_id)"""
+
+  // ------------------------------------------------------------------
+  // q95 — synchronous label propagation (extension:
+  // LabelProp.labelPropagation): communities on the bidirectional
+  // part↔supplier graph (q90's edge construction), 2 rounds. The
+  // oracle unrolls both rounds; the (count desc, label asc) tie-break
+  // is a row_number window there and a struct-min here — same total
+  // order, so hashes match.
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        (col("l_suppkey") + 10000000L).as("sp")).distinct()
+    val edges = pairs.select(explode(array(
+        struct(col("p").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("p").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    graft.ops.LabelProp.labelPropagation(
+      edges, col("src"), col("dst"), iters = 2)
+  }
+
+  private val q95Sql =
+    """WITH pairs AS (
+         SELECT DISTINCT l_partkey AS p, 10000000 + l_suppkey AS sp
+         FROM lineitem),
+       edges AS (SELECT p AS u, sp AS v FROM pairs
+                 UNION ALL SELECT sp, p FROM pairs),
+       nodes AS (SELECT DISTINCT u AS id FROM edges),
+       l0 AS (SELECT id, id AS lbl FROM nodes),
+       v1 AS (SELECT e.v AS id, l0.lbl, count(*) AS c
+              FROM edges e JOIN l0 ON e.u = l0.id GROUP BY 1, 2),
+       b1 AS (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (
+                  PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+                FROM v1) WHERE rn = 1),
+       l1 AS (SELECT l0.id, coalesce(b1.lbl, l0.lbl) AS lbl
+              FROM l0 LEFT JOIN b1 USING (id)),
+       v2 AS (SELECT e.v AS id, l1.lbl, count(*) AS c
+              FROM edges e JOIN l1 ON e.u = l1.id GROUP BY 1, 2),
+       b2 AS (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (
+                  PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+                FROM v2) WHERE rn = 1),
+       l2 AS (SELECT l1.id, coalesce(b2.lbl, l1.lbl) AS lbl
+              FROM l1 LEFT JOIN b2 USING (id))
+       SELECT id, CAST(lbl AS BIGINT) AS label FROM l2"""
+
+  // ------------------------------------------------------------------
+  // q96 — stream-stream interval join (extension: Streaming.intervalJoin):
+  // purchases attributed to a same-user view within the following hour,
+  // both sides arriving as independent file streams with out-of-order
+  // batch boundaries (event_id mod 3 splits, maxFilesPerTrigger=1, so a
+  // view and its purchase routinely land in different micro-batches and
+  // the pair must come from join STATE). An effectively-infinite
+  // watermark pins batching-invariance — the emitted pair set equals
+  // the batch join, which is what the oracle runs. Timestamps compare
+  // at micros on both engines (epoch_us / timestamp_micros).
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q96_")
+    val streamDir = base.resolve("stream"); val tmpDir = base.resolve("tmp")
+    java.nio.file.Files.createDirectories(streamDir)
+    ev.withColumn("b", pmod(col("event_id"), lit(3)))
+      .repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
+    (0 until 3).foreach { b =>
+      val part = new java.io.File(tmpDir.resolve(s"b=$b").toString)
+        .listFiles().find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, streamDir.resolve(f"batch_$b%02d.parquet"))
+    }
+    val evSchema = ev.schema
+    def src = s.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val views = src.filter(col("event_type") === "view")
+    val buys = src.filter(col("event_type") === "purchase")
+    val sink = "q96_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.Streaming.intervalJoin(
+            views, buys, Seq("user_id"), "ts", "ts",
+            lowerMicros = 0L, upperMicros = 3600L * 1000000L,
+            watermark = "36500 days")
+          .select(col("l_user_id").as("user_id"),
+            col("l_event_id").as("view_id"),
+            col("r_event_id").as("purchase_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("user_id"), col("view_id"), col("purchase_id"))
+      .localCheckpoint()
+  }
+
+  private val q96Sql =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+       FROM events v JOIN events p
+         ON v.user_id = p.user_id
+        AND v.event_type = 'view' AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) >= epoch_us(v.ts)
+        AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_stream_join" -> (q96 _),
+    "q95_label_prop" -> (q95 _),
+    "q94_token_entropy" -> (q94 _),
     "q93_stream_enrich" -> (q93 _),
     "q92_hits" -> (q92 _),
     "q91_dsir" -> (q91 _),
@@ -4115,6 +4268,9 @@ object SparkEntry {
     "q91_dsir" -> q91Sql,
     "q92_hits" -> q92Sql,
     "q93_stream_enrich" -> q93Sql,
+    "q94_token_entropy" -> q94Sql,
+    "q95_label_prop" -> q95Sql,
+    "q96_stream_join" -> q96Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

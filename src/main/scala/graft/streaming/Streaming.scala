@@ -61,6 +61,46 @@ object Streaming {
       if (broadcastDim) broadcast(dim) else dim, joinKeys)
   }
 
+  /** Stream-stream interval join — match each left event to the right
+    * events with the same keys whose event time falls in
+    * [left.ts + lowerMicros, left.ts + upperMicros] (the attribution
+    * shape: purchases within an hour of a view). Both sides carry the
+    * watermark and the range condition sits on the raw event-time
+    * columns — exactly what Spark's state cleanup needs to bound the
+    * join buffers: each side retains only rows inside
+    * watermark + interval, so state is O(arrival rate × window), not
+    * O(stream). A row arriving later than `watermark` past the join
+    * frontier can be dropped — size the delay for the pipeline's real
+    * disorder (tests use an effectively-infinite delay to pin
+    * batching-invariance). Works identically on batch DataFrames
+    * (withWatermark is a no-op there), which is how the oracle checks
+    * it. Output columns: left's prefixed `l_`, right's prefixed `r_`.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      lowerMicros: Long,
+      upperMicros: Long,
+      watermark: String): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one equi key")
+    require(lowerMicros <= upperMicros,
+      s"empty interval: [$lowerMicros, $upperMicros]")
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$leftTs", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$rightTs", watermark)
+    val cond = keys.map(k => col(s"l_$k") === col(s"r_$k"))
+      .reduce(_ && _) &&
+      col(s"r_$rightTs") >= col(s"l_$leftTs") +
+        expr(s"INTERVAL '$lowerMicros' MICROSECOND") &&
+      col(s"r_$rightTs") <= col(s"l_$leftTs") +
+        expr(s"INTERVAL '$upperMicros' MICROSECOND")
+    l.join(r, cond, "inner")
+  }
+
   /** Session windows via custom state — `flatMapGroupsWithState`, the
     * Spark-native port target for hadron-style stateful per-key reducers
     * on unbounded data. Gap-based sessionization per user.

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -256,5 +257,44 @@ class StreamingSpec extends SparkSpec {
       Seq(Event(1, ts(0), 1L, "a", 1.0)).toDF(), dim, Seq("user_id"))
       .queryExecution.executedPlan.toString
     assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
+  }
+
+  test("intervalJoin pairs right events inside the window across " +
+      "micro-batches and matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = Streaming.intervalJoin(
+      views.toDF(), buys.toDF(), Seq("user_id"), "ts", "ts",
+      lowerMicros = 0L, upperMicros = 3600L * 1000000L,
+      watermark = "3650 days")
+    val q = joined.select(col("l_event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(Event(1, ts(0), 1L, "view", 0.0))
+      buys.addData(Event(10, ts(30), 1L, "purchase", 5.0)) // in window
+      q.processAllAvailable()
+      // batch 2: a purchase for the batch-1 view (cross-batch state),
+      // one outside the window, one for a user with no view
+      buys.addData(Event(11, ts(59), 1L, "purchase", 1.0),
+        Event(12, Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "p", 1.0),
+        Event(13, ts(5), 2L, "purchase", 2.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM ij")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (1L, 11L)))
+    } finally q.stop()
+    // batch form (what the oracle runs) emits the same pairs
+    val l = Seq(Event(1, ts(0), 1L, "view", 0.0)).toDF()
+    val r = Seq(Event(10, ts(30), 1L, "purchase", 5.0),
+      Event(12, Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "p", 1.0),
+      Event(13, ts(5), 2L, "purchase", 2.0)).toDF()
+    val batch = Streaming.intervalJoin(l, r, Seq("user_id"), "ts", "ts",
+      0L, 3600L * 1000000L, "3650 days")
+      .select(col("l_event_id"), col("r_event_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(batch == Set((1L, 10L)))
   }
 }
