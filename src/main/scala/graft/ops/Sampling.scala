@@ -126,4 +126,60 @@ object Sampling {
         col("col.id").as("id"),
         (col("pos") + 1).as("rank"))
   }
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-Res,
+    * 2006): k rows with inclusion biased toward high `weight`, as the
+    * k smallest of key = −log2(u) / w with u a content-addressed
+    * uniform. The textbook algorithm ranks by u^(1/w); −log2(u)/w
+    * ascending is the same total order, and taking it through
+    * [[graft.functions.Dsir.ilog2Fx]] (exact integer binary log) makes
+    * the keys bit-identical across engines — same discipline as every
+    * other sampler here: membership is a pure function of (id, salt),
+    * so the sample survives re-runs, repartitioning, and engine
+    * changes, unlike `rand()`-seeded sampling which is
+    * partitioning-dependent.
+    *
+    * u = (v+1)/2^32 with v the first 8 md5 hex digits of "id:salt", so
+    * key_fp = ((32·2^20 − ilog2Fx(v+1)) << 20) / w, floor division,
+    * ties broken by id. Rows with null or non-positive weight are
+    * excluded (weight 0 = never sampled). Weights are read as longs —
+    * scale fractional weights up front.
+    *
+    * Scale shape: map-only key computation fused into the scan, then
+    * orderBy+limit → TakeOrderedAndProject (per-partition k-heaps, no
+    * global sort shuffle).
+    *
+    * Output: (id, w, key_fp), the k sampled rows.
+    */
+  def weightedSample(
+      df: DataFrame,
+      id: Column,
+      weight: Column,
+      k: Int,
+      salt: String = "wsample"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val base = df.select(
+      id.as("id"), weight.cast("long").as("w"),
+      conv(substring(
+        md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+        .cast("long").as("v"))
+      .filter(col("w").isNotNull && col("w") >= 1)
+    val schema = StructType(Seq(
+      base.schema("id"),
+      StructField("w", LongType, false),
+      StructField("key_fp", LongType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val w = r.getLong(1)
+        val l = 32L * graft.functions.Dsir.Scale -
+          graft.functions.Dsir.ilog2Fx(r.getLong(2) + 1)
+        org.apache.spark.sql.Row(r.get(0), w, (l << 20) / w)
+      }
+    }(enc)
+      .orderBy(col("key_fp").asc, col("id").asc)
+      .limit(k)
+  }
 }

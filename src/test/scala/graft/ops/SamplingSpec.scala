@@ -118,5 +118,41 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitLabel(col("id"), "s", Seq("a" -> 0.9, "b" -> 0.3)))
     assertThrows[IllegalArgumentException](
       Sampling.sampleByHash(ids.toDF(), col("id"), "s", 1.5))
+    assertThrows[IllegalArgumentException](
+      Sampling.weightedSample(ids.toDF(), col("id"), col("id"), 0))
+  }
+
+  test("weightedSample keys match the A-Res fixed-point model and " +
+      "ignore partitioning") {
+    import spark.implicits._
+    import graft.functions.Dsir
+    val rows = (1L to 200L).map(i => (i, if (i <= 100) 10000L else 1L))
+    def model(i: Long, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:wsample".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val v = java.lang.Long.parseLong(hex, 16)
+      ((32L * Dsir.Scale - Dsir.ilog2Fx(v + 1)) << 20) / w
+    }
+    val expected = rows.map { case (i, w) => (i, w, model(i, w)) }
+      .sortBy(t => (t._3, t._1)).take(50)
+    for (parts <- Seq(1, 7)) {
+      val got = Sampling.weightedSample(
+        rows.toDF("id", "w").repartition(parts), col("id"), col("w"), 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == expected, s"parts=$parts")
+    }
+    // bias sanity: 100 heavy ids (10000x weight) dominate the sample
+    assert(expected.count(_._2 == 10000L) >= 45)
+  }
+
+  test("weightedSample drops null and non-positive weights") {
+    import spark.implicits._
+    val df = Seq((1L, java.lang.Long.valueOf(5L)),
+      (2L, java.lang.Long.valueOf(0L)), (3L, null: java.lang.Long))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, col("id"), col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
   }
 }
