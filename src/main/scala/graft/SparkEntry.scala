@@ -4105,7 +4105,83 @@ object SparkEntry {
         AND epoch_us(p.ts) >= epoch_us(v.ts)
         AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000"""
 
+  // ------------------------------------------------------------------
+  // q97 — weighted sample without replacement (extension:
+  // Sampling.weightedSample): 100 documents biased by length, via the
+  // A-Res key −log2(u)/w in exact fixed point (u content-addressed
+  // from md5, log via ilog2Fx — the q91 replay discipline). The
+  // oracle recomputes every key and takes the same (key, id) order.
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+      t(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 100)
+      .select(col("id").as("doc_id"), col("w").as("n_chars"),
+        col("key_fp"))
+
+  private val q97Sql =
+    """WITH RECURSIVE d AS (
+         SELECT doc_id, n_chars,
+           CAST(list_sum([(strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), j, 1)) - 1)
+             * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)])
+             AS BIGINT) AS v
+         FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 1),
+       vals(v) AS (SELECT DISTINCT v + 1 FROM d),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       keys AS (
+         SELECT d.doc_id, d.n_chars,
+           ((32 * 1048576 - lgf.fx) << 20) // d.n_chars AS key_fp
+         FROM d JOIN lgf ON lgf.v = d.v + 1)
+       SELECT doc_id, n_chars, CAST(key_fp AS BIGINT) AS key_fp
+       FROM keys ORDER BY key_fp ASC, doc_id ASC LIMIT 100"""
+
+  // ------------------------------------------------------------------
+  // q98 — blocked edit-distance self-join (extension:
+  // FuzzyJoin.editDistancePairs): supplier names one typo apart,
+  // q-gram blocking with df window [2, 30]. The oracle replays the
+  // same blocking (kept grams, candidate pairs) and the same exact
+  // Levenshtein — both engines implement the classic unit-cost
+  // distance, so rows and hashes match.
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.editDistancePairs(
+      t(s, dir, "supplier").select(col("s_suppkey"),
+        lower(col("s_name")).as("name")),
+      col("s_suppkey"), col("name"), maxDist = 1, maxDf = 30)
+      .select(col("ia"), col("ib"), col("dist").cast("long").as("dist"))
+
+  private val q98Sql =
+    """WITH p AS (
+         SELECT s_suppkey AS id, lower(s_name) AS s FROM supplier
+         WHERE s_name IS NOT NULL AND len(s_name) >= 2),
+       grams AS (
+         SELECT DISTINCT id, substr(s, j, 2) AS g
+         FROM p, (SELECT unnest(range(1, 200)) AS j)
+         WHERE j <= len(s) - 1),
+       dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+       keep AS (SELECT g FROM dfc WHERE df BETWEEN 2 AND 30),
+       cand AS (
+         SELECT DISTINCT a.id AS ia, b.id AS ib
+         FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+         WHERE a.id < b.id)
+       SELECT ia, ib, CAST(levenshtein(pa.s, pb.s) AS BIGINT) AS dist
+       FROM cand JOIN p pa ON pa.id = cand.ia JOIN p pb ON pb.id = cand.ib
+       WHERE levenshtein(pa.s, pb.s) <= 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_fuzzy_join" -> (q98 _),
+    "q97_weighted_sample" -> (q97 _),
     "q96_stream_join" -> (q96 _),
     "q95_label_prop" -> (q95 _),
     "q94_token_entropy" -> (q94 _),
@@ -4271,6 +4347,8 @@ object SparkEntry {
     "q94_token_entropy" -> q94Sql,
     "q95_label_prop" -> q95Sql,
     "q96_stream_join" -> q96Sql,
+    "q97_weighted_sample" -> q97Sql,
+    "q98_fuzzy_join" -> q98Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
