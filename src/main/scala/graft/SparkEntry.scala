@@ -4179,7 +4179,171 @@ object SparkEntry {
        FROM cand JOIN p pa ON pa.id = cand.ia JOIN p pb ON pb.id = cand.ib
        WHERE levenshtein(pa.s, pb.s) <= 1"""
 
+  // ------------------------------------------------------------------
+  // q99 — PMI collocations (extension: Collocations.topPmi): the 100
+  // highest-PMI adjacent token pairs with count >= 20, all five logs
+  // through ilog2Fx (the q91 replay discipline — the oracle runs the
+  // same squaring loop over the distinct count values).
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Collocations.topPmi(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      minCount = 20L, k = 100)
+
+  private val q99Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+           x -> x <> '') AS tk
+         FROM documents),
+       uni AS (SELECT u AS w, count(*) AS c FROM (
+                 SELECT unnest(tk) AS u FROM toks) GROUP BY 1),
+       bi_all AS (
+         SELECT b.w1, b.w2, count(*) AS n FROM (
+           SELECT unnest([struct_pack(w1 := tk[j], w2 := tk[j+1])
+             for j in range(1, len(tk))]) AS b
+           FROM toks WHERE len(tk) >= 2) GROUP BY 1, 2),
+       tt AS (SELECT sum(c) AS t_tot FROM uni),
+       bt AS (SELECT sum(n) AS b_tot FROM bi_all),
+       bi AS (SELECT * FROM bi_all WHERE n >= 20),
+       vals(v) AS (
+         SELECT DISTINCT n FROM bi UNION SELECT DISTINCT c FROM uni
+         UNION SELECT t_tot FROM tt UNION SELECT b_tot FROM bt),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       scored AS (
+         SELECT bi.w1, bi.w2, bi.n,
+           ln.fx + 2 * lt.fx - lb.fx - lx.fx - ly.fx AS pmi_fx
+         FROM bi
+         JOIN uni ux ON ux.w = bi.w1
+         JOIN uni uy ON uy.w = bi.w2, tt, bt
+         JOIN lgf ln ON ln.v = bi.n
+         JOIN lgf lt ON lt.v = tt.t_tot
+         JOIN lgf lb ON lb.v = bt.b_tot
+         JOIN lgf lx ON lx.v = ux.c
+         JOIN lgf ly ON ly.v = uy.c)
+       SELECT w1, w2, CAST(n AS BIGINT) AS n, CAST(pmi_fx AS BIGINT) AS pmi_fx
+       FROM scored ORDER BY pmi_fx DESC, w1 ASC, w2 ASC LIMIT 100"""
+
+  // ------------------------------------------------------------------
+  // q100 — hybrid retrieval via reciprocal rank fusion (extension:
+  // RankFusion.rrfTopK over Search.bm25TopK + Similarity
+  // .bruteForceTopK): three information needs, each expressed as
+  // keywords AND as a query embedding (vec ids share the doc id
+  // space); top-50 per arm, RRF kk=60, top-10 fused. Ranks are
+  // integers and contributions are floor(2^20/(60+rank)), so the
+  // oracle replays both arms and the fusion exactly.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val kw = Seq(
+      ("hash_join", Seq("hash", "join")),
+      ("window_stream", Seq("window", "agg", "stream")),
+      ("slow_scan", Seq("slow", "scan")))
+    val bm = graft.functions.Search.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text", kw, k = 50)
+      .select(col("query_id").as("qid"), col("doc_id").as("id"),
+        col("rank"))
+    val emb = t(s, dir, "embeddings")
+    val vec = graft.similarity.Similarity.bruteForceTopK(
+        corpus = emb,
+        queries = emb.filter(col("vec_id").isin(0L, 100L, 200L)),
+        idCol = "vec_id", vecCol = "embedding", k = 50)
+      .select(
+        when(col("query_id") === 0L, lit("hash_join"))
+          .when(col("query_id") === 100L, lit("window_stream"))
+          .otherwise(lit("slow_scan")).as("qid"),
+        col("corpus_id").as("id"), col("rank"))
+    graft.ops.RankFusion.rrfTopK(Seq(bm, vec), kk = 60, k = 10)
+      .select(col("qid").as("query_id"), col("id").as("doc_id"),
+        col("rrf_fx"), col("rank"))
+  }
+
+  private val q100Sql =
+    """WITH toks AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+             '\s+'), x -> x <> '')) AS tok
+         FROM documents),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dl AS (
+         SELECT doc_id,
+           len(list_filter(string_split_regex(lower(coalesce(text, '')),
+             '\s+'), x -> x <> '')) AS dl
+         FROM documents),
+       corpus AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+       q(query_id, tok) AS (VALUES
+         ('hash_join', 'hash'), ('hash_join', 'join'),
+         ('window_stream', 'window'), ('window_stream', 'agg'),
+         ('window_stream', 'stream'),
+         ('slow_scan', 'slow'), ('slow_scan', 'scan')),
+       df AS (
+         SELECT tf.tok, count(*) AS df FROM tf
+         WHERE tf.tok IN (SELECT tok FROM q) GROUP BY 1),
+       scored AS (
+         SELECT q.query_id, tf.doc_id,
+           (2*(2*c.n - 2*df.df + 1)*1048576 + (2*df.df + 1))
+             // (2*(2*df.df + 1)) AS idf_fp,
+           (2*(44*tf.tf*c.sum_dl)*1048576
+              + (20*tf.tf*c.sum_dl + 6*c.sum_dl + 18*dl.dl*c.n))
+             // (2*(20*tf.tf*c.sum_dl + 6*c.sum_dl + 18*dl.dl*c.n)) AS tfc_fp
+         FROM q JOIN tf ON q.tok = tf.tok
+         JOIN df ON q.tok = df.tok
+         JOIN dl ON tf.doc_id = dl.doc_id
+         CROSS JOIN corpus c),
+       bmagg AS (
+         SELECT query_id, doc_id,
+           CAST(sum((2*idf_fp*tfc_fp + 1048576) // (2*1048576)) AS BIGINT)
+             AS score_fp
+         FROM scored GROUP BY 1, 2),
+       bm AS (
+         SELECT query_id AS qid, doc_id AS id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score_fp DESC, doc_id ASC) AS rank
+         FROM bmagg QUALIFY rank <= 50),
+       v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+             FROM embeddings),
+       qv(qid, vid) AS (VALUES
+         ('hash_join', 0), ('window_stream', 100), ('slow_scan', 200)),
+       vscored AS (
+         SELECT qv.qid, v.vec_id AS id,
+           list_sum([qe.e[i] * v.e[i] for i in range(1, len(v.e)+1)]) /
+             (sqrt(list_sum([qe.e[i] * qe.e[i]
+                for i in range(1, len(qe.e)+1)])) *
+              sqrt(list_sum([v.e[i] * v.e[i]
+                for i in range(1, len(v.e)+1)]))) AS sim
+         FROM qv JOIN v qe ON qe.vec_id = qv.vid
+         CROSS JOIN v WHERE v.vec_id <> qv.vid),
+       vr AS (
+         SELECT qid, id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, id ASC) AS rank
+         FROM vscored QUALIFY rank <= 50),
+       unioned AS (
+         SELECT qid, id, 1048576 // (60 + rank) AS contrib FROM bm
+         UNION ALL
+         SELECT qid, id, 1048576 // (60 + rank) AS contrib FROM vr),
+       fused AS (
+         SELECT qid, id, sum(contrib) AS rrf_fx
+         FROM unioned GROUP BY 1, 2)
+       SELECT qid AS query_id, id AS doc_id,
+         CAST(rrf_fx AS BIGINT) AS rrf_fx, CAST(rank AS BIGINT) AS rank
+       FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY rrf_fx DESC, id ASC) AS rank
+         FROM fused) WHERE rank <= 10"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_hybrid_search" -> (q100 _),
+    "q99_collocations" -> (q99 _),
     "q98_fuzzy_join" -> (q98 _),
     "q97_weighted_sample" -> (q97 _),
     "q96_stream_join" -> (q96 _),
@@ -4349,6 +4513,8 @@ object SparkEntry {
     "q96_stream_join" -> q96Sql,
     "q97_weighted_sample" -> q97Sql,
     "q98_fuzzy_join" -> q98Sql,
+    "q99_collocations" -> q99Sql,
+    "q100_hybrid_search" -> q100Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -47,6 +47,20 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(run(1) == run(13) && run(1).nonEmpty)
   }
 
+  test("plan never degrades to a cartesian or nested-loop join") {
+    import spark.implicits._
+    val plan = FuzzyJoin.editDistancePairs(
+      names.toDF("id", "name"), col("id"), col("name"), 2, 10)
+      .queryExecution.executedPlan
+    val bad = plan.collect {
+      case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins
+        .CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"unexpected join strategy:\n$plan")
+  }
+
   test("guards reject degenerate configuration") {
     import spark.implicits._
     val df = names.toDF("id", "name")

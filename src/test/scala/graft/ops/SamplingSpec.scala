@@ -146,6 +146,21 @@ class SamplingSpec extends SparkSpec {
     assert(expected.count(_._2 == 10000L) >= 45)
   }
 
+  test("weightedSample's top-k runs as TakeOrderedAndProject — " +
+      "per-partition heaps, not a global sort") {
+    import spark.implicits._
+    val plan = Sampling.weightedSample(
+      (1L to 100L).map(i => (i, i)).toDF("id", "w"),
+      col("id"), col("w"), 5)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject:\n$plan")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, s"global sort should not appear:\n$plan")
+  }
+
   test("weightedSample drops null and non-positive weights") {
     import spark.implicits._
     val df = Seq((1L, java.lang.Long.valueOf(5L)),
