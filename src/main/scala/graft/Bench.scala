@@ -33,10 +33,14 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy(_._1)
 
+    // a failed run records a (misleadingly fast) timing — so failures are
+    // ALSO counted into the JSON line, where nothing can grep past them
+    val failed = scala.collection.mutable.Set.empty[String]
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -68,7 +72,8 @@ object Bench {
       .map { case (k, _, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"failed":$failedJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
