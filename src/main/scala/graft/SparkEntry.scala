@@ -4341,7 +4341,75 @@ object SparkEntry {
            ORDER BY rrf_fx DESC, id ASC) AS rank
          FROM fused) WHERE rank <= 10"""
 
+  // ------------------------------------------------------------------
+  // q101 — integer-exact volume anomalies (extension:
+  // Anomaly.zScoreFlags): hourly event counts per type, two-sided 3σ
+  // flags via (n·v−S)² > 9·(n·Q−S²) — no float, no sqrt, so the
+  // oracle replays the inequality in HUGEINT and every flag matches.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("bkt"))
+      .agg(count(lit(1)).as("v"))
+    graft.ops.Anomaly.zScoreFlags(
+      hourly, Seq("event_type"), col("v"), z = 3)
+      .select(col("event_type"), col("bkt"), col("v"), col("n"),
+        col("anomaly"))
+  }
+
+  private val q101Sql =
+    """WITH hourly AS (
+         SELECT event_type, epoch_us(ts) // 3600000000 AS bkt,
+           count(*) AS v
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type, count(*) AS n, sum(v) AS s,
+           sum(v * v) AS q
+         FROM hourly GROUP BY 1)
+       SELECT h.event_type, h.bkt, h.v, s.n,
+         (CAST(s.n AS HUGEINT) * h.v - s.s)
+           * (CAST(s.n AS HUGEINT) * h.v - s.s)
+           > 9 * (CAST(s.n AS HUGEINT) * s.q
+                  - CAST(s.s AS HUGEINT) * s.s) AS anomaly
+       FROM hourly h JOIN stats s USING (event_type)"""
+
+  // ------------------------------------------------------------------
+  // q102 — Z-order layout values (extension: ZOrder.withZValue): the
+  // Morton interleave of (user_id, hour bucket) per event — exact
+  // integer grid + shift/and arithmetic, so the oracle replays it with
+  // a list comprehension. (The layout REWRITE itself —
+  // clusterByZOrder — is pinned by ZOrderSpec's bounding-box test;
+  // partition assignment isn't a row value an oracle can hash.)
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("bkt"))
+    graft.ops.ZOrder.withZValue(ev, Seq("user_id", "bkt"), bits = 16)
+      .select(col("event_id"), col("zval"))
+  }
+
+  private val q102Sql =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS bkt
+         FROM events),
+       st AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+                min(bkt) AS mnb, max(bkt) AS mxb FROM e),
+       cells AS (
+         SELECT event_id,
+           CASE WHEN mxu = mnu THEN 0
+             ELSE (user_id - mnu) * 65535 // (mxu - mnu) END AS c0,
+           CASE WHEN mxb = mnb THEN 0
+             ELSE (bkt - mnb) * 65535 // (mxb - mnb) END AS c1
+         FROM e, st)
+       SELECT event_id,
+         CAST(list_sum([(((c0 >> j) & 1) << (2*j))
+           + (((c1 >> j) & 1) << (2*j + 1)) for j in range(0, 16)])
+           AS BIGINT) AS zval
+       FROM cells"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_zorder" -> (q102 _),
+    "q101_count_anomaly" -> (q101 _),
     "q100_hybrid_search" -> (q100 _),
     "q99_collocations" -> (q99 _),
     "q98_fuzzy_join" -> (q98 _),
@@ -4515,6 +4583,8 @@ object SparkEntry {
     "q98_fuzzy_join" -> q98Sql,
     "q99_collocations" -> q99Sql,
     "q100_hybrid_search" -> q100Sql,
+    "q101_count_anomaly" -> q101Sql,
+    "q102_zorder" -> q102Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
