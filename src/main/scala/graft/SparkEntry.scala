@@ -4407,7 +4407,35 @@ object SparkEntry {
            AS BIGINT) AS zval
        FROM cells"""
 
+  // ------------------------------------------------------------------
+  // q103 — frequent event paths (extension: Sequences.frequentTypeNgrams):
+  // top-25 consecutive event-type trigrams per user run, ordered by
+  // (ts, event_id) — the total order BOTH engines replay at micros
+  // (DuckDB's native ns order could break same-micro ties differently,
+  // so the oracle orders by epoch_us then id, mirroring the Spark
+  // timestamp's truncation).
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sequences.frequentTypeNgrams(
+      t(s, dir, "events"), col("user_id"), col("event_type"),
+      Seq(col("ts"), col("event_id")), n = 3, minCount = 1L, k = 25)
+
+  private val q103Sql =
+    """WITH leads AS (
+         SELECT event_type AS t0,
+           lead(event_type, 1) OVER w AS t1,
+           lead(event_type, 2) OVER w AS t2
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id)),
+       grams AS (
+         SELECT t0 || ' ' || t1 || ' ' || t2 AS gram, count(*) AS n
+         FROM leads WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         GROUP BY 1)
+       SELECT gram, CAST(n AS BIGINT) AS n FROM grams
+       ORDER BY n DESC, gram ASC LIMIT 25"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_event_paths" -> (q103 _),
     "q102_zorder" -> (q102 _),
     "q101_count_anomaly" -> (q101 _),
     "q100_hybrid_search" -> (q100 _),
@@ -4585,6 +4613,7 @@ object SparkEntry {
     "q100_hybrid_search" -> q100Sql,
     "q101_count_anomaly" -> q101Sql,
     "q102_zorder" -> q102Sql,
+    "q103_event_paths" -> q103Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
