@@ -4434,7 +4434,80 @@ object SparkEntry {
        SELECT gram, CAST(n AS BIGINT) AS n FROM grams
        ORDER BY n DESC, gram ASC LIMIT 25"""
 
+  // ------------------------------------------------------------------
+  // q104 — leakage-safe split (extension: Sampling.leakageSafeSplit):
+  // q18's near-dup pairs closed into components (q37's machinery), and
+  // the content-addressed q36 split keyed on the component
+  // representative — so near-duplicate twins can never straddle
+  // train/test. The oracle is q37's CTE chain + q36's unit-hash CASE
+  // on the coalesced key.
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup.minhashLsh(
+      docs, col("doc_id"), col("text"),
+      shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+      maxBucketSize = 1000)
+    graft.ops.Sampling.leakageSafeSplit(
+      docs, col("doc_id"), pairs, "lk1",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split_key"), col("split"))
+  }
+
+  private val q104Sql =
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       sigs AS (
+         SELECT id, vms,
+           [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM based),
+       bands AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       ok_buckets AS (
+         SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= 1000),
+       cand AS (
+         SELECT a.id AS id1, b.id AS id2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
+         JOIN ok_buckets c ON a.bucket = c.bucket
+         UNION
+         SELECT min(id) AS id1, max(id) AS id2
+         FROM bands GROUP BY bucket HAVING COUNT(*) > 1000),
+       verified AS (
+         SELECT id1, id2
+         FROM cand JOIN sigs d1 ON id1 = d1.id JOIN sigs d2 ON id2 = d2.id
+         WHERE CAST(len(list_intersect(d1.vms, d2.vms)) AS DOUBLE) /
+           (len(d1.vms) + len(d2.vms) - len(list_intersect(d1.vms, d2.vms))) >= 0.3),
+       edges AS (
+         SELECT id1 AS a, id2 AS b FROM verified
+         UNION SELECT id2, id1 FROM verified),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (
+         SELECT a AS id, LEAST(a, MIN(b)) AS component
+         FROM reach GROUP BY a),
+       keyed AS (
+         SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS split_key
+         FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+       h AS (
+         SELECT doc_id, split_key,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR) || ':lk1'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) / 4503599627370496.0 AS u
+         FROM keyed)
+       SELECT doc_id, split_key,
+         CASE WHEN u < 0.8 THEN 'train'
+              WHEN u < (0.8 + 0.1) THEN 'val'
+              ELSE 'test' END AS split
+       FROM h"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_leakage_safe_split" -> (q104 _),
     "q103_event_paths" -> (q103 _),
     "q102_zorder" -> (q102 _),
     "q101_count_anomaly" -> (q101 _),
@@ -4614,6 +4687,7 @@ object SparkEntry {
     "q101_count_anomaly" -> q101Sql,
     "q102_zorder" -> q102Sql,
     "q103_event_paths" -> q103Sql,
+    "q104_leakage_safe_split" -> q104Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -127,6 +127,38 @@ object Sampling {
         (col("pos") + 1).as("rank"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+    * land on the same side, or evaluation scores are inflated by
+    * memorized twins of training rows — the canonical contamination
+    * bug dedup pipelines exist to prevent. Pairs (id1, id2) from any
+    * near-dup detector are closed into connected components
+    * ([[graft.dedup.Components]]), every row's split key becomes its
+    * component representative (its own id when unpaired), and
+    * [[splitLabel]] assigns the side content-addressed on THAT key —
+    * so both ends of every pair, and transitively every member of a
+    * dup cluster, share one side. Same determinism contract as
+    * splitLabel: a pure function of (pairs, salt).
+    *
+    * Scale shape: the CC shuffles only the PAIR graph (tiny next to
+    * the corpus); the component table joins back as a broadcast when
+    * small (AQE), and the split itself stays map-only.
+    *
+    * Output: df's columns + `split_key` + `split`.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      salt: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val comp = graft.dedup.Components.connectedComponents(pairs)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comp, id === col("__cc_id"), "left")
+      .withColumn("split_key", coalesce(col("component"), id))
+      .drop("__cc_id", "component")
+      .withColumn("split", splitLabel(col("split_key"), salt, fractions))
+  }
+
   /** Weighted sample without replacement (Efraimidis–Spirakis A-Res,
     * 2006): k rows with inclusion biased toward high `weight`, as the
     * k smallest of key = −log2(u) / w with u a content-addressed

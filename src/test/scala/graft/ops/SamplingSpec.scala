@@ -161,6 +161,35 @@ class SamplingSpec extends SparkSpec {
     }.isEmpty, s"global sort should not appear:\n$plan")
   }
 
+  test("leakageSafeSplit lands every member of a dup cluster on one " +
+      "side and leaves singletons on their own split") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc$i")).toDF("doc_id", "txt")
+    // clusters {1,2,3} (transitive via 1-2, 2-3) and {10, 11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val out = Sampling.leakageSafeSplit(
+      docs, col("doc_id"), pairs, "lk1",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .select(col("doc_id"), col("split_key"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val bySplit = out.map(t => t._1 -> t._3).toMap
+    assert(out.length == 40)
+    assert(Set(bySplit(1L), bySplit(2L), bySplit(3L)).size == 1)
+    assert(bySplit(10L) == bySplit(11L))
+    // cluster members share the representative key = component min
+    assert(out.filter(t => Set(1L, 2L, 3L)(t._1)).map(_._2).toSet
+      == Set(1L))
+    // singletons split on their own id — exactly splitLabel's answer
+    val solo = out.filter(t => t._1 > 11L)
+    val expected = docs.filter(col("doc_id") > 11L)
+      .withColumn("s", Sampling.splitLabel(col("doc_id"), "lk1",
+        Seq("train" -> 0.5, "test" -> 0.5)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(solo.forall(t => expected(t._1) == t._3))
+    // both labels actually occur (not a degenerate hash fixture)
+    assert(out.map(_._3).toSet == Set("train", "test"))
+  }
+
   test("weightedSample drops null and non-positive weights") {
     import spark.implicits._
     val df = Seq((1L, java.lang.Long.valueOf(5L)),
