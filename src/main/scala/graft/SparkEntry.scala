@@ -4506,7 +4506,46 @@ object SparkEntry {
               ELSE 'test' END AS split
        FROM h"""
 
+  // ------------------------------------------------------------------
+  // q105 — target-mixture waterfilling (extension:
+  // Sampling.targetMixture): down-sample documents so sources sit at
+  // 1:1:2:1 (src1:src2:src3:src4, src0 dropped), keeping the largest
+  // corpus that achieves it. The oracle recomputes the binding group
+  // by cross-multiplied HUGEINT argmin and replays the exact-rational
+  // membership compare.
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.targetMixture(
+      t(s, dir, "documents"), col("doc_id"), "mx1", col("source"),
+      Map("src1" -> 1L, "src2" -> 1L, "src3" -> 2L, "src4" -> 1L))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+
+  private val q105Sql =
+    """WITH w(g, w) AS (VALUES
+         ('src1', 1), ('src2', 1), ('src3', 2), ('src4', 1)),
+       wc AS (
+         SELECT w.g, w.w, count(*) AS n
+         FROM documents d JOIN w ON d.source = w.g
+         GROUP BY 1, 2),
+       star AS (
+         SELECT c.g, c.w, c.n FROM wc c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM wc h WHERE
+             CAST(h.n AS HUGEINT) * c.w < CAST(c.n AS HUGEINT) * h.w
+             OR (CAST(h.n AS HUGEINT) * c.w = CAST(c.n AS HUGEINT) * h.w
+                 AND h.g < c.g))),
+       kept AS (
+         SELECT d.source
+         FROM documents d
+         JOIN wc ON d.source = wc.g CROSS JOIN star
+         WHERE CAST(list_sum([(strpos('0123456789abcdef',
+             substr(md5(CAST(d.doc_id AS VARCHAR) || ':mx1'), j, 1)) - 1)
+             * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)])
+             AS HUGEINT) * (CAST(star.w AS HUGEINT) * wc.n)
+           < CAST(wc.w AS HUGEINT) * star.n * 4503599627370496)
+       SELECT source, count(*) AS n_kept FROM kept GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_target_mixture" -> (q105 _),
     "q104_leakage_safe_split" -> (q104 _),
     "q103_event_paths" -> (q103 _),
     "q102_zorder" -> (q102 _),
@@ -4688,6 +4727,7 @@ object SparkEntry {
     "q102_zorder" -> q102Sql,
     "q103_event_paths" -> q103Sql,
     "q104_leakage_safe_split" -> q104Sql,
+    "q105_target_mixture" -> q105Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

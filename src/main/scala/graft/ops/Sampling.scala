@@ -159,6 +159,68 @@ object Sampling {
       .withColumn("split", splitLabel(col("split_key"), salt, fractions))
   }
 
+  /** Target-mixture down-sampling by exact waterfilling: keep the
+    * LARGEST corpus whose group proportions equal integer `weights`
+    * (the "web 30 / books 30 / code 40" curation lever, solved rather
+    * than hand-tuned). The binding group g* maximizes w/N — it is kept
+    * whole, and every other group keeps rate
+    * `w_g·N_{g*} / (w_{g*}·N_g)` ≤ 1.
+    *
+    * Exact end to end: g* is chosen by cross-multiplied BigInt
+    * comparison (no float ratios; ties on the ratio break to the
+    * smaller group value as a string), and membership compares the raw
+    * 52-bit unit hash against the EXACT rational —
+    * `h·w_{g*}·N_g < w_g·N_{g*}·2^52` in decimal(38,0) — so the kept
+    * set is a pure function of (data, weights, salt) that an oracle
+    * replays in HUGEINT. Same nesting property as [[sampleByHash]]:
+    * raising a group's weight only ADDS rows of that group.
+    *
+    * Groups without a weight (or weight 0) are dropped. Group counts
+    * are a bounded driver statistic (one map-side-combined groupBy,
+    * ≤ #groups rows — the k-means-training collect contract); the kept
+    * filter itself is map-only.
+    */
+  def targetMixture(
+      df: DataFrame,
+      id: Column,
+      salt: String,
+      group: Column,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty, "at least one group weight required")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    require(weights.values.exists(_ > 0), "at least one positive weight")
+    val counts = df.select(group.cast("string").as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per group
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val active = weights.filter { case (g, w) =>
+      w > 0 && counts.getOrElse(g, 0L) > 0 }
+    require(active.nonEmpty, "no weighted group has any rows")
+    // binding group: maximal w/N ⇔ minimal N/w, exact via cross-mult
+    val gStar = active.keys.reduce { (a, b) =>
+      val cmp = (BigInt(counts(a)) * active(b))
+        .compare(BigInt(counts(b)) * active(a))
+      if (cmp < 0 || (cmp == 0 && a <= b)) a else b
+    }
+    val nStar = counts(gStar); val wStar = active(gStar)
+    // membership: h·(w*·N_g) < (w_g·N*)·2^52 — the products are
+    // driver-side BigInts shipped as decimal literals (a long product
+    // would overflow before any cast), the per-row side is one
+    // decimal multiply of the 52-bit hash
+    val h = conv(substring(md5(concat(id.cast("string"),
+      lit(":" + salt))), 1, 13), 16, 10).cast("long")
+      .cast("decimal(38,0)")
+    val gs = group.cast("string")
+    def bd(v: BigInt): Column = lit(new java.math.BigDecimal(v.bigInteger))
+    val keep = active.foldLeft(lit(false)) { case (acc, (g, w)) =>
+      when(gs === g,
+        h * bd(BigInt(wStar) * counts(g)) <
+          bd(BigInt(w) * nStar << 52))
+        .otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   /** Weighted sample without replacement (Efraimidis–Spirakis A-Res,
     * 2006): k rows with inclusion biased toward high `weight`, as the
     * k smallest of key = −log2(u) / w with u a content-addressed
