@@ -4544,7 +4544,63 @@ object SparkEntry {
            < CAST(wc.w AS HUGEINT) * star.n * 4503599627370496)
        SELECT source, count(*) AS n_kept FROM kept GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q106 — KMV set algebra (extension: Sketch.kmvSetOps): distinct
+  // viewers vs distinct purchasers, their union and intersection, from
+  // two k=64 sketches (saturated at this scale — the estimator path;
+  // sf0.001 exercises the exact-below-k path). The oracle rebuilds
+  // both k-min lists, merges, and applies the identical IEEE
+  // arithmetic.
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Sketch.kmvSetOps(
+      ev.filter(col("event_type") === "view"), col("user_id"),
+      ev.filter(col("event_type") === "purchase"), col("user_id"),
+      k = 64)
+  }
+
+  private val q106Sql =
+    """WITH va AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+                   FROM events WHERE event_type = 'view'),
+       vb AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+              FROM events WHERE event_type = 'purchase'),
+       ha AS (SELECT v,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(v || ':kmv'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) / 4503599627370496.0 AS u
+         FROM va),
+       hb AS (SELECT v,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(v || ':kmv'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) / 4503599627370496.0 AS u
+         FROM vb),
+       ka AS (SELECT u, v FROM ha ORDER BY u ASC, v ASC LIMIT 64),
+       kb AS (SELECT u, v FROM hb ORDER BY u ASC, v ASC LIMIT 64),
+       uni AS (SELECT u, v FROM (
+                 SELECT u, v FROM ka UNION SELECT u, v FROM kb)
+               ORDER BY u ASC, v ASC LIMIT 64),
+       stats AS (
+         SELECT
+           (SELECT count(*) FROM ka) AS n_a,
+           (SELECT count(*) FROM kb) AS n_b,
+           (SELECT max(u) FROM ka) AS uka,
+           (SELECT max(u) FROM kb) AS ukb,
+           (SELECT count(*) FROM uni) AS n_uni,
+           (SELECT max(u) FROM uni) AS uku,
+           (SELECT count(*) FROM uni
+            WHERE v IN (SELECT v FROM ka)
+              AND v IN (SELECT v FROM kb)) AS n_shared)
+       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CASE WHEN n_a < 64 THEN CAST(n_a AS DOUBLE)
+              ELSE 63.0 / uka END AS est_a,
+         CASE WHEN n_b < 64 THEN CAST(n_b AS DOUBLE)
+              ELSE 63.0 / ukb END AS est_b,
+         CAST(n_shared AS BIGINT) AS n_shared,
+         CASE WHEN n_uni < 64 THEN CAST(n_uni AS DOUBLE)
+              ELSE 63.0 / uku END AS est_union,
+         CASE WHEN n_uni < 64 THEN CAST(n_shared AS DOUBLE)
+              ELSE CAST(n_shared AS DOUBLE) / 64 * (63.0 / uku)
+              END AS est_intersect
+       FROM stats"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_kmv_setops" -> (q106 _),
     "q105_target_mixture" -> (q105 _),
     "q104_leakage_safe_split" -> (q104 _),
     "q103_event_paths" -> (q103 _),
@@ -4728,6 +4784,7 @@ object SparkEntry {
     "q103_event_paths" -> q103Sql,
     "q104_leakage_safe_split" -> q104Sql,
     "q105_target_mixture" -> q105Sql,
+    "q106_kmv_setops" -> q106Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,

@@ -213,4 +213,74 @@ object Sketch {
       .otherwise(lit((k - 1).toDouble) /
         -element_at(col("top"), k).getField("score"))
       .as("estimate"))
+
+  /** KMV set algebra: distinct-count estimates for two value sets, their
+    * union AND their intersection, from one bounded sketch per side —
+    * the "how many users did both" / "how much does corpus B overlap
+    * corpus A" question without shuffling either distinct stream.
+    *
+    * Mergeability is KMV's point (Bar-Yossef et al. 2002): the k
+    * smallest hashes of A ∪ B are computable from the two k-min
+    * sketches alone, and the standard intersection estimator counts
+    * the union sketch's members that occur in BOTH sides:
+    * ρ = |S_∪ ∩ A ∩ B| / k, est_∩ = ρ·est_∪. When the union holds
+    * fewer than k distinct values both sketches are complete and every
+    * figure is EXACT. Same determinism contract as [[kmvDistinct]]:
+    * everything is a pure function of the value sets (md5 unit hashes,
+    * (u asc, value asc) total order), so an oracle replays it.
+    *
+    * Plan shape: one bounded `topk_by` aggregation per side (map-side
+    * k-bounded partials), then a 1-row × 1-row crossJoin evaluated
+    * with array expressions — no further shuffle, nothing driver-side.
+    *
+    * Output, one row: (n_a, n_b, est_a, est_b, n_shared, est_union,
+    * est_intersect).
+    */
+  def kmvSetOps(
+      dfA: DataFrame,
+      valueA: Column,
+      dfB: DataFrame,
+      valueB: Column,
+      k: Int = 1024,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def side(df: DataFrame, v: Column, name: String): DataFrame =
+      df.select(v.cast("string").as("v"))
+        .filter(col("v").isNotNull)
+        .withColumn("score", -Sampling.unitHash(col("v"), salt))
+        .agg(call_function("topk_by", col("v"), col("score"), lit(k))
+          .as(name))
+    val joined = side(dfA, valueA, "ta").crossJoin(side(dfB, valueB, "tb"))
+    // (u asc, v asc) structs so array_sort orders exactly like topk_by
+    def uv(c: Column): Column = transform(c, x =>
+      struct((-x.getField("score")).as("u"), x.getField("id").as("v")))
+    def vals(c: Column): Column = transform(c, _.getField("id"))
+    joined
+      .withColumn("uni",
+        slice(array_sort(array_distinct(
+          concat(uv(col("ta")), uv(col("tb"))))), 1, k))
+      .withColumn("n_uni", size(col("uni")))
+      .withColumn("shared", filter(col("uni"), x =>
+        array_contains(vals(col("ta")), x.getField("v")) &&
+          array_contains(vals(col("tb")), x.getField("v"))))
+      .select(
+        size(col("ta")).cast("long").as("n_a"),
+        size(col("tb")).cast("long").as("n_b"),
+        estOf(col("ta"), k).as("est_a"),
+        estOf(col("tb"), k).as("est_b"),
+        size(col("shared")).cast("long").as("n_shared"),
+        when(col("n_uni") < k, col("n_uni").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            element_at(col("uni"), k).getField("u")).as("est_union"),
+        when(col("n_uni") < k, size(col("shared")).cast("double"))
+          .otherwise(size(col("shared")).cast("double") / k *
+            (lit((k - 1).toDouble) /
+              element_at(col("uni"), k).getField("u")))
+          .as("est_intersect"))
+  }
+
+  private def estOf(top: Column, k: Int): Column =
+    when(size(top) < k, size(top).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        -element_at(top, k).getField("score"))
 }

@@ -111,4 +111,43 @@ class SketchSpec extends SparkSpec {
     val r = Sketch.kmvDistinct(empty, col("x"), k = 8).collect().head
     assert(r.getLong(0) == 0L && r.getDouble(1) == 0.0)
   }
+
+  test("kmvSetOps is exact below k and matches the KMV model when " +
+      "saturated") {
+    import spark.implicits._
+    // unsaturated: sketches hold everything, every figure exact
+    val a = (1 to 30).map(_.toString).toDF("x")
+    val b = (20 to 50).map(_.toString).toDF("x")
+    val ex = Sketch.kmvSetOps(a, col("x"), b, col("x"), k = 256)
+      .collect().head
+    assert(ex.getLong(0) == 30 && ex.getLong(1) == 31)
+    assert(ex.getDouble(2) == 30.0 && ex.getDouble(3) == 31.0)
+    assert(ex.getLong(4) == 11) // 20..30 shared
+    assert(ex.getDouble(5) == 50.0 && ex.getDouble(6) == 11.0)
+
+    // saturated at k=64: replay the estimator with the same md5 hashes
+    def u(v: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$v:kmv".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16) / 4503599627370496.0
+    }
+    val va = (1 to 500).map(_.toString); val vb = (250 to 750).map(_.toString)
+    val k = 64
+    def sk(vs: Seq[String]) = vs.map(v => (u(v), v)).sorted.take(k)
+    val (sa, sb) = (sk(va), sk(vb))
+    val uni = (sa ++ sb).distinct.sorted.take(k)
+    val setA = sa.map(_._2).toSet; val setB = sb.map(_._2).toSet
+    val shared = uni.count(x => setA(x._2) && setB(x._2))
+    val estU = (k - 1).toDouble / uni.last._1
+    val got = Sketch.kmvSetOps(
+      va.toDF("x"), col("x"), vb.toDF("x"), col("x"), k = k)
+      .collect().head
+    assert(got.getLong(4) == shared)
+    assert(got.getDouble(5) == estU)
+    assert(got.getDouble(6) == shared.toDouble / k * estU)
+    // sanity: estimates within ~25% of truth (500, 751, 251) at k=64
+    assert(math.abs(got.getDouble(2) - 500) < 125)
+    assert(math.abs(got.getDouble(5) - 751) < 190)
+  }
 }
