@@ -74,6 +74,10 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"failed":$failedJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // Second, short line: the r7 driver capture truncated the long line's
+    // HEAD, losing total/cold/failed. This summary is small enough that a
+    // tail-biased truncation always preserves it.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"nqueries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4599,7 +4599,74 @@ object SparkEntry {
               END AS est_intersect
        FROM stats"""
 
+  // ------------------------------------------------------------------
+  // q107 — STREAMING exact dedup (extension: Streaming.dedupStream),
+  // driven as a real multi-micro-batch job via the q73 file-stream
+  // harness: documents are pre-split into 4 parquet files fed one per
+  // trigger, and dropDuplicatesWithinWatermark keeps the FIRST arrival
+  // of each content hash. "First" is made batching-deterministic by
+  // construction: each text-group's min-doc_id member is routed to
+  // batch 0 (rank 1 per md5(text) group), later members to later
+  // batches, so the kept set ≡ "min doc_id per distinct text" — which
+  // the oracle states directly. Event times are staggered 1 min per
+  // batch under a 1-hour watermark, so no state is evicted inside the
+  // run (the operator's within-horizon exactness regime; eviction
+  // behavior itself is spec territory, not oracle territory).
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val staged = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary")))
+          .orderBy(col("doc_id"))))
+      .withColumn("b", least(col("rn") - 1, lit(3)).cast("int"))
+      .withColumn("ts",
+        expr("timestamp'2017-07-14 02:40:00' + make_interval(0,0,0,0,0,b,0)"))
+      .select(col("doc_id"), col("text"), col("ts"), col("b"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q107_")
+    val streamDir = base.resolve("stream"); val tmpDir = base.resolve("tmp")
+    java.nio.file.Files.createDirectories(streamDir)
+    staged.repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
+    (0 until 4).foreach { b =>
+      val dirF = new java.io.File(tmpDir.resolve(s"b=$b").toString)
+      // a scale rung can have < 4 distinct ranks; skip absent batches
+      if (dirF.isDirectory) {
+        val part = dirF.listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = streamDir.resolve(f"batch_$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1500000000000L + b * 60000L)
+      }
+    }
+    val src = s.readStream
+      .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = "q107_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.Streaming.dedupStream(
+            src, tsCol = "ts", textCol = "text", watermark = "1 hour")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("doc_id"), length(col("text")).as("text_len"))
+  }
+
+  private val q107Sql =
+    """SELECT doc_id, CAST(len(text) AS INT) AS text_len
+       FROM (SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+             FROM documents)
+       WHERE rn = 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_stream_dedup" -> (q107 _),
     "q106_kmv_setops" -> (q106 _),
     "q105_target_mixture" -> (q105 _),
     "q104_leakage_safe_split" -> (q104 _),
@@ -4785,6 +4852,7 @@ object SparkEntry {
     "q104_leakage_safe_split" -> q104Sql,
     "q105_target_mixture" -> q105Sql,
     "q106_kmv_setops" -> q106Sql,
+    "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,
     "q29_windowed_counts" -> q29Sql,
