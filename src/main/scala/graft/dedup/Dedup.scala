@@ -793,21 +793,29 @@ object Dedup {
       idCol: Column,
       textCol: Column,
       maxHamming: Int = 3,
-      bands: Int = 4,
+      bands: Int = graft.ops.Sizing.Auto,
       maxBucketSize: Int = 1000,
       cacheSignatures: Boolean = true): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0,
-      s"bands must divide 64, got $bands")
-    require(maxHamming >= 0 && maxHamming < bands,
+    // Auto-sizing (default): the FEWEST bands that still give the
+    // pigeonhole recall guarantee — every extra band narrows the
+    // segments and pulls the 2^(64/bands) random-collision ceiling
+    // closer (Sizing.simhashBands; the round-7 8-bit-segment lesson).
+    val bandsN =
+      if (bands == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.simhashBands(maxHamming)
+      else bands
+    require(bandsN >= 1 && 64 % bandsN == 0,
+      s"bands must divide 64, got $bandsN")
+    require(maxHamming >= 0 && maxHamming < bandsN,
       s"radius guarantee needs bands >= maxHamming + 1 " +
-        s"(got bands=$bands, maxHamming=$maxHamming)")
-    val width = 64 / bands
+        s"(got bands=$bandsN, maxHamming=$maxHamming)")
+    val width = 64 / bandsN
     val sigs0 = simhashSignatures(df, idCol, textCol)
     val sigs = if (cacheSignatures) sigs0.cache() else sigs0
 
-    val bandCols = (0 until bands).map { b =>
+    val bandCols = (0 until bandsN).map { b =>
       lit(b.toLong << 32) +
-        shiftrightunsigned(col("sh"), (bands - 1 - b) * width)
+        shiftrightunsigned(col("sh"), (bandsN - 1 - b) * width)
           .bitwiseAND(lit((1L << width) - 1))
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bucket"))

@@ -36,8 +36,14 @@ object PageRank {
   val Scale: Long = 1L << 20
 
   /** Rank tables up to this many nodes are broadcast into the
-    * per-iteration edge join (~16 B/row: 2 M ≈ tens of MB hashed). */
-  val DefaultBroadcastNodesUpTo: Long = 2L * 1000 * 1000
+    * per-iteration edge join (~16 B/row: 2 M ≈ tens of MB hashed).
+    * `GRAFT_BROADCAST_NODES_UP_TO` overrides the default at process
+    * level — a measurement lever for laddering the shuffle arm (both
+    * arms are result-identical, pinned by spec); explicit call-site
+    * arguments are unaffected. */
+  val DefaultBroadcastNodesUpTo: Long =
+    sys.env.get("GRAFT_BROADCAST_NODES_UP_TO").map(_.toLong)
+      .getOrElse(2L * 1000 * 1000)
 
   /** @param edges (srcCol, dstCol) directed edge table; duplicate
     *   edges count twice (pre-`distinct` if that is not intended).

@@ -1,0 +1,102 @@
+package graft.ops
+
+/** Corpus-aware default sizing for the banded/bucketed candidate
+  * generators — the round-7 scale-ladder lessons turned into code.
+  *
+  * Why this exists: a banded sketch's scale ceiling is structural, not
+  * data-dependent. Each hyperplane-LSH table has 2^bits buckets, so
+  * RANDOM co-bucketing alone contributes ~tables*n^2/2^(bits+1)
+  * candidate pairs whatever the data looks like; the round-7 ladder
+  * measured the old fixed 6-bit default at scaling exponent ~1.5 by
+  * 20k vectors, and the fixed 8-bit simhash band at ~1.5 by 50k docs
+  * (NOTES.md "Scale ladder (round 7)"). Both fixes were the same move:
+  * re-derive the width from log2(corpus), not from the test fixture.
+  * These helpers make that derivation the DEFAULT, so the next corpus
+  * at a new scale does not have to rediscover the knob: callers pass
+  * `Sizing.Auto` (the parameter default) and the operator sizes itself
+  * from a cheap corpus count; oracle/bench queries keep pinning
+  * explicit values, so published results never shift under them.
+  *
+  * All rules are pure integer arithmetic on an APPROXIMATE count —
+  * sizing needs the right power of two, so a count that is off by 2x
+  * moves the answer by at most one bit.
+  */
+object Sizing {
+
+  /** Sentinel default for auto-sized Int parameters ("derive from the
+    * corpus"). Negative so no explicit legal value collides with it. */
+  val Auto: Int = -1
+
+  /** ceil(log2(n)) for n >= 1; 0 for n <= 1. */
+  def log2Ceil(n: Long): Int = {
+    require(n >= 0, s"log2Ceil of negative $n")
+    if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+  }
+
+  /** Hyperplane-LSH signature width for an `approxCorpus`-vector table:
+    * smallest `bits` with 2^bits >= corpus / targetBucketSize, clamped
+    * to [8, 24]. Expected RANDOM bucket population is then at most
+    * ~targetBucketSize, so the pair stage's random-collision term is
+    * ~tables * n * targetBucketSize / 2 — linear in n. The floor keeps
+    * tiny fixtures from degenerating to 1-bucket tables; the cap stops
+    * signature cost growth where buckets are already single-digit
+    * (2^24 buckets holds a 250M-vector table at the default target).
+    * At the round-7 knee point (20k vectors) this yields 11 bits —
+    * past the measured 6-bit knee without hand-tuning. */
+  def lshBits(approxCorpus: Long, targetBucketSize: Int = 16): Int = {
+    require(targetBucketSize >= 1, s"targetBucketSize $targetBucketSize")
+    val raw = log2Ceil(math.max(1L, approxCorpus / targetBucketSize))
+    math.min(24, math.max(8, raw))
+  }
+
+  /** Table count recovering `targetRecall` at cosine `threshold` for a
+    * given signature width: hyperplane LSH collides a pair on one bit
+    * with p = 1 - acos(threshold)/pi, on a whole table with p^bits, and
+    * misses all `tables` tables with (1-p^bits)^tables — solve for the
+    * smallest integer tables with miss <= 1-targetRecall, clamped to
+    * [2, 64]. This is the other half of the (bits, tables) trade: wider
+    * tables (from [[lshBits]]) cost recall, and recall is bought back
+    * with MORE tables, never wider buckets. */
+  def lshTables(bits: Int, threshold: Double,
+      targetRecall: Double = 0.9): Int = {
+    require(bits >= 1 && threshold > -1.0 && threshold < 1.0 &&
+      targetRecall > 0.0 && targetRecall < 1.0,
+      s"lshTables($bits, $threshold, $targetRecall)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pTable = math.pow(p, bits.toDouble)
+    if (pTable <= 0.0) 64
+    else {
+      val t = math.log(1.0 - targetRecall) / math.log1p(-pTable)
+      math.min(64, math.max(2, math.ceil(t).toInt))
+    }
+  }
+
+  /** SemDeDup cell count: cells hold ~targetCellSize vectors so the
+    * in-cell all-pairs work stays ~n*targetCellSize — linear in n, the
+    * Abbas et al. 2023 lever the round-7 CellScaleProbe measured
+    * (nlist 8 -> 80 at 20k vectors: 21.0 -> 3.46 s; NOTES.md). Clamped
+    * below at 8 (tiny corpora should still exercise the cell routing)
+    * and above at 2^20 (a 1M-centroid quantizer stops being a bounded
+    * driver statistic — past that, shard the corpus first). */
+  def semDedupNlist(approxCorpus: Long, targetCellSize: Int = 250): Int = {
+    require(targetCellSize >= 1, s"targetCellSize $targetCellSize")
+    val cells = (approxCorpus + targetCellSize - 1) / targetCellSize
+    math.min(1 << 20, math.max(8, cells)).toInt
+  }
+
+  /** SimHash band count for hamming radius `maxHamming` over a 64-bit
+    * fingerprint: the SMALLEST divisor of 64 that is >= maxHamming+1.
+    * Pigeonhole needs bands >= maxHamming+1 for perfect pre-verify
+    * recall; every EXTRA band past that only narrows the segments and
+    * pulls the random-collision ceiling 2^(64/bands) closer (the 8-bit
+    * segment mistake). Fewest-bands-that-recall is therefore also the
+    * widest-segment, furthest-knee choice — for the classic radius 3
+    * this is 4 bands of 16 bits (Manku, Jain & Das Sarma 2007), with
+    * ceiling ~2^16 docs per band-value before random collisions rival
+    * true near-dups; radius 1 gets 2 bands of 32 bits (ceiling ~4e9). */
+  def simhashBands(maxHamming: Int = 3): Int = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming $maxHamming out of [0, 64)")
+    Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).get
+  }
+}

@@ -55,6 +55,21 @@ object Fs {
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
   }
+
+  /** Whether `path` is a COMMITTED output, not merely present: a plain
+    * file counts, a directory only with its `_SUCCESS` marker (what
+    * Spark's file committer drops after the job's rename — a crashed or
+    * killed write leaves the directory without it). The distinction is
+    * what makes `RSSkip` memoization safe across driver crashes: an
+    * exists-only check would serve a torn write as a memoized stage
+    * output forever.
+    */
+  def isCommitted(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    f.exists(p) && (!f.getFileStatus(p).isDirectory ||
+      f.exists(new Path(p, "_SUCCESS")))
+  }
 }
 
 /** What to do when a stage's output already exists — port of
@@ -141,7 +156,14 @@ final class Pipeline(spark: SparkSession, stages: Seq[Stage]) {
       case (RSFail, true) =>
         throw new IllegalStateException(
           s"stage ${st.name}: output $outPath exists (RSFail)")
-      case (RSSkip, true) => Nil // memoized: downstream reads existing output
+      // Memoized ONLY if the output is committed (_SUCCESS marker for
+      // directories — Fs.isCommitted): a crashed previous run leaves
+      // the directory without the marker, and serving that torn write
+      // as a memoized result would corrupt every downstream stage. An
+      // uncommitted output falls through to recompute (Overwrite
+      // replaces the debris).
+      case (RSSkip, true) if Fs.isCommitted(spark, outPath) =>
+        Nil // memoized: downstream reads existing output
       case _ =>
         spark.sparkContext.setJobDescription(s"stage:${st.name}")
         val out = st.op(st.inputs.map(_.read(spark)))

@@ -1051,14 +1051,27 @@ object Similarity extends Serializable {
       corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int,
       threshold: Double,
-      bits: Int = 12, tables: Int = 8,
+      bits: Int = graft.ops.Sizing.Auto,
+      tables: Int = graft.ops.Sizing.Auto,
       maxBucketSize: Int = 1000,
       cacheCorpus: Boolean = false): DataFrame = {
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
         col("id"))
     val c = if (cacheCorpus) c0.cache() else c0
-    val buckets = withBucketsKernel(c, "v", tables, bits, dim)
+    // Auto-sizing (default): derive the (bits, tables) pair from a
+    // cheap pruned count so the random-collision knee tracks THIS
+    // corpus, not a fixture (Sizing scaladoc has the rules + the
+    // measured round-7 knee). Explicit values skip the count pass.
+    val bitsN =
+      if (bits == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.lshBits(c0.select(col("id")).count())
+      else bits
+    val tablesN =
+      if (tables == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.lshTables(bitsN, threshold)
+      else tables
+    val buckets = withBucketsKernel(c, "v", tablesN, bitsN, dim)
       .select(col("id"), col("bucket"))
     // the shared capped-bucket grouping (Dedup.cappedBucketGroups):
     // bounded buffers, single-consumer over-cap representative collapse,
@@ -1090,13 +1103,27 @@ object Similarity extends Serializable {
     *    broadcastTest lever — test sets are benchmark-sized), shipped
     *    in the task closure; the corpus is scanned ONCE map-only — no
     *    join, no shuffle, output only the contaminated rows.
-    *  - larger: a distributed join arm — cross join (Spark picks
-    *    BroadcastNestedLoopJoin while the test side fits the broadcast
-    *    threshold, shuffle-replicate CartesianProduct beyond) scored by
-    *    the same cosine kernel, then a per-corpus-id argmax aggregate.
-    *    The exact semantics are inherently |corpus|×|test| compute;
-    *    this arm distributes that product instead of failing on a
-    *    driver collect.
+    *  - larger: a distributed CELL-ROUTED arm that keeps the exact
+    *    contract while shrinking the |corpus|×|test| product. The test
+    *    side is clustered into `nlist` spherical-k-means cells (the
+    *    semDedup quantizer — a bounded driver statistic), each cell
+    *    summarized by (centroid, max member angle r). For a corpus
+    *    vector v, the spherical triangle inequality gives a TRUE upper
+    *    bound on its cosine to ANY member of a cell:
+    *        angle(v, t) >= angle(v, c) - r
+    *        => cos(v, t) <= cos(max(0, angle(v, c) - r))
+    *    so a cell whose bound (+1e-9 float slack) misses `threshold`
+    *    is skipped WHOLESALE — no pair from it could pass the filter
+    *    anyway, so pruning cannot change the output. Candidates route
+    *    through a cell-keyed equi-join (never a cross join), and on a
+    *    benchmark-shaped test set (clustered by task) most cells prune
+    *    for most corpus rows: compute falls from |corpus|×|test| to
+    *    |corpus|×nlist bound checks + the surviving cells' pairs.
+    *    Worst case (test set spread uniformly, huge cell radii)
+    *    degrades gracefully to the old full product, now distributed
+    *    over the cell join. Zero-norm test vectors are dropped
+    *    up-front: every sim they produce is NaN, which can never pass
+    *    `sim >= threshold` in either arm.
     *
     * Ties go to the lower test id (strict-greater fold over ids in
     * ascending order / max over (sim, -test_id) structs — identical
@@ -1112,11 +1139,76 @@ object Similarity extends Serializable {
     val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("v"))
     val tdf = test.select(col(testId).cast("long").as("test_id"),
       col(testVec).as("tv"))
-    if (tdf.count() > maxBroadcastTest) {
-      // NaN sims (zero-norm vectors) are dropped by the pre-argmax
-      // threshold filter — mirroring the closure arm, where NaN never
-      // wins the strict-greater fold
-      val scored = withCosineKernel(c.crossJoin(tdf), "v", "tv", "sim")
+    val nTest = tdf.count()
+    if (nTest > maxBroadcastTest) {
+      val spark = corpus.sparkSession
+      // cells sized for ~4k test vectors each, capped so the centroid
+      // table stays a small driver statistic (<= 256 × dim doubles)
+      val nlist = math.max(8L, math.min(256L, nTest / 4096L)).toInt
+      val cents = trainKmeans(tdf, "test_id", "tv", nlist, 1)
+
+      def clamp(s: Double) = math.max(-1.0, math.min(1.0, s))
+      // (test_id, tv, cell, angle-to-centroid) — one map-only kernel;
+      // same nearest-cell tie-break as assignNearest ((-sim, cid))
+      val tSchema = StructType(tdf.schema.fields ++ Seq(
+        StructField("cell", LongType, false),
+        StructField("ang", DoubleType, false)))
+      val tEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(tSchema)
+      val assigned = tdf.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val tv = r.getSeq[Float](1)
+          var norm = 0.0
+          tv.foreach(x => norm += x.toDouble * x.toDouble)
+          if (norm == 0.0) Iterator.empty // NaN sims: dead in both arms
+          else {
+            val (cid, s) = cents.iterator
+              .map { case (cid, ce) => (cid, cosFD(tv, ce)) }
+              .minBy { case (cid, s) => (-s, cid) }
+            Iterator(org.apache.spark.sql.Row(
+              r.get(0), r.get(1), cid, math.acos(clamp(s))))
+          }
+        }
+      }(tEnc)
+
+      // per-cell radius: a bounded (nlist-row) driver statistic
+      val radii: Map[Long, Double] = assigned
+        .groupBy("cell").agg(max(col("ang")).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val cells: Array[(Long, Array[Double], Double)] =
+        cents.collect { case (cid, ce) if radii.contains(cid) =>
+          (cid, ce, radii(cid)) }
+
+      // corpus side: emit (id, v, cell) only for cells whose cosine
+      // upper bound reaches the threshold — sound pruning, see scaladoc
+      val cSchema = StructType(c.schema.fields :+
+        StructField("cell", LongType, false))
+      val cEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(cSchema)
+      val candidates = c.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val v = r.getSeq[Float](1)
+          var vNorm = 0.0
+          v.foreach(x => vNorm += x.toDouble * x.toDouble)
+          if (vNorm == 0.0) Iterator.empty // all its sims are NaN: dead
+          else cells.iterator.flatMap { case (cid, ce, rad) =>
+            val ang = math.acos(clamp(cosFD(v, ce)))
+            val bound = math.cos(math.max(0.0, ang - rad))
+            // prune only when PROVABLY below threshold: a NaN bound
+            // (zero-norm v — all its sims are NaN and die at the
+            // filter anyway — or a degenerate zero centroid) fails
+            // this comparison and routes through to the exact verify
+            if (bound + 1e-9 < threshold) Iterator.empty
+            else
+              Iterator(org.apache.spark.sql.Row(r.get(0), r.get(1), cid))
+          }
+        }
+      }(cEnc)
+
+      val scored = withCosineKernel(
+        candidates.join(assigned.select(col("test_id"), col("tv"),
+          col("cell")), "cell"),
+        "v", "tv", "sim")
         .filter(col("sim") >= threshold)
       return scored
         .groupBy("id")
@@ -1174,13 +1266,21 @@ object Similarity extends Serializable {
       increment: DataFrame, base: DataFrame,
       idCol: String, vecCol: String,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = graft.ops.Sizing.Auto,
       trainIters: Int = 1,
       maxCellSide: Int = 100000): DataFrame = {
-    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(nlist >= 1 || nlist == graft.ops.Sizing.Auto,
+      s"nlist must be >= 1 (or Sizing.Auto), got $nlist")
     val spark = base.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val cents = trainKmeans(base, idCol, vecCol, nlist, trainIters)
+    // Auto-sizing keys off the BASE side — it defines the cell geometry
+    // the increment is routed through (Sizing.semDedupNlist).
+    val nlistN =
+      if (nlist == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.semDedupNlist(
+          base.select(col(idCol)).count())
+      else nlist
+    val cents = trainKmeans(base, idCol, vecCol, nlistN, trainIters)
     val inc = increment.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(par, col("id"))
     val bs = base.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -1236,16 +1336,25 @@ object Similarity extends Serializable {
       corpus: DataFrame,
       idCol: String, vecCol: String,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = graft.ops.Sizing.Auto,
       trainIters: Int = 1,
       maxClusterSize: Int = 100000,
       cacheCorpus: Boolean = false): DataFrame = {
-    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(nlist >= 1 || nlist == graft.ops.Sizing.Auto,
+      s"nlist must be >= 1 (or Sizing.Auto), got $nlist")
     val spark = corpus.sparkSession
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(spark.sparkContext.defaultParallelism, col("id"))
     val c = if (cacheCorpus) c0.cache() else c0
-    val cents = trainKmeans(corpus, idCol, vecCol, nlist, trainIters)
+    // Auto-sizing (default): nlist ~ n/targetCellSize keeps cell
+    // population — and so the in-cell all-pairs work per vector —
+    // constant as the corpus grows (the CellScaleProbe-measured lever;
+    // Sizing.semDedupNlist). Explicit nlist skips the count pass.
+    val nlistN =
+      if (nlist == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.semDedupNlist(c0.select(col("id")).count())
+      else nlist
+    val cents = trainKmeans(corpus, idCol, vecCol, nlistN, trainIters)
     val buckets = assignNearest(c, cents, 1, 1)
       .select(col("id"), col("cent_id").as("bucket"))
     val grouped = graft.dedup.Dedup
@@ -1299,7 +1408,7 @@ object Similarity extends Serializable {
       corpus: DataFrame,
       idCol: String, vecCol: String,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = graft.ops.Sizing.Auto,
       trainIters: Int = 1,
       maxClusterSize: Int = 100000,
       cacheCorpus: Boolean = false): DataFrame =

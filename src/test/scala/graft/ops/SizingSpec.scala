@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SizingSpec extends SparkSpec {
+
+  test("log2Ceil: exact at powers of two, ceil between") {
+    assert(Sizing.log2Ceil(0) == 0)
+    assert(Sizing.log2Ceil(1) == 0)
+    assert(Sizing.log2Ceil(2) == 1)
+    assert(Sizing.log2Ceil(3) == 2)
+    assert(Sizing.log2Ceil(4) == 2)
+    assert(Sizing.log2Ceil(5) == 3)
+    assert(Sizing.log2Ceil(1L << 40) == 40)
+    assert(Sizing.log2Ceil((1L << 40) + 1) == 41)
+  }
+
+  test("lshBits: tracks corpus size, clamped to [8, 24], and clears " +
+      "the measured round-7 knee point without hand-tuning") {
+    // the knee: 6 bits (64 buckets/table) went exponent ~1.5 by 20k
+    // vectors — the auto default at that cardinality must beat it
+    assert(Sizing.lshBits(20000) >= 10)
+    // 2^bits >= n/targetBucketSize: expected random bucket population
+    // stays <= target at every size
+    for (n <- Seq(100L, 10000L, 1000000L, 100000000L)) {
+      val b = Sizing.lshBits(n)
+      assert((1L << b) >= n / 16 || b == 24)
+    }
+    assert(Sizing.lshBits(1) == 8) // floor
+    assert(Sizing.lshBits(Long.MaxValue / 2) == 24) // cap
+    // monotone non-decreasing in n
+    val pts = Seq(1L, 1000L, 100000L, 10000000L).map(Sizing.lshBits(_))
+    assert(pts == pts.sorted)
+  }
+
+  test("lshTables: recall math — more tables for wider signatures, " +
+      "and the (bits, tables) pair actually reaches the target recall") {
+    val t12 = Sizing.lshTables(12, 0.9)
+    val t16 = Sizing.lshTables(16, 0.9)
+    assert(t12 >= 2 && t16 >= t12, s"t12=$t12 t16=$t16") // recall paid back
+    // verify the closed form: miss = (1 - p^bits)^tables <= 0.1
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    assert(math.pow(1.0 - math.pow(p, 12), t12.toDouble) <= 0.1 + 1e-12)
+    // clamps
+    assert(Sizing.lshTables(64, 0.1) == 64)
+    assert(Sizing.lshTables(1, 0.99) == 2)
+  }
+
+  test("semDedupNlist: constant cell population, clamped") {
+    // the CellScaleProbe point: 20k vectors / 250-vector cells = 80 —
+    // the measured 21.0 -> 3.46 s lever value, now the default
+    assert(Sizing.semDedupNlist(20000) == 80)
+    assert(Sizing.semDedupNlist(2000) == 8)   // floor keeps routing real
+    assert(Sizing.semDedupNlist(100) == 8)
+    assert(Sizing.semDedupNlist(1L << 40) == (1 << 20)) // driver-stat cap
+    // ceil division: never undersized
+    assert(Sizing.semDedupNlist(251) * 250 >= 251 - 250)
+    assert(Sizing.semDedupNlist(50000) == 200)
+  }
+
+  test("simhashBands: fewest pigeonhole-sufficient bands (widest " +
+      "segments, furthest random-collision ceiling)") {
+    assert(Sizing.simhashBands(0) == 1)
+    assert(Sizing.simhashBands(1) == 2)
+    assert(Sizing.simhashBands(3) == 4)  // the classic 64/4 = 16-bit bands
+    assert(Sizing.simhashBands(4) == 8)
+    assert(Sizing.simhashBands(7) == 8)
+    assert(Sizing.simhashBands(15) == 16)
+    // always a divisor of 64 and always >= maxHamming + 1
+    for (h <- 0 until 64) {
+      val b = Sizing.simhashBands(h)
+      assert(64 % b == 0 && b >= h + 1)
+    }
+  }
+
+  test("auto-sized operators equal their explicitly-sized twins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val emb = (1L to 300L).map { id =>
+      (id, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+
+    // nearDupPairs: Auto must resolve to (lshBits(n), lshTables(bits))
+    val n = 300L
+    val bits = Sizing.lshBits(n)
+    val tables = Sizing.lshTables(bits, 0.8)
+    val auto = graft.similarity.Similarity.nearDupPairs(
+      emb, "vec_id", "embedding", dim = 16, threshold = 0.8)
+    val explicit = graft.similarity.Similarity.nearDupPairs(
+      emb, "vec_id", "embedding", dim = 16, threshold = 0.8,
+      bits = bits, tables = tables)
+    assert(auto.collect().toSet == explicit.collect().toSet)
+
+    // semDedup: Auto must resolve to semDedupNlist(n)
+    val sAuto = graft.similarity.Similarity.semDedup(
+      emb, "vec_id", "embedding", threshold = 0.2)
+    val sExpl = graft.similarity.Similarity.semDedup(
+      emb, "vec_id", "embedding", threshold = 0.2,
+      nlist = Sizing.semDedupNlist(n))
+    assert(sAuto.collect().toSet == sExpl.collect().toSet)
+
+    // simhashPairs: Auto bands must resolve to simhashBands(maxHamming)
+    val docs = (1L to 200L).map { id =>
+      (id, (0 until 30).map(j => s"w${(id / 20) * 31 + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dAuto = graft.dedup.Dedup.simhashPairs(
+      docs, col("doc_id"), col("text"), maxHamming = 3)
+    val dExpl = graft.dedup.Dedup.simhashPairs(
+      docs, col("doc_id"), col("text"), maxHamming = 3, bands = 4)
+    assert(dAuto.collect().toSet == dExpl.collect().toSet)
+  }
+}

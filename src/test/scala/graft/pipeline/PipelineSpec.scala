@@ -34,6 +34,35 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("first"))
   }
 
+  test("CHAOS: RSSkip detects a torn stage output (missing _SUCCESS) " +
+      "and recomputes instead of serving the debris") {
+    val out = tmp() + "/o2torn"
+    new Pipeline(spark, Seq(stage("s1", out, RSSkip, "first"))).run()
+    assert(Fs.isCommitted(spark, out))
+
+    // simulate a driver crash mid-write: the committed marker is gone
+    // but the directory (with stale part files) remains
+    Fs.delete(spark, out + "/_SUCCESS")
+    assert(Fs.exists(spark, out) && !Fs.isCommitted(spark, out))
+
+    val ran = new Pipeline(spark, Seq(stage("s1", out, RSSkip, "second"))).run()
+    assert(ran == Seq("s1"), "torn output must recompute, not memoize")
+    assert(Fs.isCommitted(spark, out))
+    assert(spark.read.parquet(out).select("tag").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("second"))
+
+    // and a HALF-written directory (debris only, never committed):
+    // same detection, same recompute
+    val half = tmp() + "/o2half"
+    Fs.mkdir(spark, half)
+    Files.writeString(java.nio.file.Paths.get(half, "part-00000.parquet"),
+      "not a parquet file")
+    val ran2 = new Pipeline(spark, Seq(stage("s1", half, RSSkip, "fresh"))).run()
+    assert(ran2 == Seq("s1"))
+    assert(spark.read.parquet(half).select("tag").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("fresh"))
+  }
+
   test("RSFail throws when output exists") {
     val out = tmp() + "/o3"
     new Pipeline(spark, Seq(stage("s1", out, RSFail, "first"))).run()

@@ -340,21 +340,33 @@ class SimilaritySpec extends SparkSpec {
     def vec(seed: Int): Array[Float] =
       Array.tabulate(16)(i => math.sin(seed * 97 + i * 13).toFloat)
     // test ids 5 and 7 share ONE vector: every corpus row nearest to it
-    // ties exactly and must resolve to id 5 in both arms
-    val test = Seq((5L, vec(3)), (7L, vec(3)), (9L, vec(4)))
+    // ties exactly and must resolve to id 5 in both arms. Id 11 is a
+    // zero-norm test vector: all its sims are NaN, so it must flag
+    // nothing in either arm (the cell-routed arm drops it up-front).
+    val test = Seq((5L, vec(3)), (7L, vec(3)), (9L, vec(4)),
+        (11L, Array.fill(16)(0f)))
       .toDF("vec_id", "embedding")
-    val corpus = (1L to 40L)
-      .map(i => (i, vec((i % 6).toInt))).toDF("vec_id", "embedding")
-    def run(maxBroadcast: Long) = Similarity.semanticContamination(
+    // corpus row 41 is zero-norm: NaN sims, must never appear
+    val corpus = ((1L to 40L)
+      .map(i => (i, vec((i % 6).toInt))) :+ (41L, Array.fill(16)(0f)))
+      .toDF("vec_id", "embedding")
+    def run(maxBroadcast: Long, thr: Double) =
+      Similarity.semanticContamination(
         corpus, "vec_id", "embedding", test, "vec_id", "embedding",
-        threshold = 0.2, maxBroadcastTest = maxBroadcast)
+        threshold = thr, maxBroadcastTest = maxBroadcast)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
-    val broadcastArm = run(maxBroadcast = 1000000L)
-    val joinArm = run(maxBroadcast = 0L)
+    val broadcastArm = run(maxBroadcast = 1000000L, thr = 0.2)
+    val joinArm = run(maxBroadcast = 0L, thr = 0.2)
     assert(broadcastArm == joinArm) // bit-identical sims: same kernel
     assert(broadcastArm.nonEmpty)
     assert(broadcastArm.filter(_._3 > 0.999).forall(_._2 != 7L))
+    assert(broadcastArm.forall(t => t._1 != 41L && t._2 != 11L))
+    // tight threshold: the cell-routed arm prunes most cells and must
+    // still equal the closure arm exactly
+    assert(run(1000000L, 0.98) == run(0L, 0.98))
+    // permissive threshold: nothing prunable, still exact
+    assert(run(1000000L, -1.0) == run(0L, -1.0))
   }
 
   test("job shape: ivfPqTopK trains each quantizer exactly once — " +

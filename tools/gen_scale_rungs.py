@@ -38,11 +38,23 @@ import duckdb
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+# Multipliers coprime to 26: affine maps i -> a*i + b (mod 26) are
+# bijections, giving 12*26 = 312 distinct per-replica permutations.
+# For r < 26 the map degenerates to the plain rotation (a=1, b=r), so
+# x3/x10 rungs are byte-identical to the round-7 ones.
+COPRIME_A = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def doc_perm(r):
+    a = COPRIME_A[(r // 26) % len(COPRIME_A)]
+    b = r % 26
+    return "".join(ALPHA[(a * i + b) % 26] for i in range(26))
+
 
 def doc_arms(src, reps):
     arms = []
     for r in range(reps):
-        rot = ALPHA[r:] + ALPHA[:r]
+        rot = doc_perm(r)
         arms.append(f"""
           SELECT doc_id + {r}*10000000 AS doc_id,
                  translate(text, '{ALPHA}', '{rot}') AS text,
@@ -98,6 +110,8 @@ def main():
     args = ap.parse_args()
 
     con = duckdb.connect()
+    # x30/x100 are documents-only (the round-8 dedup deep-ladder rungs);
+    # the affine permutations keep replica shingle spaces disjoint.
     for name, reps in [("x3", 3), ("x10", 10)]:
         for kind, arms in [("docs", doc_arms(args.src, reps)),
                            ("emb", emb_arms(args.src, reps)),
@@ -112,6 +126,15 @@ def main():
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
             print(f"{dst}: {n} rows")
+    for name, reps in [("x30", 30), ("x100", 100)]:
+        d = os.path.join(args.out, "docs", name)
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, "documents.parquet")
+        con.execute(f"COPY ({doc_arms(args.src, reps)}) TO '{dst}'"
+                    " (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"{dst}: {n} rows")
 
 
 if __name__ == "__main__":
