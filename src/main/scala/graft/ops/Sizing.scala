@@ -59,12 +59,16 @@ object Sizing {
     * with MORE tables, never wider buckets. */
   def lshTables(bits: Int, threshold: Double,
       targetRecall: Double = 0.9): Int = {
-    require(bits >= 1 && threshold > -1.0 && threshold < 1.0 &&
-      targetRecall > 0.0 && targetRecall < 1.0,
+    require(bits >= 1 && targetRecall > 0.0 && targetRecall < 1.0,
       s"lshTables($bits, $threshold, $targetRecall)")
-    val p = 1.0 - math.acos(threshold) / math.Pi
+    // Cosine thresholds live in [-1, 1]; the endpoints are legal
+    // degenerate cases (exact-duplicate / keep-everything), so clamp
+    // rather than crash — acos is defined on the closed interval.
+    val t = math.max(-1.0, math.min(1.0, threshold))
+    val p = 1.0 - math.acos(t) / math.Pi
     val pTable = math.pow(p, bits.toDouble)
     if (pTable <= 0.0) 64
+    else if (pTable >= 1.0) 2 // threshold 1: any table catches the pair
     else {
       val t = math.log(1.0 - targetRecall) / math.log1p(-pTable)
       math.min(64, math.max(2, math.ceil(t).toInt))

@@ -45,6 +45,14 @@ class SizingSpec extends SparkSpec {
     // clamps
     assert(Sizing.lshTables(64, 0.1) == 64)
     assert(Sizing.lshTables(1, 0.99) == 2)
+    // endpoint thresholds are legal degenerate cases, not crashes:
+    // threshold 1 (exact duplicates) needs the minimum 2 tables;
+    // threshold -1 (keep everything) saturates at the 64-table cap;
+    // out-of-range inputs clamp to the nearest endpoint
+    assert(Sizing.lshTables(12, 1.0) == 2)
+    assert(Sizing.lshTables(12, -1.0) == 64)
+    assert(Sizing.lshTables(12, 1.5) == Sizing.lshTables(12, 1.0))
+    assert(Sizing.lshTables(12, -1.5) == Sizing.lshTables(12, -1.0))
   }
 
   test("semDedupNlist: constant cell population, clamped") {
