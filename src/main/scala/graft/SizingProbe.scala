@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** At-scale evidence for the `Sizing.Auto` defaults (ops/Sizing.scala):
+  * SizingSpec proves auto == explicit at fixture scale, but the claim
+  * that the AUTO-derived knobs land past the measured random-collision
+  * knee can only be shown on the scale-ladder rungs. This probe runs
+  * the two auto-sized candidate generators in exactly their bench-query
+  * shapes (q30 / q41) with knobs defaulted, plus the explicitly-pinned
+  * round-7 settings as the control, and prints one JSON line:
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft_scale_root/emb/x10 \
+  *   SPARK_GRAFT_KIND=emb SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.SizingProbe"
+  *
+  * KIND=emb: `nearDupPairs` over embeddings with one negated-dim copy
+  * planted per vector (q30's shape — real cos≈0.96 near-dups at
+  * threshold 0.9). Auto resolves (bits, tables) from the corpus count;
+  * the control is the round-7 hand-fix (12, 8).
+  * KIND=docs: `simhashPairs` at radius 3 (q41's shape). Auto resolves
+  * bands = 4 — the same value q41 pins, so auto-vs-control here
+  * verifies the resolution path costs nothing, not a different plan.
+  * Results in NOTES.md ("Sizing.Auto knee proof").
+  */
+object SizingProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val kind = sys.env.getOrElse("SPARK_GRAFT_KIND", "emb")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(body: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = body.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    kind match {
+      case "emb" =>
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val planted = e.select(
+          (col("vec_id") + 100000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+        val corpus = e.unionByName(planted)
+        val n = corpus.count()
+        val autoBits = graft.ops.Sizing.lshBits(n)
+        val autoTables = graft.ops.Sizing.lshTables(autoBits, 0.9)
+        def run(bits: Int, tables: Int) = time(
+          graft.similarity.Similarity.nearDupPairs(
+            corpus, "vec_id", "embedding", dim = 64, threshold = 0.9,
+            bits = bits, tables = tables, maxBucketSize = 1000))
+        run(autoBits, autoTables) // warm JIT/codegen once
+        val (tAuto, pairsAuto) =
+          time(graft.similarity.Similarity.nearDupPairs(
+            corpus, "vec_id", "embedding", dim = 64, threshold = 0.9))
+        val (tCtl, pairsCtl) = run(12, 8)
+        println(s"""{"metric":"sizing_auto_neardup","rows":$n,""" +
+          s""""auto_bits":$autoBits,"auto_tables":$autoTables,""" +
+          s""""sec_auto":$tAuto,"pairs_auto":$pairsAuto,""" +
+          s""""sec_ctl_12x8":$tCtl,"pairs_ctl":$pairsCtl}""")
+
+      case "docs" =>
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        val n = d.count()
+        val autoBands = graft.ops.Sizing.simhashBands(3)
+        def run(bands: Int) = time(graft.dedup.Dedup.simhashPairs(
+          d, col("doc_id"), col("text"),
+          maxHamming = 3, bands = bands, maxBucketSize = 1000))
+        run(autoBands) // warm
+        val (tAuto, pairsAuto) = time(graft.dedup.Dedup.simhashPairs(
+          d, col("doc_id"), col("text"), maxHamming = 3))
+        val (tCtl, pairsCtl) = run(4)
+        println(s"""{"metric":"sizing_auto_simhash","rows":$n,""" +
+          s""""auto_bands":$autoBands,"sec_auto":$tAuto,""" +
+          s""""pairs_auto":$pairsAuto,"sec_ctl_b4":$tCtl,""" +
+          s""""pairs_ctl":$pairsCtl}""")
+    }
+    spark.stop()
+  }
+}

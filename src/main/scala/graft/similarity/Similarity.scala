@@ -1141,70 +1141,7 @@ object Similarity extends Serializable {
       col(testVec).as("tv"))
     val nTest = tdf.count()
     if (nTest > maxBroadcastTest) {
-      val spark = corpus.sparkSession
-      // cells sized for ~4k test vectors each, capped so the centroid
-      // table stays a small driver statistic (<= 256 × dim doubles)
-      val nlist = math.max(8L, math.min(256L, nTest / 4096L)).toInt
-      val cents = trainKmeans(tdf, "test_id", "tv", nlist, 1)
-
-      def clamp(s: Double) = math.max(-1.0, math.min(1.0, s))
-      // (test_id, tv, cell, angle-to-centroid) — one map-only kernel;
-      // same nearest-cell tie-break as assignNearest ((-sim, cid))
-      val tSchema = StructType(tdf.schema.fields ++ Seq(
-        StructField("cell", LongType, false),
-        StructField("ang", DoubleType, false)))
-      val tEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(tSchema)
-      val assigned = tdf.mapPartitions { rows =>
-        rows.flatMap { r =>
-          val tv = r.getSeq[Float](1)
-          var norm = 0.0
-          tv.foreach(x => norm += x.toDouble * x.toDouble)
-          if (norm == 0.0) Iterator.empty // NaN sims: dead in both arms
-          else {
-            val (cid, s) = cents.iterator
-              .map { case (cid, ce) => (cid, cosFD(tv, ce)) }
-              .minBy { case (cid, s) => (-s, cid) }
-            Iterator(org.apache.spark.sql.Row(
-              r.get(0), r.get(1), cid, math.acos(clamp(s))))
-          }
-        }
-      }(tEnc)
-
-      // per-cell radius: a bounded (nlist-row) driver statistic
-      val radii: Map[Long, Double] = assigned
-        .groupBy("cell").agg(max(col("ang")).as("r"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val cells: Array[(Long, Array[Double], Double)] =
-        cents.collect { case (cid, ce) if radii.contains(cid) =>
-          (cid, ce, radii(cid)) }
-
-      // corpus side: emit (id, v, cell) only for cells whose cosine
-      // upper bound reaches the threshold — sound pruning, see scaladoc
-      val cSchema = StructType(c.schema.fields :+
-        StructField("cell", LongType, false))
-      val cEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(cSchema)
-      val candidates = c.mapPartitions { rows =>
-        rows.flatMap { r =>
-          val v = r.getSeq[Float](1)
-          var vNorm = 0.0
-          v.foreach(x => vNorm += x.toDouble * x.toDouble)
-          if (vNorm == 0.0) Iterator.empty // all its sims are NaN: dead
-          else cells.iterator.flatMap { case (cid, ce, rad) =>
-            val ang = math.acos(clamp(cosFD(v, ce)))
-            val bound = math.cos(math.max(0.0, ang - rad))
-            // prune only when PROVABLY below threshold: a NaN bound
-            // (zero-norm v — all its sims are NaN and die at the
-            // filter anyway — or a degenerate zero centroid) fails
-            // this comparison and routes through to the exact verify
-            if (bound + 1e-9 < threshold) Iterator.empty
-            else
-              Iterator(org.apache.spark.sql.Row(r.get(0), r.get(1), cid))
-          }
-        }
-      }(cEnc)
-
+      val (assigned, candidates) = contaminationRouting(c, tdf, threshold)
       val scored = withCosineKernel(
         candidates.join(assigned.select(col("test_id"), col("tv"),
           col("cell")), "cell"),
@@ -1242,6 +1179,86 @@ object Similarity extends Serializable {
         else Iterator.empty
       }
     }(enc)
+  }
+
+  /** The cell-routed arm's candidate generation, extracted so the
+    * scale probe (`graft.ContaminationProbe`) can count routing
+    * survivors with the SAME bound math the operator ships — never a
+    * re-derivation that could drift. Returns (assigned test rows with
+    * their cell + angle, corpus candidate rows fanned to the cells
+    * whose cosine upper bound reaches `threshold`). Inputs must
+    * already carry the canonical column names (`id`/`v`,
+    * `test_id`/`tv`). See [[semanticContamination]]'s scaladoc for the
+    * spherical triangle-inequality bound this implements. */
+  private[graft] def contaminationRouting(
+      c: DataFrame, tdf: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val nTest = tdf.count()
+    // cells sized for ~4k test vectors each, capped so the centroid
+    // table stays a small driver statistic (<= 256 × dim doubles)
+    val nlist = math.max(8L, math.min(256L, nTest / 4096L)).toInt
+    val cents = trainKmeans(tdf, "test_id", "tv", nlist, 1)
+
+    def clamp(s: Double) = math.max(-1.0, math.min(1.0, s))
+    // (test_id, tv, cell, angle-to-centroid) — one map-only kernel;
+    // same nearest-cell tie-break as assignNearest ((-sim, cid))
+    val tSchema = StructType(tdf.schema.fields ++ Seq(
+      StructField("cell", LongType, false),
+      StructField("ang", DoubleType, false)))
+    val tEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(tSchema)
+    val assigned = tdf.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val tv = r.getSeq[Float](1)
+        var norm = 0.0
+        tv.foreach(x => norm += x.toDouble * x.toDouble)
+        if (norm == 0.0) Iterator.empty // NaN sims: dead in both arms
+        else {
+          val (cid, s) = cents.iterator
+            .map { case (cid, ce) => (cid, cosFD(tv, ce)) }
+            .minBy { case (cid, s) => (-s, cid) }
+          Iterator(org.apache.spark.sql.Row(
+            r.get(0), r.get(1), cid, math.acos(clamp(s))))
+        }
+      }
+    }(tEnc)
+
+    // per-cell radius: a bounded (nlist-row) driver statistic
+    val radii: Map[Long, Double] = assigned
+      .groupBy("cell").agg(max(col("ang")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cells: Array[(Long, Array[Double], Double)] =
+      cents.collect { case (cid, ce) if radii.contains(cid) =>
+        (cid, ce, radii(cid)) }
+
+    // corpus side: emit (id, v, cell) only for cells whose cosine
+    // upper bound reaches the threshold — sound pruning, see scaladoc
+    val cSchema = StructType(c.schema.fields :+
+      StructField("cell", LongType, false))
+    val cEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(cSchema)
+    val candidates = c.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = r.getSeq[Float](1)
+        var vNorm = 0.0
+        v.foreach(x => vNorm += x.toDouble * x.toDouble)
+        if (vNorm == 0.0) Iterator.empty // all its sims are NaN: dead
+        else cells.iterator.flatMap { case (cid, ce, rad) =>
+          val ang = math.acos(clamp(cosFD(v, ce)))
+          val bound = math.cos(math.max(0.0, ang - rad))
+          // prune only when PROVABLY below threshold: a NaN bound
+          // (zero-norm v — all its sims are NaN and die at the
+          // filter anyway — or a degenerate zero centroid) fails
+          // this comparison and routes through to the exact verify
+          if (bound + 1e-9 < threshold) Iterator.empty
+          else
+            Iterator(org.apache.spark.sql.Row(r.get(0), r.get(1), cid))
+        }
+      }
+    }(cEnc)
+
+    (assigned, candidates)
   }
 
   /** Cross-corpus incremental SemDeDup — `semDedup`'s semantics for the

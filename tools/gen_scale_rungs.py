@@ -63,12 +63,19 @@ def doc_arms(src, reps):
     return " UNION ALL ".join(arms)
 
 
-def emb_arms(src, reps):
+def emb_arms(src, reps, cycle=4):
+    # cycle = how many bits of the replica index select sign-flip
+    # dimensions; the pattern repeats with period 2^cycle, so reps > 16
+    # must pass cycle=5 or two replicas become EXACT copies (cos 1.0 —
+    # an all-duplicates pathology, not a bigger corpus). cycle=4 is
+    # kept as the default so x3/x10 stay byte-identical to the round-7
+    # rungs the recorded ladder numbers came from.
+    assert reps <= 2 ** cycle, f"reps {reps} exceeds 2^{cycle} patterns"
     arms = []
     for r in range(reps):
         arms.append(f"""
           SELECT vec_id + {r}*10000000 AS vec_id,
-            [CASE WHEN ({r} // CAST(pow(2, (i-1) % 4) AS INTEGER)) % 2 = 1
+            [CASE WHEN ({r} // CAST(pow(2, (i-1) % {cycle}) AS INTEGER)) % 2 = 1
                   THEN CAST(-embedding[i] AS FLOAT)
                   ELSE embedding[i] END
              for i in range(1, len(embedding)+1)] AS embedding,
@@ -135,6 +142,16 @@ def main():
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{dst}: {n} rows")
+    # embeddings x30 (the Sizing.Auto knee-proof rung): needs the
+    # 5-bit sign-flip cycle — see emb_arms
+    d = os.path.join(args.out, "emb", "x30")
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, "embeddings.parquet")
+    con.execute(f"COPY ({emb_arms(args.src, 30, cycle=5)}) TO '{dst}'"
+                " (FORMAT PARQUET)")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+    print(f"{dst}: {n} rows")
 
 
 if __name__ == "__main__":
