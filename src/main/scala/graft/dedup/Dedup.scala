@@ -923,9 +923,18 @@ object Dedup {
       docs2: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.types._
+    // shuffle_hash, not sort-merge: the pair stream widens to multi-KB
+    // rows once sh1 attaches, and SMJ would SORT that wide stream at
+    // the id2 exchange — the x100 ladder A/B measured the hash join
+    // ~1.5-2x faster and far less spill-noisy (NOTES.md "verify-join
+    // A/B", graft.VerifyJoinProbe). The hint sits on the docs side, so
+    // the per-partition hash build is |docs|/partitions rows — the
+    // narrow side, and partition count scales it down on a cluster.
     val joined = pairs
-      .join(docs1.select(col("id").as("id1"), col("vms").as("sh1")), "id1")
-      .join(docs2.select(col("id").as("id2"), col("vms").as("sh2")), "id2")
+      .join(docs1.select(col("id").as("id1"), col("vms").as("sh1"))
+        .hint("shuffle_hash"), "id1")
+      .join(docs2.select(col("id").as("id2"), col("vms").as("sh2"))
+        .hint("shuffle_hash"), "id2")
       .select("id1", "id2", "sh1", "sh2")
     // two-pointer intersect over the (sorted — see shingleDocs) hash
     // sets; array_intersect builds a hash set per row and ran 3x slower

@@ -1081,9 +1081,14 @@ object Similarity extends Serializable {
     val pairs = graft.dedup.Dedup
       .emitPairs(grouped, c.schema("id").dataType)
       .distinct()
+    // shuffle_hash on the corpus sides for the same reason as
+    // Dedup.verifyJaccard's hint: never sort the pair stream once the
+    // vector payload attaches (NOTES.md "verify-join A/B")
     withCosineKernel(pairs
-      .join(c.select(col("id").as("id1"), col("v").as("v1")), "id1")
-      .join(c.select(col("id").as("id2"), col("v").as("v2")), "id2"),
+      .join(c.select(col("id").as("id1"), col("v").as("v1"))
+        .hint("shuffle_hash"), "id1")
+      .join(c.select(col("id").as("id2"), col("v").as("v2"))
+        .hint("shuffle_hash"), "id2"),
       "v1", "v2", "sim")
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
@@ -1379,9 +1384,14 @@ object Similarity extends Serializable {
     // each id lives in exactly ONE cell (n=1 assignment), so the pair
     // stream is duplicate-free by construction — no DISTINCT shuffle
     val pairs = graft.dedup.Dedup.emitPairs(grouped, c.schema("id").dataType)
+    // shuffle_hash on the corpus sides for the same reason as
+    // Dedup.verifyJaccard's hint: never sort the pair stream once the
+    // vector payload attaches (NOTES.md "verify-join A/B")
     withCosineKernel(pairs
-      .join(c.select(col("id").as("id1"), col("v").as("v1")), "id1")
-      .join(c.select(col("id").as("id2"), col("v").as("v2")), "id2"),
+      .join(c.select(col("id").as("id1"), col("v").as("v1"))
+        .hint("shuffle_hash"), "id1")
+      .join(c.select(col("id").as("id2"), col("v").as("v2"))
+        .hint("shuffle_hash"), "id2"),
       "v1", "v2", "sim")
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
