@@ -879,7 +879,16 @@ object Dedup {
       lineSep: String = "\n",
       minLineChars: Int = 1): DataFrame = {
     val sep = java.util.regex.Pattern.quote(lineSep) // Spark split is regex
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val lines = df
+      // same discipline as shingleDocs: the explode/md5/collect kernel
+      // must run post-exchange, not at scan parallelism — a corpus
+      // that arrives as one parquet split would otherwise serialize
+      // the whole pipeline into a single task whenever the
+      // boilerplate side broadcasts (measured: the q55 x30-vs-x100
+      // inversion, NOTES.md "line-dedup scan-parallelism trap").
+      // Partitioning by id also pre-positions the final groupBy(id).
+      .repartition(par, idCol)
       .select(idCol.as("id"),
         posexplode(split(coalesce(textCol, lit("")), sep))
           .as(Seq("pos", "line")))
