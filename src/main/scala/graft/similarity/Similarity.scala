@@ -1169,7 +1169,18 @@ object Similarity extends Serializable {
       StructField("sim", DoubleType, false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
-    c.mapPartitions { rows =>
+    // per-row work is |test| * dim flops — the heaviest map kernel in
+    // the library, so never leave it at scan parallelism (a one-split
+    // corpus file would serialize it; ContaminationProbe measured the
+    // single-task arm at ~319 s where 32-way took ~13). Gated on test
+    // size: below ~1k test vectors the kernel is light enough that
+    // the repartition's fixed shuffle would cost more than it buys
+    // (measured +0.16 s on q64's benchmark-sized test at sf0.1).
+    val cPar =
+      if (testVecs.length >= 1000)
+        c.repartition(c.sparkSession.sparkContext.defaultParallelism)
+      else c
+    cPar.mapPartitions { rows =>
       rows.flatMap { r =>
         val v = r.getSeq[Float](1)
         var bestId = -1L; var bestSim = Double.NegativeInfinity
@@ -1213,7 +1224,15 @@ object Similarity extends Serializable {
       StructField("ang", DoubleType, false)))
     val tEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(tSchema)
-    val assigned = tdf.mapPartitions { rows =>
+    val par = tdf.sparkSession.sparkContext.defaultParallelism
+    // nlist * dim flops per row on both kernels below: force them off
+    // scan parallelism (same justification as the broadcast arm's
+    // repartition), and PERSIST the assignment — it feeds the radii
+    // collect AND the scored join, and recomputing a |test| * nlist
+    // assignment pass costs far more than caching |test| rows of
+    // (id, vec, cell, ang). Bounded by the test side, never the
+    // corpus; evicted LRU like any cache.
+    val assigned = tdf.repartition(par).mapPartitions { rows =>
       rows.flatMap { r =>
         val tv = r.getSeq[Float](1)
         var norm = 0.0
@@ -1227,9 +1246,10 @@ object Similarity extends Serializable {
             r.get(0), r.get(1), cid, math.acos(clamp(s))))
         }
       }
-    }(tEnc)
+    }(tEnc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-cell radius: a bounded (nlist-row) driver statistic
+    // (this collect also materializes the `assigned` cache)
     val radii: Map[Long, Double] = assigned
       .groupBy("cell").agg(max(col("ang")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -1243,7 +1263,7 @@ object Similarity extends Serializable {
       StructField("cell", LongType, false))
     val cEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(cSchema)
-    val candidates = c.mapPartitions { rows =>
+    val candidates = c.repartition(par).mapPartitions { rows =>
       rows.flatMap { r =>
         val v = r.getSeq[Float](1)
         var vNorm = 0.0
