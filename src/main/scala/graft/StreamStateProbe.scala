@@ -51,7 +51,22 @@ object StreamStateProbe {
       .writeStream.format("noop")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      // re-delivery phase: the SAME documents arrive again as new
+      // files — per-bucket `stored.exists` dedup means state must NOT
+      // grow, the claim behind "state is linear in DISTINCT docs, not
+      // stream length"
+      if (sys.env.get("SPARK_GRAFT_REDELIVER").contains("1")) {
+        (0 until nBatches).foreach { b =>
+          val src = streamDir.resolve(f"batch_$b%02d.parquet")
+          val dst = streamDir.resolve(f"redeliver_$b%02d.parquet")
+          java.nio.file.Files.copy(src, dst)
+          dst.toFile.setLastModified(1500000000000L + (nBatches + b) * 60000L)
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
 
     val rows = q.recentProgress.toSeq
       .filter(p => p.numInputRows > 0 || p.batchId < nBatches)
