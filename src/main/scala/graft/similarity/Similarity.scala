@@ -392,7 +392,11 @@ object Similarity extends Serializable {
       .collect()
       .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
 
+    // nlist * dim flops per row per pass: off scan parallelism, like
+    // every heavy kernel (the round-9 discipline; partials stay
+    // bounded at partitions * nlist rows either way)
     val proj = corpus.select(col(vecCol).as("v"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val partialSchema = StructType(Seq(
       StructField("cent", IntegerType, false),
       StructField("sums", ArrayType(LongType, false), false),
@@ -543,7 +547,11 @@ object Similarity extends Serializable {
       (s, c) => seeds(c).slice(s * dsub, (s + 1) * dsub)
     }
 
+    // ksub * dim flops per row per pass: off scan parallelism, like
+    // every heavy kernel (the round-9 discipline; partials stay
+    // bounded at partitions * m * ksub rows either way)
     val proj = corpus.select(col(vecCol).as("v"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val partialSchema = StructType(Seq(
       StructField("sub", IntegerType, false),
       StructField("cent", IntegerType, false),

@@ -393,11 +393,14 @@ class SimilaritySpec extends SparkSpec {
       .length
     // construction-time jobs ARE the training passes: coarse = 1 md5-seed
     // collect + 2 Lloyd iterations, PQ = 1 seed collect + 2 iterations.
-    // The absolute count (9, not 6) includes executeTake's incremental
-    // scale-up sub-jobs inside the two seed collects — a pinned snapshot
-    // like the InMemoryTableScan counts: an accidentally doubled
-    // training pass adds at least one corpus-scan job and fails here.
-    assert(trainJobs == 9, s"training pass count drifted: $trainJobs")
+    // The absolute count (13, not 6) includes executeTake's incremental
+    // scale-up sub-jobs inside the two seed collects, plus one AQE
+    // shuffle-materialization job per Lloyd iteration (the round-9
+    // off-scan-parallelism repartition in both training passes: 2
+    // coarse + 2 PQ) — a pinned snapshot like the InMemoryTableScan
+    // counts: an accidentally doubled training pass adds at least one
+    // corpus-scan job and fails here.
+    assert(trainJobs == 13, s"training pass count drifted: $trainJobs")
     assert(df.collect().nonEmpty)
   }
 
