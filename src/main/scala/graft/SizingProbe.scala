@@ -63,6 +63,28 @@ object SizingProbe {
           s""""sec_auto":$tAuto,"pairs_auto":$pairsAuto,""" +
           s""""sec_ctl_12x8":$tCtl,"pairs_ctl":$pairsCtl}""")
 
+      case "ivf" =>
+        // q33's query shape (queries = every 25th vector) with Auto
+        // nlist vs the old fixed-16 default: with n_q proportional to
+        // n, fixed nlist is quadratic (nprobe*n/nlist per query); the
+        // sqrt rule keeps per-query candidates ~nprobe*sqrt(n)/4
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val n = e.count()
+        val queries = e.filter(col("vec_id") % 25 === 0)
+        val autoNlist = graft.ops.Sizing.ivfNlist(n)
+        def run(nlist: Int) = time(graft.similarity.Similarity.ivfTopK(
+          e, queries, "vec_id", "embedding", k = 10,
+          nlist = nlist, nprobe = 4))
+        run(autoNlist) // warm
+        val (tAuto, rowsAuto) = time(graft.similarity.Similarity.ivfTopK(
+          e, queries, "vec_id", "embedding", k = 10, nprobe = 4))
+        val (tCtl, rowsCtl) = run(16)
+        println(s"""{"metric":"sizing_auto_ivf","rows":$n,""" +
+          s""""auto_nlist":$autoNlist,"sec_auto":$tAuto,""" +
+          s""""rows_auto":$rowsAuto,"sec_ctl_16":$tCtl,""" +
+          s""""rows_ctl":$rowsCtl}""")
+
       case "docs" =>
         val d = spark.read.parquet(s"$sfDir/documents.parquet")
         val n = d.count()

@@ -88,6 +88,22 @@ object Sizing {
     math.min(1 << 20, math.max(8, cells)).toInt
   }
 
+  /** IVF coarse-quantizer cell count: the classic ~4*sqrt(n) rule
+    * (FAISS's guideline for IVF index training). With a FIXED nlist the
+    * per-query candidate set is nprobe*n/nlist — linear in n, so
+    * query-set-proportional workloads go quadratic (the round-9
+    * embedding ladder measured the pinned nlist=16 bench shapes at
+    * exponent ~1.5 by 60k vectors); with nlist ~ sqrt(n) it is
+    * ~nprobe*sqrt(n)/4 — sublinear per query. Floor 16 keeps tiny
+    * corpora at the old default; cap 2^14 bounds the driver-collected
+    * centroid table (16384 x dim doubles = 8 MB at dim 64) — past
+    * ~17M vectors raise it knowingly or shard the corpus. */
+  def ivfNlist(approxCorpus: Long): Int = {
+    require(approxCorpus >= 0, s"ivfNlist of negative $approxCorpus")
+    val raw = 4.0 * math.sqrt(approxCorpus.toDouble)
+    math.min(1 << 14, math.max(16, math.ceil(raw).toInt))
+  }
+
   /** SimHash band count for hamming radius `maxHamming` over a 64-bit
     * fingerprint: the SMALLEST divisor of 64 that is >= maxHamming+1.
     * Pigeonhole needs bands >= maxHamming+1 for perfect pre-verify

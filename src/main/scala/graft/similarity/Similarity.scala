@@ -487,14 +487,24 @@ object Similarity extends Serializable {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = graft.ops.Sizing.Auto, nprobe: Int = 4,
       trainIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
+    // Auto-sizing (default): nlist ~ 4*sqrt(corpus) so the per-query
+    // candidate set is ~nprobe*sqrt(n)/4 — with a FIXED nlist it is
+    // nprobe*n/nlist, which the round-9 embedding ladder measured at
+    // exponent ~1.5 on query-proportional workloads (Sizing.ivfNlist).
+    // Bench/oracle queries keep pinning explicit values.
+    val nlistN =
+      if (nlist == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.ivfNlist(corpus.select(col(idCol)).count())
+      else nlist
     val cents: Array[(Long, Array[Double])] =
-      if (trainIters > 0) trainKmeans(corpus, idCol, vecCol, nlist, trainIters)
+      if (trainIters > 0)
+        trainKmeans(corpus, idCol, vecCol, nlistN, trainIters)
       else corpus
         .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
-        .orderBy(col("cent_id")).limit(nlist)
+        .orderBy(col("cent_id")).limit(nlistN)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
 
@@ -802,7 +812,7 @@ object Similarity extends Serializable {
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = graft.ops.Sizing.Auto, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16,
       coarseTrainIters: Int = 0, pqTrainIters: Int = 0,
       residual: Boolean = false): DataFrame = {
@@ -811,12 +821,17 @@ object Similarity extends Serializable {
     require(m >= 1, s"m must be >= 1, got $m")
     val spark = corpus.sparkSession
     val par = spark.sparkContext.defaultParallelism
+    // Auto-sizing: same sqrt rule as ivfTopK (Sizing.ivfNlist)
+    val nlistN =
+      if (nlist == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.ivfNlist(corpus.select(col(idCol)).count())
+      else nlist
     val cents: Array[(Long, Array[Double])] =
       if (coarseTrainIters > 0)
-        trainKmeans(corpus, idCol, vecCol, nlist, coarseTrainIters)
+        trainKmeans(corpus, idCol, vecCol, nlistN, coarseTrainIters)
       else corpus
         .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
-        .orderBy(col("cent_id")).limit(nlist)
+        .orderBy(col("cent_id")).limit(nlistN)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
 

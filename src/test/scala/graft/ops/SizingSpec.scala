@@ -82,6 +82,24 @@ class SizingSpec extends SparkSpec {
     }
   }
 
+  test("ivfNlist: ~4*sqrt(n), floored at the old default, capped at " +
+      "the driver-statistic bound") {
+    assert(Sizing.ivfNlist(0) == 16)
+    assert(Sizing.ivfNlist(16) == 16)    // 4*4 = floor
+    assert(Sizing.ivfNlist(2500) == 200) // 4*50 exactly
+    assert(Sizing.ivfNlist(60000) == 980) // ceil(4*sqrt(60000)) — the x30 rung
+    assert(Sizing.ivfNlist(Long.MaxValue / 4) == (1 << 14)) // cap
+    // monotone non-decreasing
+    val pts = Seq(0L, 100L, 10000L, 1000000L, 100000000L)
+      .map(Sizing.ivfNlist)
+    assert(pts == pts.sorted)
+    // the scale property: per-query candidate fraction nprobe/nlist
+    // shrinks as ~1/sqrt(n) — at 100x corpus the fraction is ~10x lower
+    val f1 = 4.0 / Sizing.ivfNlist(10000)
+    val f100 = 4.0 / Sizing.ivfNlist(1000000)
+    assert(f100 < f1 / 8 && f100 > f1 / 12, s"f1=$f1 f100=$f100")
+  }
+
   test("auto-sized operators equal their explicitly-sized twins") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
@@ -107,6 +125,14 @@ class SizingSpec extends SparkSpec {
       emb, "vec_id", "embedding", threshold = 0.2,
       nlist = Sizing.semDedupNlist(n))
     assert(sAuto.collect().toSet == sExpl.collect().toSet)
+
+    // ivfTopK: Auto must resolve to ivfNlist(n)
+    val iAuto = graft.similarity.Similarity.ivfTopK(
+      emb, emb.limit(20), "vec_id", "embedding", k = 5, nprobe = 2)
+    val iExpl = graft.similarity.Similarity.ivfTopK(
+      emb, emb.limit(20), "vec_id", "embedding", k = 5,
+      nlist = Sizing.ivfNlist(n), nprobe = 2)
+    assert(iAuto.collect().toSet == iExpl.collect().toSet)
 
     // simhashPairs: Auto bands must resolve to simhashBands(maxHamming)
     val docs = (1L to 200L).map { id =>
