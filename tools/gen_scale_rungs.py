@@ -88,24 +88,28 @@ def event_arms(src, reps):
     arms = []
     for r in range(reps):
         arms.append(f"""
-          SELECT event_id + {r}*100000000 AS event_id,
+          SELECT event_id + {r * 100000000} AS event_id,
                  CAST(ts + INTERVAL ({r}*400) DAYS AS TIMESTAMP_NS) AS ts,
-                 user_id + {r}*10000000 AS user_id,
+                 user_id + {r * 10000000} AS user_id,
                  event_type, value, props
           FROM read_parquet('{src}/events.parquet')""")
     return " UNION ALL ".join(arms)
 
 
-def graph_arms(src, reps):
+def graph_arms(src, reps, offset=1000000):
     # lineitem's (l_partkey, l_suppkey) pair graph, replicated into
     # DISJOINT id spaces (offsets stay under the 10^7 dst shift q90/q92
     # apply, so src/dst ranges never collide): each replica is its own
     # connected region — a bigger catalog's shape, not a denser graph.
+    # (reps-1)*offset + max_key must stay < 10^7: the default offset
+    # holds through reps=10; larger ladders must pass a smaller one
+    # (still > max l_partkey ~20k, keeping replicas disjoint).
+    assert (reps - 1) * offset + 300000 < 10**7, "ids cross the dst shift"
     arms = []
     for r in range(reps):
         arms.append(f"""
-          SELECT l_partkey + {r}*1000000 AS l_partkey,
-                 l_suppkey + {r}*1000000 AS l_suppkey
+          SELECT l_partkey + {r}*{offset} AS l_partkey,
+                 l_suppkey + {r}*{offset} AS l_suppkey
           FROM read_parquet('{src}/lineitem.parquet')""")
     return " UNION ALL ".join(arms)
 
@@ -152,6 +156,18 @@ def main():
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
     print(f"{dst}: {n} rows")
+    # events/graph x30 (round-9 one-rung-up extensions; same transforms
+    # as their x3/x10 rungs — offsets stay collision-free at reps=30)
+    for kind, arms, table in [
+            ("events", event_arms(args.src, 30), "events"),
+            ("graph", graph_arms(args.src, 30, offset=300000), "lineitem")]:
+        d = os.path.join(args.out, kind, "x30")
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, f"{table}.parquet")
+        con.execute(f"COPY ({arms}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"{dst}: {n} rows")
 
 
 if __name__ == "__main__":
