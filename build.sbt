@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g MEASURED faster than 32g for this suite (round 9, alternating
+  // A/B): q19's allocation-heavy pair kernel ran 1.5 s at 8g vs
+  // 9-14 s at -Xms32g/-Xmx32g — a big fresh heap page-faults/THP-
+  // stalls harder than a small recycled one, and Spark's larger
+  // execution-memory grant just builds deeper agg maps before
+  // spilling. Do not "upgrade" this without re-running that A/B.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
