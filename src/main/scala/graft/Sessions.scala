@@ -62,9 +62,15 @@ object Sessions {
       // ObjectHashAggregate (collect_list/_capped, typed buffers) falls
       // back to SORT-based aggregation after this many distinct keys per
       // partition; the default (128) turns every posting-list grouping
-      // into a full sort. graft's aggregation buffers are size-capped
-      // (CollectListCapped), so a ~1M-entry hash map stays ~100 MB/task.
+      // into a full sort. This is a PER-TASK heap budget and every core
+      // runs a task: a posting-list buffer costs ~200 B of object
+      // overhead even at df=1, so 2^18 keys ~ 50 MB/task ~ 1.6 GiB at
+      // 32 cores. The earlier 2^20 setting OOM'd the x100 ladder's
+      // 35M-distinct-shingle grouping (ObjectAggregationIterator
+      // allocates the WHOLE map before the fallback check fires) —
+      // past the threshold, sort-based aggregation spills properly,
+      // which is the correct regime for key counts that outgrow memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 20).toString)
+        (1 << 18).toString)
       .withExtensions(registerExtensions)
 }

@@ -195,6 +195,29 @@ object Dedup {
       java.util.Arrays.fill(cnts, 0L)
       n = 0
     }
+
+    /** LAZY drain: stream entries one at a time, resetting as it goes —
+      * no caller-side buffer of the whole table. The x30 q19 ladder
+      * OOM'd 32 concurrent tasks because each eager drain materialized
+      * ~flushAt Row objects at once on top of the counter arrays; this
+      * keeps per-task transient memory at ONE row. The counter must not
+      * be `add`ed to until the iterator is exhausted (flatMap consumes
+      * each sub-iterator fully before the next input row, which is
+      * exactly the emitPairAndSizeCounts call pattern); exhaustion
+      * leaves the counter empty with capacity retained. */
+    def drainIterator[T](f: (Long, Long, Long) => T): Iterator[T] =
+      new Iterator[T] {
+        private var i = 0
+        private def advance(): Unit = { while (i < cap && cnts(i) == 0) i += 1 }
+        advance()
+        def hasNext: Boolean = i < cap
+        def next(): T = {
+          val r = f(k1s(i), k2s(i), cnts(i))
+          cnts(i) = 0; n -= 1
+          i += 1; advance()
+          r
+        }
+      }
   }
 
   /** One-pass fused pair-count + per-doc size count for the
@@ -215,6 +238,17 @@ object Dedup {
     * sum finishes the aggregation. Replaces a posting-list self-join:
     * one grouping shuffle instead of join-build + probe + pair shuffle.
     *
+    * `flushAt` is a PER-TASK memory budget, and every core runs a task:
+    * counter arrays cost ~48 B per entry at the 50% load ceiling, so
+    * peak ~ flushAt * 48 B * concurrent tasks (the drain itself is
+    * LAZY — one transient Row — see LongPairCounter.drainIterator).
+    * The original 2^22 default OOM'd 32 tasks in an 8 GiB driver the
+    * first time a rung's true pair count exceeded the threshold (x30
+    * docs ladder, round 9; 2^20 with an eager drain still OOM'd
+    * intermittently). 2^19 bounds the stage at ~0.8 GiB for 32 cores
+    * while still pre-combining everything smaller than a
+    * half-million-pair working set.
+    *
     * Integral id types (long/int) run on `LongPairCounter` — flat
     * primitive arrays, no boxing in the quadratic loop; everything else
     * takes the generic boxed path. DedupKernelSpec pins both paths to
@@ -223,7 +257,7 @@ object Dedup {
   private[graft] def emitPairAndSizeCounts(
       groups: DataFrame,
       idType: org.apache.spark.sql.types.DataType,
-      flushAt: Int = 1 << 22): DataFrame = {
+      flushAt: Int = 1 << 19): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("id1", idType, false),
@@ -237,20 +271,17 @@ object Dedup {
         val isInt = idType == IntegerType
         ids.mapPartitions { rows =>
           val acc = new LongPairCounter()
-          def drain(): Iterator[org.apache.spark.sql.Row] = {
-            val out = new scala.collection.mutable.ArrayBuffer[
-              org.apache.spark.sql.Row](acc.size)
-            acc.drainInto { (a, b, c) =>
-              out += (
-                if (a == b)
-                  org.apache.spark.sql.Row(
-                    if (isInt) a.toInt else a, null, c)
-                else if (isInt)
-                  org.apache.spark.sql.Row(a.toInt, b.toInt, c)
-                else org.apache.spark.sql.Row(a, b, c))
+          // lazy: one transient Row at a time — an eager ArrayBuffer of
+          // ~flushAt rows here OOM'd 32 concurrent tasks on the x30
+          // ladder (see drainIterator's scaladoc)
+          def drain(): Iterator[org.apache.spark.sql.Row] =
+            acc.drainIterator { (a, b, c) =>
+              if (a == b)
+                org.apache.spark.sql.Row(if (isInt) a.toInt else a, null, c)
+              else if (isInt)
+                org.apache.spark.sql.Row(a.toInt, b.toInt, c)
+              else org.apache.spark.sql.Row(a, b, c)
             }
-            out.iterator
-          }
           val flushed = rows.flatMap { r =>
             val s = r.getSeq[Any](0)
             val arr = new Array[Long](s.length)
