@@ -19,6 +19,22 @@ import org.apache.spark.sql.SparkSession
   * and then processes terabytes — per-plan Janino compile time (~6 s
   * across this suite, measured) is not throughput. The cold pass's total
   * is still reported as `cold_total`.
+  *
+  * Self-diagnosis (round 10): a capture taken on a loaded box is
+  * indistinguishable from a regression unless the JSON itself carries the
+  * evidence. Three additions make a polluted capture identifiable without
+  * a quiet-box rerun:
+  *   - `load_start`/`load_end`: the OS 1-minute load average before the
+  *     first and after the last run (this box has 32 hardware threads; a
+  *     load far above the bench's own footprint means contention);
+  *   - `control`: the FIRST query of the suite re-timed at suite END
+  *     (median of the same iteration count). If the box degraded while
+  *     the suite ran, the control median drifts above the in-suite median
+  *     (`control_ratio` >> 1) even though the code is identical;
+  *   - per-query medians re-printed as CHUNKED short lines
+  *     (`"metric":"queries_chunk"`, ~8 queries each) so a tail-biased
+  *     log truncation can never erase the head of the catalog again
+  *     (BENCH_r09 lost q01–q61's per-query data that way).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,6 +67,10 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     require(iters >= 1, s"SPARK_GRAFT_ITERS must be >= 1, got $iters")
 
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage // -1.0 if unavailable
+    val loadStart = loadAvg
+
     // Interleaved: untimed warm run immediately followed by the timed
     // iterations of the same query — back-to-back so the plan's generated
     // classes stay resident in the (LRU-bounded) codegen cache.
@@ -66,6 +86,18 @@ object Bench {
       else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
     val results = runs.map { case (name, _, t) => (name, median(t), t.head, t.last) }
 
+    // Control: re-time the suite's first query at suite end. Same code,
+    // same data, already-warm plan — any drift vs its in-suite median is
+    // box-state change, not a code regression.
+    val (control, controlRatio) = selected.headOption match {
+      case Some((name, fn)) =>
+        val end = median(Seq.fill(iters)(runOne(name, fn)).sorted)
+        val inSuite = results.find(_._1 == name).map(_._2).getOrElse(end)
+        (end, if (inSuite > 0) end / inSuite else 1.0)
+      case None => (0.0, 1.0)
+    }
+    val loadEnd = loadAvg
+
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spread = results
@@ -73,11 +105,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"failed":$failedJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
-    // Second, short line: the r7 driver capture truncated the long line's
-    // HEAD, losing total/cold/failed. This summary is small enough that a
-    // tail-biased truncation always preserves it.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"nqueries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
+    def f2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val diag = s""""load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"control":${f2(control)},"control_ratio":${f2(controlRatio)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"failed":$failedJson,$diag,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // Short trailing lines: the r7/r9 driver captures truncated the long
+    // line (r9 lost the per-query HEAD). Everything below is re-printed in
+    // lines small enough that tail-biased truncation preserves them.
+    results.grouped(8).foreach { grp =>
+      val chunk = grp.map { case (k, med, lo, hi) =>
+        "\"" + k + "\":[" + f2(med) + "," + f2(lo) + "," + f2(hi) + "]"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","medlohi":$chunk}""")
+    }
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"nqueries":${results.length},"failed":$failedJson,$diag,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

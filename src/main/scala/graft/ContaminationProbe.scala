@@ -86,8 +86,8 @@ object ContaminationProbe {
       col("embedding").as("v"))
     val tCanon = tCl.select(col("test_id").cast("long").as("test_id"),
       col("tv"))
-    val (assigned, candidates) = graft.similarity.Similarity
-      .contaminationRouting(cCanon, tCanon, threshold)
+    val (assigned, candidates, _) = graft.similarity.Similarity
+      .contaminationRouting(cCanon, tCanon, threshold, nClustered)
     val candCount = candidates.count()
     val cellSizes = assigned.groupBy("cell").count()
     val liveCells = cellSizes.count()
@@ -95,6 +95,7 @@ object ContaminationProbe {
       .withColumnRenamed("count", "nc")
       .join(cellSizes, "cell")
       .agg(sum(col("nc") * col("count"))).first().getLong(0)
+    assigned.unpersist()
     println(s"""{"metric":"contamination_clustered","n_corpus":$nCorpus,""" +
       s""""n_test":$nClustered,"live_cells":$liveCells,""" +
       s""""cand_row_cells":$candCount,""" +
@@ -105,19 +106,37 @@ object ContaminationProbe {
       s""""sec":$secCl,"contaminated_rows":$hitsCl}""")
     tCl.unpersist()
 
-    // ---- uniform regime: same set through BOTH arms (cell arm forced
-    // by a low maxBroadcastTest), wall-clock + output equality
+    // ---- uniform regime: same set through ALL arms, wall-clock +
+    // output equality. The public API (low maxBroadcastTest) should
+    // now ROUTE to the chunked arm here — the fan-out estimate sees
+    // unprunable cells; the cell-join arm is pinned directly via the
+    // package-private pieces to keep the historical comparison.
     val tU = uniform(nUniform).cache(); tU.count()
+    val tUC = tU.select(col("test_id").cast("long").as("test_id"),
+      col("tv"))
     def run(maxB: Long) = graft.similarity.Similarity.semanticContamination(
       corpus, "vec_id", "embedding", tU, "test_id", "tv", threshold,
       maxBroadcastTest = maxB)
-    val (secCell, hitsCell) = timeCount(run(1000L))
+    def cellArm() = {
+      val (a, cand, _) = graft.similarity.Similarity
+        .contaminationRouting(cCanon, tUC, threshold, nUniform)
+      val out = graft.similarity.Similarity.cellArmScore(a, cand, threshold)
+      (a, out)
+    }
+    val (secRouted, hitsRouted) = timeCount(run(1000L))
     val (secBcast, hitsBcast) = timeCount(run(Long.MaxValue))
+    val t0c = System.nanoTime()
+    val (aCell, outCell) = cellArm()
+    val hitsCell = outCell.count()
+    val secCell = (System.nanoTime() - t0c) / 1e9
+    aCell.unpersist()
     val armsEqual = run(1000L).collect().toSet == run(Long.MaxValue)
       .collect().toSet
     println(s"""{"metric":"contamination_uniform","n_corpus":$nCorpus,""" +
-      s""""n_test":$nUniform,"sec_cell_arm":$secCell,""" +
-      s""""sec_broadcast_arm":$secBcast,"hits_cell":$hitsCell,""" +
+      s""""n_test":$nUniform,"sec_routed":$secRouted,""" +
+      s""""sec_cell_arm":$secCell,""" +
+      s""""sec_broadcast_arm":$secBcast,"hits_routed":$hitsRouted,""" +
+      s""""hits_cell":$hitsCell,""" +
       s""""hits_broadcast":$hitsBcast,"arms_equal":$armsEqual}""")
     spark.stop()
   }

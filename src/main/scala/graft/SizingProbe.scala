@@ -100,6 +100,10 @@ object SizingProbe {
           s""""auto_bands":$autoBands,"sec_auto":$tAuto,""" +
           s""""pairs_auto":$pairsAuto,"sec_ctl_b4":$tCtl,""" +
           s""""pairs_ctl":$pairsCtl}""")
+
+      case other =>
+        sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
+          "(valid: emb, ivf, docs)")
     }
     spark.stop()
   }

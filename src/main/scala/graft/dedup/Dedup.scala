@@ -143,6 +143,7 @@ object Dedup {
     private var k2s = new Array[Long](cap)
     private var cnts = new Array[Long](cap)
     private var n = 0
+    private var draining = false
     def size: Int = n
 
     private def slot(a: Long, b: Long, k1: Array[Long], k2: Array[Long],
@@ -158,6 +159,11 @@ object Dedup {
     }
 
     def add(a: Long, b: Long): Unit = {
+      // mid-drain adds would probe past already-zeroed slots and
+      // silently duplicate or miscount a still-undrained key; fail
+      // loudly instead of relying on the call-pattern comment alone
+      if (draining) throw new IllegalStateException(
+        "LongPairCounter.add during an unexhausted drainIterator")
       val i = slot(a, b, k1s, k2s, cnts, cap - 1)
       if (cnts(i) == 0) { k1s(i) = a; k2s(i) = b; n += 1 }
       cnts(i) += 1
@@ -204,11 +210,18 @@ object Dedup {
       * be `add`ed to until the iterator is exhausted (flatMap consumes
       * each sub-iterator fully before the next input row, which is
       * exactly the emitPairAndSizeCounts call pattern); exhaustion
-      * leaves the counter empty with capacity retained. */
-    def drainIterator[T](f: (Long, Long, Long) => T): Iterator[T] =
+      * leaves the counter empty with capacity retained. The invariant
+      * is ENFORCED, not just documented: a `draining` flag set here
+      * makes any mid-drain add() throw instead of silently
+      * miscounting. */
+    def drainIterator[T](f: (Long, Long, Long) => T): Iterator[T] = {
+      draining = true
       new Iterator[T] {
         private var i = 0
-        private def advance(): Unit = { while (i < cap && cnts(i) == 0) i += 1 }
+        private def advance(): Unit = {
+          while (i < cap && cnts(i) == 0) i += 1
+          if (i >= cap) draining = false // exhausted: adds legal again
+        }
         advance()
         def hasNext: Boolean = i < cap
         def next(): T = {
@@ -218,6 +231,7 @@ object Dedup {
           r
         }
       }
+    }
   }
 
   /** One-pass fused pair-count + per-doc size count for the
@@ -970,6 +984,13 @@ object Dedup {
     // A/B", graft.VerifyJoinProbe). The hint sits on the docs side, so
     // the per-partition hash build is |docs|/partitions rows — the
     // narrow side, and partition count scales it down on a cluster.
+    // ASSUMPTION that makes the hint safe: shuffled-hash build sides
+    // do NOT spill, so the build must fit an executor — |docs| ×
+    // (multi-KB vms payload) / shuffle.partitions per task. Holds at
+    // the measured 32-partition/8g config with wide headroom; a
+    // deployment that LOWERS shuffle.partitions against a grown docs
+    // side shrinks that headroom linearly and should drop the hint
+    // (sort-merge spills, this doesn't — it OOMs).
     val joined = pairs
       .join(docs1.select(col("id").as("id1"), col("vms").as("sh1"))
         .hint("shuffle_hash"), "id1")

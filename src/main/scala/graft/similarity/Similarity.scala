@@ -1123,7 +1123,7 @@ object Similarity extends Serializable {
     * reaches `threshold`, with the nearest test id as evidence.
     * Catches paraphrased leakage that exact n-gram overlap misses.
     *
-    * Scale shape, two arms behind one contract (identical output —
+    * Scale shape, three arms behind one contract (identical output —
     * SimilaritySpec pins arm equality including tie-breaks):
     *
     *  - test row count ≤ `maxBroadcastTest`: the test set is a bounded
@@ -1131,8 +1131,10 @@ object Similarity extends Serializable {
     *    broadcastTest lever — test sets are benchmark-sized), shipped
     *    in the task closure; the corpus is scanned ONCE map-only — no
     *    join, no shuffle, output only the contaminated rows.
-    *  - larger: a distributed CELL-ROUTED arm that keeps the exact
-    *    contract while shrinking the |corpus|×|test| product. The test
+    *  - larger, test set CLUSTERED (the benchmark shape — routing
+    *    sample prunes ≥90% of cells): a distributed CELL-ROUTED arm
+    *    that keeps the exact contract while shrinking the
+    *    |corpus|×|test| product. The test
     *    side is clustered into `nlist` spherical-k-means cells (the
     *    semDedup quantizer — a bounded driver statistic), each cell
     *    summarized by (centroid, max member angle r). For a corpus
@@ -1147,11 +1149,17 @@ object Similarity extends Serializable {
     *    benchmark-shaped test set (clustered by task) most cells prune
     *    for most corpus rows: compute falls from |corpus|×|test| to
     *    |corpus|×nlist bound checks + the surviving cells' pairs.
-    *    Worst case (test set spread uniformly, huge cell radii)
-    *    degrades gracefully to the old full product, now distributed
-    *    over the cell join. Zero-norm test vectors are dropped
-    *    up-front: every sim they produce is NaN, which can never pass
-    *    `sim >= threshold` in either arm.
+    *    Zero-norm test vectors are dropped up-front: every sim they
+    *    produce is NaN, which can never pass `sim >= threshold` in
+    *    any arm.
+    *  - larger, test set UNIFORM-ish (cell radii huge, a sampled
+    *    corpus probe finds >10% of cells unprunable): the cell join
+    *    would materialize ~the full product as join rows — measured
+    *    9× more expensive per pair than the closure kernel
+    *    (ContaminationProbe) — so the CHUNKED arm iterates
+    *    `maxBroadcastTest`-sized test chunks through the map-only
+    *    kernel, folding per-chunk winners; same exact output, driver
+    *    memory bounded by one chunk ([[contaminationChunked]]).
     *
     * Ties go to the lower test id (strict-greater fold over ids in
     * ascending order / max over (sim, -test_id) structs — identical
@@ -1163,29 +1171,56 @@ object Similarity extends Serializable {
       test: DataFrame, testId: String, testVec: String,
       threshold: Double,
       maxBroadcastTest: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.types._
     val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("v"))
     val tdf = test.select(col(testId).cast("long").as("test_id"),
       col(testVec).as("tv"))
     val nTest = tdf.count()
     if (nTest > maxBroadcastTest) {
-      val (assigned, candidates) = contaminationRouting(c, tdf, threshold)
-      val scored = withCosineKernel(
-        candidates.join(assigned.select(col("test_id"), col("tv"),
-          col("cell")), "cell"),
-        "v", "tv", "sim")
-        .filter(col("sim") >= threshold)
-      return scored
-        .groupBy("id")
-        .agg(max(struct(col("sim"), (-col("test_id")).as("nid"),
-          col("test_id"))).as("b"))
-        .select(col("id"), col("b.test_id").as("test_id"),
-          col("b.sim").as("sim"))
+      val (assigned, candidates, cells) =
+        contaminationRouting(c, tdf, threshold, nTest)
+      val fanout = estimateCellFanout(c, cells, threshold)
+      if (fanout <= CellArmMaxFanout) {
+        // Pruning holds: the cell join materializes ~fanout × product
+        // pairs. Eagerly computed (localCheckpoint — bounded: at most
+        // |corpus| rows of (id, test_id, sim)) so `assigned`'s cache
+        // is released HERE rather than pinning |test| rows of vectors
+        // for the session's lifetime; checkpoint blocks are reclaimed
+        // by the ContextCleaner once the result is unreferenced.
+        val res = cellArmScore(assigned, candidates, threshold)
+          .localCheckpoint(true)
+        assigned.unpersist(false)
+        return res
+      }
+      // Pruning fails (uniform-ish test geometry): the join would
+      // materialize ~the full |corpus|×|test| product as rows —
+      // measured 9× more expensive per pair than the closure kernel
+      // (ContaminationProbe). Same flops through the chunked kernel
+      // instead, driver memory bounded by one chunk.
+      assigned.unpersist(false)
+      return contaminationChunked(c, tdf, nTest, maxBroadcastTest,
+        threshold)
     }
-    val testVecs: Array[(Long, Array[Double])] = tdf
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-      .sortBy(_._1)
+    broadcastMaxCosine(c, collectTestVecs(tdf), threshold)
+  }
+
+  /** Test vectors as a sorted driver array — the broadcast-arm bounded
+    * statistic, ascending id so the kernel's strict-greater fold ties
+    * to the LOWEST test id. */
+  private def collectTestVecs(
+      tdf: DataFrame): Array[(Long, Array[Double])] = tdf
+    .collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    .sortBy(_._1)
+
+  /** The closure arm's kernel: one map-only corpus scan, per row the
+    * running max cosine over `testVecs` (strict-greater fold over
+    * ascending ids → lowest-id tie-break), emitting only rows at or
+    * above `threshold`. Shared by the small-test arm and the chunked
+    * large-test arm. */
+  private def broadcastMaxCosine(c: DataFrame,
+      testVecs: Array[(Long, Array[Double])],
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       c.schema("id"),
       StructField("test_id", LongType, false),
@@ -1220,20 +1255,137 @@ object Similarity extends Serializable {
     }(enc)
   }
 
+  /** Fan-out cutoff for the cell-routed arm. Per surviving pair the
+    * cell join costs ~9× the closure kernel (ContaminationProbe,
+    * 50k-uniform set: 111 s as join rows vs 12.7 s through the
+    * kernel), so the join only wins when pruning removes ≳8/9 of the
+    * product; 0.1 sits just under the 1/9 crossover, preferring the
+    * bounded-memory chunked arm near the boundary. */
+  private val CellArmMaxFanout = 0.1
+
+  /** The cell-pruning bound check, shared VERBATIM by the candidates
+    * kernel and the arm-choice estimator (so the estimate can never
+    * drift from the bound the join actually applies): TRUE when the
+    * spherical triangle-inequality upper bound on cos(v, any member of
+    * the cell) could still reach `threshold`. NaN-safe: a NaN bound
+    * (zero-norm v or degenerate centroid) fails the `<` and routes
+    * through — such rows die at the exact sim filter anyway. */
+  private def cellBoundPasses(v: Seq[Float], ce: Array[Double],
+      rad: Double, threshold: Double): Boolean = {
+    val ang = math.acos(math.max(-1.0, math.min(1.0, cosFD(v, ce))))
+    val bound = math.cos(math.max(0.0, ang - rad))
+    !(bound + 1e-9 < threshold)
+  }
+
+  /** Sampled mean fraction of cells the bound fails to prune, over up
+    * to 64 evenly spaced corpus partitions × 32 head rows (runJob on
+    * just those partitions — the arm decision needs one number, not a
+    * corpus pass; evenly spaced so a corpus file sorted by topic
+    * can't bias the sample to one region). Zero-norm rows skipped
+    * (dead in both arms). A wrong estimate costs time, never rows —
+    * both arms are exact. */
+  private def estimateCellFanout(c: DataFrame,
+      cells: Array[(Long, Array[Double], Double)],
+      threshold: Double): Double = {
+    if (cells.isEmpty) return 0.0
+    val rdd = c.select(col("v")).rdd
+    val nP = rdd.getNumPartitions
+    if (nP == 0) return 0.0
+    val k = math.min(64, nP)
+    val picks = (0 until k).map(i => i * nP / k).distinct
+    val sample: Array[Seq[Float]] = c.sparkSession.sparkContext
+      .runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.take(32).map(_.getSeq[Float](0)).toArray,
+        picks)
+      .flatten
+    val live = sample.filter(_.exists(_ != 0f))
+    if (live.isEmpty) return 0.0
+    live.map { v =>
+      cells.count { case (_, ce, rad) =>
+        cellBoundPasses(v, ce, rad, threshold) }.toDouble / cells.length
+    }.sum / live.length
+  }
+
+  /** The cell arm's scoring tail: exact cosine over the routed
+    * candidates, then the (sim, -test_id) struct-max fold that
+    * reproduces the closure kernel's lowest-id tie-break.
+    * Package-private so the probe/spec can pin THIS arm specifically
+    * (the public method routes by the fan-out estimate). */
+  private[graft] def cellArmScore(assigned: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame =
+    withCosineKernel(
+      candidates.join(assigned.select(col("test_id"), col("tv"),
+        col("cell")), "cell"),
+      "v", "tv", "sim")
+      .filter(col("sim") >= threshold)
+      .groupBy("id")
+      .agg(max(struct(col("sim"), (-col("test_id")).as("nid"),
+        col("test_id"))).as("b"))
+      .select(col("id"), col("b.test_id").as("test_id"),
+        col("b.sim").as("sim"))
+
+  /** The uniform-regime large-test arm: when cell pruning fails,
+    * iterate the test set through [[broadcastMaxCosine]] in
+    * `maxBroadcastTest`-sized chunks — the same total flops as the
+    * full product, but through the tight map-only loop (9× cheaper per
+    * pair than join-row materialization, ContaminationProbe) with
+    * driver memory bounded by ONE chunk's vectors. Chunks are
+    * murmur3-hash partitions of test_id (deterministic); each chunk's
+    * winners are EAGERLY materialized (localCheckpoint, ≤ |corpus|
+    * narrow rows) so the previous chunk's array is garbage before the
+    * next collects, and the test input is persisted across the chunk
+    * scans then released. Per-chunk threshold filtering is lossless —
+    * the global winner is its own chunk's winner, so it survives iff
+    * it passes — and the final max(sim, -test_id) fold over chunk
+    * winners reproduces the single-pass lowest-id tie-break. Chunk
+    * count is capped at 256 (1 chunk = 1 corpus scan): past that the
+    * per-chunk driver footprint exceeding `maxBroadcastTest` beats
+    * 256+ scans of the corpus. */
+  private[graft] def contaminationChunked(c: DataFrame, tdf: DataFrame,
+      nTest: Long, maxBroadcastTest: Long,
+      threshold: Double): DataFrame = {
+    val maxB = math.max(1L, maxBroadcastTest)
+    val nChunks = math.min(256L,
+      math.max(2L, (nTest + maxB - 1) / maxB)).toInt
+    val t = tdf.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winners = (0 until nChunks).map { i =>
+      val chunk = collectTestVecs(
+        t.filter(pmod(hash(col("test_id")), lit(nChunks)) === i))
+      broadcastMaxCosine(c, chunk, threshold).localCheckpoint(true)
+    }
+    t.unpersist(false)
+    winners.reduce(_.unionByName(_))
+      .groupBy("id")
+      .agg(max(struct(col("sim"), (-col("test_id")).as("nid"),
+        col("test_id"))).as("b"))
+      .select(col("id"), col("b.test_id").as("test_id"),
+        col("b.sim").as("sim"))
+  }
+
   /** The cell-routed arm's candidate generation, extracted so the
     * scale probe (`graft.ContaminationProbe`) can count routing
     * survivors with the SAME bound math the operator ships — never a
     * re-derivation that could drift. Returns (assigned test rows with
     * their cell + angle, corpus candidate rows fanned to the cells
-    * whose cosine upper bound reaches `threshold`). Inputs must
-    * already carry the canonical column names (`id`/`v`,
-    * `test_id`/`tv`). See [[semanticContamination]]'s scaladoc for the
-    * spherical triangle-inequality bound this implements. */
+    * whose cosine upper bound reaches `threshold`, the driver-side
+    * cell stats (cid, centroid, radius) the arm-choice estimator
+    * reads). Inputs must already carry the canonical column names
+    * (`id`/`v`, `test_id`/`tv`) and `nTest` their already-counted test
+    * cardinality — the caller counted it to pick the arm; recounting a
+    * >1M-row set here would add a full extra scan per call. See
+    * [[semanticContamination]]'s scaladoc for the spherical
+    * triangle-inequality bound this implements.
+    *
+    * CALLER CONTRACT: the returned `assigned` is persisted
+    * (MEMORY_AND_DISK — it feeds both the radii collect and the scored
+    * join); the caller MUST unpersist it once the result is
+    * materialized ([[semanticContamination]] does, both arms). */
   private[graft] def contaminationRouting(
-      c: DataFrame, tdf: DataFrame,
-      threshold: Double): (DataFrame, DataFrame) = {
+      c: DataFrame, tdf: DataFrame, threshold: Double, nTest: Long):
+      (DataFrame, DataFrame, Array[(Long, Array[Double], Double)]) = {
     import org.apache.spark.sql.types._
-    val nTest = tdf.count()
     // cells sized for ~4k test vectors each, capped so the centroid
     // table stays a small driver statistic (<= 256 × dim doubles)
     val nlist = math.max(8L, math.min(256L, nTest / 4096L)).toInt
@@ -1292,21 +1444,17 @@ object Similarity extends Serializable {
         var vNorm = 0.0
         v.foreach(x => vNorm += x.toDouble * x.toDouble)
         if (vNorm == 0.0) Iterator.empty // all its sims are NaN: dead
+        // prune only when PROVABLY below threshold (cellBoundPasses —
+        // the same check the arm-choice estimator samples)
         else cells.iterator.flatMap { case (cid, ce, rad) =>
-          val ang = math.acos(clamp(cosFD(v, ce)))
-          val bound = math.cos(math.max(0.0, ang - rad))
-          // prune only when PROVABLY below threshold: a NaN bound
-          // (zero-norm v — all its sims are NaN and die at the
-          // filter anyway — or a degenerate zero centroid) fails
-          // this comparison and routes through to the exact verify
-          if (bound + 1e-9 < threshold) Iterator.empty
-          else
+          if (cellBoundPasses(v, ce, rad, threshold))
             Iterator(org.apache.spark.sql.Row(r.get(0), r.get(1), cid))
+          else Iterator.empty
         }
       }
     }(cEnc)
 
-    (assigned, candidates)
+    (assigned, candidates, cells)
   }
 
   /** Cross-corpus incremental SemDeDup — `semDedup`'s semantics for the

@@ -369,6 +369,43 @@ class SimilaritySpec extends SparkSpec {
     assert(run(1000000L, -1.0) == run(0L, -1.0))
   }
 
+  test("semanticContamination: cell-join arm AND chunked arm each equal " +
+      "the broadcast arm exactly — the public router picks between them " +
+      "by a fan-out estimate, so both are pinned directly") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i => math.sin(seed * 97 + i * 13).toFloat)
+    // ids 5 and 7 share a vector (lowest-id tie-break must hold even
+    // when the chunked arm hash-routes them to DIFFERENT chunks and
+    // the tie resolves in the cross-chunk fold, not the kernel)
+    val test = Seq((5L, vec(3)), (7L, vec(3)), (9L, vec(4)),
+        (12L, vec(5)), (15L, vec(1)))
+      .toDF("vec_id", "embedding")
+    val corpus = (1L to 40L).map(i => (i, vec((i % 6).toInt)))
+      .toDF("vec_id", "embedding")
+    val c = corpus.select(col("vec_id").as("id"),
+      col("embedding").as("v"))
+    val tdf = test.select(col("vec_id").cast("long").as("test_id"),
+      col("embedding").as("tv"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (thr <- Seq(0.2, 0.98, -1.0)) {
+      val bcast = norm(Similarity.semanticContamination(
+        corpus, "vec_id", "embedding", test, "vec_id", "embedding", thr))
+      val (a, cand, cells) =
+        Similarity.contaminationRouting(c, tdf, thr, 5L)
+      assert(cells.nonEmpty)
+      val cell = norm(Similarity.cellArmScore(a, cand, thr))
+      a.unpersist()
+      // maxBroadcastTest=2 over 5 test rows -> 3 hash chunks
+      val chunked = norm(
+        Similarity.contaminationChunked(c, tdf, 5L, 2L, thr))
+      assert(cell == bcast, s"cell arm diverged at thr=$thr")
+      assert(chunked == bcast, s"chunked arm diverged at thr=$thr")
+      assert(thr > 0.9 || bcast.nonEmpty)
+    }
+  }
+
   test("job shape: ivfPqTopK trains each quantizer exactly once — " +
       "coarse seed + iters, PQ seed + iters; a refactor that doubles a " +
       "training pass fails here (the LangModel cache-pin's counterpart " +
