@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the graph family's broadcast/shuffle arm switch
+  * (ops/PageRank.scala `DefaultBroadcastNodesUpTo`, shared by
+  * Hits/LabelProp): every ladder rung through round 9 (≤630k nodes)
+  * stayed on the broadcast arm, so the 2M-node crossover — the arm
+  * that matters at 100 TB — had only ever run when FORCED via
+  * `GRAFT_BROADCAST_NODES_UP_TO=0`. The x100 graph rung (~2.1M nodes,
+  * 60M edge rows) crosses the gate ORGANICALLY; this probe pins, per
+  * operator (q90 pagerank / q92 hits / q95 label-prop shapes):
+  *
+  *  - the node count vs the gate (whether the default-arm run below
+  *    took the shuffle path is then a deterministic fact of the gate's
+  *    `if`, not an inference from timings);
+  *  - wall-clock of the DEFAULT arm vs the FORCED-broadcast arm
+  *    (explicit `broadcastNodesUpTo = Long.MaxValue`) at the same
+  *    rung — is 2M still the right gate value?
+  *  - output equality between the arms (count + content hash), the
+  *    spec-pinned invariant re-checked at scale.
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft_scale_root/graph/x100 \
+  *   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ITERS=3 \
+  *   sbt "runMain graft.GraphGateProbe"
+  *
+  * Results in NOTES.md ("graph broadcast gate crossed organically").
+  */
+object GraphGateProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/tmp/graft_scale_root/graph/x100")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey").as("p"),
+        (col("l_suppkey") + 10000000L).as("sp")).distinct()
+    // q90/q95's bidirectional edge shape; q92 uses the directed pairs
+    val bidir = pairs.select(explode(array(
+        struct(col("p").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("p").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val nodes = bidir.select(col("src")).distinct().count()
+    val gate = graft.ops.PageRank.DefaultBroadcastNodesUpTo
+    val organicArm = if (nodes <= gate) "broadcast" else "shuffle"
+
+    // content hash over the full result — arm equality at scale, not
+    // just row counts (xor of per-row hashes: order-insensitive)
+    def sig(df: DataFrame): (Long, Long) = {
+      val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(count(lit(1)), sum(col("h"))).first()
+      (h.getLong(0), h.getLong(1))
+    }
+    def medianSec(body: => DataFrame): (Double, (Long, Long)) = {
+      var s: (Long, Long) = null
+      val times = (0 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        s = sig(body)
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1).sorted // first run is the untimed-warm discard
+      val med =
+        if (times.isEmpty) 0.0
+        else if (times.length % 2 == 1) times(times.length / 2)
+        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
+      (med, s)
+    }
+
+    val ops: Seq[(String, Long => DataFrame)] = Seq(
+      ("pagerank", (g: Long) => graft.ops.PageRank.pageRank(
+        bidir, col("src"), col("dst"), iters = 3,
+        broadcastNodesUpTo = g)),
+      ("hits", (g: Long) => graft.ops.Hits.hits(
+        pairs, col("p"), col("sp"), iters = 2,
+        broadcastNodesUpTo = g)),
+      ("labelprop", (g: Long) => graft.ops.LabelProp.labelPropagation(
+        bidir, col("src"), col("dst"), iters = 2,
+        broadcastNodesUpTo = g)))
+
+    ops.foreach { case (name, run) =>
+      val (secDefault, sigDefault) = medianSec(run(gate))
+      val (secBcast, sigBcast) = medianSec(run(Long.MaxValue))
+      println(s"""{"metric":"graph_gate_$name","sf":"$sfDir",""" +
+        s""""nodes":$nodes,"gate":$gate,"organic_arm":"$organicArm",""" +
+        s""""sec_default":$secDefault,"sec_forced_broadcast":$secBcast,""" +
+        s""""rows":${sigDefault._1},"arms_equal":${sigDefault == sigBcast}}""")
+    }
+    spark.stop()
+  }
+}

@@ -118,9 +118,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/graft_scale_root")
+    ap.add_argument("--force", action="store_true",
+                    help="regenerate rungs that already exist")
     args = ap.parse_args()
 
     con = duckdb.connect()
+
+    def copy(arms, d, table):
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, f"{table}.parquet")
+        if os.path.exists(dst) and not args.force:
+            print(f"{dst}: exists, skipped (--force to regenerate)")
+            return
+        con.execute(f"COPY ({arms}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"{dst}: {n} rows")
     # x30/x100 are documents-only (the round-8 dedup deep-ladder rungs);
     # the affine permutations keep replica shingle spaces disjoint.
     for name, reps in [("x3", 3), ("x10", 10)]:
@@ -128,46 +141,34 @@ def main():
                            ("emb", emb_arms(args.src, reps)),
                            ("events", event_arms(args.src, reps)),
                            ("graph", graph_arms(args.src, reps))]:
-            d = os.path.join(args.out, kind, name)
-            os.makedirs(d, exist_ok=True)
             table = {"docs": "documents", "emb": "embeddings",
                      "events": "events", "graph": "lineitem"}[kind]
-            dst = os.path.join(d, f"{table}.parquet")
-            con.execute(f"COPY ({arms}) TO '{dst}' (FORMAT PARQUET)")
-            n = con.execute(
-                f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
-            print(f"{dst}: {n} rows")
+            copy(arms, os.path.join(args.out, kind, name), table)
     for name, reps in [("x30", 30), ("x100", 100)]:
-        d = os.path.join(args.out, "docs", name)
-        os.makedirs(d, exist_ok=True)
-        dst = os.path.join(d, "documents.parquet")
-        con.execute(f"COPY ({doc_arms(args.src, reps)}) TO '{dst}'"
-                    " (FORMAT PARQUET)")
-        n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
-        print(f"{dst}: {n} rows")
+        copy(doc_arms(args.src, reps),
+             os.path.join(args.out, "docs", name), "documents")
     # embeddings x30 (the Sizing.Auto knee-proof rung): needs the
     # 5-bit sign-flip cycle — see emb_arms
-    d = os.path.join(args.out, "emb", "x30")
-    os.makedirs(d, exist_ok=True)
-    dst = os.path.join(d, "embeddings.parquet")
-    con.execute(f"COPY ({emb_arms(args.src, 30, cycle=5)}) TO '{dst}'"
-                " (FORMAT PARQUET)")
-    n = con.execute(
-        f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
-    print(f"{dst}: {n} rows")
+    copy(emb_arms(args.src, 30, cycle=5),
+         os.path.join(args.out, "emb", "x30"), "embeddings")
+    # embeddings x100 (round-10: the embedding-family deep rung —
+    # ~200k vectors): 7-bit cycle keeps all 100 replica sign patterns
+    # distinct (2^7 >= 100)
+    copy(emb_arms(args.src, 100, cycle=7),
+         os.path.join(args.out, "emb", "x100"), "embeddings")
     # events/graph x30 (round-9 one-rung-up extensions; same transforms
     # as their x3/x10 rungs — offsets stay collision-free at reps=30)
-    for kind, arms, table in [
-            ("events", event_arms(args.src, 30), "events"),
-            ("graph", graph_arms(args.src, 30, offset=300000), "lineitem")]:
-        d = os.path.join(args.out, kind, "x30")
-        os.makedirs(d, exist_ok=True)
-        dst = os.path.join(d, f"{table}.parquet")
-        con.execute(f"COPY ({arms}) TO '{dst}' (FORMAT PARQUET)")
-        n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
-        print(f"{dst}: {n} rows")
+    copy(event_arms(args.src, 30),
+         os.path.join(args.out, "events", "x30"), "events")
+    copy(graph_arms(args.src, 30, offset=300000),
+         os.path.join(args.out, "graph", "x30"), "lineitem")
+    # graph x100 (round-10: the rung that crosses the 2M-node broadcast
+    # gate ORGANICALLY — ~2.1M nodes, ~60M edge rows): offset shrinks
+    # so 99 replica shifts stay under the 10^7 dst shift while
+    # remaining > max l_partkey (~20k at sf0.1), keeping replicas
+    # disjoint.
+    copy(graph_arms(args.src, 100, offset=97000),
+         os.path.join(args.out, "graph", "x100"), "lineitem")
 
 
 if __name__ == "__main__":
