@@ -101,9 +101,40 @@ object SizingProbe {
           s""""pairs_auto":$pairsAuto,"sec_ctl_b4":$tCtl,""" +
           s""""pairs_ctl":$pairsCtl}""")
 
+      case "assign" =>
+        // isolates the coarse-assignment stage at the auto nlist: flat
+        // n*nlist argmax vs the round-10 pruned branch-and-bound scan
+        // (bit-identical output, spec-pinned — this measures the SPEED
+        // claim: ~2*sqrt(nlist)+survivors per row instead of nlist)
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val n = e.count()
+        val autoNlist = graft.ops.Sizing.ivfNlist(n)
+        val cents = e
+          .select(col("vec_id").cast("long").as("cent_id"),
+            col("embedding").as("ce"))
+          .orderBy(col("cent_id")).limit(autoNlist).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray))
+        val proj = e.select(col("vec_id").as("id"),
+            col("embedding").as("v"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .cache()
+        proj.count() // materialize: time the scan, not the read
+        def runA(prune: Boolean) = time(
+          graft.similarity.Similarity.assignNearest(
+            proj, cents, 1, 1, prune = prune))
+        runA(prune = true); runA(prune = false) // warm both plans
+        val (tPruned, nPruned) = runA(prune = true)
+        val (tFlat, nFlat) = runA(prune = false)
+        println(s"""{"metric":"sizing_assign_scan","rows":$n,""" +
+          s""""auto_nlist":$autoNlist,"sec_pruned":$tPruned,""" +
+          s""""sec_flat":$tFlat,"rows_pruned":$nPruned,""" +
+          s""""rows_flat":$nFlat}""")
+
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
-          "(valid: emb, ivf, docs)")
+          "(valid: emb, ivf, docs, assign)")
     }
     spark.stop()
   }

@@ -460,26 +460,171 @@ object Similarity extends Serializable {
     cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
   }
 
+  // driver-side cosine between two double vectors (centroid grouping
+  // only — row kernels stay on cosFD's exact operation order)
+  private def cosDD(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Groups the centroid table into ~sqrt(nlist) super-cells for the
+    * pruned assignment scan: a PURE-DRIVER k-means over the centroids
+    * themselves (nlist is a bounded driver statistic; 3 Lloyd rounds,
+    * cosine assignment, evenly-spaced-index seed — deterministic
+    * function of `cents`), each group summarized by (super-centroid,
+    * max member angle, member indices). Grouping quality affects only
+    * SPEED — the scan's branch-and-bound bound is exact — so the
+    * heuristic needs no tuning discipline beyond determinism. */
+  private def centroidScanGroups(cents: Array[(Long, Array[Double])]):
+      Array[(Array[Double], Double, Array[Int])] = {
+    val nlist = cents.length
+    val ntop = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val dim = cents.head._2.length
+    var tops = Array.tabulate(ntop)(g => cents(g.toLong.toInt * nlist / ntop)._2)
+    val assign = new Array[Int](nlist)
+    var round = 0
+    while (round < 4) { // 3 refinement rounds + the final assignment
+      var i = 0
+      while (i < nlist) {
+        var best = 0; var bestS = Double.NegativeInfinity
+        var g = 0
+        while (g < ntop) {
+          val s = cosDD(cents(i)._2, tops(g))
+          if (s > bestS) { bestS = s; best = g }
+          g += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      if (round < 3) {
+        val sums = Array.fill(ntop)(new Array[Double](dim))
+        val cnt = new Array[Int](ntop)
+        i = 0
+        while (i < nlist) {
+          val s = sums(assign(i)); val ce = cents(i)._2
+          var d = 0
+          val lim = math.min(dim, ce.length)
+          while (d < lim) { s(d) += ce(d); d += 1 }
+          cnt(assign(i)) += 1
+          i += 1
+        }
+        tops = Array.tabulate(ntop) { g =>
+          if (cnt(g) == 0) tops(g) else sums(g) // cosine: no normalize
+        }
+      }
+      round += 1
+    }
+    (0 until ntop).flatMap { g =>
+      val members = (0 until nlist).filter(assign(_) == g).toArray
+      if (members.isEmpty) None
+      else {
+        val rad = members.map { i =>
+          val s = cosDD(cents(i)._2, tops(g))
+          if (s.isNaN) math.Pi // zero-norm member: never prune its group
+          else math.acos(math.max(-1.0, math.min(1.0, s)))
+        }.max
+        Some((tops(g), rad, members))
+      }
+    }.toArray
+  }
+
+  /** Centroid counts at or above this run the pruned scan; below it
+    * the flat argmax is already trivial and the per-row group ordering
+    * would cost more than it saves. */
+  private val PrunedScanMinNlist = 64
+
   /** Tag each row with its `n` nearest centroids by (cosine desc,
     * cent_id asc) — the shared assignment kernel of `ivfTopK` and
     * `semDedup`. Map-only: centroids ride the task closure (a bounded
     * driver statistic), no corpus×nlist shuffle ever materializes.
-    */
-  private def assignNearest(
+    *
+    * For nlist ≥ [[PrunedScanMinNlist]] the scan is branch-and-bound
+    * over [[centroidScanGroups]]'s ~sqrt(nlist) super-cells: groups
+    * are visited in descending super-similarity order and a group is
+    * skipped wholesale once the spherical triangle-inequality upper
+    * bound cos(max(0, angle(v, super) − radius)) (+1e-9 float slack)
+    * falls strictly below the current n-th best VALID similarity — no
+    * member could then beat OR tie it (ties resolve by cid, and a
+    * strictly smaller sim never ties), so the result is BIT-IDENTICAL
+    * to the flat argmax, including cid tie-breaks and NaN placement
+    * (SimilaritySpec pins equality; `prune = false` forces the flat
+    * scan). Typical per-row cost falls from nlist to
+    * ~2·sqrt(nlist) + survivors — the difference between n·nlist and
+    * ~n^1.25 for the auto-sized nlist ~ 4·sqrt(n). NaN similarities
+    * (zero-norm rows or degenerate centroids) order LAST with cid
+    * ties, exactly like the flat scan's Double total order, and a NaN
+    * bound is never pruned on. */
+  private[graft] def assignNearest(
       df: DataFrame, cents: Array[(Long, Array[Double])],
-      vecIdx: Int, n: Int): DataFrame = {
+      vecIdx: Int, n: Int, prune: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = df.schema.add(StructField("cent_id", LongType, false))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
+    if (!prune || cents.length < PrunedScanMinNlist) {
+      return df.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val v = r.getSeq[Float](vecIdx)
+          cents.map { case (cid, ce) => (cid, cosFD(v, ce)) }
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(n)
+            .map { case (cid, _) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cid) }
+        }
+      }(enc)
+    }
+    val groups = centroidScanGroups(cents)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val v = r.getSeq[Float](vecIdx)
-        cents.map { case (cid, ce) => (cid, cosFD(v, ce)) }
-          .sortBy { case (cid, s) => (-s, cid) }
-          .take(n)
-          .map { case (cid, _) =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cid) }
+        // bounded top-n kept sorted by the SAME total order as the
+        // flat scan's sortBy((-s, cid)): valid sims desc, NaN last,
+        // ties by ascending cid (java.lang.Double.compare is total)
+        val topS = new Array[Double](n)
+        val topC = new Array[Long](n)
+        var filled = 0
+        def offer(s: Double, cid: Long): Unit = {
+          var pos = filled
+          while (pos > 0 && {
+            val c = java.lang.Double.compare(-s, -topS(pos - 1))
+            c < 0 || (c == 0 && cid < topC(pos - 1))
+          }) pos -= 1
+          if (pos < n) {
+            val last = math.min(filled, n - 1)
+            var j = last
+            while (j > pos) { topS(j) = topS(j - 1); topC(j) = topC(j - 1); j -= 1 }
+            topS(pos) = s; topC(pos) = cid
+            if (filled < n) filled += 1
+          }
+        }
+        val gsims = groups.map { case (top, _, _) => cosFD(v, top) }
+        val order = groups.indices.sortBy(g => -gsims(g))
+        order.foreach { g =>
+          val (_, rad, members) = groups(g)
+          val nth = if (filled == n) topS(n - 1) else Double.NaN
+          // prune only past a FULL list with a valid n-th sim: the
+          // bound must beat it strictly (a NaN bound never prunes)
+          val skip = filled == n && !nth.isNaN && {
+            val ang = math.acos(math.max(-1.0,
+              math.min(1.0, gsims(g))))
+            math.cos(math.max(0.0, ang - rad)) + 1e-9 < nth
+          }
+          if (!skip) {
+            var m = 0
+            while (m < members.length) {
+              val i = members(m)
+              offer(cosFD(v, cents(i)._2), cents(i)._1)
+              m += 1
+            }
+          }
+        }
+        (0 until filled).iterator.map { j =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ topC(j)) }
       }
     }(enc)
   }

@@ -406,6 +406,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("assignNearest pruned branch-and-bound scan is bit-identical to " +
+      "the flat argmax — valid sims, cid tie-breaks, NaN rows, " +
+      "degenerate centroids, n=1 and n=4") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 96 centroids (>= the 64-centroid pruning gate), including a
+    // zero-norm one and an exact duplicate pair (cid tie-break bait)
+    val base = Array.tabulate(94)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+    val dup = (94L, base(3)._2.clone())
+    val zero = (95L, Array.fill(8)(0.0))
+    val cents = base ++ Array(dup, zero)
+    // rows: random, exact centroid copies (ties), and one zero-norm
+    val rows = (Array.tabulate(200)(i =>
+        (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))) ++
+      Array((200L, base(3)._2.map(_.toFloat)),
+            (201L, Array.fill(8)(0f))))
+      .toSeq.toDF("id", "v")
+    for (n <- Seq(1, 4)) {
+      val flat = Similarity.assignNearest(rows, cents, 1, n,
+          prune = false)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      val pruned = Similarity.assignNearest(rows, cents, 1, n,
+          prune = true)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      assert(pruned == flat, s"pruned scan diverged at n=$n")
+      assert(flat.length == rows.count() * n)
+    }
+  }
+
   test("job shape: ivfPqTopK trains each quantizer exactly once — " +
       "coarse seed + iters, PQ seed + iters; a refactor that doubles a " +
       "training pass fails here (the LangModel cache-pin's counterpart " +
