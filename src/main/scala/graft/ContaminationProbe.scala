@@ -123,14 +123,18 @@ object ContaminationProbe {
       val out = graft.similarity.Similarity.cellArmScore(a, cand, threshold)
       (a, out)
     }
-    val (secRouted, hitsRouted) = timeCount(run(1000L))
+    // routed at maxB = nUniform/2 (two chunks): chunk size IS maxB,
+    // so forcing it very low measures per-chunk job overhead (50
+    // sequential Spark jobs at maxB=1000), not the arm — production's
+    // 1M default gives single-digit chunk counts on any real test set
+    val (secRouted, hitsRouted) = timeCount(run(nUniform / 2))
     val (secBcast, hitsBcast) = timeCount(run(Long.MaxValue))
     val t0c = System.nanoTime()
     val (aCell, outCell) = cellArm()
     val hitsCell = outCell.count()
     val secCell = (System.nanoTime() - t0c) / 1e9
     aCell.unpersist()
-    val armsEqual = run(1000L).collect().toSet == run(Long.MaxValue)
+    val armsEqual = run(nUniform / 2).collect().toSet == run(Long.MaxValue)
       .collect().toSet
     println(s"""{"metric":"contamination_uniform","n_corpus":$nCorpus,""" +
       s""""n_test":$nUniform,"sec_routed":$secRouted,""" +

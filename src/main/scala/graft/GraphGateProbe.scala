@@ -49,14 +49,18 @@ object GraphGateProbe {
     val organicArm = if (nodes <= gate) "broadcast" else "shuffle"
 
     // content hash over the full result — arm equality at scale, not
-    // just row counts (xor of per-row hashes: order-insensitive)
-    def sig(df: DataFrame): (Long, Long) = {
-      val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    // just row counts. Per-row xxhash64 summed as DECIMAL(38,0):
+    // ANSI mode (Spark 4 default) throws on long-sum overflow, which
+    // random 64-bit hashes hit immediately — the repo's dsum
+    // discipline applies to probes too.
+    def sig(df: DataFrame): (Long, String) = {
+      val h = df.select(xxhash64(df.columns.map(col): _*)
+          .cast("decimal(38,0)").as("h"))
         .agg(count(lit(1)), sum(col("h"))).first()
-      (h.getLong(0), h.getLong(1))
+      (h.getLong(0), String.valueOf(h.getDecimal(1)))
     }
-    def medianSec(body: => DataFrame): (Double, (Long, Long)) = {
-      var s: (Long, Long) = null
+    def medianSec(body: => DataFrame): (Double, (Long, String)) = {
+      var s: (Long, String) = null
       val times = (0 to iters).map { _ =>
         val t0 = System.nanoTime()
         s = sig(body)

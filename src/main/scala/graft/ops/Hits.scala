@@ -55,7 +55,17 @@ object Hits {
       val n = nodes.count()
       require(n > 0, "empty graph")
       val gate = n <= broadcastNodesUpTo
-      def maybeB(df: DataFrame): DataFrame = if (gate) broadcast(df) else df
+      // shuffle arm: each half-round joins the edges on a DIFFERENT
+      // key (u for the auth pass, v for the hub pass), so keep one
+      // pre-partitioned persisted copy per key — per round only the
+      // N-row score side then moves, instead of re-exchanging and
+      // re-sorting all E edge rows twice per round (PageRank's
+      // single-key discipline, doubled). Broadcast arm: plain `e`.
+      val eU = if (gate) e else e.repartition(col("u")).persist()
+      val eV = if (gate) e else e.repartition(col("v")).persist()
+      // score sides hash-build (~N/partitions rows per task)
+      def maybeB(df: DataFrame): DataFrame =
+        if (gate) broadcast(df) else df.hint("shuffle_hash")
 
       // Each half-round's score table (N rows of two longs) is cut off
       // from its lineage with an eager localCheckpoint: normalize reads
@@ -78,13 +88,13 @@ object Hits {
       var hub = nodes.withColumn("h", lit(Scale))
       var auth: DataFrame = null
       for (_ <- 1 to iters) {
-        val aRaw = e.join(
+        val aRaw = eU.join(
           maybeB(hub.withColumnRenamed("id", "u")), Seq("u"))
           .groupBy(col("v").as("id")).agg(sum(col("h")).as("a"))
         val aAll = nodes.join(aRaw, Seq("id"), "left")
           .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
         auth = normalize(aAll, "a")
-        val hRaw = e.join(
+        val hRaw = eV.join(
           maybeB(auth.withColumnRenamed("id", "v")), Seq("v"))
           .groupBy(col("u").as("id")).agg(sum(col("a")).as("h"))
         val hAll = nodes.join(hRaw, Seq("id"), "left")
@@ -95,6 +105,7 @@ object Hits {
         .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))
         .localCheckpoint()
       nodes.unpersist()
+      if (!gate) { eU.unpersist(); eV.unpersist() }
       out
     } finally {
       e.unpersist()

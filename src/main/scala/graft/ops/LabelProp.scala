@@ -41,18 +41,27 @@ object LabelProp {
       broadcastNodesUpTo: Long = PageRank.DefaultBroadcastNodesUpTo)
       : DataFrame = {
     require(iters >= 1, "iters must be positive")
-    val e = edges.select(srcCol.cast("long").as("u"),
+    val eRaw = edges.select(srcCol.cast("long").as("u"),
       dstCol.cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
       .persist()
+    var ePart: DataFrame = null
     try {
-      val nodes = e.select(col("u").as("id"))
-        .union(e.select(col("v").as("id"))).distinct()
+      val nodes = eRaw.select(col("u").as("id"))
+        .union(eRaw.select(col("v").as("id"))).distinct()
       var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
       val n = labels.count()
       require(n > 0, "empty graph")
+      val gate = n <= broadcastNodesUpTo
+      // shuffle arm: pre-partition the persisted edges by the vote
+      // join's key so each round reuses the cached hashpartitioning
+      // and hash-builds the N-row label side — not a per-round
+      // exchange + sort of all E edge rows (PageRank's discipline)
+      val e =
+        if (gate) eRaw
+        else { ePart = eRaw.repartition(col("u")).persist(); ePart }
       def maybeB(df: DataFrame): DataFrame =
-        if (n <= broadcastNodesUpTo) broadcast(df) else df
+        if (gate) broadcast(df) else df.hint("shuffle_hash")
       for (_ <- 1 to iters) {
         // (count desc, label asc) argmax as a single struct-min: counts
         // are positive, so min over (-count, label) orders correctly
@@ -70,7 +79,8 @@ object LabelProp {
       }
       labels.select(col("id"), col("lbl").as("label"))
     } finally {
-      e.unpersist()
+      eRaw.unpersist()
+      if (ePart != null) ePart.unpersist()
     }
   }
 }

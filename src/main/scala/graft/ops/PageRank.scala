@@ -71,19 +71,29 @@ object PageRank {
     try {
       val n = nodes.count()
       require(n > 0, "empty graph")
+      val gate = n <= broadcastNodesUpTo
       // one degree join for the whole run, not one per iteration; deg
       // has ≤ N rows, so the node gate covers broadcasting it too —
-      // the gated arm never shuffles the edge table
-      eDeg = e.join(
-        if (n <= broadcastNodesUpTo) broadcast(deg) else deg,
-        Seq("u")).persist()
+      // the gated arm never shuffles the edge table.
+      // SHUFFLE arm: pre-partition the persisted edge table by the
+      // per-iteration join key, so every round's join reuses the
+      // cached hashpartitioning(u) and only the N-row rank side moves
+      // — without this each round re-exchanged (and SMJ re-sorted)
+      // all E edge rows. Pure overhead on the broadcast arm, where
+      // the join needs no distribution, so it is gated too.
+      val eDeg0 = e.join(if (gate) broadcast(deg) else deg, Seq("u"))
+      eDeg = (if (gate) eDeg0 else eDeg0.repartition(col("u"))).persist()
       val r0 = Scale / n
       val base = (dampingDen - dampingNum) * Scale / (dampingDen * n)
       var rank = nodes.withColumn("r", lit(r0))
       for (_ <- 1 to iters) {
         val rankU = rank.withColumnRenamed("id", "u")
+        // shuffle arm: hash-build the N-row rank side (~16 B/row —
+        // N/partitions per task, no sort of the edge stream); the
+        // no-spill build-side caveat is bounded by the NODE table,
+        // not the edges, so partition count keeps it small anywhere
         val contrib = eDeg
-          .join(if (n <= broadcastNodesUpTo) broadcast(rankU) else rankU,
+          .join(if (gate) broadcast(rankU) else rankU.hint("shuffle_hash"),
             Seq("u"))
           .select(col("v").as("id"), expr("r div d").as("c"))
           .groupBy("id").agg(sum("c").as("cs"))

@@ -349,6 +349,33 @@ object Similarity extends Serializable {
     dot / (math.sqrt(na) * math.sqrt(nc))
   }
 
+  /** Split-out pieces of cosFD for the big-fanout scan kernels (one
+    * row against MANY vectors): cosFD recomputes BOTH norms on every
+    * call, so a scan against m vectors spends 2/3 of its flops on
+    * norms it already knew. Callers hoist normF(row) once per row and
+    * normD(each target) once per table; `dotFD(v,c) / (na * nc)` is
+    * then BIT-IDENTICAL to `cosFD(v,c)` — same min-length dot loop,
+    * same full-length norm loops, same single-division order — so
+    * every oracle and tie-break argument carries over unchanged
+    * (SizingProbe KIND=assign measured the flat scan 1.9x faster
+    * before this, with the norm caching compounding on top). */
+  private def dotFD(a: Seq[Float], c: Array[Double]): Double = {
+    val n = math.min(a.length, c.length)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a(i).toDouble * c(i); i += 1 }
+    dot
+  }
+  private def normF(a: Seq[Float]): Double = {
+    var na = 0.0; var i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    math.sqrt(na)
+  }
+  private def normD(c: Array[Double]): Double = {
+    var nc = 0.0; var i = 0
+    while (i < c.length) { nc += c(i) * c(i); i += 1 }
+    math.sqrt(nc)
+  }
+
   /** Fixed-point scale for exact centroid sums: 2^20 keeps |corpus| *
     * max|x| * 2^20 far inside a long for unit-scale embeddings while
     * preserving ~6 decimal digits of each float.
@@ -408,18 +435,15 @@ object Similarity extends Serializable {
     var it = 0
     while (it < iters) {
       val cur = cents // stable closure for this pass
+      // pruned nearest-index scan (flat below the gate) — per-pass
+      // regrouping is driver-cheap and the result is loop-identical
+      val scan = nearestIndexScanner(cur)
       val partials = proj.mapPartitions { rows =>
         val sums = new Array[Array[Long]](cur.length)
         val cnts = new Array[Long](cur.length)
         rows.foreach { r =>
           val v = r.getSeq[Float](0)
-          var best = -1; var bestSim = Double.NegativeInfinity
-          var c = 0
-          while (c < cur.length) {
-            val s = cosFD(v, cur(c))
-            if (s > bestSim) { bestSim = s; best = c }
-            c += 1
-          }
+          val best = scan(v)
           if (best >= 0) {
             if (sums(best) == null) sums(best) = new Array[Long](v.length)
             val acc = sums(best)
@@ -538,6 +562,65 @@ object Similarity extends Serializable {
     * would cost more than it saves. */
   private val PrunedScanMinNlist = 64
 
+  /** Per-row nearest-centroid INDEX scanner (cos desc, index asc; -1
+    * when every similarity is NaN — trainKmeans's skip-row
+    * convention), branch-and-bound over [[centroidScanGroups]] for
+    * large tables, flat otherwise. Same exactness argument as
+    * [[assignNearest]]'s pruned scan: the bound is a true upper bound
+    * and pruning needs strictly-below (+1e-9 slack), so ties — which
+    * the flat index-order loop resolves to the LOWEST index via its
+    * strict `>` — resolve identically through the explicit
+    * `(s, index)` comparator. SimilaritySpec pins scanner ≡ flat loop
+    * on duplicate centroids, zero-norm rows and NaN cases. Returned
+    * closure is serializable (captures only double arrays), so the
+    * k-means kernel ships it per stage like any task closure. */
+  private[graft] def nearestIndexScanner(
+      cents: Array[Array[Double]],
+      prune: Boolean = true): Seq[Float] => Int = {
+    val norms = cents.map(normD)
+    if (!prune || cents.length < PrunedScanMinNlist) { v =>
+      val na = normF(v)
+      var best = -1; var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val s = dotFD(v, cents(c)) / (na * norms(c))
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best
+    } else {
+      val groups = centroidScanGroups(
+        cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) })
+      val topNorms = groups.map { case (top, _, _) => normD(top) }
+      v => {
+        val na = normF(v)
+        var best = -1; var bestS = Double.NegativeInfinity
+        val gsims = Array.tabulate(groups.length)(g =>
+          dotFD(v, groups(g)._1) / (na * topNorms(g)))
+        val order = groups.indices.sortBy(g => -gsims(g))
+        order.foreach { g =>
+          val (_, rad, members) = groups(g)
+          val skip = best >= 0 && {
+            val ang = math.acos(math.max(-1.0, math.min(1.0, gsims(g))))
+            math.cos(math.max(0.0, ang - rad)) + 1e-9 < bestS
+          }
+          if (!skip) {
+            var m = 0
+            while (m < members.length) {
+              val i = members(m)
+              val s = dotFD(v, cents(i)) / (na * norms(i))
+              if (s > bestS || (s == bestS && i < best)) {
+                bestS = s; best = i
+              }
+              m += 1
+            }
+          }
+        }
+        best
+      }
+    }
+  }
+
   /** Tag each row with its `n` nearest centroids by (cosine desc,
     * cent_id asc) — the shared assignment kernel of `ivfTopK` and
     * `semDedup`. Map-only: centroids ride the task closure (a bounded
@@ -566,11 +649,15 @@ object Similarity extends Serializable {
     val schema = df.schema.add(StructField("cent_id", LongType, false))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
+    val norms = cents.map { case (_, ce) => normD(ce) }
     if (!prune || cents.length < PrunedScanMinNlist) {
       return df.mapPartitions { rows =>
         rows.flatMap { r =>
           val v = r.getSeq[Float](vecIdx)
-          cents.map { case (cid, ce) => (cid, cosFD(v, ce)) }
+          val na = normF(v)
+          cents.zipWithIndex
+            .map { case ((cid, ce), i) =>
+              (cid, dotFD(v, ce) / (na * norms(i))) }
             .sortBy { case (cid, s) => (-s, cid) }
             .take(n)
             .map { case (cid, _) =>
@@ -579,9 +666,11 @@ object Similarity extends Serializable {
       }(enc)
     }
     val groups = centroidScanGroups(cents)
+    val topNorms = groups.map { case (top, _, _) => normD(top) }
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val v = r.getSeq[Float](vecIdx)
+        val na = normF(v)
         // bounded top-n kept sorted by the SAME total order as the
         // flat scan's sortBy((-s, cid)): valid sims desc, NaN last,
         // ties by ascending cid (java.lang.Double.compare is total)
@@ -602,7 +691,8 @@ object Similarity extends Serializable {
             if (filled < n) filled += 1
           }
         }
-        val gsims = groups.map { case (top, _, _) => cosFD(v, top) }
+        val gsims = Array.tabulate(groups.length)(g =>
+          dotFD(v, groups(g)._1) / (na * topNorms(g)))
         val order = groups.indices.sortBy(g => -gsims(g))
         order.foreach { g =>
           val (_, rad, members) = groups(g)
@@ -618,7 +708,8 @@ object Similarity extends Serializable {
             var m = 0
             while (m < members.length) {
               val i = members(m)
-              offer(cosFD(v, cents(i)._2), cents(i)._1)
+              offer(dotFD(v, cents(i)._2) / (na * norms(i)),
+                cents(i)._1)
               m += 1
             }
           }
@@ -981,18 +1072,10 @@ object Similarity extends Serializable {
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
 
     /** cell of v by (cosine desc, iteration order asc) — cents are
-      * id-ascending, so strict > matches assignNearest's tie rule;
-      * returns the INDEX into cents. */
-    def cellIdx(v: Seq[Float]): Int = {
-      var best = -1; var bestSim = Double.NegativeInfinity
-      var c = 0
-      while (c < cents.length) {
-        val s = cosFD(v, cents(c)._2)
-        if (s > bestSim) { bestSim = s; best = c }
-        c += 1
-      }
-      best
-    }
+      * id-ascending, so the scanner's lowest-index tie rule matches
+      * assignNearest's; returns the INDEX into cents. Pruned
+      * branch-and-bound above the nlist gate, identical result. */
+    val cellIdx: Seq[Float] => Int = nearestIndexScanner(cents.map(_._2))
 
     /** residual = v − cell centroid, materialized as FLOATS (one
       * deterministic rounding both the codebook trainer's Seq[Float]
@@ -1321,9 +1404,13 @@ object Similarity extends Serializable {
       col(testVec).as("tv"))
     val nTest = tdf.count()
     if (nTest > maxBroadcastTest) {
-      val (assigned, candidates, cells) =
-        contaminationRouting(c, tdf, threshold, nTest)
-      val fanout = estimateCellFanout(c, cells, threshold)
+      // Two-phase arm choice: train the cell geometry, estimate the
+      // pruning fan-out from SAMPLED radii, and only pay the full
+      // |test|-row assignment pass when the cell arm is actually
+      // chosen — the chunked arm never needs it.
+      val cents = contaminationCells(tdf, nTest)
+      val fanout = estimateCellFanout(c,
+        sampleCellRadii(tdf, cents), threshold)
       if (fanout <= CellArmMaxFanout) {
         // Pruning holds: the cell join materializes ~fanout × product
         // pairs. Eagerly computed (localCheckpoint — bounded: at most
@@ -1331,6 +1418,8 @@ object Similarity extends Serializable {
         // is released HERE rather than pinning |test| rows of vectors
         // for the session's lifetime; checkpoint blocks are reclaimed
         // by the ContextCleaner once the result is unreferenced.
+        val (assigned, candidates, _) =
+          contaminationRouting(c, tdf, threshold, nTest, cents)
         val res = cellArmScore(assigned, candidates, threshold)
           .localCheckpoint(true)
         assigned.unpersist(false)
@@ -1341,7 +1430,6 @@ object Similarity extends Serializable {
       // measured 9× more expensive per pair than the closure kernel
       // (ContaminationProbe). Same flops through the chunked kernel
       // instead, driver memory bounded by one chunk.
-      assigned.unpersist(false)
       return contaminationChunked(c, tdf, nTest, maxBroadcastTest,
         threshold)
     }
@@ -1383,13 +1471,17 @@ object Similarity extends Serializable {
       if (testVecs.length >= 1000)
         c.repartition(c.sparkSession.sparkContext.defaultParallelism)
       else c
+    // test-side norms once per call, row norm once per row (the dotFD
+    // hoist — bit-identical sims, 1/3 the flops of per-pair cosFD)
+    val tNorms = testVecs.map { case (_, tv) => normD(tv) }
     cPar.mapPartitions { rows =>
       rows.flatMap { r =>
         val v = r.getSeq[Float](1)
+        val na = normF(v)
         var bestId = -1L; var bestSim = Double.NegativeInfinity
         var i = 0
         while (i < testVecs.length) {
-          val s = cosFD(v, testVecs(i)._2)
+          val s = dotFD(v, testVecs(i)._2) / (na * tNorms(i))
           if (s > bestSim) { bestSim = s; bestId = testVecs(i)._1 }
           i += 1
         }
@@ -1527,14 +1619,73 @@ object Similarity extends Serializable {
     * (MEMORY_AND_DISK — it feeds both the radii collect and the scored
     * join); the caller MUST unpersist it once the result is
     * materialized ([[semanticContamination]] does, both arms). */
+  /** The large-test arms' shared cell geometry: ~4k test vectors per
+    * cell, capped so the centroid table stays a small driver statistic
+    * (≤ 256 × dim doubles). */
+  private def contaminationCells(tdf: DataFrame,
+      nTest: Long): Array[(Long, Array[Double])] = {
+    val nlist = math.max(8L, math.min(256L, nTest / 4096L)).toInt
+    trainKmeans(tdf, "test_id", "tv", nlist, 1)
+  }
+
+  /** APPROXIMATE per-cell radii from a bounded test sample (runJob on
+    * up to 64 evenly spaced partitions × 32 head rows, assigned to
+    * their nearest cell on the driver) — just enough geometry for the
+    * ARM DECISION without paying the full |test|-row assignment pass
+    * that only the cell arm needs (the round-9 probe measured that
+    * pass as real money on a 1M-row test set). Sampled radii
+    * under-estimate the true max (max over a sample), which biases the
+    * estimate TOWARD the cell arm; on clustered sets — the cell arm's
+    * regime — radii are tiny and the sample is exact enough, while on
+    * uniform sets even a small sample reaches near-max angles. Cells
+    * with no sampled member borrow the largest observed radius. A
+    * wrong estimate costs time, never rows. */
+  private def sampleCellRadii(tdf: DataFrame,
+      cents: Array[(Long, Array[Double])]):
+      Array[(Long, Array[Double], Double)] = {
+    val rdd = tdf.select(col("tv")).rdd
+    val nP = rdd.getNumPartitions
+    if (nP == 0) return cents.map { case (cid, ce) => (cid, ce, 0.0) }
+    val k = math.min(64, nP)
+    val picks = (0 until k).map(i => i * nP / k).distinct
+    val sample: Array[Seq[Float]] = tdf.sparkSession.sparkContext
+      .runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.take(32).map(_.getSeq[Float](0)).toArray,
+        picks)
+      .flatten
+    val centNorms = cents.map { case (_, ce) => normD(ce) }
+    val maxAng = new Array[Double](cents.length)
+    sample.foreach { tv =>
+      val na = normF(tv)
+      if (na != 0.0) {
+        var best = -1; var bestS = Double.NegativeInfinity
+        var i = 0
+        while (i < cents.length) {
+          val s = dotFD(tv, cents(i)._2) / (na * centNorms(i))
+          // same (-sim, cid) preference as the exact assignment
+          if (s > bestS) { bestS = s; best = i }
+          i += 1
+        }
+        if (best >= 0) {
+          val ang = math.acos(math.max(-1.0, math.min(1.0, bestS)))
+          if (ang > maxAng(best)) maxAng(best) = ang
+        }
+      }
+    }
+    val fallback = if (maxAng.isEmpty) 0.0 else maxAng.max
+    cents.zipWithIndex.map { case ((cid, ce), i) =>
+      (cid, ce, if (maxAng(i) > 0.0) maxAng(i) else fallback) }
+  }
+
   private[graft] def contaminationRouting(
-      c: DataFrame, tdf: DataFrame, threshold: Double, nTest: Long):
+      c: DataFrame, tdf: DataFrame, threshold: Double, nTest: Long,
+      centsPre: Array[(Long, Array[Double])] = null):
       (DataFrame, DataFrame, Array[(Long, Array[Double], Double)]) = {
     import org.apache.spark.sql.types._
-    // cells sized for ~4k test vectors each, capped so the centroid
-    // table stays a small driver statistic (<= 256 × dim doubles)
-    val nlist = math.max(8L, math.min(256L, nTest / 4096L)).toInt
-    val cents = trainKmeans(tdf, "test_id", "tv", nlist, 1)
+    val cents =
+      if (centsPre != null) centsPre
+      else contaminationCells(tdf, nTest)
 
     def clamp(s: Double) = math.max(-1.0, math.min(1.0, s))
     // (test_id, tv, cell, angle-to-centroid) — one map-only kernel;
@@ -1552,15 +1703,16 @@ object Similarity extends Serializable {
     // assignment pass costs far more than caching |test| rows of
     // (id, vec, cell, ang). Bounded by the test side, never the
     // corpus; evicted LRU like any cache.
+    val centNorms = cents.map { case (_, ce) => normD(ce) }
     val assigned = tdf.repartition(par).mapPartitions { rows =>
       rows.flatMap { r =>
         val tv = r.getSeq[Float](1)
-        var norm = 0.0
-        tv.foreach(x => norm += x.toDouble * x.toDouble)
-        if (norm == 0.0) Iterator.empty // NaN sims: dead in both arms
+        val na = normF(tv) // hoisted once per row (dotFD discipline)
+        if (na == 0.0) Iterator.empty // NaN sims: dead in both arms
         else {
-          val (cid, s) = cents.iterator
-            .map { case (cid, ce) => (cid, cosFD(tv, ce)) }
+          val (cid, s) = cents.iterator.zipWithIndex
+            .map { case ((cid, ce), i) =>
+              (cid, dotFD(tv, ce) / (na * centNorms(i))) }
             .minBy { case (cid, s) => (-s, cid) }
           Iterator(org.apache.spark.sql.Row(
             r.get(0), r.get(1), cid, math.acos(clamp(s))))

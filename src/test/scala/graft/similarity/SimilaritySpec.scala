@@ -436,6 +436,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearestIndexScanner pruned scan matches the flat strict-greater " +
+      "index loop — duplicate centroids tie to the lowest index, " +
+      "zero-norm rows return -1, degenerate centroids never win") {
+    val rnd = new scala.util.Random(7)
+    val cents = Array.tabulate(96)(i =>
+      if (i == 50) Array.fill(8)(0.0) // degenerate: NaN to everything
+      else Array.fill(8)(rnd.nextGaussian()))
+    cents(70) = cents(10).clone() // exact duplicate: tie bait
+    val pruned = Similarity.nearestIndexScanner(cents, prune = true)
+    val flat = Similarity.nearestIndexScanner(cents, prune = false)
+    val rows: Seq[Seq[Float]] =
+      (1 to 300).map(_ => Seq.fill(8)(rnd.nextGaussian().toFloat)) ++
+      Seq(cents(10).map(_.toFloat).toSeq, // exact hit on the dup pair
+          Seq.fill(8)(0f))                // zero-norm: all sims NaN
+    rows.foreach { v =>
+      assert(pruned(v) == flat(v), s"diverged on $v")
+    }
+    assert(flat(cents(10).map(_.toFloat).toSeq) == 10) // lowest index
+    assert(flat(Seq.fill(8)(0f)) == -1)
+  }
+
   test("job shape: ivfPqTopK trains each quantizer exactly once — " +
       "coarse seed + iters, PQ seed + iters; a refactor that doubles a " +
       "training pass fails here (the LangModel cache-pin's counterpart " +
