@@ -55,15 +55,13 @@ object Hits {
       val n = nodes.count()
       require(n > 0, "empty graph")
       val gate = n <= broadcastNodesUpTo
-      // shuffle arm: each half-round joins the edges on a DIFFERENT
-      // key (u for the auth pass, v for the hub pass), so keep one
-      // pre-partitioned persisted copy per key — per round only the
-      // N-row score side then moves, instead of re-exchanging and
-      // re-sorting all E edge rows twice per round (PageRank's
-      // single-key discipline, doubled). Broadcast arm: plain `e`.
-      val eU = if (gate) e else e.repartition(col("u")).persist()
-      val eV = if (gate) e else e.repartition(col("v")).persist()
-      // score sides hash-build (~N/partitions rows per task)
+      // shuffle arm: hash-build the N-row score side (~16 B/row,
+      // N/partitions per task) so no side of the per-round join is
+      // ever SORTED — the edge exchange itself is the algorithm's
+      // message pass and stays. (Pre-partitioned persisted edge
+      // copies per join key were measured and REJECTED: the extra
+      // cache materialization exchanges cost more at x30 than the
+      // saved join exchanges, and x100 was flat — NOTES round 10.)
       def maybeB(df: DataFrame): DataFrame =
         if (gate) broadcast(df) else df.hint("shuffle_hash")
 
@@ -88,13 +86,13 @@ object Hits {
       var hub = nodes.withColumn("h", lit(Scale))
       var auth: DataFrame = null
       for (_ <- 1 to iters) {
-        val aRaw = eU.join(
+        val aRaw = e.join(
           maybeB(hub.withColumnRenamed("id", "u")), Seq("u"))
           .groupBy(col("v").as("id")).agg(sum(col("h")).as("a"))
         val aAll = nodes.join(aRaw, Seq("id"), "left")
           .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
         auth = normalize(aAll, "a")
-        val hRaw = eV.join(
+        val hRaw = e.join(
           maybeB(auth.withColumnRenamed("id", "v")), Seq("v"))
           .groupBy(col("u").as("id")).agg(sum(col("a")).as("h"))
         val hAll = nodes.join(hRaw, Seq("id"), "left")
@@ -105,7 +103,6 @@ object Hits {
         .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))
         .localCheckpoint()
       nodes.unpersist()
-      if (!gate) { eU.unpersist(); eV.unpersist() }
       out
     } finally {
       e.unpersist()

@@ -41,25 +41,23 @@ object LabelProp {
       broadcastNodesUpTo: Long = PageRank.DefaultBroadcastNodesUpTo)
       : DataFrame = {
     require(iters >= 1, "iters must be positive")
-    val eRaw = edges.select(srcCol.cast("long").as("u"),
+    val e = edges.select(srcCol.cast("long").as("u"),
       dstCol.cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
       .persist()
-    var ePart: DataFrame = null
     try {
-      val nodes = eRaw.select(col("u").as("id"))
-        .union(eRaw.select(col("v").as("id"))).distinct()
+      val nodes = e.select(col("u").as("id"))
+        .union(e.select(col("v").as("id"))).distinct()
       var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
       val n = labels.count()
       require(n > 0, "empty graph")
       val gate = n <= broadcastNodesUpTo
-      // shuffle arm: pre-partition the persisted edges by the vote
-      // join's key so each round reuses the cached hashpartitioning
-      // and hash-builds the N-row label side — not a per-round
-      // exchange + sort of all E edge rows (PageRank's discipline)
-      val e =
-        if (gate) eRaw
-        else { ePart = eRaw.repartition(col("u")).persist(); ePart }
+      // shuffle arm: hash-build the N-row label side so no side of
+      // the per-round vote join is ever SORTED; the edge exchange is
+      // the algorithm's message pass and stays. (A pre-partitioned
+      // persisted edge copy was measured and REJECTED — extra cache
+      // materialization exchange outweighed the saved join exchanges
+      // at x30, flat at x100; NOTES round 10.)
       def maybeB(df: DataFrame): DataFrame =
         if (gate) broadcast(df) else df.hint("shuffle_hash")
       for (_ <- 1 to iters) {
@@ -79,8 +77,7 @@ object LabelProp {
       }
       labels.select(col("id"), col("lbl").as("label"))
     } finally {
-      eRaw.unpersist()
-      if (ePart != null) ePart.unpersist()
+      e.unpersist()
     }
   }
 }

@@ -75,14 +75,14 @@ object PageRank {
       // one degree join for the whole run, not one per iteration; deg
       // has ≤ N rows, so the node gate covers broadcasting it too —
       // the gated arm never shuffles the edge table.
-      // SHUFFLE arm: pre-partition the persisted edge table by the
-      // per-iteration join key, so every round's join reuses the
-      // cached hashpartitioning(u) and only the N-row rank side moves
-      // — without this each round re-exchanged (and SMJ re-sorted)
-      // all E edge rows. Pure overhead on the broadcast arm, where
-      // the join needs no distribution, so it is gated too.
-      val eDeg0 = e.join(if (gate) broadcast(deg) else deg, Seq("u"))
-      eDeg = (if (gate) eDeg0 else eDeg0.repartition(col("u"))).persist()
+      // SHUFFLE arm: the deg join's own exchange already leaves eDeg
+      // hashpartitioned (and sorted) by u, and the CACHE preserves
+      // both — so each round's join reuses it and only the N-row rank
+      // side moves. No explicit repartition: adding one was measured
+      // at +20% on the x100 rung (a redundant E-row exchange on every
+      // cache rebuild). LabelProp/Hits DO repartition — their cached
+      // edge table is a raw scan with no partitioning to reuse.
+      eDeg = e.join(if (gate) broadcast(deg) else deg, Seq("u")).persist()
       val r0 = Scale / n
       val base = (dampingDen - dampingNum) * Scale / (dampingDen * n)
       var rank = nodes.withColumn("r", lit(r0))

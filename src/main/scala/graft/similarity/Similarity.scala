@@ -279,19 +279,33 @@ object Similarity extends Serializable {
   /** LSH ANN: bucket by signature across `tables` independent tables,
     * union candidates, exact cosine re-rank, top-k.
     *
+    * Auto-sizing (default): `bits` from the corpus count via
+    * `Sizing.lshBits` — a FIXED bit width is the family's quadratic
+    * knee (2^bits buckets, so candidates grow ~n²/2^bits once random
+    * collisions dominate; the x100 ladder measured pinned 8-bit q27 at
+    * a hard knee where x1–x30 had been flat). `tables` stays an
+    * explicit recall lever (retrieval has no threshold for the
+    * `lshTables` closed form to target). Bench/oracle queries keep
+    * pinning explicit values.
+    *
     * @param dim vector dimensionality (plane weights are per-dimension)
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
-      bits: Int = 12, tables: Int = 4): DataFrame = {
+      bits: Int = graft.ops.Sizing.Auto, tables: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
         col("corpus_id")) // spread signature compute beyond scan splits
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val bitsN =
+      if (bits == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.lshBits(
+          corpus.select(col(idCol)).count())
+      else bits
 
-    val cBuckets = withBucketsKernel(c, "cv", tables, bits, dim)
-    val qBuckets = withBucketsKernel(q, "qv", tables, bits, dim)
+    val cBuckets = withBucketsKernel(c, "cv", tables, bitsN, dim)
+    val qBuckets = withBucketsKernel(q, "qv", tables, bitsN, dim)
 
     // A (query, corpus) pair surfacing in several hash tables is scored
     // once per table — identical deterministic sims that topk_by's

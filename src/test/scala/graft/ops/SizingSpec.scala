@@ -134,6 +134,16 @@ class SizingSpec extends SparkSpec {
       nlist = Sizing.ivfNlist(n), nprobe = 2)
     assert(iAuto.collect().toSet == iExpl.collect().toSet)
 
+    // lshTopK: Auto bits must resolve to lshBits(n) (tables stays an
+    // explicit recall lever — retrieval has no threshold to target)
+    val lAuto = graft.similarity.Similarity.lshTopK(
+      emb, emb.limit(20), "vec_id", "embedding", k = 5, dim = 16,
+      tables = 3)
+    val lExpl = graft.similarity.Similarity.lshTopK(
+      emb, emb.limit(20), "vec_id", "embedding", k = 5, dim = 16,
+      bits = Sizing.lshBits(n), tables = 3)
+    assert(lAuto.collect().toSet == lExpl.collect().toSet)
+
     // simhashPairs: Auto bands must resolve to simhashBands(maxHamming)
     val docs = (1L to 200L).map { id =>
       (id, (0 until 30).map(j => s"w${(id / 20) * 31 + j}").mkString(" "))
