@@ -436,6 +436,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticContamination ROUTER: a clustered test set takes the " +
+      "cell-join arm, a uniform one the chunked arm — observable from " +
+      "the returned plan (cell arm is eagerly checkpointed to a " +
+      "LogicalRDD; the chunked arm's plan carries the chunk Union)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val corpus = (1L to 50L).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+    // clustered: every test row is a tiny perturbation of ONE corpus
+    // vector — cell radii are tiny, the sampled fan-out prunes
+    val anchor = unit(7)
+    val clustered = (1L to 300L).map { i =>
+      (i, anchor.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    // uniform: isotropic — radii near pi/2, nothing prunes
+    val uniform = (1L to 300L).map(i => (i, unit(1000 + i.toInt)))
+      .toDF("vec_id", "embedding")
+    def run(test: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticContamination(
+        corpus, "vec_id", "embedding", test, "vec_id", "embedding",
+        threshold = 0.9, maxBroadcastTest = 100L)
+    val cellPlan = run(clustered).queryExecution.logical.toString
+    val chunkedPlan = run(uniform).queryExecution.logical.toString
+    assert(cellPlan.contains("LogicalRDD") && !cellPlan.contains("Union"),
+      s"clustered set should take the (checkpointed) cell arm:\n$cellPlan")
+    assert(chunkedPlan.contains("Union"),
+      s"uniform set should take the chunked arm:\n$chunkedPlan")
+    // and both arms still answer correctly through the router
+    assert(run(clustered).collect().map(_.getLong(0)).toSet == Set(7L))
+  }
+
   test("nearestIndexScanner pruned scan matches the flat strict-greater " +
       "index loop — duplicate centroids tie to the lowest index, " +
       "zero-norm rows return -1, degenerate centroids never win") {
