@@ -476,19 +476,27 @@ object Similarity extends Serializable {
           .filter(c => cnts(c) > 0)
           .map(c => org.apache.spark.sql.Row(
             c, sums(c).toIndexedSeq, cnts(c)))
-      }(penc).collect()
+      }(penc)
 
-      val totSums = new Array[Array[Long]](cur.length)
-      val totCnts = new Array[Long](cur.length)
-      partials.foreach { r =>
-        val c = r.getInt(0); val s = r.getSeq[Long](1); val n = r.getLong(2)
-        if (totSums(c) == null) totSums(c) = new Array[Long](s.length)
-        // min-length fold, same ragged-dim tolerance as the kernel's acc
-        var i = 0
-        val lim = math.min(s.length, totSums(c).length)
-        while (i < lim) { totSums(c)(i) += s(i); i += 1 }
-        totCnts(c) += n
-      }
+      // The driver combine is O(partitions × nlist) rows of dim-long
+      // arrays — fine at local[k] parallelism, a driver flood at
+      // cluster scale (defaultParallelism in the thousands × nlist up
+      // to 2^14). Past ~2^20 expected partial rows the combine runs
+      // DISTRIBUTED (element-wise (cent, pos) long sums — associative,
+      // so totals are bit-identical for fixed-dim corpora; only the
+      // degenerate ragged-dim case resolves lengths differently, where
+      // the driver fold's first-seen-length truncation is itself
+      // arbitrary) and the collect shrinks to ≤ nlist rows.
+      // proj is repartitioned to defaultParallelism above, so that IS
+      // its partition count — never proj.rdd.getNumPartitions, which
+      // under AQE materializes the exchange as an extra job (the
+      // ivfPqTopK job-shape pin caught exactly that)
+      val est = corpus.sparkSession.sparkContext
+        .defaultParallelism.toLong * cur.length
+      val (totSums, totCnts) =
+        if (est <= (1L << 20))
+          combinePartialsDriver(partials.collect(), cur.length)
+        else combinePartialsDistributed(partials, cur.length)
       cents = Array.tabulate(cur.length) { c =>
         if (totCnts(c) == 0) cur(c)
         else totSums(c).map(_.toDouble / totCnts(c) / KmeansScale.toDouble)
@@ -496,6 +504,51 @@ object Similarity extends Serializable {
       it += 1
     }
     cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
+  }
+
+  private def combinePartialsDriver(
+      partials: Array[org.apache.spark.sql.Row],
+      nlist: Int): (Array[Array[Long]], Array[Long]) = {
+    val totSums = new Array[Array[Long]](nlist)
+    val totCnts = new Array[Long](nlist)
+    partials.foreach { r =>
+      val c = r.getInt(0); val s = r.getSeq[Long](1); val n = r.getLong(2)
+      if (totSums(c) == null) totSums(c) = new Array[Long](s.length)
+      // min-length fold, same ragged-dim tolerance as the kernel's acc
+      var i = 0
+      val lim = math.min(s.length, totSums(c).length)
+      while (i < lim) { totSums(c)(i) += s(i); i += 1 }
+      totCnts(c) += n
+    }
+    (totSums, totCnts)
+  }
+
+  /** Cluster-scale partials combine: one (cent, pos)-keyed aggregation
+    * of the exploded fixed-point sums plus a (cent)-keyed count sum —
+    * both collect ≤ nlist rows. Long sums are associative, so the
+    * totals match [[combinePartialsDriver]] exactly on fixed-dim
+    * corpora (SimilaritySpec pins it). The partials input is persisted
+    * across its two consumers and released before returning. */
+  private[graft] def combinePartialsDistributed(
+      pdf: DataFrame, nlist: Int): (Array[Array[Long]], Array[Long]) = {
+    val p = pdf.persist()
+    try {
+      val totCnts = new Array[Long](nlist)
+      p.groupBy("cent").agg(sum(col("cnt")).as("n")).collect()
+        .foreach(r => totCnts(r.getInt(0)) = r.getLong(1))
+      val totSums = new Array[Array[Long]](nlist)
+      p.select(col("cent"), posexplode(col("sums")).as(Seq("pos", "s")))
+        .groupBy("cent", "pos").agg(sum(col("s")).as("s"))
+        .groupBy("cent")
+        .agg(sort_array(collect_list(struct(col("pos"), col("s"))))
+          .as("ps"))
+        .collect()
+        .foreach { r =>
+          totSums(r.getInt(0)) = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getLong(1)).toArray
+        }
+      (totSums, totCnts)
+    } finally p.unpersist()
   }
 
   // driver-side cosine between two double vectors (centroid grouping

@@ -471,6 +471,44 @@ class SimilaritySpec extends SparkSpec {
     assert(run(clustered).collect().map(_.getLong(0)).toSet == Set(7L))
   }
 
+  test("combinePartialsDistributed equals the driver fold — the k-means " +
+      "cluster-scale combine path (element-wise associative long sums, " +
+      "absent centroids stay zero)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("cent", IntegerType, false),
+      StructField("sums", ArrayType(LongType, false), false),
+      StructField("cnt", LongType, false)))
+    val rnd = new scala.util.Random(3)
+    // 5 simulated partitions × sparse centroid hits over nlist=6;
+    // centroid 4 never appears
+    val rows = for {
+      _ <- 1 to 5
+      c <- Seq(0, 1, 2, 3, 5) if rnd.nextBoolean()
+    } yield org.apache.spark.sql.Row(
+      c, (1 to 4).map(_ => rnd.nextLong() % 1000000L).toIndexedSeq,
+      (rnd.nextInt(50) + 1).toLong)
+    val pdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 3), schema)
+    val (dSums, dCnts) = Similarity.combinePartialsDistributed(pdf, 6)
+    // hand fold
+    val eSums = Array.fill(6)(new Array[Long](4))
+    val eCnts = new Array[Long](6)
+    var seen = Array.fill(6)(false)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      seen(c) = true
+      r.getSeq[Long](1).zipWithIndex.foreach { case (s, i) =>
+        eSums(c)(i) += s }
+      eCnts(c) += r.getLong(2)
+    }
+    assert(dCnts.toSeq == eCnts.toSeq)
+    (0 until 6).foreach { c =>
+      if (seen(c)) assert(dSums(c).toSeq == eSums(c).toSeq, s"cent $c")
+      else assert(dSums(c) == null && dCnts(c) == 0L)
+    }
+  }
+
   test("nearestIndexScanner pruned scan matches the flat strict-greater " +
       "index loop — duplicate centroids tie to the lowest index, " +
       "zero-norm rows return -1, degenerate centroids never win") {
