@@ -906,21 +906,25 @@ object Similarity extends Serializable {
           if cnts(s)(c) > 0
         } yield org.apache.spark.sql.Row(
           s, c, sums(s)(c).toIndexedSeq, cnts(s)(c))
-      }(penc).collect()
+      }(penc)
 
-      val totSums = Array.fill(m, ksub)(null: Array[Long])
-      val totCnts = Array.fill(m, ksub)(0L)
-      partials.foreach { r =>
-        val s = r.getInt(0); val c = r.getInt(1)
-        val ss = r.getSeq[Long](2); val n = r.getLong(3)
-        if (totSums(s)(c) == null) totSums(s)(c) = new Array[Long](dsub)
-        var j = 0
-        while (j < dsub) { totSums(s)(c)(j) += ss(j); j += 1 }
-        totCnts(s)(c) += n
-      }
+      // same cluster-scale gate as trainKmeans: the (sub, cent) key
+      // flattens to sub*ksub + cent so both combine paths are the
+      // shared ones (driver fold locally; distributed element-wise
+      // sums once partitions × m × ksub would flood the driver)
+      val flat = partials.select(
+        (col("sub") * ksub + col("cent")).cast("int").as("cent"),
+        col("sums"), col("cnt"))
+      val est = corpus.sparkSession.sparkContext
+        .defaultParallelism.toLong * m * ksub
+      val (totSums, totCnts) =
+        if (est <= (1L << 20))
+          combinePartialsDriver(flat.collect(), m * ksub)
+        else combinePartialsDistributed(flat, m * ksub)
       cbs = Array.tabulate(m, ksub) { (s, c) =>
-        if (totCnts(s)(c) == 0) cur(s)(c)
-        else totSums(s)(c).map(_.toDouble / totCnts(s)(c) / KmeansScale.toDouble)
+        val f = s * ksub + c
+        if (totCnts(f) == 0) cur(s)(c)
+        else totSums(f).map(_.toDouble / totCnts(f) / KmeansScale.toDouble)
       }
       it += 1
     }
