@@ -578,38 +578,70 @@ object Similarity extends Serializable {
     val dim = cents.head._2.length
     var tops = Array.tabulate(ntop)(g => cents(g.toLong.toInt * nlist / ntop)._2)
     val assign = new Array[Int](nlist)
-    var round = 0
-    while (round < 4) { // 3 refinement rounds + the final assignment
-      var i = 0
-      while (i < nlist) {
-        var best = 0; var bestS = Double.NegativeInfinity
-        var g = 0
-        while (g < ntop) {
-          val s = cosDD(cents(i)._2, tops(g))
-          if (s > bestS) { bestS = s; best = g }
-          g += 1
-        }
-        assign(i) = best
-        i += 1
+    // the assignment pass is O(nlist * ntop * dim) = O(nlist^1.5 * dim)
+    // — trivial at IVF's 2^14 nlist cap, but semDedup's auto nlist
+    // reaches 2^20 where a single driver core would stall for minutes.
+    // Norms are hoisted (the dotFD discipline) and the pass fans out
+    // over a bounded local pool; each task writes a disjoint index
+    // range, so the result is order-independent and deterministic.
+    val memberNorms = cents.map { case (_, ce) => normD(ce) }
+    val nThreads = math.max(1, math.min(32,
+      Runtime.getRuntime.availableProcessors))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    def assignAll(curTops: Array[Array[Double]]): Unit = {
+      val topNorms = curTops.map(normD)
+      val chunk = math.max(1, (nlist + nThreads - 1) / nThreads)
+      val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+      var lo = 0
+      while (lo < nlist) {
+        val from = lo; val until = math.min(nlist, lo + chunk)
+        tasks.add(() => {
+          var i = from
+          while (i < until) {
+            val ce = cents(i)._2
+            val na = memberNorms(i)
+            var best = 0; var bestS = Double.NegativeInfinity
+            var g = 0
+            while (g < curTops.length) {
+              val t = curTops(g)
+              val n2 = math.min(ce.length, t.length)
+              var dot = 0.0; var j = 0
+              while (j < n2) { dot += ce(j) * t(j); j += 1 }
+              val s = dot / (na * topNorms(g))
+              if (s > bestS) { bestS = s; best = g }
+              g += 1
+            }
+            assign(i) = best
+            i += 1
+          }
+        })
+        lo += chunk
       }
-      if (round < 3) {
-        val sums = Array.fill(ntop)(new Array[Double](dim))
-        val cnt = new Array[Int](ntop)
-        i = 0
-        while (i < nlist) {
-          val s = sums(assign(i)); val ce = cents(i)._2
-          var d = 0
-          val lim = math.min(dim, ce.length)
-          while (d < lim) { s(d) += ce(d); d += 1 }
-          cnt(assign(i)) += 1
-          i += 1
-        }
-        tops = Array.tabulate(ntop) { g =>
-          if (cnt(g) == 0) tops(g) else sums(g) // cosine: no normalize
-        }
-      }
-      round += 1
+      pool.invokeAll(tasks).forEach(_.get()) // propagate task failures
     }
+    try {
+      var round = 0
+      while (round < 4) { // 3 refinement rounds + the final assignment
+        assignAll(tops)
+        if (round < 3) {
+          val sums = Array.fill(ntop)(new Array[Double](dim))
+          val cnt = new Array[Int](ntop)
+          var i = 0
+          while (i < nlist) {
+            val s = sums(assign(i)); val ce = cents(i)._2
+            var d = 0
+            val lim = math.min(dim, ce.length)
+            while (d < lim) { s(d) += ce(d); d += 1 }
+            cnt(assign(i)) += 1
+            i += 1
+          }
+          tops = Array.tabulate(ntop) { g =>
+            if (cnt(g) == 0) tops(g) else sums(g) // cosine: no normalize
+          }
+        }
+        round += 1
+      }
+    } finally pool.shutdown()
     (0 until ntop).flatMap { g =>
       val members = (0 until nlist).filter(assign(_) == g).toArray
       if (members.isEmpty) None
