@@ -132,9 +132,28 @@ object SizingProbe {
           s""""sec_flat":$tFlat,"rows_pruned":$nPruned,""" +
           s""""rows_flat":$nFlat}""")
 
+      case "semdedup" =>
+        // auto nlist (n/250, tracking THIS corpus) vs the x30 rung's
+        // auto value held fixed — the control shows the rule must
+        // track n, not just beat one hand-tuned constant
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val n = e.count()
+        val autoN = graft.ops.Sizing.semDedupNlist(n)
+        def run(nl: Int) = time(graft.similarity.Similarity.semDedup(
+          e, "vec_id", "embedding", threshold = 0.9, nlist = nl))
+        run(autoN) // warm
+        val (tAuto, rowsAuto) = time(graft.similarity.Similarity.semDedup(
+          e, "vec_id", "embedding", threshold = 0.9))
+        val (tCtl, rowsCtl) = run(240)
+        println(s"""{"metric":"sizing_auto_semdedup","rows":$n,""" +
+          s""""auto_nlist":$autoN,"sec_auto":$tAuto,""" +
+          s""""rows_auto":$rowsAuto,"sec_ctl_240":$tCtl,""" +
+          s""""rows_ctl":$rowsCtl}""")
+
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
-          "(valid: emb, ivf, docs, assign)")
+          "(valid: emb, ivf, docs, assign, semdedup)")
     }
     spark.stop()
   }

@@ -160,6 +160,12 @@ def main():
     # as their x3/x10 rungs — offsets stay collision-free at reps=30)
     copy(event_arms(args.src, 30),
          os.path.join(args.out, "events", "x30"), "events")
+    # events x100 (round-10): ~100M events; Python-literal offsets
+    # (r*1e8 up to 9.9e9) are BIGINTs in the generated SQL, and the
+    # +400-day-per-replica shift tops out at ~108 years — inside
+    # timestamp range
+    copy(event_arms(args.src, 100),
+         os.path.join(args.out, "events", "x100"), "events")
     copy(graph_arms(args.src, 30, offset=300000),
          os.path.join(args.out, "graph", "x30"), "lineitem")
     # graph x100 (round-10: the rung that crosses the 2M-node broadcast
