@@ -64,7 +64,12 @@ object GraphGateProbe {
       val times = (0 to iters).map { _ =>
         val t0 = System.nanoTime()
         s = sig(body)
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Bench's hygiene: repeated in-JVM runs accumulate cache and
+        // checkpoint blocks otherwise (an 8-run labelprop sequence
+        // exhausted storage memory without this)
+        spark.catalog.clearCache()
+        sec
       }.drop(1).sorted // first run is the untimed-warm discard
       val med =
         if (times.isEmpty) 0.0
