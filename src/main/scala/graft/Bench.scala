@@ -86,16 +86,26 @@ object Bench {
       else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
     val results = runs.map { case (name, _, t) => (name, median(t), t.head, t.last) }
 
-    // Control: re-time the suite's first query at suite end. Same code,
-    // same data, already-warm plan — any drift vs its in-suite median is
-    // box-state change, not a code regression.
+    // Control: re-time the suite's first query at suite end under the
+    // SAME protocol as its in-suite runs (one untimed warm first —
+    // after 100+ intervening queries the codegen cache has evicted the
+    // plan, and without the warm discard an ITERS=1 control would BE a
+    // cold run, a built-in false positive). Any drift vs the in-suite
+    // median is then box-state change, not a code regression. Control
+    // failures must not poison the suite's `failed` list — the
+    // in-suite medians they would discredit are valid; they get their
+    // own flag.
+    val failedBeforeControl = failed.toSet
     val (control, controlRatio) = selected.headOption match {
       case Some((name, fn)) =>
+        runOne(name, fn) // untimed warm, mirroring the in-suite runs
         val end = median(Seq.fill(iters)(runOne(name, fn)).sorted)
         val inSuite = results.find(_._1 == name).map(_._2).getOrElse(end)
         (end, if (inSuite > 0) end / inSuite else 1.0)
       case None => (0.0, 1.0)
     }
+    val controlFailed = (failed.toSet -- failedBeforeControl).nonEmpty
+    failed.clear(); failed ++= failedBeforeControl
     val loadEnd = loadAvg
 
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
@@ -106,7 +116,7 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def f2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val diag = s""""load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"control":${f2(control)},"control_ratio":${f2(controlRatio)}"""
+    val diag = s""""load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"control":${f2(control)},"control_ratio":${f2(controlRatio)},"control_failed":$controlFailed"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"failed":$failedJson,$diag,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     // Short trailing lines: the r7/r9 driver captures truncated the long
     // line (r9 lost the per-query HEAD). Everything below is re-printed in

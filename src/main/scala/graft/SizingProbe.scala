@@ -53,7 +53,7 @@ object SizingProbe {
           graft.similarity.Similarity.nearDupPairs(
             corpus, "vec_id", "embedding", dim = 64, threshold = 0.9,
             bits = bits, tables = tables, maxBucketSize = 1000))
-        run(autoBits, autoTables) // warm JIT/codegen once
+        run(autoBits, autoTables); run(12, 8) // warm BOTH plans
         val (tAuto, pairsAuto) =
           time(graft.similarity.Similarity.nearDupPairs(
             corpus, "vec_id", "embedding", dim = 64, threshold = 0.9))
@@ -76,7 +76,7 @@ object SizingProbe {
         def run(nlist: Int) = time(graft.similarity.Similarity.ivfTopK(
           e, queries, "vec_id", "embedding", k = 10,
           nlist = nlist, nprobe = 4))
-        run(autoNlist) // warm
+        run(autoNlist); run(16) // warm BOTH plans
         val (tAuto, rowsAuto) = time(graft.similarity.Similarity.ivfTopK(
           e, queries, "vec_id", "embedding", k = 10, nprobe = 4))
         val (tCtl, rowsCtl) = run(16)
@@ -92,7 +92,7 @@ object SizingProbe {
         def run(bands: Int) = time(graft.dedup.Dedup.simhashPairs(
           d, col("doc_id"), col("text"),
           maxHamming = 3, bands = bands, maxBucketSize = 1000))
-        run(autoBands) // warm
+        run(autoBands); run(4) // warm BOTH plans
         val (tAuto, pairsAuto) = time(graft.dedup.Dedup.simhashPairs(
           d, col("doc_id"), col("text"), maxHamming = 3))
         val (tCtl, pairsCtl) = run(4)
@@ -142,7 +142,8 @@ object SizingProbe {
         val autoN = graft.ops.Sizing.semDedupNlist(n)
         def run(nl: Int) = time(graft.similarity.Similarity.semDedup(
           e, "vec_id", "embedding", threshold = 0.9, nlist = nl))
-        run(autoN) // warm
+        run(autoN); run(240) // warm BOTH plans: a cold-vs-warm
+        // asymmetry would flatter whichever arm ran second
         val (tAuto, rowsAuto) = time(graft.similarity.Similarity.semDedup(
           e, "vec_id", "embedding", threshold = 0.9))
         val (tCtl, rowsCtl) = run(240)

@@ -576,7 +576,8 @@ object Similarity extends Serializable {
     val nlist = cents.length
     val ntop = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
     val dim = cents.head._2.length
-    var tops = Array.tabulate(ntop)(g => cents(g.toLong.toInt * nlist / ntop)._2)
+    var tops = Array.tabulate(ntop)(g =>
+      cents((g.toLong * nlist / ntop).toInt)._2)
     val assign = new Array[Int](nlist)
     // the assignment pass is O(nlist * ntop * dim) = O(nlist^1.5 * dim)
     // — trivial at IVF's 2^14 nlist cap, but semDedup's auto nlist
@@ -1496,7 +1497,21 @@ object Similarity extends Serializable {
     * ascending order / max over (sim, -test_id) structs — identical
     * because both arms share cosFD's operation order bit-for-bit), so
     * the result is deterministic and one SQL window reproduces it.
-    */
+    *
+    * EXECUTION SEMANTICS: the small-test arm returns a lazy
+    * DataFrame as usual. Both LARGE-test arms execute EAGERLY inside
+    * the call and return a materialized (checkpointed) result — that
+    * is what lets the cell arm release its |test|-row assignment
+    * cache instead of pinning it for the session (round-9 advice),
+    * and what bounds the chunked arm's driver memory to one chunk.
+    * The result is ≤ |corpus| narrow rows, so materializing it is
+    * never the expensive part; compose filters AFTER the call knowing
+    * they prune the materialized rows, not the scan. The arm-choice
+    * sample reads a few rows from up to 64 partitions of each input —
+    * inputs carrying an expensive un-persisted lineage (a join, a
+    * wide aggregation) re-run that lineage for the sample and again
+    * for the chosen arm, so persist such inputs first (the
+    * `cacheCorpus` discipline). */
   def semanticContamination(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       test: DataFrame, testId: String, testVec: String,
@@ -1704,24 +1719,6 @@ object Similarity extends Serializable {
         col("b.sim").as("sim"))
   }
 
-  /** The cell-routed arm's candidate generation, extracted so the
-    * scale probe (`graft.ContaminationProbe`) can count routing
-    * survivors with the SAME bound math the operator ships — never a
-    * re-derivation that could drift. Returns (assigned test rows with
-    * their cell + angle, corpus candidate rows fanned to the cells
-    * whose cosine upper bound reaches `threshold`, the driver-side
-    * cell stats (cid, centroid, radius) the arm-choice estimator
-    * reads). Inputs must already carry the canonical column names
-    * (`id`/`v`, `test_id`/`tv`) and `nTest` their already-counted test
-    * cardinality — the caller counted it to pick the arm; recounting a
-    * >1M-row set here would add a full extra scan per call. See
-    * [[semanticContamination]]'s scaladoc for the spherical
-    * triangle-inequality bound this implements.
-    *
-    * CALLER CONTRACT: the returned `assigned` is persisted
-    * (MEMORY_AND_DISK — it feeds both the radii collect and the scored
-    * join); the caller MUST unpersist it once the result is
-    * materialized ([[semanticContamination]] does, both arms). */
   /** The large-test arms' shared cell geometry: ~4k test vectors per
     * cell, capped so the centroid table stays a small driver statistic
     * (≤ 256 × dim doubles). */
@@ -1759,6 +1756,7 @@ object Similarity extends Serializable {
       .flatten
     val centNorms = cents.map { case (_, ce) => normD(ce) }
     val maxAng = new Array[Double](cents.length)
+    val seen = new Array[Boolean](cents.length)
     sample.foreach { tv =>
       val na = normF(tv)
       if (na != 0.0) {
@@ -1771,16 +1769,44 @@ object Similarity extends Serializable {
           i += 1
         }
         if (best >= 0) {
+          seen(best) = true
           val ang = math.acos(math.max(-1.0, math.min(1.0, bestS)))
           if (ang > maxAng(best)) maxAng(best) = ang
         }
       }
     }
-    val fallback = if (maxAng.isEmpty) 0.0 else maxAng.max
+    // `seen`, not `maxAng > 0`: a cell whose sampled members sit at
+    // EXACTLY angle 0 (duplicate/quantized embeddings — the cell
+    // arm's own best regime) is a legitimately tight cell, and
+    // handing it the fallback radius would misroute clustered test
+    // sets to the chunked arm
+    val fallback =
+      if (seen.exists(identity))
+        maxAng.zipWithIndex.collect { case (a, i) if seen(i) => a }.max
+      else 0.0
     cents.zipWithIndex.map { case ((cid, ce), i) =>
-      (cid, ce, if (maxAng(i) > 0.0) maxAng(i) else fallback) }
+      (cid, ce, if (seen(i)) maxAng(i) else fallback) }
   }
 
+  /** The cell-routed arm's candidate generation, extracted so the
+    * scale probe (`graft.ContaminationProbe`) can count routing
+    * survivors with the SAME bound math the operator ships — never a
+    * re-derivation that could drift. Returns (assigned test rows with
+    * their cell + angle, corpus candidate rows fanned to the cells
+    * whose cosine upper bound reaches `threshold`, the driver-side
+    * cell stats (cid, centroid, radius) the arm-choice estimator
+    * reads). Inputs must already carry the canonical column names
+    * (`id`/`v`, `test_id`/`tv`) and `nTest` their already-counted test
+    * cardinality — the caller counted it to pick the arm; recounting a
+    * >1M-row set here would add a full extra scan per call.
+    * `centsPre` skips retraining when the router already built the
+    * cell geometry. See [[semanticContamination]]'s scaladoc for the
+    * spherical triangle-inequality bound this implements.
+    *
+    * CALLER CONTRACT: the returned `assigned` is persisted
+    * (MEMORY_AND_DISK — it feeds both the radii collect and the scored
+    * join); the caller MUST unpersist it once the result is
+    * materialized ([[semanticContamination]] does). */
   private[graft] def contaminationRouting(
       c: DataFrame, tdf: DataFrame, threshold: Double, nTest: Long,
       centsPre: Array[(Long, Array[Double])] = null):
