@@ -97,6 +97,10 @@ object Bench {
     // own flag.
     val failedBeforeControl = failed.toSet
     val (control, controlRatio) = selected.headOption match {
+      case Some((name, _)) if failedBeforeControl.contains(name) =>
+        // The baseline median is a failure timing — any ratio against
+        // it is garbage. Sentinel instead of a fake-clean ~1.0.
+        (0.0, -1.0)
       case Some((name, fn)) =>
         runOne(name, fn) // untimed warm, mirroring the in-suite runs
         val end = median(Seq.fill(iters)(runOne(name, fn)).sorted)
@@ -104,7 +108,8 @@ object Bench {
         (end, if (inSuite > 0) end / inSuite else 1.0)
       case None => (0.0, 1.0)
     }
-    val controlFailed = (failed.toSet -- failedBeforeControl).nonEmpty
+    val controlFailed = (failed.toSet -- failedBeforeControl).nonEmpty ||
+      controlRatio < 0
     failed.clear(); failed ++= failedBeforeControl
     val loadEnd = loadAvg
 
@@ -127,7 +132,24 @@ object Bench {
       }.mkString("{", ",", "}")
       println(s"""{"metric":"queries_chunk","medlohi":$chunk}""")
     }
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"nqueries":${results.length},"failed":$failedJson,$diag,"sf":"$sfDir"}""")
+    // Truncation-proof BY CONSTRUCTION (round-10 verdict #3): the
+    // complete capture — every per-query [median, lo, hi] plus the
+    // summary diagnostics — is also written to a JSON FILE, so the
+    // artifact no longer depends on how much stdout the driver's
+    // capture window keeps. The summary line names the path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full.json")
+    val medlohi = results.map { case (k, med, lo, hi) =>
+      "\"" + k + "\":[" + f2(med) + "," + f2(lo) + "," + f2(hi) + "]"
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"nqueries":${results.length},"failed":$failedJson,$diag,"medlohi":$medlohi,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"nqueries":${results.length},"failed":$failedJson,$diag,"full_json":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

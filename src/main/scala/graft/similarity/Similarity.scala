@@ -1492,6 +1492,12 @@ object Similarity extends Serializable {
     *    `maxBroadcastTest`-sized test chunks through the map-only
     *    kernel, folding per-chunk winners; same exact output, driver
     *    memory bounded by one chunk ([[contaminationChunked]]).
+    *    Chunk count is capped at 256 (1 chunk = 1 corpus scan), so
+    *    for nTest > 256 × `maxBroadcastTest` the per-chunk driver
+    *    footprint EXCEEDS the `maxBroadcastTest` bound — past 256
+    *    scans of the corpus that trade wins; a stderr warning names
+    *    the overage when it happens. `maxBroadcastTest` is the
+    *    driver-memory lever only up to that point.
     *
     * Ties go to the lower test id (strict-greater fold over ids in
     * ascending order / max over (sim, -test_id) structs — identical
@@ -1506,12 +1512,17 @@ object Similarity extends Serializable {
     * and what bounds the chunked arm's driver memory to one chunk.
     * The result is ≤ |corpus| narrow rows, so materializing it is
     * never the expensive part; compose filters AFTER the call knowing
-    * they prune the materialized rows, not the scan. The arm-choice
-    * sample reads a few rows from up to 64 partitions of each input —
-    * inputs carrying an expensive un-persisted lineage (a join, a
-    * wide aggregation) re-run that lineage for the sample and again
-    * for the chosen arm, so persist such inputs first (the
-    * `cacheCorpus` discipline). */
+    * they prune the materialized rows, not the scan. The TEST
+    * projection is persisted across the large-test path (bounded —
+    * test-set sized) and released before returning, so its lineage
+    * runs once. The CORPUS-side arm-choice sample reads a few rows
+    * from up to 64 partitions via `.rdd` — on a corpus carrying an
+    * un-persisted shuffle lineage (a join, a wide aggregation), AQE
+    * materializes that exchange as an EXTRA JOB just to finalize the
+    * partitioning for the sample, and the lineage then re-runs in
+    * full for the chosen arm. Persist such corpora first (the
+    * `cacheCorpus` discipline); the call emits a stderr warning when
+    * it detects this shape (plan inspection only — no job). */
   def semanticContamination(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       test: DataFrame, testId: String, testVec: String,
@@ -1522,34 +1533,49 @@ object Similarity extends Serializable {
       col(testVec).as("tv"))
     val nTest = tdf.count()
     if (nTest > maxBroadcastTest) {
-      // Two-phase arm choice: train the cell geometry, estimate the
-      // pruning fan-out from SAMPLED radii, and only pay the full
-      // |test|-row assignment pass when the cell arm is actually
-      // chosen — the chunked arm never needs it.
-      val cents = contaminationCells(tdf, nTest)
-      val fanout = estimateCellFanout(c,
-        sampleCellRadii(tdf, cents), threshold)
-      if (fanout <= CellArmMaxFanout) {
-        // Pruning holds: the cell join materializes ~fanout × product
-        // pairs. Eagerly computed (localCheckpoint — bounded: at most
-        // |corpus| rows of (id, test_id, sim)) so `assigned`'s cache
-        // is released HERE rather than pinning |test| rows of vectors
-        // for the session's lifetime; checkpoint blocks are reclaimed
-        // by the ContextCleaner once the result is unreferenced.
-        val (assigned, candidates, _) =
-          contaminationRouting(c, tdf, threshold, nTest, cents)
-        val res = cellArmScore(assigned, candidates, threshold)
-          .localCheckpoint(true)
-        assigned.unpersist(false)
-        return res
-      }
-      // Pruning fails (uniform-ish test geometry): the join would
-      // materialize ~the full |corpus|×|test| product as rows —
-      // measured 9× more expensive per pair than the closure kernel
-      // (ContaminationProbe). Same flops through the chunked kernel
-      // instead, driver memory bounded by one chunk.
-      return contaminationChunked(c, tdf, nTest, maxBroadcastTest,
-        threshold)
+      if (hasUnpersistedShuffle(c))
+        System.err.println(
+          "[graft] semanticContamination: corpus lineage contains an " +
+          "un-cached shuffle — the arm-choice sample's .rdd will " +
+          "materialize that exchange as an extra AQE job and the " +
+          "chosen arm re-runs the lineage in full; persist the " +
+          "corpus first (cacheCorpus discipline).")
+      // Persist the test projection once for the whole large-test
+      // path: the cell seed job, the k-means pass, the radii sample
+      // and the chosen arm all re-scan it otherwise (round-10 advice:
+      // the sampled lineage must not re-run for the chosen arm).
+      val t = tdf.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Two-phase arm choice: train the cell geometry, estimate the
+        // pruning fan-out from SAMPLED radii, and only pay the full
+        // |test|-row assignment pass when the cell arm is actually
+        // chosen — the chunked arm never needs it.
+        val cents = contaminationCells(t, nTest)
+        val fanout = estimateCellFanout(c,
+          sampleCellRadii(t, cents), threshold)
+        if (fanout <= CellArmMaxFanout) {
+          // Pruning holds: the cell join materializes ~fanout × product
+          // pairs. Eagerly computed (localCheckpoint — bounded: at most
+          // |corpus| rows of (id, test_id, sim)) so `assigned`'s cache
+          // is released HERE rather than pinning |test| rows of vectors
+          // for the session's lifetime; checkpoint blocks are reclaimed
+          // by the ContextCleaner once the result is unreferenced.
+          val (assigned, candidates, _) =
+            contaminationRouting(c, t, threshold, nTest, cents)
+          val res = cellArmScore(assigned, candidates, threshold)
+            .localCheckpoint(true)
+          assigned.unpersist(false)
+          return res
+        }
+        // Pruning fails (uniform-ish test geometry): the join would
+        // materialize ~the full |corpus|×|test| product as rows —
+        // measured 9× more expensive per pair than the closure kernel
+        // (ContaminationProbe). Same flops through the chunked kernel
+        // instead, driver memory bounded by one chunk.
+        return contaminationChunked(c, t, nTest, maxBroadcastTest,
+          threshold)
+      } finally t.unpersist(false)
     }
     broadcastMaxCosine(c, collectTestVecs(tdf), threshold)
   }
@@ -1632,6 +1658,17 @@ object Similarity extends Serializable {
     !(bound + 1e-9 < threshold)
   }
 
+  /** True when `df`'s physical plan contains a shuffle exchange —
+    * the shape where the probes' `.rdd` partition-spread sample makes
+    * AQE materialize the exchange as an extra job (the trainKmeans
+    * comment's hazard). Plan inspection only, runs no job. A cached
+    * upstream shows as an InMemoryTableScan leaf (no exchange in this
+    * plan), so the cacheCorpus discipline silences it naturally. */
+  private def hasUnpersistedShuffle(df: DataFrame): Boolean =
+    df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+
   /** Sampled mean fraction of cells the bound fails to prune, over up
     * to 64 evenly spaced corpus partitions × 32 head rows (runJob on
     * just those partitions — the arm decision needs one number, not a
@@ -1703,6 +1740,13 @@ object Similarity extends Serializable {
     val maxB = math.max(1L, maxBroadcastTest)
     val nChunks = math.min(256L,
       math.max(2L, (nTest + maxB - 1) / maxB)).toInt
+    if (nChunks == 256 && nTest > 256L * maxB)
+      System.err.println(
+        s"[graft] semanticContamination: chunk count capped at 256, " +
+        s"so per-chunk driver memory (~${nTest / 256} test vectors) " +
+        s"exceeds maxBroadcastTest=$maxB — past 256 corpus scans the " +
+        s"cap beats more scans; raise driver memory or pre-filter " +
+        s"the test set.")
     val t = tdf.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winners = (0 until nChunks).map { i =>

@@ -125,12 +125,24 @@ def main():
     con = duckdb.connect()
 
     def copy(arms, d, table):
+        # The skip is keyed on a .sql manifest of the generating query:
+        # after a generator change (emb cycle, graph offset, ...) a
+        # stale rung is REGENERATED instead of silently reused feeding
+        # scale measurements (round-10 advice).
         os.makedirs(d, exist_ok=True)
         dst = os.path.join(d, f"{table}.parquet")
+        man = dst + ".sql"
         if os.path.exists(dst) and not args.force:
-            print(f"{dst}: exists, skipped (--force to regenerate)")
-            return
+            prev = open(man).read() if os.path.exists(man) else None
+            if prev == arms:
+                print(f"{dst}: exists, generator SQL unchanged, "
+                      f"skipped (--force to regenerate)")
+                return
+            why = "manifest missing" if prev is None else "generator SQL CHANGED"
+            print(f"{dst}: exists but {why} — regenerating")
         con.execute(f"COPY ({arms}) TO '{dst}' (FORMAT PARQUET)")
+        with open(man, "w") as f:
+            f.write(arms)
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{dst}: {n} rows")

@@ -11,6 +11,9 @@
 # recompiles during the run cannot mix class versions into it.
 set -euo pipefail
 MAIN="$1"; shift
+# Sweep stale snapshots from prior runs (the EXIT trap can't fire for
+# a killed java child, and leaked dirs accumulate in /tmp otherwise).
+find /tmp -maxdepth 1 -name 'graft_classes_*' -mmin +120 -exec rm -rf {} + 2>/dev/null || true
 SNAP=$(mktemp -d /tmp/graft_classes_XXXX)
 trap 'rm -rf "$SNAP"' EXIT
 cp -r /root/repo/target/scala-2.13/classes/. "$SNAP"/
@@ -25,7 +28,9 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
-exec java $ADD_OPENS \
+# Run java as a child (not exec) so the EXIT trap fires and the
+# snapshot is removed; forward the child's exit code.
+java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
