@@ -25,7 +25,19 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ITERS=3 \
   *   sbt "runMain graft.GraphGateProbe"
   *
-  * Results in NOTES.md ("graph broadcast gate crossed organically").
+  * `SPARK_GRAFT_OPS=labelprop` (comma list) restricts the arm A/B to
+  * named operators — re-measuring one op's arms doesn't pay for all
+  * three (round-10 verdict #4: labelprop's median-of-3 rerun).
+  *
+  * `GRAFT_PROBE_KIND=depth` runs the round-11 PageRank DEPTH ladder
+  * instead: iters ∈ {5,10,20,40} with the default 5-round lineage cut
+  * vs cuts disabled, pinning that per-iteration cost is flat under
+  * truncation and superlinear without it (ops/PageRank.scala
+  * `LineageCutEvery`). Output equality between the arms is asserted
+  * per rung.
+  *
+  * Results in NOTES.md ("graph broadcast gate crossed organically";
+  * round 11 "PageRank depth ladder").
   */
 object GraphGateProbe {
   def main(args: Array[String]): Unit = {
@@ -78,6 +90,26 @@ object GraphGateProbe {
       (med, s)
     }
 
+    if (sys.env.getOrElse("GRAFT_PROBE_KIND", "gate") == "depth") {
+      // PageRank depth ladder: per-iteration cost must stay flat with
+      // the 5-round lineage cut and is expected superlinear without it
+      // (the uncut plan adds one join+agg layer per round; optimizer
+      // time grows quadratically). Same rung, same gate, arm equality
+      // asserted per depth.
+      for (it <- Seq(5, 10, 20, 40)) {
+        val (secCut, sigCut) = medianSec(graft.ops.PageRank.pageRank(
+          bidir, col("src"), col("dst"), iters = it))
+        val (secUncut, sigUncut) = medianSec(graft.ops.PageRank.pageRank(
+          bidir, col("src"), col("dst"), iters = it,
+          lineageCutEvery = Int.MaxValue))
+        println(s"""{"metric":"pagerank_depth","sf":"$sfDir",""" +
+          s""""iters":$it,"sec_cut":$secCut,"sec_uncut":$secUncut,""" +
+          s""""per_iter_cut":${secCut / it},""" +
+          s""""rows":${sigCut._1},"arms_equal":${sigCut == sigUncut}}""")
+      }
+      spark.stop(); return
+    }
+
     val ops: Seq[(String, Long => DataFrame)] = Seq(
       ("pagerank", (g: Long) => graft.ops.PageRank.pageRank(
         bidir, col("src"), col("dst"), iters = 3,
@@ -88,8 +120,11 @@ object GraphGateProbe {
       ("labelprop", (g: Long) => graft.ops.LabelProp.labelPropagation(
         bidir, col("src"), col("dst"), iters = 2,
         broadcastNodesUpTo = g)))
+    val opFilter = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSet)
 
-    ops.foreach { case (name, run) =>
+    ops.filter { case (n, _) => opFilter.forall(_.contains(n)) }
+      .foreach { case (name, run) =>
       val (secDefault, sigDefault) = medianSec(run(gate))
       val (secBcast, sigBcast) = medianSec(run(Long.MaxValue))
       println(s"""{"metric":"graph_gate_$name","sf":"$sfDir",""" +

@@ -63,6 +63,48 @@ object SizingProbe {
           s""""sec_auto":$tAuto,"pairs_auto":$pairsAuto,""" +
           s""""sec_ctl_12x8":$tCtl,"pairs_ctl":$pairsCtl}""")
 
+      case "embstages" =>
+        // Stage attribution for nearDupPairs' x30→x100 residual
+        // exponent (round-10 verdict #1): times the pipeline PREFIXES
+        // — kernel only, +grouping, +pairs+distinct, full — so the
+        // growth can be pinned to a stage rather than argued. Same
+        // planted corpus and auto knobs as KIND=emb.
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val planted = e.select(
+          (col("vec_id") + 100000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+        val corpus = e.unionByName(planted)
+        val n = corpus.count()
+        val bitsN = graft.ops.Sizing.lshBits(n)
+        val tablesN = graft.ops.Sizing.lshTables(bitsN, 0.9)
+        val c = corpus
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+          .repartition(spark.sparkContext.defaultParallelism, col("id"))
+        def buckets() = graft.similarity.Similarity
+          .withBucketsKernel(c, "v", tablesN, bitsN, 64)
+          .select(col("id"), col("bucket"))
+        def grouped() = graft.dedup.Dedup
+          .cappedBucketGroups(buckets(), 1000, "graft.probe")
+        def pairs() = graft.dedup.Dedup
+          .emitPairs(grouped(), c.schema("id").dataType).distinct()
+        def full() = graft.similarity.Similarity.nearDupPairs(
+          corpus, "vec_id", "embedding", dim = 64, threshold = 0.9,
+          bits = bitsN, tables = tablesN, maxBucketSize = 1000)
+        // warm every plan once, then time
+        time(buckets()); time(grouped()); time(pairs()); time(full())
+        val (tB, nB) = time(buckets())
+        val (tG, nG) = time(grouped())
+        val (tP, nP) = time(pairs())
+        val (tF, nF) = time(full())
+        println(s"""{"metric":"neardup_stages","rows":$n,""" +
+          s""""bits":$bitsN,"tables":$tablesN,""" +
+          s""""sec_kernel":$tB,"rows_banded":$nB,""" +
+          s""""sec_grouped":$tG,"groups":$nG,""" +
+          s""""sec_pairs":$tP,"pairs":$nP,""" +
+          s""""sec_full":$tF,"verified":$nF}""")
+
       case "ivf" =>
         // q33's query shape (queries = every 25th vector) with Auto
         // nlist vs the old fixed-16 default: with n_q proportional to
@@ -154,7 +196,7 @@ object SizingProbe {
 
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
-          "(valid: emb, ivf, docs, assign, semdedup)")
+          "(valid: emb, embstages, ivf, docs, assign, semdedup)")
     }
     spark.stop()
   }

@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
   * rank table (N rows of two longs) is broadcast into that join, so
   * the edge table is never shuffled at all; above the gate it falls
   * back to a plain shuffle join (same results — pinned by spec).
-  * Driver holds only the loop counter. For iters beyond ~10,
-  * checkpoint the rank table periodically to cut lineage.
+  * Driver holds only the loop counter. Deep loops self-truncate:
+  * every [[LineageCutEvery]] iterations the N-row rank table is cut
+  * from its lineage with an eager localCheckpoint (otherwise the plan
+  * grows one join+agg layer per round and optimizer time is
+  * quadratic in depth) — results are bit-identical (spec pins
+  * iters=25 against a cut-free run).
   */
 object PageRank {
 
@@ -45,8 +49,21 @@ object PageRank {
     sys.env.get("GRAFT_BROADCAST_NODES_UP_TO").map(_.toLong)
       .getOrElse(2L * 1000 * 1000)
 
+  /** Rank-table lineage is cut (eager localCheckpoint of N rows of two
+    * longs) every this-many iterations. 5 trades one extra tiny job
+    * per 5 rounds against the quadratic planning growth of an uncut
+    * loop; checkpointing is semantically transparent, so any value
+    * yields bit-identical ranks (PageRankSpec pins iters=25 vs an
+    * effectively-uncut run). `GRAFT_PAGERANK_CUT_EVERY` overrides at
+    * process level — a measurement lever, not a tuning surface. */
+  val LineageCutEvery: Int =
+    sys.env.get("GRAFT_PAGERANK_CUT_EVERY").map(_.toInt)
+      .getOrElse(5)
+
   /** @param edges (srcCol, dstCol) directed edge table; duplicate
     *   edges count twice (pre-`distinct` if that is not intended).
+    * @param lineageCutEvery checkpoint cadence (see [[LineageCutEvery]]);
+    *   semantically transparent at any value — a measurement lever.
     * @return (id, rank_fp long) for every node appearing as src or dst.
     */
   def pageRank(
@@ -56,7 +73,9 @@ object PageRank {
       iters: Int,
       dampingNum: Int = 85,
       dampingDen: Int = 100,
-      broadcastNodesUpTo: Long = DefaultBroadcastNodesUpTo): DataFrame = {
+      broadcastNodesUpTo: Long = DefaultBroadcastNodesUpTo,
+      lineageCutEvery: Int = LineageCutEvery): DataFrame = {
+    require(lineageCutEvery >= 1, "lineageCutEvery must be positive")
     require(iters >= 1, "iters must be positive")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping must be a fraction in [0,1], got $dampingNum/$dampingDen")
@@ -86,7 +105,7 @@ object PageRank {
       val r0 = Scale / n
       val base = (dampingDen - dampingNum) * Scale / (dampingDen * n)
       var rank = nodes.withColumn("r", lit(r0))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val rankU = rank.withColumnRenamed("id", "u")
         // shuffle arm: hash-build the N-row rank side (~16 B/row —
         // N/partitions per task, no sort of the edge stream); the
@@ -102,6 +121,10 @@ object PageRank {
             (lit(base) + expr(
               s"($dampingNum * coalesce(cs, 0L)) div $dampingDen"))
               .as("r"))
+        // deep-loop self-truncation (see LineageCutEvery): skip on the
+        // final round — the tail localCheckpoint below covers it
+        if (i % lineageCutEvery == 0 && i < iters)
+          rank = rank.localCheckpoint()
       }
       // materialize before unpersisting the inputs the lineage reads
       rank = rank.select(col("id"), col("r").as("rank_fp")).localCheckpoint()

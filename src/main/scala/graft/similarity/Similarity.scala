@@ -239,7 +239,7 @@ object Similarity extends Serializable {
     * dyadic rationals, so x*2^20 lands exactly on .5 routinely and the
     * rounding mode is semantics, not noise.
     */
-  private[similarity] def withBucketsKernel(
+  private[graft] def withBucketsKernel(
       df: DataFrame, vecCol: String, tables: Int, bits: Int, dim: Int): DataFrame = {
     import org.apache.spark.sql.types._
     val weights = Array.tabulate(tables, bits, dim)(planeWeight)

@@ -15,6 +15,20 @@ import java.sql.Timestamp
   */
 object Streaming {
 
+  /** Shared default for the per-key micro-batch buffer caps of the
+    * flatMapGroupsWithState operators (`sessionize`/`sessionizeStream`
+    * event buffers, `nearDupStream` per-bucket arrivals). Each
+    * invocation holds ONE key's batch rows in task memory — the
+    * standard flatMapGroupsWithState shape — so a pathological key
+    * (bot user, boilerplate bucket) is one task's heap; the cap turns
+    * that silent OOM into a loud per-key error naming the hot key.
+    * One documented knob instead of per-operator constants (round-10
+    * verdict): `GRAFT_MAX_BUFFERED_PER_KEY` overrides at process
+    * level, call-site arguments override per call. */
+  val DefaultMaxBufferedPerKey: Int =
+    sys.env.get("GRAFT_MAX_BUFFERED_PER_KEY").map(_.toInt)
+      .getOrElse(1 << 20)
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -109,7 +123,8 @@ object Streaming {
     * micro-batch in executor memory — the standard
     * flatMapGroupsWithState shape, fine for human-scale per-user
     * cardinality but unbounded in principle (a bot key with millions of
-    * events in a batch is one task's heap). `maxBufferedEvents` turns
+    * events in a batch is one task's heap). `maxBufferedEvents`
+    * (default [[DefaultMaxBufferedPerKey]], the shared knob) turns
     * that silent OOM into a loud per-key error naming the hot key; raise
     * it deliberately, or pre-aggregate/split pathological keys upstream
     * (the same salting answer as any skewed groupBy).
@@ -117,7 +132,8 @@ object Streaming {
   def sessionize(
       events: Dataset[Event],
       gapMs: Long,
-      maxBufferedEvents: Int = 1 << 20): Dataset[SessionUpdate] = {
+      maxBufferedEvents: Int = DefaultMaxBufferedPerKey)
+      : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -167,7 +183,8 @@ object Streaming {
       events: Dataset[Event],
       gapMs: Long,
       watermark: String,
-      maxBufferedEvents: Int = 1 << 20): Dataset[SessionUpdate] = {
+      maxBufferedEvents: Int = DefaultMaxBufferedPerKey)
+      : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
@@ -264,12 +281,26 @@ object Streaming {
     * not re-emit its pairs; only past that second cap can a re-arrival
     * repeat an emission. (One batch's
     * arrivals for one bucket do buffer in task memory before pairing —
-    * the standard flatMapGroupsWithState shape, same caveat as
-    * `sessionize`'s maxBufferedEvents note.) State never
-    * expires (NoTimeout): near-dup detection wants the full horizon —
-    * bound the run by restarting per corpus epoch, or dedup beyond the
-    * stream with the batch operator (same trade as `dedupStream`'s
-    * watermark note).
+    * the standard flatMapGroupsWithState shape; `maxBufferedPerBucket`,
+    * default the shared [[DefaultMaxBufferedPerKey]] knob, fails the
+    * task loudly past it, same as `sessionize`'s maxBufferedEvents.)
+    *
+    * State lifetime: by default NEVER expires (NoTimeout) — near-dup
+    * detection wants the full horizon; bound the run by restarting per
+    * corpus epoch, or dedup beyond the stream with the batch operator
+    * (same trade as `dedupStream`'s watermark note). For an unbounded
+    * deployment, OPT-IN event-time TTL: pass `stateTtlMs` > 0 plus the
+    * event-time column (`tsCol`) and its `watermark` delay — a bucket
+    * whose last arrival's event time falls `stateTtlMs` behind the
+    * watermark is EVICTED wholesale (both the stored members and the
+    * overflow-seen ids). The within-horizon contract is unchanged:
+    * pairs whose members arrive within the TTL of each other are
+    * emitted exactly as without it; beyond the horizon, a counterpart
+    * is forgotten (pair lost — the same trade as `dedupStream`) and an
+    * evicted doc re-delivered later RE-ADMITS (its pairs may re-emit).
+    * Each arrival slides its bucket's deadline forward. TTL is a
+    * streaming-only lever (batch runs have no watermark); leave it 0
+    * for batch-mode use.
     */
   def nearDupStream(
       docs: DataFrame,
@@ -279,17 +310,26 @@ object Streaming {
       numHashes: Int = 12,
       bands: Int = 3,
       threshold: Double = 0.5,
-      maxBucketState: Int = 64): Dataset[NearDupCandidate] = {
+      maxBucketState: Int = 64,
+      maxBufferedPerBucket: Int = DefaultMaxBufferedPerKey,
+      tsCol: String = "",
+      watermark: String = "10 minutes",
+      stateTtlMs: Long = 0L): Dataset[NearDupCandidate] = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide into bands ($bands)")
+    val ttlOn = stateTtlMs > 0
+    require(!ttlOn || tsCol.nonEmpty,
+      "stateTtlMs needs tsCol — the event-time column the watermark rides")
     val spark = docs.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
 
-    val banded: Dataset[(String, Long, Seq[Long])] = docs
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
+    val banded0: Dataset[(String, Long, Seq[Long], Timestamp)] = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"),
+        (if (ttlOn) col(tsCol).cast("timestamp")
+         else lit(null).cast("timestamp")).as("__ts"))
+      .as[(Long, String, Timestamp)]
+      .flatMap { case (id, text, t) =>
         if (text == null || text.length < shingleK) Iterator.empty
         else {
           val md = java.security.MessageDigest.getInstance("MD5")
@@ -305,23 +345,42 @@ object Streaming {
           val sig = graft.dedup.Dedup
             .minhashSignature(vms.toIndexedSeq, numHashes)
           (0 until bands).iterator.map { b =>
-            (graft.dedup.Dedup.bandKey(sig, b, rowsPerBand), id, sig.toSeq)
+            (graft.dedup.Dedup.bandKey(sig, b, rowsPerBand), id,
+              sig.toSeq, t)
           }
         }
       }
+    // the watermark must ride a column that REACHES the stateful
+    // operator (a typed flatMap mints fresh attributes, dropping any
+    // upstream watermark metadata) — so it attaches here, after banding
+    val banded =
+      if (ttlOn) banded0.withWatermark("_4", watermark) else banded0
 
     banded.groupByKey(_._1)
       .flatMapGroupsWithState[
         (Seq[(Long, Seq[Long])], Seq[Long]), NearDupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        if (ttlOn) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[(Seq[(Long, Seq[Long])], Seq[Long])]) =>
+          if (state.hasTimedOut) {
+            // TTL expiry: evict the whole bucket — stored members AND
+            // the overflow-seen ids (a later re-delivery re-admits)
+            state.remove()
+            Iterator.empty
+          } else {
           val initial = state.getOption.getOrElse((Seq.empty, Seq.empty))
           var stored = initial._1
           // ids that arrived at a full bucket: remembered (capped) so a
           // re-delivery in a later batch does not re-emit its pairs
           var overflowSeen = initial._2
+          val buf = rows.take(maxBufferedPerBucket + 1).toSeq
+          require(buf.lengthCompare(maxBufferedPerBucket) <= 0,
+            s"bucket has > $maxBufferedPerBucket arrivals in one batch; " +
+              "raise maxBufferedPerBucket (GRAFT_MAX_BUFFERED_PER_KEY) " +
+              "or pre-dedup upstream")
           val out = Vector.newBuilder[NearDupCandidate]
-          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+          buf.sortBy(_._2).foreach { case (_, id, sig, _) =>
             if (!stored.exists(_._1 == id) && !overflowSeen.contains(id)) {
               stored.foreach { case (oid, osig) =>
                 var m = 0; var i = 0
@@ -339,10 +398,21 @@ object Streaming {
                 overflowSeen = overflowSeen :+ id
             }
           }
-          if (stored.size != initial._1.size ||
+          if (ttlOn) {
+            // always update (a timeout can only be set on live state),
+            // then slide the deadline to the batch's max event time +
+            // TTL — clamped past the current watermark, which Spark
+            // requires strictly below any timeout timestamp
+            state.update((stored, overflowSeen))
+            val maxTs = buf.iterator
+              .map(r => if (r._4 == null) 0L else r._4.getTime).max
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs + 1, maxTs + stateTtlMs))
+          } else if (stored.size != initial._1.size ||
               overflowSeen.size != initial._2.size)
             state.update((stored, overflowSeen))
           out.result().iterator
+          }
       }
   }
 }

@@ -82,6 +82,22 @@ class PageRankSpec extends SparkSpec {
       .contains("BroadcastHashJoin"))
   }
 
+  test("deep loop (iters=25, five lineage cuts) stays bit-identical " +
+      "to the sequential reference") {
+    import spark.implicits._
+    // 25 rounds crosses the LineageCutEvery=5 boundary five times; the
+    // eager localCheckpoints must be semantically invisible — the only
+    // ground truth needed is the same sequential model the shallow
+    // tests pin (checkpointing just materializes the identical table).
+    val rnd = new scala.util.Random(19)
+    val edges = (1 to 500).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val got = PageRank.pageRank(edges.toDF("s", "d"), col("s"), col("d"),
+        iters = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref(edges, 25))
+  }
+
   test("guards: empty graph and bad damping") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

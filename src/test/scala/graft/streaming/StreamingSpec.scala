@@ -202,6 +202,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream event-time TTL: inside-horizon pairs unchanged, " +
+      "an expired bucket re-admits a re-delivered doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the same boilerplate paragraph repeated across the corpus"
+    val mem = MemoryStream[Doc]
+    val q = Streaming.nearDupStream(
+        mem.toDF(), idCol = "doc_id", textCol = "text",
+        threshold = 0.9,
+        tsCol = "ts", watermark = "0 seconds",
+        stateTtlMs = 5 * 60 * 1000L) // 5-minute horizon
+      .writeStream.format("memory").queryName("nd5")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two dups inside the horizon — the pair emits exactly
+      // as without TTL (the within-horizon contract)
+      mem.addData(Doc(1, ts(0), text), Doc(2, ts(1), text))
+      q.processAllAvailable()
+      val p1 = spark.sql("SELECT DISTINCT id1, id2 FROM nd5")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p1 == Set((1L, 2L)))
+      // batch 2: unrelated doc far past the horizon advances the
+      // watermark to 10:30 — the bucket's deadline (10:01 + 5 min) is
+      // now behind it
+      mem.addData(Doc(3, ts(30),
+        "an entirely different document about cabbages and kings"))
+      q.processAllAvailable()
+      // batch 3: no data for the stale bucket — its timeout fires and
+      // the state (stored members AND overflow ids) is evicted
+      mem.addData(Doc(4, ts(31),
+        "yet more unrelated text that shares no phrases at all"))
+      q.processAllAvailable()
+      // batch 4: doc 1 re-delivered with a fresh dup. With live state
+      // doc 9 would pair against BOTH 1 and 2; after eviction doc 1
+      // re-admits and only (1,9) emits — 2's signature is forgotten
+      mem.addData(Doc(1, ts(40), text), Doc(9, ts(41), text))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT DISTINCT id1, id2 FROM nd5")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all == Set((1L, 2L), (1L, 9L)))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps the first occurrence of each content hash " +
       "across micro-batches") {
     import spark.implicits._
