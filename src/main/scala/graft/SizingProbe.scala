@@ -42,7 +42,12 @@ object SizingProbe {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select(col("vec_id"), col("embedding"))
         val planted = e.select(
-          (col("vec_id") + 100000000L).as("vec_id"),
+          // +10^10: clear of every replica offset (r*10^7) so planted
+          // ids never collide with base ids — a +10^8 offset DID
+          // collide from replica 10 up, and the duplicate ids made the
+          // old join-by-id verify fan out (round-11 find; the x30
+          // "pairs found" figures before this fix carry that noise)
+          (col("vec_id") + 10000000000L).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
         val corpus = e.unionByName(planted)
@@ -72,7 +77,12 @@ object SizingProbe {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select(col("vec_id"), col("embedding"))
         val planted = e.select(
-          (col("vec_id") + 100000000L).as("vec_id"),
+          // +10^10: clear of every replica offset (r*10^7) so planted
+          // ids never collide with base ids — a +10^8 offset DID
+          // collide from replica 10 up, and the duplicate ids made the
+          // old join-by-id verify fan out (round-11 find; the x30
+          // "pairs found" figures before this fix carry that noise)
+          (col("vec_id") + 10000000000L).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
         val corpus = e.unionByName(planted)
@@ -89,21 +99,26 @@ object SizingProbe {
           .cappedBucketGroups(buckets(), 1000, "graft.probe")
         def pairs() = graft.dedup.Dedup
           .emitPairs(grouped(), c.schema("id").dataType).distinct()
-        def full() = graft.similarity.Similarity.nearDupPairs(
-          corpus, "vec_id", "embedding", dim = 64, threshold = 0.9,
-          bits = bitsN, tables = tablesN, maxBucketSize = 1000)
+        def full(inGroup: Boolean) = graft.similarity.Similarity
+          .nearDupPairs(
+            corpus, "vec_id", "embedding", dim = 64, threshold = 0.9,
+            bits = bitsN, tables = tablesN, maxBucketSize = 1000,
+            verifyInGroup = inGroup)
         // warm every plan once, then time
-        time(buckets()); time(grouped()); time(pairs()); time(full())
+        time(buckets()); time(grouped()); time(pairs())
+        time(full(true)); time(full(false))
         val (tB, nB) = time(buckets())
         val (tG, nG) = time(grouped())
         val (tP, nP) = time(pairs())
-        val (tF, nF) = time(full())
+        val (tF, nF) = time(full(true))
+        val (tJ, nJ) = time(full(false))
         println(s"""{"metric":"neardup_stages","rows":$n,""" +
           s""""bits":$bitsN,"tables":$tablesN,""" +
           s""""sec_kernel":$tB,"rows_banded":$nB,""" +
           s""""sec_grouped":$tG,"groups":$nG,""" +
           s""""sec_pairs":$tP,"pairs":$nP,""" +
-          s""""sec_full":$tF,"verified":$nF}""")
+          s""""sec_full_ingroup":$tF,"verified":$nF,""" +
+          s""""sec_full_joined":$tJ,"verified_joined":$nJ}""")
 
       case "ivf" =>
         // q33's query shape (queries = every 25th vector) with Auto

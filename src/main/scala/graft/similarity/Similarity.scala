@@ -1377,12 +1377,31 @@ object Similarity extends Serializable {
     * p = 1 − θ/π.
     *
     * Pair generation is the capped grouped shape shared with
-    * `Dedup.minhashLsh`: ONE grouping shuffle gathers each bucket's ids
-    * (`collect_list_capped` bounds the aggregation buffer), buckets with
-    * more than `maxBucketSize` members never materialize their full pair
-    * set. Without the cap a single hot bucket — near-zero vectors all
-    * share a signature — makes the pair stage quadratic; the cap is the
-    * skew guard that lets this run on a 100 TB corpus.
+    * `Dedup.minhashLsh`: ONE grouping shuffle gathers each bucket's
+    * members (`collect_list_capped` bounds the aggregation buffer),
+    * buckets with more than `maxBucketSize` members never materialize
+    * their full pair set. Without the cap a single hot bucket —
+    * near-zero vectors all share a signature — makes the pair stage
+    * quadratic; the cap is the skew guard that lets this run on a
+    * 100 TB corpus.
+    *
+    * VERIFY runs INSIDE the bucket group by default (round 11): the
+    * vectors ride the grouping shuffle as struct members and each
+    * bucket's pairs are cosine-checked in place, so the candidate pair
+    * stream — measured 24M rows for 57k survivors at the x30 rung, 99.8%
+    * random collisions — is never materialized, distinct'ed, or
+    * re-joined against the corpus for payloads. The grouping shuffle
+    * widens by tables × vector per row, ~12× less traffic than the
+    * pair re-join carried at expected bucket size ~12 (and per-member
+    * norm hoisting cuts verify flops 3×). `verifyInGroup = false`
+    * selects the exploded-pair + payload-re-join pipeline — kept as
+    * the measurement/verification arm; both emit row-identical output
+    * including bit-identical sims (spec-pinned on an over-cap
+    * fixture, probe-pinned at the x30 rung). Prefer the join arm only
+    * when vectors are so wide relative to bucket occupancy that
+    * tables × |corpus| × vecBytes exceeds the pair-stream traffic —
+    * at expected bucket size b̄ the join arm moves ~b̄× more bytes, so
+    * that regime means bucket occupancy ≈ 1 (bits oversized for n).
     *
     * An over-cap bucket is NOT dropped silently: it contributes one
     * deterministic representative pair, (min id, max id) — exact
@@ -1396,11 +1415,13 @@ object Similarity extends Serializable {
     * `UNION SELECT min(id), max(id) ... HAVING COUNT(*) > maxBucketSize`
     * for the representative arm.
     *
-    * @param cacheCorpus persist the (id, vector) projection across its two
-    *   uses (bucketing + verify re-join). Off by default: at corpus scale a
-    *   cache is a full materialization of the input; recomputing the pruned
-    *   two-column scan is the safe default (same measured tradeoff as q34's
-    *   uncached filter chain, NOTES.md).
+    * @param cacheCorpus persist the (id, vector) projection across its
+    *   uses (the auto-sizing count + bucketing; with
+    *   `verifyInGroup = false`, also the verify re-join). Off by
+    *   default: at corpus scale a cache is a full materialization of
+    *   the input; recomputing the pruned two-column scan is the safe
+    *   default (same measured tradeoff as q34's uncached filter
+    *   chain, NOTES.md).
     */
   def nearDupPairs(
       corpus: DataFrame,
@@ -1409,7 +1430,8 @@ object Similarity extends Serializable {
       bits: Int = graft.ops.Sizing.Auto,
       tables: Int = graft.ops.Sizing.Auto,
       maxBucketSize: Int = 1000,
-      cacheCorpus: Boolean = false): DataFrame = {
+      cacheCorpus: Boolean = false,
+      verifyInGroup: Boolean = true): DataFrame = {
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
         col("id"))
@@ -1426,6 +1448,44 @@ object Similarity extends Serializable {
       if (tables == graft.ops.Sizing.Auto)
         graft.ops.Sizing.lshTables(bitsN, threshold)
       else tables
+    if (verifyInGroup) {
+      // IN-GROUP verify (round 11, the default): the vectors ride the
+      // one grouping shuffle as struct members and every bucket's
+      // pairs are cosine-verified INSIDE the group, so the ~0.2%-
+      // survivor pair stream is never materialized, never
+      // distinct'ed, and never re-joined against the corpus. The
+      // round-11 stage attribution measured the old exploded-pair
+      // path at x30 as: kernel 0.7 s, grouping 1.4 s, 24M-pair
+      // distinct 3.4 s, and ~10.7 s of verify-join — 24M pairs
+      // carrying two vector payloads each, for 57k survivors. The
+      // grouping shuffle widens (tables × vector per row) but that is
+      // ~12× less traffic than the pair re-join at expected bucket
+      // size ~12 (and per-member hoisted norms cut the verify flops
+      // 3×). Output is row-identical INCLUDING sims (same dot/norm/
+      // division order — spec pins both pipelines equal on an
+      // over-cap fixture).
+      // Pre-partition the WIDE member stream by bucket so the capped
+      // grouping aggregates AFTER the exchange (EnsureRequirements
+      // elides the agg's own): a map-side object-agg over this stream
+      // sees ~n×tables/partitions distinct buckets with ~1 member
+      // each — partials that merge nothing while their object map
+      // (overhead > payload) and the fallback's transient serialized
+      // copy OOM'ed the x100 rung at 16g. Post-shuffle the per-task
+      // key count is totalBuckets/partitions (~23k at x100) and the
+      // buffers hold exactly the final groups. Trade documented: a
+      // pathological over-cap mega-bucket's FULL membership now
+      // streams through one reducer (capped buffer, so memory stays
+      // bounded — time skew only); the narrow path's map-side capping
+      // kept that traffic at cap×partitions.
+      val banded = withBucketsKernel(c, "v", tablesN, bitsN, dim)
+        .select(col("id"), col("v"), col("bucket"))
+        .repartition(col("bucket"))
+      val m = struct(col("id"), col("v"))
+      val grouped = graft.dedup.Dedup.cappedMemberGroups(
+        banded, m, col("id"), maxBucketSize, "graft.neardup")
+      return verifyGroupsKernel(grouped, c.schema("id").dataType,
+        threshold).distinct()
+    }
     val buckets = withBucketsKernel(c, "v", tablesN, bitsN, dim)
       .select(col("id"), col("bucket"))
     // the shared capped-bucket grouping (Dedup.cappedBucketGroups):
@@ -1447,6 +1507,61 @@ object Similarity extends Serializable {
       "v1", "v2", "sim")
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
+  }
+
+  /** The in-group verify tail of [[nearDupPairs]]: per bucket, sort
+    * members by id (ascending — the emitPairs id1 < id2 convention),
+    * hoist each member's norm ONCE, and emit (id1, id2, sim) for every
+    * in-bucket pair at or above `threshold`. The sim arithmetic is
+    * BIT-IDENTICAL to `withCosineKernel` on the same pair: same
+    * min-length dot loop over float-to-double promotions, same
+    * full-length norm sums, same sqrt-then-multiply-then-divide order —
+    * hoisting only changes WHEN the norm is computed, not what. A pair
+    * sharing several buckets re-verifies in each (true near-dups only,
+    * ~recall × tables extra cosines on the tiny survivor set) and the
+    * caller's `.distinct()` folds the identical triples. */
+  private def verifyGroupsKernel(groups: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("id1", idType, false),
+      StructField("id2", idType, false),
+      StructField("sim", DoubleType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    implicit val anyOrd: Ordering[Any] =
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    groups.select(col("ids")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ms = r.getSeq[org.apache.spark.sql.Row](0).sortBy(_.get(0))
+        val k = ms.length
+        val ids = new Array[Any](k)
+        val vecs = new Array[Seq[Float]](k)
+        val norms = new Array[Double](k)
+        var x = 0
+        while (x < k) {
+          ids(x) = ms(x).get(0)
+          vecs(x) = ms(x).getSeq[Float](1)
+          norms(x) = normF(vecs(x))
+          x += 1
+        }
+        (0 until k).iterator.flatMap { i =>
+          ((i + 1) until k).iterator.flatMap { j =>
+            val a = vecs(i); val b = vecs(j)
+            val n = math.min(a.length, b.length)
+            var dot = 0.0; var t = 0
+            while (t < n) {
+              dot += a(t).toDouble * b(t).toDouble; t += 1
+            }
+            val sim = dot / (norms(i) * norms(j))
+            if (sim >= threshold)
+              Iterator.single(org.apache.spark.sql.Row(ids(i), ids(j), sim))
+            else Iterator.empty
+          }
+        }
+      }
+    }(enc)
   }
 
   /** Semantic benchmark decontamination — the embedding-space twin of

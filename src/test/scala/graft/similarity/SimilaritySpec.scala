@@ -169,6 +169,34 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("nearDupPairs in-group verify is row-identical — sims included — " +
+      "to the exploded-pair pipeline, over-cap buckets included") {
+    import spark.implicits._
+    // planted dup pairs + noise + a 31-member hot cluster that overflows
+    // the cap: exercises both the capped-list pair arm and the
+    // [min,max]-representative arm through BOTH pipelines
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 97 + i * 13).toFloat)
+    val hot = Array.tabulate(64)(i => (i + 1).toFloat)
+    val rows = Seq(
+      (1L, vec(1)), (2L, vec(1)),
+      (3L, vec(3)), (4L, vec(3).updated(0, vec(3)(0) + 0.01f)),
+      (5L, vec(5)), (6L, vec(6)), (7L, vec(7))) ++
+      (100L to 130L).map(i => (i, hot))
+    val df = rows.toDF("vec_id", "embedding")
+    def run(inGroup: Boolean) = Similarity.nearDupPairs(
+        df, "vec_id", "embedding", dim = 64, threshold = 0.9,
+        bits = 4, tables = 3, maxBucketSize = 10,
+        verifyInGroup = inGroup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val a = run(true); val b = run(false)
+    // exact double equality on sims — the kernels must be bit-identical
+    assert(a == b)
+    assert(a.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(a.exists(p => p._1 == 100L && p._2 == 130L)) // over-cap rep
+  }
+
   test("nearDupPairs plan: the bucket grouping has exactly one consumer " +
       "(a second arm would recompute the whole bucket shuffle)") {
     val plan = Similarity.nearDupPairs(emb, "vec_id", "embedding",
