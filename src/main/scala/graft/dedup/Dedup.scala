@@ -443,8 +443,31 @@ object Dedup {
         when(col("n") <= maxBucketSize, col("ids"))
           .otherwise(array(col("minm"), col("maxm"))).as("ids"))
 
+  /** Fail fast (at plan-construction time, with the operator named)
+    * when an id column's external type has no natural `Comparable`
+    * order — [[emitPairs]] and Similarity's in-group verify both sort
+    * ids with `a.asInstanceOf[Comparable[Any]]` inside tasks to emit
+    * the id1 < id2 convention, and a binary/array/struct id would
+    * otherwise surface as a mid-job ClassCastException. The whitelist
+    * is exactly the atomic Catalyst types whose external row values
+    * implement Comparable (boxed numerics, BigDecimal, String,
+    * Boolean, java.sql.Date/Timestamp, LocalDateTime). */
+  private[graft] def requireOrderableId(
+      dt: org.apache.spark.sql.types.DataType, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op orders ids by their natural order to emit id1 < id2 pairs; " +
+        s"id column type ${other.simpleString} has none — map the id to a " +
+        "numeric/string/decimal/date/timestamp key first")
+    }
+  }
+
   private[graft] def emitPairs(groups: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import org.apache.spark.sql.types._
+    requireOrderableId(idType, "emitPairs")
     val pairSchema = StructType(Seq(
       StructField("id1", idType, false), StructField("id2", idType, false)))
     val penc = org.apache.spark.sql.catalyst.encoders.RowEncoder

@@ -197,6 +197,34 @@ class SimilaritySpec extends SparkSpec {
     assert(a.exists(p => p._1 == 100L && p._2 == 130L)) // over-cap rep
   }
 
+  test("nearDupPairs fails fast — at plan time, with the operator " +
+      "named — on an id type with no natural order") {
+    import spark.implicits._
+    // binary ids: the external value is Array[Byte], which is not
+    // Comparable — without the guard this surfaces as a task-time
+    // ClassCastException inside the id1 < id2 sort
+    val df = Seq((Array[Byte](1), Array.fill(8)(1.0f)),
+                 (Array[Byte](2), Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    for (arm <- Seq(true, false)) {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.nearDupPairs(df, "vec_id", "embedding",
+          dim = 8, threshold = 0.9, bits = 4, tables = 2,
+          verifyInGroup = arm)
+      }
+      assert(e.getMessage.contains("binary"), e.getMessage)
+      assert(e.getMessage.contains("id1 < id2"), e.getMessage)
+    }
+    // decimal ids DO have a natural order (BigDecimal is Comparable):
+    // the guard must admit them and the pipeline must run
+    val dec = Seq((BigDecimal(1), Array.fill(8)(1.0f)),
+                  (BigDecimal(2), Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(dec, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, bits = 4, tables = 2).collect()
+    assert(got.length == 1 && got.head.getDecimal(0).intValue == 1)
+  }
+
   test("nearDupPairs plan: the bucket grouping has exactly one consumer " +
       "(a second arm would recompute the whole bucket shuffle)") {
     val plan = Similarity.nearDupPairs(emb, "vec_id", "embedding",
