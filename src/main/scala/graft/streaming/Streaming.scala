@@ -297,8 +297,19 @@ object Streaming {
     * pairs whose members arrive within the TTL of each other are
     * emitted exactly as without it; beyond the horizon, a counterpart
     * is forgotten (pair lost — the same trade as `dedupStream`) and an
-    * evicted doc re-delivered later RE-ADMITS (its pairs may re-emit).
-    * Each arrival slides its bucket's deadline forward. TTL is a
+    * evicted doc re-delivered later RE-ADMITS (its pairs may re-emit)
+    * — PROVIDED the re-delivery carries an event time still within the
+    * watermark: with EventTimeTimeout Spark drops rows behind the
+    * watermark BEFORE the state function runs, so replaying a doc with
+    * its original (now-late) timestamp is silently discarded, never
+    * re-admitted. Re-admission is for re-deliveries stamped with fresh
+    * event times (the at-least-once shape), not for replays of old
+    * data into a live TTL stream.
+    * Each arrival slides its bucket's deadline FORWARD only: the
+    * deadline is the running max event time ever seen (carried in
+    * state) + TTL, so a late-but-admissible arrival (older ts than a
+    * prior batch's max — possible with a nonzero watermark delay)
+    * cannot pull the deadline backward and evict early. TTL is a
     * streaming-only lever (batch runs have no watermark); leave it 0
     * for batch-mode use.
     */
@@ -356,20 +367,26 @@ object Streaming {
     val banded =
       if (ttlOn) banded0.withWatermark("_4", watermark) else banded0
 
+    // state = (stored members, overflow-seen ids, running max event-time
+    // ms) — the third slot exists so the TTL deadline is monotone: set
+    // from only the CURRENT batch's max, a late-but-admissible arrival
+    // would slide the deadline backward and evict earlier than
+    // newest-arrival + TTL
     banded.groupByKey(_._1)
       .flatMapGroupsWithState[
-        (Seq[(Long, Seq[Long])], Seq[Long]), NearDupCandidate](
+        (Seq[(Long, Seq[Long])], Seq[Long], Long), NearDupCandidate](
         OutputMode.Append,
         if (ttlOn) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout) {
-        (_, rows, state: GroupState[(Seq[(Long, Seq[Long])], Seq[Long])]) =>
+        (_, rows,
+         state: GroupState[(Seq[(Long, Seq[Long])], Seq[Long], Long)]) =>
           if (state.hasTimedOut) {
             // TTL expiry: evict the whole bucket — stored members AND
             // the overflow-seen ids (a later re-delivery re-admits)
             state.remove()
             Iterator.empty
           } else {
-          val initial = state.getOption.getOrElse((Seq.empty, Seq.empty))
+          val initial = state.getOption.getOrElse((Seq.empty, Seq.empty, 0L))
           var stored = initial._1
           // ids that arrived at a full bucket: remembered (capped) so a
           // re-delivery in a later batch does not re-emit its pairs
@@ -400,17 +417,18 @@ object Streaming {
           }
           if (ttlOn) {
             // always update (a timeout can only be set on live state),
-            // then slide the deadline to the batch's max event time +
-            // TTL — clamped past the current watermark, which Spark
+            // then slide the deadline to the RUNNING max event time +
+            // TTL (monotone across batches — see the state comment
+            // above) — clamped past the current watermark, which Spark
             // requires strictly below any timeout timestamp
-            state.update((stored, overflowSeen))
-            val maxTs = buf.iterator
-              .map(r => if (r._4 == null) 0L else r._4.getTime).max
+            val maxTs = math.max(initial._3, buf.iterator
+              .map(r => if (r._4 == null) 0L else r._4.getTime).max)
+            state.update((stored, overflowSeen, maxTs))
             state.setTimeoutTimestamp(math.max(
               state.getCurrentWatermarkMs + 1, maxTs + stateTtlMs))
           } else if (stored.size != initial._1.size ||
               overflowSeen.size != initial._2.size)
-            state.update((stored, overflowSeen))
+            state.update((stored, overflowSeen, initial._3))
           out.result().iterator
           }
       }

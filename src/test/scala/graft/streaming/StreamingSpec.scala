@@ -245,6 +245,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream TTL deadline is monotone: a late-but-admissible " +
+      "arrival cannot slide it backward and evict early") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the same boilerplate paragraph repeated across the corpus"
+    val mem = MemoryStream[Doc]
+    // nonzero watermark delay makes an arrival OLDER than a prior
+    // batch's max admissible; deadline must stay newest-ever + TTL
+    val q = Streaming.nearDupStream(
+        mem.toDF(), idCol = "doc_id", textCol = "text",
+        threshold = 0.9,
+        tsCol = "ts", watermark = "10 minutes",
+        stateTtlMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("nd6")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: doc 1 at 10:20 → deadline 10:25, watermark 10:10
+      mem.addData(Doc(1, ts(20), text))
+      q.processAllAvailable()
+      // batch 2: doc 2 at 10:12 — admissible (ahead of the 10:10
+      // watermark) but OLDER than batch 1's max; a deadline set from
+      // only this batch's max would slip back to 10:17
+      mem.addData(Doc(2, ts(12), text))
+      q.processAllAvailable()
+      // batches 3-4: unrelated docs advance the watermark to 10:22,
+      // then give the (buggy) 10:17 deadline a batch to fire; the
+      // monotone 10:25 deadline stays ahead of the watermark
+      mem.addData(Doc(3, ts(32),
+        "an entirely different document about cabbages and kings"))
+      q.processAllAvailable()
+      mem.addData(Doc(4, ts(33),
+        "yet more unrelated text that shares no phrases at all"))
+      q.processAllAvailable()
+      // batch 5: doc 9 joins the bucket — with the state alive it pairs
+      // against BOTH stored members; early eviction would emit nothing
+      mem.addData(Doc(9, ts(34), text))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT DISTINCT id1, id2 FROM nd6")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all == Set((1L, 2L), (1L, 9L), (2L, 9L)))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps the first occurrence of each content hash " +
       "across micro-batches") {
     import spark.implicits._

@@ -13,7 +13,19 @@ set -euo pipefail
 MAIN="$1"; shift
 # Sweep stale snapshots from prior runs (the EXIT trap can't fire for
 # a killed java child, and leaked dirs accumulate in /tmp otherwise).
-find /tmp -maxdepth 1 -name 'graft_classes_*' -mmin +120 -exec rm -rf {} + 2>/dev/null || true
+# Age alone is not enough: a >2h (or concurrent long) run's snapshot is
+# old but LIVE, and deleting it breaks the runner's lazy class loading
+# mid-run with NoClassDefFoundError — each snapshot records its java
+# pid in .owner_pid (below), and the sweep skips dirs whose owner is
+# still alive. fuser wouldn't do here: a JVM opens classpath files on
+# demand and closes them, so the dir usually shows no holder.
+for d in /tmp/graft_classes_*; do
+  [ -d "$d" ] || continue
+  [ -n "$(find "$d" -maxdepth 0 -mmin +120)" ] || continue
+  pid=$(cat "$d/.owner_pid" 2>/dev/null || true)
+  if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then continue; fi
+  rm -rf "$d"
+done
 SNAP=$(mktemp -d /tmp/graft_classes_XXXX)
 trap 'rm -rf "$SNAP"' EXIT
 cp -r /root/repo/target/scala-2.13/classes/. "$SNAP"/
@@ -29,10 +41,16 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 
 # Run java as a child (not exec) so the EXIT trap fires and the
-# snapshot is removed; forward the child's exit code.
+# snapshot is removed; record its pid for the sweep's liveness check,
+# forward TERM/INT so a killed wrapper cannot strand a live child whose
+# snapshot the trap is about to delete, and forward the exit code.
 java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "$SNAP:/opt/spark/jars/*" \
-  "$MAIN" "$@"
+  "$MAIN" "$@" &
+JPID=$!
+echo "$JPID" > "$SNAP/.owner_pid"
+trap 'kill "$JPID" 2>/dev/null' TERM INT
+wait "$JPID"
