@@ -118,7 +118,10 @@ object GraphGateProbe {
         pairs, col("p"), col("sp"), iters = 2,
         broadcastNodesUpTo = g)),
       ("labelprop", (g: Long) => graft.ops.LabelProp.labelPropagation(
-        bidir, col("src"), col("dst"), iters = 2,
+        bidir, col("src"), col("dst"),
+        // round-12 attribution lever: vary algorithm rounds to split
+        // the fixed prefix (node distinct + count) from per-round cost
+        iters = sys.env.getOrElse("GRAFT_LP_ITERS", "2").toInt,
         broadcastNodesUpTo = g)))
     val opFilter = sys.env.get("SPARK_GRAFT_OPS")
       .map(_.split(",").map(_.trim).toSet)
