@@ -168,11 +168,17 @@ object SizingProbe {
         // isolates the coarse-assignment stage at the auto nlist: flat
         // n*nlist argmax vs the round-10 pruned branch-and-bound scan
         // (bit-identical output, spec-pinned — this measures the SPEED
-        // claim: ~2*sqrt(nlist)+survivors per row instead of nlist)
+        // claim: ~2*sqrt(nlist)+survivors per row instead of nlist).
+        // GRAFT_ASSIGN_NLIST overrides the auto value — the round-12
+        // hierarchy question (is the sqrt(nlist) TOP-LEVEL scan worth a
+        // second pruning tier at nlist >= 2^14?) can't be asked at the
+        // testdata's auto sizes (~2.5k), so the override emulates the
+        // 100-TB nlist against the same corpus.
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select(col("vec_id"), col("embedding"))
         val n = e.count()
-        val autoNlist = graft.ops.Sizing.ivfNlist(n)
+        val autoNlist = sys.env.get("GRAFT_ASSIGN_NLIST")
+          .map(_.toInt).getOrElse(graft.ops.Sizing.ivfNlist(n))
         val cents = e
           .select(col("vec_id").cast("long").as("cent_id"),
             col("embedding").as("ce"))
