@@ -126,14 +126,24 @@ object GraphGateProbe {
     val opFilter = sys.env.get("SPARK_GRAFT_OPS")
       .map(_.split(",").map(_.trim).toSet)
 
+    // GRAFT_SKIP_FORCED=1: time only the default arm — the per-round
+    // marginal-cost attribution (vary GRAFT_LP_ITERS) doesn't need the
+    // broadcast control and quiet-box time is the scarce resource
+    val skipForced = sys.env.get("GRAFT_SKIP_FORCED").contains("1")
     ops.filter { case (n, _) => opFilter.forall(_.contains(n)) }
       .foreach { case (name, run) =>
       val (secDefault, sigDefault) = medianSec(run(gate))
-      val (secBcast, sigBcast) = medianSec(run(Long.MaxValue))
-      println(s"""{"metric":"graph_gate_$name","sf":"$sfDir",""" +
-        s""""nodes":$nodes,"gate":$gate,"organic_arm":"$organicArm",""" +
-        s""""sec_default":$secDefault,"sec_forced_broadcast":$secBcast,""" +
-        s""""rows":${sigDefault._1},"arms_equal":${sigDefault == sigBcast}}""")
+      if (skipForced) {
+        println(s"""{"metric":"graph_gate_$name","sf":"$sfDir",""" +
+          s""""nodes":$nodes,"gate":$gate,"organic_arm":"$organicArm",""" +
+          s""""sec_default":$secDefault,"rows":${sigDefault._1}}""")
+      } else {
+        val (secBcast, sigBcast) = medianSec(run(Long.MaxValue))
+        println(s"""{"metric":"graph_gate_$name","sf":"$sfDir",""" +
+          s""""nodes":$nodes,"gate":$gate,"organic_arm":"$organicArm",""" +
+          s""""sec_default":$secDefault,"sec_forced_broadcast":$secBcast,""" +
+          s""""rows":${sigDefault._1},"arms_equal":${sigDefault == sigBcast}}""")
+      }
     }
     spark.stop()
   }

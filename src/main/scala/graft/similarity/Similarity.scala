@@ -662,10 +662,109 @@ object Similarity extends Serializable {
     * would cost more than it saves. */
   private val PrunedScanMinNlist = 64
 
+  /** Super-cell counts at or above this get a SECOND pruning tier
+    * (round-12 stretch): past it the per-row linear scan over the
+    * ~sqrt(nlist) super-cells is itself the dominant term — at
+    * nlist = 2^16 it is 256 sims/row while effective pruning leaves
+    * far fewer leaf survivors — so the supers are grouped once more
+    * into ~nlist^(1/4) tier-2 cells and pruned wholesale. 64 supers
+    * (nlist ~ 4096) is where the tier-2 overhead (~8 extra sims/row)
+    * can no longer lose: below it the tier saves at most a few dozen
+    * super sims. `GRAFT_HIER_MIN_NTOP` is the measurement lever (the
+    * `GRAFT_PAGERANK_CUT_EVERY` convention): SizingProbe KIND=assign
+    * A/Bs the tiers in one JVM by disabling the gate, it is not a
+    * user knob. */
+  private val HierMinNtop = sys.env.get("GRAFT_HIER_MIN_NTOP")
+    .map(_.toInt).getOrElse(64)
+
+  /** The shared branch-and-bound walk of [[nearestIndexScanner]] and
+    * [[assignNearest]] over [[centroidScanGroups]]'s super-cells, with
+    * an optional second pruning tier for large nlist (the round-12
+    * 100-TB shape: auto nlist ~ 4*sqrt(n) reaches 2^16+ at
+    * billion-row corpora, where the flat sqrt(nlist) super scan is
+    * itself the per-row bottleneck).
+    *
+    * Tier 2 reuses the same driver k-means over the SUPER tops; its
+    * radius must cover every LEAF centroid, so it widens by the
+    * member super's own radius via the spherical triangle inequality:
+    * rad2 = max over member supers s of (angle(top_s, top2) + rad_s)
+    * — then cos(max(0, angle(v, top2) − rad2)) upper-bounds the
+    * similarity of v to ANY leaf under that tier-2 cell, and a cell
+    * whose bound falls strictly below the current n-th best (+1e-9
+    * slack) is skipped before its supers' sims are even computed.
+    *
+    * Exactness is VISIT-ORDER INDEPENDENT: pruning only ever skips a
+    * cell when no member could beat or tie the already-found n-th
+    * best (a strictly smaller sim never ties, and ties resolve by id,
+    * which pruning never touches), so grouping the supers by tier-2
+    * cell instead of walking them in global sim-desc order changes
+    * which bounds happen to prune, never the result — the flat-scan
+    * bit-identity the specs pin holds for both tiers. NaN discipline
+    * is inherited: a NaN bound (zero-norm row or degenerate top)
+    * never prunes at either tier, so NaN rows still see every leaf.
+    * Below [[HierMinNtop]] supers, tier 2 is skipped and the walk is
+    * the round-10 single-tier order exactly. */
+  private[graft] final class CentroidScan(
+      cents: Array[(Long, Array[Double])]) extends Serializable {
+    val groups: Array[(Array[Double], Double, Array[Int])] =
+      centroidScanGroups(cents)
+    val topNorms: Array[Double] = groups.map(g => normD(g._1))
+    private val allGroupIdx: Array[Int] = groups.indices.toArray
+    // tier-2 cells over the super tops, or null below the gate
+    private val tier2: Array[(Array[Double], Double, Array[Int])] =
+      if (groups.length < HierMinNtop) null
+      else centroidScanGroups(
+        groups.zipWithIndex.map { case ((t, _, _), i) => (i.toLong, t) })
+        .map { case (top2, _, sIdxs) =>
+          val rad2 = sIdxs.map { s =>
+            val (ts, rs, _) = groups(s)
+            val c = cosDD(ts, top2)
+            val a =
+              if (c.isNaN) math.Pi // zero-norm top: never prune it
+              else math.acos(math.max(-1.0, math.min(1.0, c)))
+            a + rs
+          }.max
+          (top2, rad2, sIdxs)
+        }
+    private val tier2Norms: Array[Double] =
+      if (tier2 == null) null else tier2.map(g => normD(g._1))
+
+    /** Walks the super-cells in pruned order for one row: `visit(g)`
+      * must scan group g's members (updating the caller's running
+      * best), `nth()` must return the current prunable threshold —
+      * the worst similarity that still must not be beaten or tied —
+      * or NaN when nothing can be pruned yet. */
+    def walk(v: Seq[Float], na: Double,
+        nth: () => Double, visit: Int => Unit): Unit = {
+      def skip(sim: Double, rad: Double): Boolean = {
+        val t = nth()
+        !t.isNaN && {
+          val ang = math.acos(math.max(-1.0, math.min(1.0, sim)))
+          math.cos(math.max(0.0, ang - rad)) + 1e-9 < t
+        }
+      }
+      def walkGroups(idxs: Array[Int]): Unit = {
+        val gs = idxs.map(g => dotFD(v, groups(g)._1) / (na * topNorms(g)))
+        idxs.indices.sortBy(j => -gs(j)).foreach { j =>
+          if (!skip(gs(j), groups(idxs(j))._2)) visit(idxs(j))
+        }
+      }
+      if (tier2 == null) walkGroups(allGroupIdx)
+      else {
+        val s2 = Array.tabulate(tier2.length)(g =>
+          dotFD(v, tier2(g)._1) / (na * tier2Norms(g)))
+        tier2.indices.sortBy(g => -s2(g)).foreach { g =>
+          if (!skip(s2(g), tier2(g)._2)) walkGroups(tier2(g)._3)
+        }
+      }
+    }
+  }
+
   /** Per-row nearest-centroid INDEX scanner (cos desc, index asc; -1
     * when every similarity is NaN — trainKmeans's skip-row
-    * convention), branch-and-bound over [[centroidScanGroups]] for
-    * large tables, flat otherwise. Same exactness argument as
+    * convention), branch-and-bound via [[CentroidScan]] (tiered past
+    * [[HierMinNtop]] supers) for large tables, flat otherwise. Same
+    * exactness argument as
     * [[assignNearest]]'s pruned scan: the bound is a true upper bound
     * and pruning needs strictly-below (+1e-9 slack), so ties — which
     * the flat index-order loop resolves to the LOWEST index via its
@@ -691,20 +790,15 @@ object Similarity extends Serializable {
     } else {
       val groups = centroidScanGroups(
         cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) })
-      val topNorms = groups.map { case (top, _, _) => normD(top) }
+      val scan = new CentroidScan(
+        cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) })
       v => {
         val na = normF(v)
         var best = -1; var bestS = Double.NegativeInfinity
-        val gsims = Array.tabulate(groups.length)(g =>
-          dotFD(v, groups(g)._1) / (na * topNorms(g)))
-        val order = groups.indices.sortBy(g => -gsims(g))
-        order.foreach { g =>
-          val (_, rad, members) = groups(g)
-          val skip = best >= 0 && {
-            val ang = math.acos(math.max(-1.0, math.min(1.0, gsims(g))))
-            math.cos(math.max(0.0, ang - rad)) + 1e-9 < bestS
-          }
-          if (!skip) {
+        scan.walk(v, na,
+          () => if (best >= 0) bestS else Double.NaN,
+          g => {
+            val members = scan.groups(g)._3
             var m = 0
             while (m < members.length) {
               val i = members(m)
@@ -714,8 +808,7 @@ object Similarity extends Serializable {
               }
               m += 1
             }
-          }
-        }
+          })
         best
       }
     }
@@ -727,18 +820,23 @@ object Similarity extends Serializable {
     * driver statistic), no corpus×nlist shuffle ever materializes.
     *
     * For nlist ≥ [[PrunedScanMinNlist]] the scan is branch-and-bound
-    * over [[centroidScanGroups]]'s ~sqrt(nlist) super-cells: groups
-    * are visited in descending super-similarity order and a group is
-    * skipped wholesale once the spherical triangle-inequality upper
-    * bound cos(max(0, angle(v, super) − radius)) (+1e-9 float slack)
+    * via [[CentroidScan]] over [[centroidScanGroups]]'s ~sqrt(nlist)
+    * super-cells (plus a second pruning tier past [[HierMinNtop]]
+    * supers): groups are visited in descending super-similarity order
+    * within their tier and a group is skipped wholesale once the
+    * spherical triangle-inequality upper bound
+    * cos(max(0, angle(v, super) − radius)) (+1e-9 float slack)
     * falls strictly below the current n-th best VALID similarity — no
     * member could then beat OR tie it (ties resolve by cid, and a
     * strictly smaller sim never ties), so the result is BIT-IDENTICAL
-    * to the flat argmax, including cid tie-breaks and NaN placement
-    * (SimilaritySpec pins equality; `prune = false` forces the flat
+    * to the flat argmax, including cid tie-breaks and NaN placement,
+    * regardless of visit order (SimilaritySpec pins equality, incl. a
+    * tier-2-sized centroid table; `prune = false` forces the flat
     * scan). Typical per-row cost falls from nlist to
     * ~2·sqrt(nlist) + survivors — the difference between n·nlist and
-    * ~n^1.25 for the auto-sized nlist ~ 4·sqrt(n). NaN similarities
+    * ~n^1.25 for the auto-sized nlist ~ 4·sqrt(n) — and the tier-2
+    * cut trims the sqrt(nlist) super term toward nlist^(1/4) at the
+    * 2^14+ nlist a 100-TB corpus implies. NaN similarities
     * (zero-norm rows or degenerate centroids) order LAST with cid
     * ties, exactly like the flat scan's Double total order, and a NaN
     * bound is never pruned on. */
@@ -765,8 +863,7 @@ object Similarity extends Serializable {
         }
       }(enc)
     }
-    val groups = centroidScanGroups(cents)
-    val topNorms = groups.map { case (top, _, _) => normD(top) }
+    val scan = new CentroidScan(cents)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val v = r.getSeq[Float](vecIdx)
@@ -791,20 +888,12 @@ object Similarity extends Serializable {
             if (filled < n) filled += 1
           }
         }
-        val gsims = Array.tabulate(groups.length)(g =>
-          dotFD(v, groups(g)._1) / (na * topNorms(g)))
-        val order = groups.indices.sortBy(g => -gsims(g))
-        order.foreach { g =>
-          val (_, rad, members) = groups(g)
-          val nth = if (filled == n) topS(n - 1) else Double.NaN
+        scan.walk(v, na,
           // prune only past a FULL list with a valid n-th sim: the
-          // bound must beat it strictly (a NaN bound never prunes)
-          val skip = filled == n && !nth.isNaN && {
-            val ang = math.acos(math.max(-1.0,
-              math.min(1.0, gsims(g))))
-            math.cos(math.max(0.0, ang - rad)) + 1e-9 < nth
-          }
-          if (!skip) {
+          // bound must beat it strictly (a NaN nth never prunes)
+          () => if (filled == n) topS(n - 1) else Double.NaN,
+          g => {
+            val members = scan.groups(g)._3
             var m = 0
             while (m < members.length) {
               val i = members(m)
@@ -812,8 +901,7 @@ object Similarity extends Serializable {
                 cents(i)._1)
               m += 1
             }
-          }
-        }
+          })
         (0 until filled).iterator.map { j =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ topC(j)) }
       }

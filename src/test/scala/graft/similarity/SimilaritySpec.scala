@@ -586,6 +586,51 @@ class SimilaritySpec extends SparkSpec {
     assert(flat(Seq.fill(8)(0f)) == -1)
   }
 
+  test("TIER-2 pruned scan (4096 centroids — past the HierMinNtop " +
+      "gate, so the super-cells themselves are grouped and pruned) " +
+      "stays bit-identical to the flat scan for both kernels: " +
+      "nearestIndexScanner index ties and NaN rows, assignNearest " +
+      "cid ties at n=1 and n=3") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // 4096 leaves -> ntop = 64 = HierMinNtop: the smallest table
+    // where the second tier engages; clustered structure (32 true
+    // modes + noise) so tier-2 pruning actually fires, plus the
+    // degenerate baits (zero-norm centroid, exact duplicate pair)
+    val modes = Array.fill(32)(Array.fill(8)(rnd.nextGaussian()))
+    val cents = Array.tabulate(4096) { i =>
+      if (i == 1000) Array.fill(8)(0.0)
+      else {
+        val m = modes(i % 32)
+        m.map(_ + 0.05 * rnd.nextGaussian())
+      }
+    }
+    cents(2070) = cents(17).clone() // duplicate: index/cid tie bait
+    val prunedIdx = Similarity.nearestIndexScanner(cents, prune = true)
+    val flatIdx = Similarity.nearestIndexScanner(cents, prune = false)
+    val probes: Seq[Seq[Float]] =
+      (1 to 100).map { _ =>
+        val m = modes(rnd.nextInt(32))
+        m.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq } ++
+      Seq(cents(17).map(_.toFloat).toSeq, Seq.fill(8)(0f))
+    probes.foreach { v =>
+      assert(prunedIdx(v) == flatIdx(v), s"tier-2 scanner diverged on $v")
+    }
+    assert(flatIdx(cents(17).map(_.toFloat).toSeq) == 17)
+    val centsT = cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
+    val rows = probes.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (n <- Seq(1, 3)) {
+      val flat = Similarity.assignNearest(rows, centsT, 1, n,
+          prune = false)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      val pruned = Similarity.assignNearest(rows, centsT, 1, n,
+          prune = true)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      assert(pruned == flat, s"tier-2 assign diverged at n=$n")
+    }
+  }
+
   test("job shape: ivfPqTopK trains each quantizer exactly once — " +
       "coarse seed + iters, PQ seed + iters; a refactor that doubles a " +
       "training pass fails here (the LangModel cache-pin's counterpart " +
