@@ -664,18 +664,21 @@ object Similarity extends Serializable {
 
   /** Super-cell counts at or above this get a SECOND pruning tier
     * (round-12 stretch): past it the per-row linear scan over the
-    * ~sqrt(nlist) super-cells is itself the dominant term — at
+    * ~sqrt(nlist) super-cells is itself a dominant term — at
     * nlist = 2^16 it is 256 sims/row while effective pruning leaves
     * far fewer leaf survivors — so the supers are grouped once more
-    * into ~nlist^(1/4) tier-2 cells and pruned wholesale. 64 supers
-    * (nlist ~ 4096) is where the tier-2 overhead (~8 extra sims/row)
-    * can no longer lose: below it the tier saves at most a few dozen
-    * super sims. `GRAFT_HIER_MIN_NTOP` is the measurement lever (the
+    * into ~nlist^(1/4) tier-2 cells and pruned wholesale. 96 is the
+    * MEASURED break-even (SizingProbe KIND=assign, 200k-row x100
+    * rung, back-to-back flat controls equal to 0.03%): at 64 supers
+    * (nlist 4096) the tier is a 3.6% LOSS (6.93 vs 6.69 s — the ~8
+    * extra sims/row save almost nothing), at 128 supers (nlist
+    * 16384) an 18% win (26.4 vs 32.2 s) — so the gate sits between.
+    * `GRAFT_HIER_MIN_NTOP` is the measurement lever (the
     * `GRAFT_PAGERANK_CUT_EVERY` convention): SizingProbe KIND=assign
     * A/Bs the tiers in one JVM by disabling the gate, it is not a
     * user knob. */
   private val HierMinNtop = sys.env.get("GRAFT_HIER_MIN_NTOP")
-    .map(_.toInt).getOrElse(64)
+    .map(_.toInt).getOrElse(96)
 
   /** The shared branch-and-bound walk of [[nearestIndexScanner]] and
     * [[assignNearest]] over [[centroidScanGroups]]'s super-cells, with

@@ -586,19 +586,20 @@ class SimilaritySpec extends SparkSpec {
     assert(flat(Seq.fill(8)(0f)) == -1)
   }
 
-  test("TIER-2 pruned scan (4096 centroids — past the HierMinNtop " +
+  test("TIER-2 pruned scan (16384 centroids — past the HierMinNtop " +
       "gate, so the super-cells themselves are grouped and pruned) " +
       "stays bit-identical to the flat scan for both kernels: " +
       "nearestIndexScanner index ties and NaN rows, assignNearest " +
       "cid ties at n=1 and n=3") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
-    // 4096 leaves -> ntop = 64 = HierMinNtop: the smallest table
-    // where the second tier engages; clustered structure (32 true
-    // modes + noise) so tier-2 pruning actually fires, plus the
-    // degenerate baits (zero-norm centroid, exact duplicate pair)
+    // 16384 leaves -> ntop = 128 >= HierMinNtop = 96: past the
+    // measured break-even, so the second tier engages; clustered
+    // structure (32 true modes + noise) so tier-2 pruning actually
+    // fires, plus the degenerate baits (zero-norm centroid, exact
+    // duplicate pair)
     val modes = Array.fill(32)(Array.fill(8)(rnd.nextGaussian()))
-    val cents = Array.tabulate(4096) { i =>
+    val cents = Array.tabulate(16384) { i =>
       if (i == 1000) Array.fill(8)(0.0)
       else {
         val m = modes(i % 32)
