@@ -83,24 +83,34 @@ object Hits {
               .otherwise(0L).as(c))
       }
 
+      // Zero-score nodes are restored ONCE at the end, not per
+      // half-round (round 12): a node absent from a score table is
+      // exactly a node whose score is 0, and a 0 score contributes
+      // nothing to the next half-round's edge-join sums or to the
+      // normalizing total — so dropping the per-half-round
+      // `nodes LEFT JOIN raw` restore (two N-row joins per round)
+      // changes no emitted value. The loop's tables shrink to the
+      // nonzero-degree nodes; the full node set reappears in the
+      // final left joins below, coalesced to 0 — bit-identical to
+      // the restore-every-half-round loop (oracle + spec pin it).
       var hub = nodes.withColumn("h", lit(Scale))
       var auth: DataFrame = null
       for (_ <- 1 to iters) {
         val aRaw = e.join(
           maybeB(hub.withColumnRenamed("id", "u")), Seq("u"))
           .groupBy(col("v").as("id")).agg(sum(col("h")).as("a"))
-        val aAll = nodes.join(aRaw, Seq("id"), "left")
-          .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
-        auth = normalize(aAll, "a")
+        auth = normalize(aRaw, "a")
         val hRaw = e.join(
           maybeB(auth.withColumnRenamed("id", "v")), Seq("v"))
           .groupBy(col("u").as("id")).agg(sum(col("a")).as("h"))
-        val hAll = nodes.join(hRaw, Seq("id"), "left")
-          .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
-        hub = normalize(hAll, "h")
+        hub = normalize(hRaw, "h")
       }
-      val out = hub.join(auth, Seq("id"))
-        .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+      val out = nodes
+        .join(hub, Seq("id"), "left")
+        .join(auth, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("h"), lit(0L)).as("hub_fp"),
+          coalesce(col("a"), lit(0L)).as("auth_fp"))
         .localCheckpoint()
       nodes.unpersist()
       out
