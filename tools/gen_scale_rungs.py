@@ -156,7 +156,9 @@ def main():
             table = {"docs": "documents", "emb": "embeddings",
                      "events": "events", "graph": "lineitem"}[kind]
             copy(arms, os.path.join(args.out, kind, name), table)
-    for name, reps in [("x30", 30), ("x100", 100)]:
+    # docs x300 (round-12: the dedup family's 3x extrapolation check —
+    # 1.5M docs; 300 replicas fit the 312 distinct affine permutations)
+    for name, reps in [("x30", 30), ("x100", 100), ("x300", 300)]:
         copy(doc_arms(args.src, reps),
              os.path.join(args.out, "docs", name), "documents")
     # embeddings x30 (the Sizing.Auto knee-proof rung): needs the
@@ -187,6 +189,13 @@ def main():
     # disjoint.
     copy(graph_arms(args.src, 100, offset=97000),
          os.path.join(args.out, "graph", "x100"), "lineitem")
+    # graph x300 (round-12: one rung past the x100 gate-crossing —
+    # ~6.3M nodes, ~180M edge rows; the exponents' 3x extrapolation
+    # check): offset shrinks again so 299 replica shifts stay under
+    # the 10^7 dst shift (299*30000 + 300000 = 9.27e6) while
+    # remaining > max l_partkey.
+    copy(graph_arms(args.src, 300, offset=30000),
+         os.path.join(args.out, "graph", "x300"), "lineitem")
 
 
 if __name__ == "__main__":
