@@ -109,14 +109,21 @@ object SizingProbe {
         // per rep would re-pay ~100 s of joined-arm warm at x100 and
         // overrun the 10-minute wrapper budget
         val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
-        time(buckets()); time(grouped()); time(pairs())
-        time(full(true)); time(full(false))
+        // x300+: the joined arm's pair stream (~exp 1.23 → ~400M rows)
+        // is the DELETED default's cost, already attributed at
+        // x30/x100 — skip it (and the pair-stage prefix) so the deep
+        // rung measures the shipping arm, not the tombstone
+        val skipJoined = sys.env.get("SPARK_GRAFT_SKIP_JOINED").contains("1")
+        time(buckets()); time(grouped())
+        if (!skipJoined) time(pairs())
+        time(full(true))
+        if (!skipJoined) time(full(false))
         for (_ <- 1 to reps) {
           val (tB, nB) = time(buckets())
           val (tG, nG) = time(grouped())
-          val (tP, nP) = time(pairs())
+          val (tP, nP) = if (skipJoined) (-1.0, -1L) else time(pairs())
           val (tF, nF) = time(full(true))
-          val (tJ, nJ) = time(full(false))
+          val (tJ, nJ) = if (skipJoined) (-1.0, -1L) else time(full(false))
           println(s"""{"metric":"neardup_stages","rows":$n,""" +
             s""""bits":$bitsN,"tables":$tablesN,""" +
             s""""sec_kernel":$tB,"rows_banded":$nB,""" +

@@ -52,11 +52,16 @@ def doc_perm(r):
 
 
 def doc_arms(src, reps):
+    # doc_id is INT32 in the fixture; past replica 214 the offset
+    # overflows, so big ladders cast to BIGINT. The cast is gated on
+    # reps so the x3..x100 manifests (and thus the recorded-ladder
+    # rung bytes) stay untouched.
+    idexpr = ("CAST(doc_id AS BIGINT)" if reps > 214 else "doc_id")
     arms = []
     for r in range(reps):
         rot = doc_perm(r)
         arms.append(f"""
-          SELECT doc_id + {r}*10000000 AS doc_id,
+          SELECT {idexpr} + {r * 10000000} AS doc_id,
                  translate(text, '{ALPHA}', '{rot}') AS text,
                  * EXCLUDE (doc_id, text)
           FROM read_parquet('{src}/documents.parquet')""")
@@ -170,6 +175,12 @@ def main():
     # distinct (2^7 >= 100)
     copy(emb_arms(args.src, 100, cycle=7),
          os.path.join(args.out, "emb", "x100"), "embeddings")
+    # embeddings x300 (round-12: one rung past the in-group-verify
+    # x100 measurement — ~600k vectors; the exponent band's 3x
+    # extrapolation check): 9-bit cycle keeps all 300 replica sign
+    # patterns distinct (2^9 >= 300)
+    copy(emb_arms(args.src, 300, cycle=9),
+         os.path.join(args.out, "emb", "x300"), "embeddings")
     # events/graph x30 (round-9 one-rung-up extensions; same transforms
     # as their x3/x10 rungs — offsets stay collision-free at reps=30)
     copy(event_arms(args.src, 30),
