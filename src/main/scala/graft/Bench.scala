@@ -50,17 +50,28 @@ object Bench {
       .toSeq.sortBy(_._1)
 
     // a failed run records a (misleadingly fast) timing — so failures are
-    // ALSO counted into the JSON line, where nothing can grep past them
+    // ALSO counted into the JSON line, where nothing can grep past them.
+    // A DEAD SparkContext is different from a failed query: once the
+    // context stops (executor OOM at an oversized rung killed it in the
+    // round-12 docs-x300 first attempt), every later query "fails" in
+    // milliseconds and the capture reads as a 3-query regression instead
+    // of one resource event. Detect it and SKIP the rest, flagged.
     val failed = scala.collection.mutable.Set.empty[String]
+    var contextDead = false
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        if (spark.sparkContext.isStopped) {
+          contextDead = true
+          System.err.println(s"[bench] SparkContext is stopped — skipping remaining queries")
+        }
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // caches are per-query internals, not carryover
+      if (!contextDead)
+        spark.catalog.clearCache() // caches are per-query internals, not carryover
       sec
     }
 
@@ -74,11 +85,15 @@ object Bench {
     // Interleaved: untimed warm run immediately followed by the timed
     // iterations of the same query — back-to-back so the plan's generated
     // classes stay resident in the (LRU-bounded) codegen cache.
-    val runs = selected.map { case (name, fn) =>
-      val cold = runOne(name, fn)
-      val timed = Seq.fill(iters)(runOne(name, fn)).sorted
-      (name, cold, timed)
+    val runs = selected.flatMap { case (name, fn) =>
+      if (contextDead) None
+      else {
+        val cold = runOne(name, fn)
+        val timed = Seq.fill(iters)(runOne(name, fn)).sorted
+        Some((name, cold, timed))
+      }
     }
+    val skipped = selected.map(_._1).filterNot(n => runs.exists(_._1 == n))
     val cold = runs.map(_._2).sum
     // xs is pre-sorted; even lengths average the two middle elements
     def median(xs: Seq[Double]): Double =
@@ -97,6 +112,8 @@ object Bench {
     // own flag.
     val failedBeforeControl = failed.toSet
     val (control, controlRatio) = selected.headOption match {
+      case _ if contextDead =>
+        (0.0, -1.0) // no live context to re-time against
       case Some((name, _)) if failedBeforeControl.contains(name) =>
         // The baseline median is a failure timing — any ratio against
         // it is garbage. Sentinel instead of a fake-clean ~1.0.
@@ -121,7 +138,8 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def f2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val diag = s""""load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"control":${f2(control)},"control_ratio":${f2(controlRatio)},"control_failed":$controlFailed"""
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val diag = s""""load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"control":${f2(control)},"control_ratio":${f2(controlRatio)},"control_failed":$controlFailed,"context_dead":$contextDead,"skipped":$skippedJson"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"failed":$failedJson,$diag,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     // Short trailing lines: the r7/r9 driver captures truncated the long
     // line (r9 lost the per-query HEAD). Everything below is re-printed in
