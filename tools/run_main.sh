@@ -26,6 +26,16 @@ for d in /tmp/graft_classes_*; do
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then continue; fi
   rm -rf "$d"
 done
+# Killed JVMs also leak their Spark scratch dirs (blockmgr-*, spark-*)
+# — ~35 GB of them measurably inflated successive heavy captures in
+# round 12 before a manual cleanup. Those dirs carry no owner pid, so
+# the sweep is gated the safe way: only when NO java is running at all
+# (leaked dirs are then orphans by definition) and only past the same
+# 2h age bar. A live run naturally skips it.
+if ! pgrep -x java >/dev/null 2>&1; then
+  find /tmp -maxdepth 1 \( -name 'blockmgr-*' -o -name 'spark-*' \) \
+    -mmin +120 -exec rm -rf {} + 2>/dev/null || true
+fi
 SNAP=$(mktemp -d /tmp/graft_classes_XXXX)
 trap 'rm -rf "$SNAP"' EXIT
 cp -r /root/repo/target/scala-2.13/classes/. "$SNAP"/
