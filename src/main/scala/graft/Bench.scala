@@ -82,6 +82,24 @@ object Bench {
     def loadAvg: Double = osBean.getSystemLoadAverage // -1.0 if unavailable
     val loadStart = loadAvg
 
+    // Suite-head warmup (round-12 verdict #5): JVM-global warmup (JIT
+    // of the scan/agg/shuffle hot paths, codegen infrastructure, Janino)
+    // used to land on whichever queries ran first — q01/q16 swung ±50%
+    // round-over-round from suite POSITION, not code (r12 evidence: q01
+    // in-suite median 1.15 s vs end-of-suite control re-time 0.77 s).
+    // Two untimed runs of the suite's first query absorb that warmup
+    // before any timed iteration starts. The seconds are reported
+    // (`warmup_sec`) but charged to no query; per-query `cold` runs
+    // still capture each PLAN's first-compile cost, so `cold_total`
+    // keeps its meaning as the per-plan-codegen signal.
+    val warmupSec = selected.headOption match {
+      case Some((name, fn)) if !contextDead =>
+        val s = runOne(name, fn) + runOne(name, fn)
+        failed -= name // a warmup failure must not discredit the timed runs
+        s
+      case _ => 0.0
+    }
+
     // Interleaved: untimed warm run immediately followed by the timed
     // iterations of the same query — back-to-back so the plan's generated
     // classes stay resident in the (LRU-bounded) codegen cache.
@@ -139,7 +157,7 @@ object Bench {
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def f2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val diag = s""""load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"control":${f2(control)},"control_ratio":${f2(controlRatio)},"control_failed":$controlFailed,"context_dead":$contextDead,"skipped":$skippedJson"""
+    val diag = s""""load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"warmup_sec":${f2(warmupSec)},"control":${f2(control)},"control_ratio":${f2(controlRatio)},"control_failed":$controlFailed,"context_dead":$contextDead,"skipped":$skippedJson"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"failed":$failedJson,$diag,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     // Short trailing lines: the r7/r9 driver captures truncated the long
     // line (r9 lost the per-query HEAD). Everything below is re-printed in
@@ -155,8 +173,17 @@ object Bench {
     // summary diagnostics — is also written to a JSON FILE, so the
     // artifact no longer depends on how much stdout the driver's
     // capture window keeps. The summary line names the path.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full.json")
+    // Subset guard (round-12 verdict #6): a SPARK_GRAFT_QUERIES run must
+    // not clobber the round's full-catalog artifact — the judge had to
+    // restore bench_full.json by hand after a subset re-measure. Subset
+    // captures go to a name keyed by the subset's hash; an explicit
+    // SPARK_GRAFT_BENCH_OUT always wins.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", only match {
+      case Some(qs) =>
+        val h = Integer.toHexString(qs.toSeq.sorted.mkString(",").hashCode)
+        s"/root/repo/bench_subset_$h.json"
+      case None => "/root/repo/bench_full.json"
+    })
     val medlohi = results.map { case (k, med, lo, hi) =>
       "\"" + k + "\":[" + f2(med) + "," + f2(lo) + "," + f2(hi) + "]"
     }.mkString("{", ",", "}")

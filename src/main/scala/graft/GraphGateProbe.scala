@@ -115,8 +115,14 @@ object GraphGateProbe {
         bidir, col("src"), col("dst"), iters = 3,
         broadcastNodesUpTo = g)),
       ("hits", (g: Long) => graft.ops.Hits.hits(
-        pairs, col("p"), col("sp"), iters = 2,
-        broadcastNodesUpTo = g)),
+        pairs, col("p"), col("sp"),
+        // round-13 attribution levers: vary rounds (marginal cost per
+        // iteration) and the lineage-cut cadence (checkpoint term vs
+        // edge-join message pass) independently
+        iters = sys.env.getOrElse("GRAFT_HITS_ITERS", "2").toInt,
+        broadcastNodesUpTo = g,
+        cutEveryHalfRounds =
+          sys.env.getOrElse("GRAFT_HITS_CUT_EVERY", "1").toInt)),
       ("labelprop", (g: Long) => graft.ops.LabelProp.labelPropagation(
         bidir, col("src"), col("dst"),
         // round-12 attribution lever: vary algorithm rounds to split

@@ -37,14 +37,25 @@ object Hits {
 
   val Scale: Long = 1L << 20
 
+  /** @param cutEveryHalfRounds lineage-cut cadence for the per-half-round
+    *   score tables: 1 (default) checkpoints every normalize — the
+    *   round-11 discipline; k>1 checkpoints every k-th half-round,
+    *   letting the in-between raws recompute (~2× one join+agg, since
+    *   normalize reads its input twice) in exchange for k−1 fewer N-row
+    *   materializations per k half-rounds. Output is bit-identical for
+    *   any k — the cut changes WHERE work happens, not what is computed
+    *   (HitsSpec pins k=1 ≡ k=2). Probe lever for the x300 residual
+    *   attribution; the default stays 1 unless measurement says move it. */
   def hits(
       edges: DataFrame,
       srcCol: Column,
       dstCol: Column,
       iters: Int,
-      broadcastNodesUpTo: Long = PageRank.DefaultBroadcastNodesUpTo)
+      broadcastNodesUpTo: Long = PageRank.DefaultBroadcastNodesUpTo,
+      cutEveryHalfRounds: Int = 1)
       : DataFrame = {
     require(iters >= 1, "iters must be positive")
+    require(cutEveryHalfRounds >= 1, "cutEveryHalfRounds must be positive")
     val e = edges.select(srcCol.cast("long").as("u"),
       dstCol.cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
@@ -74,8 +85,12 @@ object Hits {
       // is tiny at any scale — this is the same discipline PageRank's
       // scaladoc prescribes for deep loops, made unconditional because
       // of the double consumption.
+      var halfRound = 0
       def normalize(raw0: DataFrame, c: String): DataFrame = {
-        val raw = raw0.localCheckpoint()
+        halfRound += 1
+        val raw =
+          if (halfRound % cutEveryHalfRounds == 0) raw0.localCheckpoint()
+          else raw0
         val tot = broadcast(raw.agg(sum(col(c)).as("tot")))
         raw.crossJoin(tot)
           .select(col("id"),

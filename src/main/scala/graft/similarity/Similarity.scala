@@ -791,8 +791,6 @@ object Similarity extends Serializable {
       }
       best
     } else {
-      val groups = centroidScanGroups(
-        cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) })
       val scan = new CentroidScan(
         cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) })
       v => {

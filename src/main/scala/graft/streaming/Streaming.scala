@@ -372,6 +372,12 @@ object Streaming {
     // from only the CURRENT batch's max, a late-but-admissible arrival
     // would slide the deadline backward and evict earlier than
     // newest-arrival + TTL
+    //
+    // State-schema version 2 (the third slot was added after v1's
+    // 2-tuple). Structured Streaming state encoders are positional:
+    // a checkpoint written by the v1 shape cannot be restored by this
+    // code (schema mismatch on restart) — redeploying across the
+    // change requires starting from a fresh checkpoint location.
     banded.groupByKey(_._1)
       .flatMapGroupsWithState[
         (Seq[(Long, Seq[Long])], Seq[Long], Long), NearDupCandidate](

@@ -76,10 +76,15 @@ def emb_arms(src, reps, cycle=4):
     # kept as the default so x3/x10 stay byte-identical to the round-7
     # rungs the recorded ladder numbers came from.
     assert reps <= 2 ** cycle, f"reps {reps} exceeds 2^{cycle} patterns"
+    # vec_id is INT32 in the fixture; past replica 214 the offset
+    # overflows INT32 (299*10^7 > 2^31), so big ladders cast to BIGINT
+    # and the offset is precomputed in Python. Gated on reps so the
+    # x3..x100 manifests (recorded-ladder rung bytes) stay untouched.
+    idexpr = ("CAST(vec_id AS BIGINT)" if reps > 214 else "vec_id")
     arms = []
     for r in range(reps):
         arms.append(f"""
-          SELECT vec_id + {r}*10000000 AS vec_id,
+          SELECT {idexpr} + {r * 10000000} AS vec_id,
             [CASE WHEN ({r} // CAST(pow(2, (i-1) % {cycle}) AS INTEGER)) % 2 = 1
                   THEN CAST(-embedding[i] AS FLOAT)
                   ELSE embedding[i] END

@@ -24,7 +24,9 @@ for d in /tmp/graft_classes_*; do
   [ -n "$(find "$d" -maxdepth 0 -mmin +120)" ] || continue
   pid=$(cat "$d/.owner_pid" 2>/dev/null || true)
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then continue; fi
-  rm -rf "$d"
+  # best-effort under set -e: a permission/IO failure on someone
+  # else's stale dir must not abort the benchmark run
+  rm -rf "$d" 2>/dev/null || true
 done
 # Killed JVMs also leak their Spark scratch dirs (blockmgr-*, spark-*)
 # — ~35 GB of them measurably inflated successive heavy captures in
@@ -38,7 +40,9 @@ if ! pgrep -x java >/dev/null 2>&1; then
 fi
 SNAP=$(mktemp -d /tmp/graft_classes_XXXX)
 trap 'rm -rf "$SNAP"' EXIT
-cp -r /root/repo/target/scala-2.13/classes/. "$SNAP"/
+# GRAFT_CLASSES_DIR lets A/B probes point at a worktree's compiled
+# classes (e.g. an old-tree arm) without copying the script.
+cp -r "${GRAFT_CLASSES_DIR:-/root/repo/target/scala-2.13/classes}"/. "$SNAP"/
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
