@@ -90,6 +90,45 @@ object GraphGateProbe {
       (med, s)
     }
 
+    if (sys.env.getOrElse("GRAFT_PROBE_KIND", "gate") == "lpfrontier") {
+      // Round-13 feasibility gate for delta (active-set) label
+      // propagation: the classic win is a GEOMETRICALLY SHRINKING
+      // frontier (nodes whose label changed last round) — but our
+      // graph-family shape is bipartite (part ↔ supplier), where the
+      // SYNCHRONOUS update rule can oscillate and the frontier never
+      // shrinks. Replays LabelProp's exact vote/argmax rounds and
+      // counts changed labels per round: if the frontier stays O(N),
+      // delta iteration buys nothing here and is not built (verdict
+      // #7's "measure before building").
+      val itersLp = sys.env.getOrElse("GRAFT_LP_ITERS", "6").toInt
+      val e = bidir.select(col("src").as("u"), col("dst").as("v")).persist()
+      var labels = e.select(col("u").as("id"))
+        .union(e.select(col("v").as("id"))).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      for (it <- 1 to itersLp) {
+        val votes = e.join(
+          labels.withColumnRenamed("id", "u").hint("shuffle_hash"),
+          Seq("u"))
+          .groupBy(col("v").as("id"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val best = votes.groupBy("id")
+          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+          .select(col("id"), col("m.lbl").as("new_lbl"))
+        val next = labels.join(best, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+        val changed = next.withColumnRenamed("lbl", "lbl2")
+          .join(labels, Seq("id"))
+          .filter(col("lbl") =!= col("lbl2")).count()
+        println(s"""{"metric":"lp_frontier","sf":"$sfDir",""" +
+          s""""round":$it,"nodes":$nodes,"changed":$changed,""" +
+          s""""frac":${changed.toDouble / nodes}}""")
+        labels = next
+      }
+      e.unpersist(); spark.stop(); return
+    }
+
     if (sys.env.getOrElse("GRAFT_PROBE_KIND", "gate") == "depth") {
       // PageRank depth ladder: per-iteration cost must stay flat with
       // the 5-round lineage cut and is expected superlinear without it

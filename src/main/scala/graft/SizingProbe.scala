@@ -109,6 +109,17 @@ object SizingProbe {
         // per rep would re-pay ~100 s of joined-arm warm at x100 and
         // overrun the 10-minute wrapper budget
         val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+        // bucket-size second moment: the in-group verify's pair loop is
+        // O(sum m^2 * dim), so a superlinear full-stage tail decomposes
+        // into "the work grew" (sum_m2 superlinear — corpus/bits
+        // property) vs "the work got slower" (sum_m2 linear — memory/
+        // GC/spill term). One narrow agg, printed once per JVM.
+        val m2row = buckets().groupBy("bucket").count()
+          .agg(sum(col("count") * col("count")),
+            max(col("count")), count(lit(1))).first()
+        println(s"""{"metric":"neardup_m2","rows":$n,"bits":$bitsN,""" +
+          s""""tables":$tablesN,"sum_m2":${m2row.getLong(0)},""" +
+          s""""max_m":${m2row.getLong(1)},"buckets":${m2row.getLong(2)}}""")
         // x300+: the joined arm's pair stream (~exp 1.23 → ~400M rows)
         // is the DELETED default's cost, already attributed at
         // x30/x100 — skip it (and the pair-stage prefix) so the deep
@@ -200,9 +211,17 @@ object SizingProbe {
         def runA(prune: Boolean) = time(
           graft.similarity.Similarity.assignNearest(
             proj, cents, 1, 1, prune = prune))
-        runA(prune = true); runA(prune = false) // warm both plans
+        // GRAFT_ASSIGN_SKIP_FLAT=1: organic-path captures at multi-M
+        // rows don't need the n*nlist flat control re-timed (the
+        // pruned≡flat bit-identity is spec-pinned and the gate A/B is
+        // recorded at 200k rows) — the flat arm would dominate the
+        // capture's cost for no new information.
+        val skipFlat = sys.env.get("GRAFT_ASSIGN_SKIP_FLAT").contains("1")
+        runA(prune = true)
+        if (!skipFlat) runA(prune = false) // warm both plans
         val (tPruned, nPruned) = runA(prune = true)
-        val (tFlat, nFlat) = runA(prune = false)
+        val (tFlat, nFlat) =
+          if (skipFlat) (-1.0, -1L) else runA(prune = false)
         println(s"""{"metric":"sizing_assign_scan","rows":$n,""" +
           s""""auto_nlist":$autoNlist,"sec_pruned":$tPruned,""" +
           s""""sec_flat":$tFlat,"rows_pruned":$nPruned,""" +

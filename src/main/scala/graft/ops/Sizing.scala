@@ -75,6 +75,35 @@ object Sizing {
     }
   }
 
+  /** Partition count for a payload-carrying grouping shuffle: enough
+    * partitions that one task's post-shuffle aggregation state —
+    * `rows/partitions` deserialized rows at `bytesPerRow` — fits a
+    * `targetBytesPerTask` budget, floored at the session parallelism.
+    *
+    * Why this exists (round 13): the in-group near-dup verify ships
+    * tables×n WIDE member rows (id + dim-float vector) into a
+    * per-bucket object aggregation. With the partition count pinned to
+    * the session default (32 on the bench box), per-task state grows
+    * LINEARLY with corpus size — the x300 embeddings rung (37M banded
+    * rows, ~840 B deserialized each) put ~1 GB of aggregation objects
+    * on every task: OOM at 16 g, and a 23× wall-clock blowup for 3×
+    * data at 48 g (GC thrash + sort-fallback spill), measured with the
+    * stage ladder. On a cluster the same applies per executor core —
+    * partitions must be sized from BYTES, not core count. `bytesPerRow`
+    * should estimate the DESERIALIZED (object) form; ~3× the encoded
+    * width is an honest default for small structs. Capped at 2^18
+    * partitions (a 32 TB grouping at the default budget) — past that,
+    * revisit the budget rather than drown the scheduler. */
+  def groupingPartitions(rows: Long, bytesPerRow: Long, floor: Int,
+      targetBytesPerTask: Long = 128L << 20): Int = {
+    require(rows >= 0 && bytesPerRow > 0 && floor >= 1 &&
+      targetBytesPerTask > 0,
+      s"groupingPartitions($rows, $bytesPerRow, $floor, $targetBytesPerTask)")
+    val need = math.ceil(
+      rows.toDouble * bytesPerRow / targetBytesPerTask).toLong
+    math.max(floor, math.min(need, 1L << 18).toInt)
+  }
+
   /** SemDeDup cell count: cells hold ~targetCellSize vectors so the
     * in-cell all-pairs work stays ~n*targetCellSize — linear in n, the
     * Abbas et al. 2023 lever the round-7 CellScaleProbe measured

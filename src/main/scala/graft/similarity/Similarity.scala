@@ -1528,10 +1528,13 @@ object Similarity extends Serializable {
     // Auto-sizing (default): derive the (bits, tables) pair from a
     // cheap pruned count so the random-collision knee tracks THIS
     // corpus, not a fixture (Sizing scaladoc has the rules + the
-    // measured round-7 knee). Explicit values skip the count pass.
+    // measured round-7 knee). The in-group path needs the same count
+    // either way (its grouping partitions are sized from the banded
+    // VOLUME, see below), so it is computed once off the raw corpus —
+    // a pruned single-column scan, metadata-cheap on parquet.
+    lazy val nRows: Long = corpus.select(col(idCol)).count()
     val bitsN =
-      if (bits == graft.ops.Sizing.Auto)
-        graft.ops.Sizing.lshBits(c0.select(col("id")).count())
+      if (bits == graft.ops.Sizing.Auto) graft.ops.Sizing.lshBits(nRows)
       else bits
     val tablesN =
       if (tables == graft.ops.Sizing.Auto)
@@ -1566,9 +1569,20 @@ object Similarity extends Serializable {
       // streams through one reducer (capped buffer, so memory stays
       // bounded — time skew only); the narrow path's map-side capping
       // kept that traffic at cap×partitions.
+      // The grouping exchange's width must track the banded VOLUME
+      // (tables × n wide rows), not the session's partition default:
+      // pinned at 32 partitions, the x300 embeddings rung put ~1 GB of
+      // deserialized aggregation state on every task — OOM at 16 g and
+      // a 23× wall-clock blowup for 3× data at 48 g (round-13 stage
+      // ladder; Sizing.groupingPartitions scaladoc). ~12 bytes per
+      // float dim + struct/id overhead estimates the OBJECT form of a
+      // member row; the floor keeps fixture-scale plans unchanged.
+      val parts = graft.ops.Sizing.groupingPartitions(
+        nRows * tablesN, 12L * dim + 72,
+        corpus.sparkSession.sparkContext.defaultParallelism)
       val banded = withBucketsKernel(c, "v", tablesN, bitsN, dim)
         .select(col("id"), col("v"), col("bucket"))
-        .repartition(col("bucket"))
+        .repartition(parts, col("bucket"))
       val m = struct(col("id"), col("v"))
       val grouped = graft.dedup.Dedup.cappedMemberGroups(
         banded, m, col("id"), maxBucketSize, "graft.neardup")

@@ -94,6 +94,45 @@ def emb_arms(src, reps, cycle=4):
     return " UNION ALL ".join(arms)
 
 
+def emb_arms_perm(src, reps, dim=64):
+    # Round-13 replacement transform for deep embedding rungs: the
+    # sign-flip-only scheme is BROKEN for replica pairs whose flip
+    # patterns differ in one index bit — only ~dim/cycle dims flip, so
+    # the same base vector lands at cos ~0.75 across the pair, and
+    # measured on the x300 rung 6.5% of those pairs exceed the 0.9
+    # near-dup threshold (131/2000 at replicas 0<->1) while the rest
+    # flood LSH buckets as near-threshold impostors. Per-replica
+    # verified-pair density grew 1,895 (x30) -> 2,528 (x100) -> 4,773
+    # (x300): a duplicate-density gradient, not a bigger corpus.
+    # Fix: a per-replica random PERMUTATION of dimensions composed with
+    # a per-replica random sign pattern (both orthogonal maps, so
+    # in-replica cosines are still preserved EXACTLY). Cross-replica
+    # cosine is then a +/-1-weighted permuted self-overlap, typically
+    # |cos| ~ 1/sqrt(dim); no pattern-adjacency structure exists.
+    # Replica 0 stays the identity so the x1 slice is the base table.
+    # Seeded Mersenne-Twister keeps rungs deterministic across runs.
+    import random
+    arms = []
+    idexpr = ("CAST(vec_id AS BIGINT)" if reps > 214 else "vec_id")
+    for r in range(reps):
+        rnd = random.Random(1013 * r)
+        perm = list(range(1, dim + 1))
+        signs = [1] * dim
+        if r > 0:
+            rnd.shuffle(perm)
+            signs = [rnd.choice((1, -1)) for _ in range(dim)]
+        elems = ", ".join(
+            (f"embedding[{p}]" if s == 1
+             else f"CAST(-embedding[{p}] AS FLOAT)")
+            for p, s in zip(perm, signs))
+        arms.append(f"""
+          SELECT {idexpr} + {r * 10000000} AS vec_id,
+                 [{elems}] AS embedding,
+                 label
+          FROM read_parquet('{src}/embeddings.parquet')""")
+    return " UNION ALL ".join(arms)
+
+
 def event_arms(src, reps):
     arms = []
     for r in range(reps):
@@ -186,6 +225,32 @@ def main():
     # patterns distinct (2^9 >= 300)
     copy(emb_arms(args.src, 300, cycle=9),
          os.path.join(args.out, "emb", "x300"), "embeddings")
+    # permuted-transform embedding rungs (round-13): the ladder rungs
+    # the deep-scale measurements should use — see emb_arms_perm for
+    # why the sign-flip-only x30/x100/x300 rungs carry a duplicate-
+    # density gradient. Kept under new names; the old rungs stay so
+    # the recorded round-10/12 ladder entries remain reproducible.
+    for name, reps in [("x30p", 30), ("x100p", 100), ("x300p", 300)]:
+        copy(emb_arms_perm(args.src, reps),
+             os.path.join(args.out, "emb", name), "embeddings")
+    # embeddings x3000 ASSIGN corpus (round-13): the tier-2 IVF scan's
+    # organic engagement needs auto nlist >= 9216 -> 4*sqrt(n) -> n >=
+    # 5.3M rows — no near-dup rung reaches that. Assignment cost is
+    # per-row and independent of duplicate structure, so this rung is
+    # the x300 table replicated 10x with BIGINT id offsets ONLY (no
+    # vector transform): fine for timing the coarse-assignment scan,
+    # NOT a near-dup/semdedup corpus (each vector appears 10x).
+    x300 = os.path.join(args.out, "emb", "x300", "embeddings.parquet")
+    # offset 1e11: clear of the x300 id range (max 2.99e9) AND of the
+    # probes' +1e10 planted-copy offset, so even a misuse of this rung
+    # by a planting probe cannot re-create the round-11 id-collision
+    # fan-out
+    assign_arms = " UNION ALL ".join(
+        f"""
+          SELECT vec_id + {r * 100000000000} AS vec_id, embedding, label
+          FROM read_parquet('{x300}')""" for r in range(10))
+    copy(assign_arms,
+         os.path.join(args.out, "emb", "x3000assign"), "embeddings")
     # events/graph x30 (round-9 one-rung-up extensions; same transforms
     # as their x3/x10 rungs — offsets stay collision-free at reps=30)
     copy(event_arms(args.src, 30),
