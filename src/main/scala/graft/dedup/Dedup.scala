@@ -128,6 +128,31 @@ object Dedup {
     }(enc)
   }
 
+  /** [[bandBuckets]] with the hashed-shingle set riding along — the
+    * in-group verify's member stream (round 13): (id, vms, bucket),
+    * `bands` rows per doc. Same signature fold and band-key format. */
+  private[graft] def bandBucketsWide(
+      docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rowsPerBand = numHashes / bands
+    val in = docs.select(col("id"), col("vms"))
+    val schema = StructType(Seq(
+      in.schema("id"),
+      StructField("vms", ArrayType(LongType, false), false),
+      StructField("bucket", StringType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val vms = r.getSeq[Long](1)
+        val sig = minhashSignature(vms, numHashes)
+        (0 until bands).iterator.map { b =>
+          org.apache.spark.sql.Row(r.get(0), vms, bandKey(sig, b, rowsPerBand))
+        }
+      }
+    }(enc)
+  }
+
   /** Open-addressing (id1, id2) → count map over primitive long arrays —
     * the pair buffer of `emitPairCounts` for integral id types. The
     * generic HashMap[(Any, Any), Long] spends the q19 hot loop boxing two
@@ -547,16 +572,114 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000,
-      cacheSignatures: Boolean = false): DataFrame = {
+      cacheSignatures: Boolean = false,
+      verifyInGroup: Boolean = true): DataFrame = {
     val docs0 = shingleDocs(df, idCol, textCol, shingleK)
       .select(col("id"), col("vms"))
     val docs = if (cacheSignatures) docs0.cache() else docs0
+    val nRows = df.select(idCol).count() // pruned pre-kernel count
+    if (verifyInGroup) {
+      // IN-GROUP Jaccard verify (round 13, the default) — the same
+      // rewrite the embedding family got in round 11, for the same
+      // measured reason: the joined arm attaches two multi-KB vms
+      // payloads to the candidate-pair stream, and at the 1.5M-doc
+      // x300 rung that step alone went 11.8 s → 127 s for exactly-3×
+      // candidate volume (PairStageProbe: every cardinality linear,
+      // the verify join 10.8× — non-spillable hash builds + a
+      // ~100 GB widened pair stream on an 8 g box). Here the shingle
+      // sets ride the ONE grouping shuffle as struct members
+      // (bands × n wide rows — ~6× less traffic than the pair
+      // re-join at the measured ~13-member mean bucket) and pairs
+      // are intersected INSIDE the group; the survivor stream is
+      // emitted verified. Output is row-identical to the joined arm
+      // INCLUDING jaccard values (same sorted-set two-pointer loop;
+      // DedupSpec pins both pipelines equal on an over-cap fixture).
+      // Grouping partitions sized from the banded VOLUME
+      // (Sizing.groupingPartitions — the nearDupPairs discipline).
+      // 64 MB/task target (not the 128 MB default): the member structs
+      // deserialize into collect buffers on every concurrent task, and
+      // the x300 rung measured 8 g/32-thread runs at the heap edge with
+      // 128 MB-class task state — halving the target doubles the task
+      // count for the same total work and buys the headroom cheaply.
+      val parts = graft.ops.Sizing.groupingPartitions(
+        bands.toLong * nRows, 8L * 1024,
+        df.sparkSession.sparkContext.defaultParallelism,
+        targetBytesPerTask = 64L << 20)
+      val banded = bandBucketsWide(docs, numHashes, bands)
+        .repartition(parts, col("bucket"))
+      val grouped = cappedMemberGroups(
+        banded, struct(col("id"), col("vms")), col("id"),
+        maxBucketSize, "graft.minhash")
+      return verifyJaccardGroupsKernel(
+        grouped, docs.schema("id").dataType, threshold).distinct()
+    }
+    // JOINED verify (off-default): kept for the A/B and for callers
+    // that pre-materialize signatures; build partitions sized from the
+    // docs volume (jaccardBuildParts).
+    val parts = jaccardBuildParts(nRows, df.sparkSession)
 
     val banded = bandBuckets(docs, numHashes, bands)
     val grouped = cappedBucketGroups(banded, maxBucketSize, "graft.minhash")
     val pairs = emitPairs(grouped, docs.schema("id").dataType).distinct()
 
-    verifyJaccard(pairs, docs, docs, threshold)
+    verifyJaccard(pairs, docs, docs, threshold, parts)
+  }
+
+  /** The in-group verify tail of [[minhashLsh]]: per bucket, sort the
+    * (id, vms) members by id (the emitPairs id1 < id2 convention) and
+    * emit (id1, id2, jaccard) for every in-bucket pair at or above
+    * `threshold`. The jaccard arithmetic is BIT-IDENTICAL to
+    * [[verifyJaccard]] on the same pair: the same two-pointer common
+    * count over the (sorted — see shingleDocs) hash sets, the same
+    * `common / (|a| + |b| - common)` division. A pair sharing several
+    * band buckets re-verifies in each (true near-dups only — the tiny
+    * survivor set × bands extra intersects) and the caller's
+    * `.distinct()` folds the identical triples — the same contract as
+    * Similarity.verifyGroupsKernel. */
+  private def verifyJaccardGroupsKernel(groups: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types._
+    requireOrderableId(idType, "minhashLsh in-group verify")
+    val outSchema = StructType(Seq(
+      StructField("id1", idType, false),
+      StructField("id2", idType, false),
+      StructField("jaccard", DoubleType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    implicit val anyOrd: Ordering[Any] =
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    groups.select(col("ids")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ms = r.getSeq[org.apache.spark.sql.Row](0).sortBy(_.get(0))
+        val k = ms.length
+        val ids = new Array[Any](k)
+        val sets = new Array[Seq[Long]](k)
+        var x = 0
+        while (x < k) {
+          ids(x) = ms(x).get(0)
+          sets(x) = ms(x).getSeq[Long](1)
+          x += 1
+        }
+        (0 until k).iterator.flatMap { i =>
+          ((i + 1) until k).iterator.flatMap { j =>
+            val a = sets(i); val b = sets(j)
+            var p = 0; var q = 0; var common = 0
+            while (p < a.length && q < b.length) {
+              val xa = a(p); val yb = b(q)
+              if (xa == yb) { common += 1; p += 1; q += 1 }
+              else if (xa < yb) p += 1
+              else q += 1
+            }
+            val jac = common.toDouble / (a.length + b.length - common)
+            if (jac >= threshold)
+              Iterator.single(
+                org.apache.spark.sql.Row(ids(i), ids(j), jac))
+            else Iterator.empty
+          }
+        }
+      }
+    }(enc)
   }
 
   /** Cross-corpus (incremental) MinHash-LSH near-dup pairs: candidates
@@ -604,7 +727,11 @@ object Dedup {
         s"${corp.schema("id").dataType.catalogString}")
 
     crossSidePairs(inc, bandBuckets(corp, numHashes, bands), corp,
-      numHashes, bands, threshold, maxBucketSide)
+      numHashes, bands, threshold, maxBucketSide,
+      jaccardBuildParts(
+        math.max(increment.select(incId).count(),
+          corpus.select(corpId).count()),
+        increment.sparkSession))
   }
 
   /** The corpus arm of [[minhashLshAgainst]] as ONE materializable table
@@ -667,7 +794,11 @@ object Dedup {
     crossSidePairs(inc,
       prepared.select(col("id"), explode(col("buckets")).as("bucket")),
       prepared.select(col("id"), col("vms")),
-      numHashes, bands, threshold, maxBucketSide)
+      numHashes, bands, threshold, maxBucketSide,
+      jaccardBuildParts(
+        math.max(increment.select(incId).count(),
+          prepared.select(col("id")).count()),
+        increment.sparkSession))
   }
 
   /** Shared tail of the two `minhashLshAgainst` forms: per-side capped
@@ -681,7 +812,8 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      maxBucketSide: Int): DataFrame = {
+      maxBucketSide: Int,
+      buildParts: Int): DataFrame = {
     val tagged = bandBuckets(incSigs, numHashes, bands)
       .withColumn("side", lit("i"))
       .unionByName(corpBanded.withColumn("side", lit("c")))
@@ -712,7 +844,7 @@ object Dedup {
     val pairs = emitCrossPairs(grouped, incSigs.schema("id").dataType)
       .distinct()
 
-    verifyJaccard(pairs, incSigs, corpSigs, threshold)
+    verifyJaccard(pairs, incSigs, corpSigs, threshold, buildParts)
   }
 
   /** Cross product of each bucket's two id lists: (i, c) per pair. */
@@ -1031,30 +1163,48 @@ object Dedup {
     * id2 against `docs2` — pass the same table twice for within-corpus
     * pairs.
     */
+  /** Build-side partition count for [[verifyJaccard]]'s shuffled-hash
+    * joins, from the docs-side ROW COUNT: shuffled-hash build sides do
+    * not spill (they OOM), so the per-task build — |docs| × multi-KB
+    * vms payload / partitions — must be sized from VOLUME, not the
+    * session partition default. Round 13 measured the failure the old
+    * fixed-default shape predicted in its own scaladoc: q18 at the
+    * 1.5M-doc x300 rung OOM'd an 8 g JVM and crawled at 24 g (exp
+    * ~1.9), because 1.5M × ~8 KB deserialized / 32 partitions put
+    * ~400 MB of non-spillable hash build on every task. 8 KB/doc
+    * estimates a few-hundred-shingle doc's (id, vms) row in object
+    * form (~2–4 KB of longs + array/row overhead); a 64 MB/task build
+    * target keeps 32 concurrent builds ~2 GB. Fixture/bench scales
+    * stay at the session floor — plans there are unchanged. */
+  private[graft] def jaccardBuildParts(
+      docRows: Long, spark: org.apache.spark.sql.SparkSession): Int =
+    graft.ops.Sizing.groupingPartitions(
+      docRows, 8L * 1024, spark.sparkContext.defaultParallelism,
+      targetBytesPerTask = 64L << 20)
+
   private def verifyJaccard(
       pairs: DataFrame,
       docs1: DataFrame,
       docs2: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      buildParts: Int): DataFrame = {
     import org.apache.spark.sql.types._
     // shuffle_hash, not sort-merge: the pair stream widens to multi-KB
     // rows once sh1 attaches, and SMJ would SORT that wide stream at
     // the id2 exchange — the x100 ladder A/B measured the hash join
     // ~1.5-2x faster and far less spill-noisy (NOTES.md "verify-join
     // A/B", graft.VerifyJoinProbe). The hint sits on the docs side, so
-    // the per-partition hash build is |docs|/partitions rows — the
-    // narrow side, and partition count scales it down on a cluster.
-    // ASSUMPTION that makes the hint safe: shuffled-hash build sides
-    // do NOT spill, so the build must fit an executor — |docs| ×
-    // (multi-KB vms payload) / shuffle.partitions per task. Holds at
-    // the measured 32-partition/8g config with wide headroom; a
-    // deployment that LOWERS shuffle.partitions against a grown docs
-    // side shrinks that headroom linearly and should drop the hint
-    // (sort-merge spills, this doesn't — it OOMs).
+    // the per-partition hash build is |docs|/buildParts rows — the
+    // narrow side. The explicit repartition pins the join width to
+    // [[jaccardBuildParts]]'s volume-derived count (the build side
+    // satisfies the join's required distribution, so no extra
+    // exchange); the pair stream follows to the same width.
     val joined = pairs
       .join(docs1.select(col("id").as("id1"), col("vms").as("sh1"))
+        .repartition(buildParts, col("id1"))
         .hint("shuffle_hash"), "id1")
       .join(docs2.select(col("id").as("id2"), col("vms").as("sh2"))
+        .repartition(buildParts, col("id2"))
         .hint("shuffle_hash"), "id2")
       .select("id1", "id2", "sh1", "sh2")
     // two-pointer intersect over the (sorted — see shingleDocs) hash

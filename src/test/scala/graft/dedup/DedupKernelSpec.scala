@@ -186,6 +186,33 @@ class DedupKernelSpec extends SparkSpec {
     assert(uncached == capped)
   }
 
+  test("minhashLsh in-group and joined verify arms are row-identical " +
+      "including jaccard values (fixture docs + an over-cap cluster)") {
+    import spark.implicits._
+    // real fixture docs (organic partial-overlap pairs at threshold 0.3)
+    // UNION an over-cap duplicate cluster, so the equality covers the
+    // representative-pair path too — the nearDupPairs spec discipline
+    val fixture = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val clusterText =
+      "the quick brown fox jumps over the lazy dog again and again"
+    val cluster = (1L to 15L)
+      .map(i => (1000000L + i, clusterText)).toDF("doc_id", "text")
+    val df = fixture.unionByName(cluster)
+    def run(inGroup: Boolean) =
+      Dedup.minhashLsh(df, col("doc_id"), col("text"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+        maxBucketSize = 10, verifyInGroup = inGroup)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inGroup = run(inGroup = true)
+    val joined = run(inGroup = false)
+    assert(inGroup.nonEmpty)
+    // the over-cap cluster's representative pair is present in both
+    assert(inGroup.contains((1000001L, 1000015L, 1.0)))
+    assert(inGroup == joined)
+  }
+
   test("minhashLsh plan: the band-bucket grouping has exactly one " +
       "consumer (a second arm would recompute the whole bucket shuffle)") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
