@@ -949,7 +949,12 @@ object SparkEntry {
     val dupIds = graft.dedup.Dedup.minhashLsh(
         kept1, col("doc_id"), col("text"),
         shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
-        maxBucketSize = 1000)
+        maxBucketSize = 1000,
+        // rowsHint: kept1's own sizing count would re-run the whole
+        // filter+fingerprint-window chain (minhashLsh scaladoc SIDE
+        // EFFECT); the raw table's metadata-only parquet count is a
+        // tight upper bound and sizes the same partitions
+        rowsHint = d.count())
       .select(col("id2").as("doc_id")).distinct()
     kept1.join(dupIds, Seq("doc_id"), "left_anti")
       .agg(
@@ -2214,7 +2219,16 @@ object SparkEntry {
         col("col").as("para"))
     graft.dedup.Dedup.minhashLsh(paras, col("para_id"), col("para"),
         shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
-        maxBucketSize = 1000)
+        maxBucketSize = 1000,
+        // rowsHint: counting `paras` would re-run the split+chunk
+        // kernel over every document (minhashLsh scaladoc SIDE
+        // EFFECT); estimate chunk count from the pruned n_chars
+        // column instead — words ~ chars/6, k words per chunk —
+        // the hint only sizes grouping partitions
+        rowsHint = t(s, dir, "documents")
+          .agg(coalesce(sum(ceil(col("n_chars") / lit(6.0 * k))), lit(0L))
+            .cast("long"))
+          .head.getLong(0))
       .filter(expr("id1 div 1048576") =!= expr("id2 div 1048576"))
       .select(col("id1"), col("id2"), col("jaccard"),
         expr("id1 div 1048576").as("doc1"),
@@ -4665,7 +4679,47 @@ object SparkEntry {
              FROM documents)
        WHERE rn = 1"""
 
+  // ------------------------------------------------------------------
+  // q108 — exact duplicated-substring spans (extension:
+  // Dedup.duplicateSpans, the ExactSubstr layer of Lee et al. 2022):
+  // maximal character ranges every 24-char window of which repeats in
+  // the corpus. The oracle replays the identical three passes —
+  // position-gram inventory, >1-occurrence keys, per-doc interval
+  // merge via the same furthest-end window rule.
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.duplicateSpans(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 24)
+      .select(col("id").as("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_len").cast("long").as("span_len"))
+
+  private val q108Sql =
+    """WITH pos AS (
+         SELECT doc_id,
+           unnest(range(1, len(text)-24+2)) AS pos,
+           unnest([md5(substr(text, i, 24))
+                   for i in range(1, len(text)-24+2)]) AS h
+         FROM documents WHERE len(text) >= 24),
+       dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 1),
+       dp AS (SELECT doc_id, pos FROM pos
+              WHERE h IN (SELECT h FROM dup)),
+       b AS (SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 23) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) + 1, 0)
+                    THEN 1 ELSE 0 END AS brk
+             FROM dp),
+       sp AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+              FROM b)
+       SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 24 - min(pos) AS BIGINT) AS span_len
+       FROM sp GROUP BY doc_id, sid"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_duplicate_spans" -> (q108 _),
     "q107_stream_dedup" -> (q107 _),
     "q106_kmv_setops" -> (q106 _),
     "q105_target_mixture" -> (q105 _),
@@ -4852,6 +4906,7 @@ object SparkEntry {
     "q104_leakage_safe_split" -> q104Sql,
     "q105_target_mixture" -> q105Sql,
     "q106_kmv_setops" -> q106Sql,
+    "q108_duplicate_spans" -> q108Sql,
     "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,

@@ -550,17 +550,37 @@ object Dedup {
     * arm, `UNION SELECT min(id), max(id) ... HAVING COUNT(*) >
     * maxBucketSize` for the representative arm.
     *
-    * @param cacheSignatures persist the (id, hashed-shingle set) table
-    *   across its three uses (banding + Jaccard verify re-joins). OFF by
-    *   default — same lever and same default as nearDupPairs'
+    * SIDE EFFECT (round 13, documented per round-13 ADVICE): unless
+    * `rowsHint >= 0`, calling this function eagerly runs ONE count()
+    * Spark job at plan-build time — the shuffle-sizing inputs
+    * (Sizing.groupingPartitions / jaccardBuildParts) need the corpus
+    * cardinality before the plan exists. Over a plain pruned scan the
+    * count is a metadata-cheap single-column pass; over an EXPENSIVE
+    * upstream plan (a prior join/agg/kernel) it re-executes that plan
+    * once. Such callers should either pass `rowsHint` (any upper
+    * bound of the right magnitude works — it only sizes partitions)
+    * or set `cacheSignatures = true`, which makes the count
+    * materialize the signature cache the banding pass then reuses, so
+    * the upstream plan still runs exactly once.
+    *
+    * @param rowsHint known (approximate) row count of `df`; `>= 0`
+    *   skips the sizing count() job entirely. Default -1 = count.
+    * @param cacheSignatures persist the (id, hashed-shingle set) table.
+    *   OFF by default — same lever and same default as nearDupPairs'
     *   `cacheCorpus`, and measured, not assumed: columnar-encoding the
     *   ~300-long `vms` array per doc costs more than re-running the
     *   shingle+md5 kernel over the pruned 2-column scan (sf0.1 quiet-box
     *   A/B, 3 paired runs: q18 uncached wins 2/3 with larger margins,
     *   q37's iterative consumer uncached 2.5-2.8 s vs cached 3.7-3.9 s —
-    *   disjoint spreads twice; NOTES.md). At cluster scale the cached
-    *   table is corpus-sized anyway — persist to a tap between pipeline
-    *   stages if reuse across jobs is wanted.
+    *   disjoint spreads twice; NOTES.md). Reuse by arm (round-13
+    *   ADVICE): on the default in-group path the signatures feed the
+    *   banding pass plus (when `rowsHint` is unset) the sizing count —
+    *   two uses, so caching pays only when the upstream plan is more
+    *   expensive than one cache materialization; on the off-default
+    *   joined arm they additionally feed BOTH Jaccard verify re-joins
+    *   (three uses), the shape the lever was built for. At cluster
+    *   scale the cached table is corpus-sized anyway — persist to a
+    *   tap between pipeline stages if reuse across jobs is wanted.
     * @return (id1, id2, jaccard) for candidate pairs with jaccard >= threshold
     */
   def minhashLsh(
@@ -573,11 +593,19 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000,
       cacheSignatures: Boolean = false,
-      verifyInGroup: Boolean = true): DataFrame = {
+      verifyInGroup: Boolean = true,
+      rowsHint: Long = -1L): DataFrame = {
     val docs0 = shingleDocs(df, idCol, textCol, shingleK)
       .select(col("id"), col("vms"))
     val docs = if (cacheSignatures) docs0.cache() else docs0
-    val nRows = df.select(idCol).count() // pruned pre-kernel count
+    // Sizing cardinality: hint > cached-signature count (materializes
+    // the cache the banding pass reuses — upstream runs once) > pruned
+    // pre-kernel count (cheapest over a plain scan, but re-executes an
+    // expensive upstream plan; see the SIDE EFFECT note above).
+    val nRows =
+      if (rowsHint >= 0) rowsHint
+      else if (cacheSignatures) docs.count()
+      else df.select(idCol).count()
     if (verifyInGroup) {
       // IN-GROUP Jaccard verify (round 13, the default) — the same
       // rewrite the embedding family got in round 11, for the same
@@ -703,6 +731,13 @@ object Dedup {
     * [[minhashLshAgainstPrepared]]) — the plan here recomputes it,
     * which is the right default for a one-shot call.
     *
+    * SIDE EFFECT: unless `rowsHint >= 0`, this eagerly runs TWO
+    * count() jobs (one per side, both pruned single-column scans) at
+    * call time to size the verify-join build partitions — over
+    * expensive upstream plans pass `rowsHint` (an upper bound of
+    * max(|increment|, |corpus|); it only sizes partitions). Same
+    * contract as [[minhashLsh]]'s rowsHint.
+    *
     * @return (id1 = increment id, id2 = corpus id, jaccard) with
     *   jaccard >= threshold
     */
@@ -713,7 +748,8 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      maxBucketSide: Int = 1000): DataFrame = {
+      maxBucketSide: Int = 1000,
+      rowsHint: Long = -1L): DataFrame = {
     val inc = shingleDocs(increment, incId, incText, shingleK)
       .select(col("id"), col("vms"))
     val corp = shingleDocs(corpus, corpId, corpText, shingleK)
@@ -729,7 +765,8 @@ object Dedup {
     crossSidePairs(inc, bandBuckets(corp, numHashes, bands), corp,
       numHashes, bands, threshold, maxBucketSide,
       jaccardBuildParts(
-        math.max(increment.select(incId).count(),
+        if (rowsHint >= 0) rowsHint
+        else math.max(increment.select(incId).count(),
           corpus.select(corpId).count()),
         increment.sparkSession))
   }
@@ -784,7 +821,8 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      maxBucketSide: Int = 1000): DataFrame = {
+      maxBucketSide: Int = 1000,
+      rowsHint: Long = -1L): DataFrame = {
     val inc = shingleDocs(increment, incId, incText, shingleK)
       .select(col("id"), col("vms"))
     require(inc.schema("id").dataType == prepared.schema("id").dataType,
@@ -796,7 +834,11 @@ object Dedup {
       prepared.select(col("id"), col("vms")),
       numHashes, bands, threshold, maxBucketSide,
       jaccardBuildParts(
-        math.max(increment.select(incId).count(),
+        // prepared is normally a materialized tap read, so the sizing
+        // counts are metadata-cheap; rowsHint still skips both jobs
+        // (same SIDE EFFECT contract as minhashLshAgainst).
+        if (rowsHint >= 0) rowsHint
+        else math.max(increment.select(incId).count(),
           prepared.select(col("id")).count()),
         increment.sparkSession))
   }
@@ -1154,6 +1196,98 @@ object Dedup {
         array_join(
           transform(array_sort(col("ks")), x => x("line")), lineSep)
           .as("text_clean"))
+  }
+
+  /** Exact duplicated-substring SPANS — the character-granular exact
+    * dedup layer (the ExactSubstr idea of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed as relational passes instead of a suffix array): a
+    * maximal character range of a document is reported when every
+    * k-char window inside it occurs more than `maxOccurrences` times
+    * in the whole corpus (within- OR cross-document — a verbatim
+    * boilerplate block repeated inside one page is the same training
+    * pathology as one shared across pages). Spans are the actionable
+    * artifact: feed them to a downstream `substring`-splice removal
+    * pass, or threshold on `span_len` for audit queries.
+    *
+    * Three passes, all linear in total characters (the suffix-array
+    * cost class, in shuffle form):
+    *   1. position inventory: (id, pos, md5(substr(pos, k))) — one
+    *      generate + project per doc, no shuffle;
+    *   2. duplicated-gram keys: groupBy(hash) count — the ONLY
+    *      corpus-wide exchange, and it is map-side combinable and
+    *      16-byte-narrow; `> maxOccurrences` survivors are typically a
+    *      tiny fraction of distinct grams, so
+    *   3. the left-semi join back to positions lets AQE broadcast the
+    *      duplicated-key set in the common case (an explicit exchange
+    *      never forms on the position stream), and the per-doc
+    *      interval merge is one window over (id, pos) — doc-sized
+    *      state, never corpus-sized.
+    * The position inventory is computed twice (passes 2 and 3) — the
+    * recompute-over-cache discipline every text kernel here follows:
+    * regenerating grams from the pruned 2-column scan is cheaper than
+    * columnar-encoding an O(total chars) row stream.
+    *
+    * Determinism: spans are a pure function of the corpus's gram
+    * multiset (no sampling, no hash seeds beyond md5). The 128-bit
+    * gram hash stands in for the substring itself — any engine
+    * replaying md5-over-substr reproduces the byte-identical span
+    * table. Merge rule: windows whose [pos, pos+k-1] char ranges
+    * touch or overlap (next.pos <= furthest_end + 1) fuse into one
+    * span, so a duplicated region of length L >= k yields exactly one
+    * row, not L-k+1.
+    *
+    * @param k window width in characters; a span is reported only
+    *   where a full k-window duplicates, so k is the minimum
+    *   reportable span length (Lee et al.'s 50-token threshold maps
+    *   to k ~ a few hundred chars; the default 20 suits the test
+    *   corpus's sentence-scale duplicates)
+    * @param maxOccurrences grams occurring at most this often are
+    *   normal text (1 = report any repetition, the paper's setting)
+    * @return (id, span_start, span_len) — 1-based char offset,
+    *   length >= k
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      k: Int = 20,
+      maxOccurrences: Long = 1): DataFrame = {
+    require(k >= 1, s"window width k must be >= 1, got $k")
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // same scan-parallelism discipline as stripDuplicateLines: the
+    // generate kernel must run post-exchange, not at scan parallelism
+    def positions = df
+      .repartition(par, idCol)
+      .select(idCol.as("id"), coalesce(textCol, lit("")).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("id"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"),
+        col("t"))
+      .select(col("id"), col("pos"),
+        md5(col("t").substr(col("pos"), lit(k)).cast("binary")).as("h"))
+    val dupKeys = positions
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOccurrences)
+      .select("h")
+    val dupPos = positions.join(dupKeys, Seq("h"), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val furthestEnd = max(col("pos") + (k - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dupPos
+      .withColumn("brk",
+        when(col("pos") > coalesce(furthestEnd + 1, lit(0L)), 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("sid"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - min(col("pos"))).as("span_len"))
+      .select("id", "span_start", "span_len")
   }
 
   /** Re-verify candidate pairs with exact Jaccard over the hashed-shingle

@@ -213,6 +213,46 @@ class DedupKernelSpec extends SparkSpec {
     assert(inGroup == joined)
   }
 
+  test("minhashLsh rowsHint skips the sizing count; cacheSignatures " +
+      "makes it materialize the cache — upstream runs once either way") {
+    import spark.implicits._
+    // an instrumented upstream plan: every full execution of it adds
+    // |rows| to the accumulator, so acc.value / |rows| = executions
+    val base = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = base.length
+    def instrumented() = {
+      val acc = spark.sparkContext.longAccumulator("upstream")
+      val df = spark.createDataset(base)
+        .map { t => acc.add(1); t }.toDF("doc_id", "text")
+      (df, acc)
+    }
+    def run(df: org.apache.spark.sql.DataFrame,
+        cache: Boolean, hint: Long) =
+      Dedup.minhashLsh(df, col("doc_id"), col("text"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+        cacheSignatures = cache, rowsHint = hint)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // rowsHint set, no cache: the banding pass is the ONLY execution
+    val (d1, a1) = instrumented()
+    val hinted = run(d1, cache = false, hint = n.toLong)
+    assert(a1.value == n.toLong, s"rowsHint arm ran upstream ${a1.value / n}x")
+    // no hint + cacheSignatures: the sizing count materializes the
+    // cache the banding pass reuses — still exactly one execution
+    val (d2, a2) = instrumented()
+    val cached = run(d2, cache = true, hint = -1L)
+    assert(a2.value == n.toLong, s"cached arm ran upstream ${a2.value / n}x")
+    // no hint, no cache: the sizing count is a second full execution
+    // of the (here expensive) upstream plan — the round-13 ADVICE case
+    // the two levers above exist for
+    val (d3, a3) = instrumented()
+    val bare = run(d3, cache = false, hint = -1L)
+    assert(a3.value == 2L * n, s"bare arm ran upstream ${a3.value / n}x")
+    assert(hinted == cached && cached == bare && bare.nonEmpty)
+  }
+
   test("minhashLsh plan: the band-bucket grouping has exactly one " +
       "consumer (a second arm would recompute the whole bucket shuffle)") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")

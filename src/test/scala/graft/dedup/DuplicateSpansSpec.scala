@@ -1,0 +1,98 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** duplicateSpans must equal the brute-force definition: a position p
+  * of doc d is "duplicated" iff the k-char substring at p occurs more
+  * than maxOccurrences times in the corpus multiset; spans are the
+  * merged maximal runs of duplicated windows (ranges touching or
+  * overlapping fuse).
+  */
+class DuplicateSpansSpec extends SparkSpec {
+
+  private def naive(
+      docs: Seq[(Long, String)], k: Int,
+      maxOcc: Int): Set[(Long, Int, Int)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs; p <- 0 to t.length - k)
+      counts(t.substring(p, p + k)) =
+        counts.getOrElse(t.substring(p, p + k), 0) + 1
+    docs.flatMap { case (id, t) =>
+      val dup = (0 to t.length - k)
+        .filter(p => counts(t.substring(p, p + k)) > maxOcc)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (p <- dup) {
+        val end = p + k - 1
+        if (spans.nonEmpty && p <= spans.last._2 + 1)
+          spans(spans.length - 1) =
+            (spans.last._1, math.max(spans.last._2, end))
+        else spans += ((p, end))
+      }
+      // operator reports 1-based starts
+      spans.map { case (s, e) => (id, s + 1, e - s + 1) }
+    }.toSet
+  }
+
+  private def run(
+      docs: Seq[(Long, String)], k: Int,
+      maxOcc: Long): Set[(Long, Int, Int)] = {
+    import spark.implicits._
+    Dedup.duplicateSpans(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k, maxOcc)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+  }
+
+  test("planted shared block: one merged span per doc, exact offsets") {
+    val block = "all work and no play makes jack a dull boy"
+    val docs = Seq(
+      1L -> s"unique alpha prose here. $block trailing tail one.",
+      2L -> s"different beta words. $block other ending.",
+      3L -> "entirely novel text with no repetition at all in it xyz")
+    val got = run(docs, k = 20, maxOcc = 1)
+    assert(got == naive(docs, 20, 1))
+    // the >= k duplicated region surfaces as exactly ONE span per doc
+    assert(got.count(_._1 == 1L) == 1 && got.count(_._1 == 2L) == 1)
+    assert(got.count(_._1 == 3L) == 0)
+    val (_, s1, l1) = got.find(_._1 == 1L).get
+    assert(docs.head._2.substring(s1 - 1, s1 - 1 + l1).contains(block))
+  }
+
+  test("within-doc repetition is reported (Lee et al. semantics)") {
+    val docs = Seq(
+      7L -> ("intro words. the exact same looping sentence here. " +
+        "middle filler. the exact same looping sentence here. outro."))
+    val got = run(docs, k = 20, maxOcc = 1)
+    assert(got == naive(docs, 20, 1))
+    assert(got.size == 2, s"two duplicated regions expected, got $got")
+  }
+
+  test("maxOccurrences threshold, short and null docs") {
+    import spark.implicits._
+    val tri = "thrice repeated block of text!"
+    val docs = Seq(
+      1L -> s"aa $tri zz",
+      2L -> s"bb $tri yy",
+      3L -> s"cc $tri xx")
+    // at maxOcc=2 a 3x block still trips; at 3 it is normal text
+    assert(run(docs, k = 20, maxOcc = 2) == naive(docs, 20, 2))
+    assert(run(docs, k = 20, maxOcc = 2).nonEmpty)
+    assert(run(docs, k = 20, maxOcc = 3).isEmpty)
+    // sub-k and null docs contribute nothing and do not throw
+    val withEdge = Seq((10L, Option("tiny")), (11L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(withEdge, col("doc_id"), col("text"), 20)
+      .collect().isEmpty)
+  }
+
+  test("fixture corpus equals the brute-force reference") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    import spark.implicits._
+    val got = run(docs, k = 24, maxOcc = 1)
+    assert(got == naive(docs, 24, 1))
+    assert(got.nonEmpty, "fixture's planted duplicates should surface")
+  }
+}

@@ -45,6 +45,21 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 COPRIME_A = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
 
 
+def needs_bigint(src, table, idcol, reps, step=10_000_000):
+    """True when the largest replicated id, (reps-1)*step + max(idcol),
+    exceeds INT32 range. Gating on the ACTUAL maximum (not reps alone —
+    the old `reps > 214` gate ignored the base-id term and under-cast
+    for reps ~172-214 with large base ids; round-13 ADVICE) keeps the
+    recorded small-rung manifests byte-identical while making deep
+    ladders safe regardless of the fixture's id range. DuckDB errors
+    loudly on overflow rather than corrupting, so a miss here is a
+    build failure, not bad data — but the build should not fail."""
+    mx = duckdb.sql(
+        f"SELECT max({idcol}) FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchone()[0]
+    return (reps - 1) * step + int(mx) > 2**31 - 1
+
+
 def doc_perm(r):
     a = COPRIME_A[(r // 26) % len(COPRIME_A)]
     b = r % 26
@@ -52,11 +67,13 @@ def doc_perm(r):
 
 
 def doc_arms(src, reps):
-    # doc_id is INT32 in the fixture; past replica 214 the offset
-    # overflows, so big ladders cast to BIGINT. The cast is gated on
-    # reps so the x3..x100 manifests (and thus the recorded-ladder
-    # rung bytes) stay untouched.
-    idexpr = ("CAST(doc_id AS BIGINT)" if reps > 214 else "doc_id")
+    # Deep ladders cast the id to BIGINT so the replica offset cannot
+    # overflow an INT32-typed fixture column. Gated on the actual
+    # maximum replicated id (needs_bigint) so the x3..x100 manifests
+    # (and thus the recorded-ladder rung bytes) stay untouched.
+    idexpr = ("CAST(doc_id AS BIGINT)"
+              if needs_bigint(src, "documents", "doc_id", reps)
+              else "doc_id")
     arms = []
     for r in range(reps):
         rot = doc_perm(r)
@@ -76,11 +93,13 @@ def emb_arms(src, reps, cycle=4):
     # kept as the default so x3/x10 stay byte-identical to the round-7
     # rungs the recorded ladder numbers came from.
     assert reps <= 2 ** cycle, f"reps {reps} exceeds 2^{cycle} patterns"
-    # vec_id is INT32 in the fixture; past replica 214 the offset
-    # overflows INT32 (299*10^7 > 2^31), so big ladders cast to BIGINT
-    # and the offset is precomputed in Python. Gated on reps so the
-    # x3..x100 manifests (recorded-ladder rung bytes) stay untouched.
-    idexpr = ("CAST(vec_id AS BIGINT)" if reps > 214 else "vec_id")
+    # Deep ladders cast the id to BIGINT so the replica offset cannot
+    # overflow an INT32-typed fixture column; gated on the actual
+    # maximum replicated id (needs_bigint) so the x3..x100 manifests
+    # (recorded-ladder rung bytes) stay untouched.
+    idexpr = ("CAST(vec_id AS BIGINT)"
+              if needs_bigint(src, "embeddings", "vec_id", reps)
+              else "vec_id")
     arms = []
     for r in range(reps):
         arms.append(f"""
@@ -113,7 +132,9 @@ def emb_arms_perm(src, reps, dim=64):
     # Seeded Mersenne-Twister keeps rungs deterministic across runs.
     import random
     arms = []
-    idexpr = ("CAST(vec_id AS BIGINT)" if reps > 214 else "vec_id")
+    idexpr = ("CAST(vec_id AS BIGINT)"
+              if needs_bigint(src, "embeddings", "vec_id", reps)
+              else "vec_id")
     for r in range(reps):
         rnd = random.Random(1013 * r)
         perm = list(range(1, dim + 1))
