@@ -4718,7 +4718,76 @@ object SparkEntry {
          CAST(max(pos) + 24 - min(pos) AS BIGINT) AS span_len
        FROM sp GROUP BY doc_id, sid"""
 
+  // ------------------------------------------------------------------
+  // q109 — training-corpus ASSEMBLY, end to end (extensions:
+  // Sampling.epochRepeat ∘ content-addressed shuffle ∘
+  // Prefix.packIntoShards): per-source fractional-epoch up-sampling
+  // (src idx%4 → 2.5 / 1.0 / 0.6 / 0.25 epochs), each copy given a
+  // deterministic md5 shuffle key (the "global epoch shuffle" — no
+  // rand(), so re-runs and engines agree), then packed into 20k-token
+  // shards on the distributed running sum. Per-shard stats verify the
+  // whole chain: realized copy multiset, shuffle order, and shard
+  // cuts. The oracle replays the unit hash digit-by-digit (q36's
+  // discipline), the copy rule, and the cumsum cut.
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("tok"))
+    val m = substring(col("source"), 4, 10).cast("int") % 4
+    val e = when(m === 0, 2.5).when(m === 1, 1.0)
+      .when(m === 2, 0.6).otherwise(0.25)
+    val rep = graft.ops.Sampling.epochRepeat(docs, col("doc_id"), "ep14", e)
+    val keyed = rep.select(
+      md5(concat(col("doc_id").cast("string"), lit("#"),
+        col("copy_idx").cast("string")).cast("binary")).as("ord"),
+      col("doc_id"), col("tok"))
+    graft.ops.Prefix.packIntoShards(
+        keyed, orderCol = "ord", tokenCol = "tok", budget = 20000L)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tok")).as("shard_tokens"))
+  }
+
+  private val q109Sql =
+    """WITH d AS (
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS tok,
+           CAST(substr(source, 4) AS INT) % 4 AS m
+         FROM documents),
+       ep AS (
+         SELECT doc_id, tok,
+           CASE m WHEN 0 THEN 2.5 WHEN 1 THEN 1.0
+                  WHEN 2 THEN 0.6 ELSE 0.25 END AS e
+         FROM d),
+       u AS (
+         SELECT doc_id, tok, e,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':ep14'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) / 4503599627370496.0 AS uh
+         FROM ep),
+       c AS (
+         SELECT doc_id, tok,
+           CAST(floor(e) AS BIGINT) +
+           (CASE WHEN uh < e - floor(e) THEN 1 ELSE 0 END) AS copies
+         FROM u),
+       rep AS (
+         SELECT doc_id, tok, unnest(range(1, copies + 1)) AS copy_idx
+         FROM c WHERE copies >= 1),
+       k AS (
+         SELECT doc_id, tok,
+           md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR)) AS ord
+         FROM rep),
+       r AS (
+         SELECT doc_id, tok,
+           SUM(tok) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS run
+         FROM k)
+       SELECT CAST(floor(CAST(run - tok AS DOUBLE) / 20000) AS BIGINT) AS shard,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS shard_tokens
+       FROM r GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_epoch_pack" -> (q109 _),
     "q108_duplicate_spans" -> (q108 _),
     "q107_stream_dedup" -> (q107 _),
     "q106_kmv_setops" -> (q106 _),
@@ -4907,6 +4976,7 @@ object SparkEntry {
     "q105_target_mixture" -> q105Sql,
     "q106_kmv_setops" -> q106Sql,
     "q108_duplicate_spans" -> q108Sql,
+    "q109_epoch_pack" -> q109Sql,
     "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,

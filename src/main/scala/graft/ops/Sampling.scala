@@ -90,6 +90,50 @@ object Sampling {
     df.filter(unitHash(id, salt) < rate)
   }
 
+  /** Fractional-epoch REPEAT — the up-sampling half of corpus mixing,
+    * where `mixtureSample` is the down-sampling half: a source slated
+    * for e > 1 epochs (the published LLM-training recipes repeat
+    * high-quality sources: e.g. several epochs of an encyclopedia vs a
+    * fraction of one epoch of crawl) emits each row floor(e) times,
+    * plus one extra copy iff unitHash(id, salt) < frac(e). Expected
+    * copies per row = e exactly; the realized multiset is a pure
+    * function of (id, salt) — re-runs, repartitioning, and other
+    * engines reproduce the identical corpus, and e < 1 degenerates to
+    * `sampleByHash`'s membership rule (same hash, same salt semantics,
+    * so mixing code can move a source across the e = 1 boundary
+    * without resampling it).
+    *
+    * Each emitted row carries `copyCol` in [1, copies] so downstream
+    * shuffling/sharding can separate copies (shuffle on (id, copy)).
+    * Map-only: the when-chain, hash, and sequence-explode fuse into
+    * the scan — no shuffle, no state.
+    *
+    * @param epochs target epochs as a Column (join a per-source plan
+    *   table or build a when-chain over the source column); values
+    *   must be >= 0 and are capped at `maxEpochs` to bound the
+    *   fan-out of a fat-fingered plan (cap breaches fail loudly via
+    *   `raise_error`, never silently clip)
+    */
+  def epochRepeat(
+      df: DataFrame,
+      id: Column,
+      salt: String,
+      epochs: Column,
+      copyCol: String = "copy_idx",
+      maxEpochs: Int = 100): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val e = when(epochs.isNull || epochs < 0 || epochs > maxEpochs,
+        raise_error(concat(lit(s"epochRepeat: epochs outside [0, $maxEpochs]: "),
+          epochs.cast("string"))))
+      .otherwise(epochs)
+    val copies = (floor(e).cast("long") +
+      when(unitHash(id, salt) < (e - floor(e)), 1L).otherwise(0L))
+    // sequence(1, 0) would DESCEND ([1, 0]) — guard the zero-copy case
+    df.withColumn(copyCol,
+        explode(when(copies >= 1, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<long>"))))
+  }
+
   /** Deterministic stratified sample: the EXACTLY-n ids with the
     * smallest content-addressed hash per stratum (vs `mixtureSample`,
     * which keeps a *fraction* per source — this keeps a *count*, the

@@ -73,6 +73,12 @@ object Tap {
   def text(paths: String*): Tap = Tap(paths, "text")
   def json(paths: String*): Tap = Tap(paths, "json")
 
+  /** Columnar alternative to parquet for interop with ORC-based
+    * warehouses (Spark-native reader/writer: predicate pushdown,
+    * column pruning, and vectorized scan all apply, same as parquet).
+    */
+  def orc(paths: String*): Tap = Tap(paths, "orc")
+
   /** `binaryDirTap` analog (Controller.hs:701-707): read every file under a
     * directory matching a glob as (path, length, content) rows. Replaces the
     * reference's file-list-of-paths workaround for binary inputs

@@ -111,6 +111,39 @@ class SamplingSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("epochRepeat matches the floor+fractional-hash model, nests " +
+      "with sampleByHash below e=1, and ignores partitioning") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) 2.3 else 0.4))
+    val data = rows.toDF("doc_id", "e")
+    def uh(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:ep".getBytes("UTF-8"))
+        .map(b => "%02x".format(b & 0xff)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+    }
+    val expected = rows.flatMap { case (i, e) =>
+      val c = e.toInt + (if (uh(i) < e - e.toInt) 1 else 0)
+      (1 to c).map(k => (i, k.toLong))
+    }.toSet
+    def run(parts: Int) = Sampling.epochRepeat(
+        data.repartition(parts), col("doc_id"), "ep", col("e"))
+      .select("doc_id", "copy_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run(2)
+    assert(got == expected && got == run(7))
+    // e=2.3 rows appear 2 or 3 times; e=0.4 rows 0 or 1 — and the
+    // sub-1 arm is EXACTLY sampleByHash's membership (same hash+salt)
+    val sub = Sampling.sampleByHash(
+        data.filter(col("e") === 0.4), col("doc_id"), "ep", 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._1 % 2 == 1).map(_._1) == sub)
+    // fan-out guard fails loudly, not silently
+    val boom = intercept[Exception](Sampling.epochRepeat(
+      data, col("doc_id"), "ep", col("e") * 1000).collect())
+    assert(boom.getMessage.contains("epochs outside"))
+  }
+
   test("degenerate configurations are rejected") {
     assertThrows[IllegalArgumentException](
       Sampling.splitLabel(col("id"), "s", Seq.empty))

@@ -75,6 +75,21 @@ class TapSpec extends SparkSpec {
     assert(tap.read(spark).count() == 2)
   }
 
+  test("orc round-trip preserves schema and pushes filters to the scan") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft-orc").toString + "/t"
+    val tap = Tap.orc(p)
+    tap.write((1L to 100L).map(i => (i, s"v$i")).toDF("id", "s"))
+    val back = tap.read(spark)
+    assert(back.schema.map(_.name) == Seq("id", "s"))
+    val filtered = back.filter(col("id") === 7L)
+    assert(filtered.collect().map(_.getString(1)).toSeq == Seq("v7"))
+    // the predicate must reach the ORC scan, not run post-load
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"),
+      s"filter not pushed:\n$scan")
+  }
+
   test("gzip files read transparently (readHdfsFile auto-ungzip analog)") {
     val dir = Files.createTempDirectory("graft-gz")
     val gz = new java.util.zip.GZIPOutputStream(
