@@ -4688,10 +4688,20 @@ object SparkEntry {
   // merge via the same furthest-end window rule.
   private def q108(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.duplicateSpans(
-        t(s, dir, "documents"), col("doc_id"), col("text"), k = 24)
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 24,
+        // charsHint: the pruned n_chars column sizes the gram
+        // exchanges without scanning the text column
+        charsHint = docChars(s, dir))
       .select(col("id").as("doc_id"),
         col("span_start").cast("long").as("span_start"),
         col("span_len").cast("long").as("span_len"))
+
+  /** Σ n_chars over documents — the pruned-scan sizing hint for the
+    * gram-inventory operators (duplicateSpans charsHint). */
+  private def docChars(s: SparkSession, dir: String): Long =
+    t(s, dir, "documents")
+      .agg(coalesce(sum(col("n_chars")), lit(0L)).cast("long"))
+      .head.getLong(0)
 
   private val q108Sql =
     """WITH pos AS (
@@ -4786,7 +4796,80 @@ object SparkEntry {
          CAST(SUM(tok) AS BIGINT) AS shard_tokens
        FROM r GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q110 — ExactSubstr REMOVAL end to end (extensions:
+  // Dedup.duplicateSpans(keepFirst) ∘ Dedup.spliceSpans): q108's
+  // spans under the paper's all-but-one rule (the corpus-wide first
+  // occurrence of each 24-char window — min (doc_id, pos) — is
+  // exempt), cut out of the documents. Output is the cleaned
+  // corpus's per-doc length + md5 fingerprint, so the oracle
+  // verifies the reconstructed TEXT byte-for-byte, not just span
+  // arithmetic. Oracle: q108's chain with a keep-first row_number
+  // filter, then complement segments via lag + ordered string_agg.
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val spans = graft.dedup.Dedup.duplicateSpans(
+      d, col("doc_id"), col("text"), k = 24, keepFirst = true,
+      charsHint = docChars(s, dir))
+    graft.dedup.Dedup.spliceSpans(d, col("doc_id"), col("text"), spans)
+      .select(col("id").as("doc_id"),
+        length(col("text_clean")).cast("long").as("clean_len"),
+        md5(col("text_clean").cast("binary")).as("clean_fp"))
+  }
+
+  private val q110Sql =
+    """WITH pos AS (
+         SELECT doc_id,
+           unnest(range(1, len(text)-24+2)) AS pos,
+           unnest([md5(substr(text, i, 24))
+                   for i in range(1, len(text)-24+2)]) AS h
+         FROM documents WHERE len(text) >= 24),
+       dp AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS n,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY doc_id, pos) AS rn
+           FROM pos) WHERE n > 1 AND rn > 1),
+       b AS (SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 23) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) + 1, 0)
+                    THEN 1 ELSE 0 END AS brk
+             FROM dp),
+       sp AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+              FROM b),
+       spans AS (
+         SELECT doc_id, min(pos) AS s, max(pos) + 24 - min(pos) AS l
+         FROM sp GROUP BY doc_id, sid),
+       segs AS (
+         SELECT doc_id,
+           coalesce(lag(s + l) OVER (PARTITION BY doc_id ORDER BY s),
+             1) AS seg_start,
+           s - coalesce(lag(s + l) OVER (PARTITION BY doc_id ORDER BY s),
+             1) AS seg_len,
+           s AS ord
+         FROM spans
+         UNION ALL
+         SELECT doc_id, max(s + l) AS seg_start,
+           2147483647 AS seg_len, max(s + l) AS ord
+         FROM spans GROUP BY doc_id),
+       clean AS (
+         SELECT d.doc_id,
+           coalesce(string_agg(
+             substr(d.text, CAST(g.seg_start AS INT),
+               CAST(g.seg_len AS INT)), '' ORDER BY g.ord),
+             d.text) AS text_clean
+         FROM documents d LEFT JOIN segs g ON d.doc_id = g.doc_id
+         GROUP BY d.doc_id, d.text)
+       SELECT doc_id, CAST(len(text_clean) AS BIGINT) AS clean_len,
+         md5(text_clean) AS clean_fp
+       FROM clean"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_exactsubstr_dedup" -> (q110 _),
     "q109_epoch_pack" -> (q109 _),
     "q108_duplicate_spans" -> (q108 _),
     "q107_stream_dedup" -> (q107 _),
@@ -4977,6 +5060,7 @@ object SparkEntry {
     "q106_kmv_setops" -> q106Sql,
     "q108_duplicate_spans" -> q108Sql,
     "q109_epoch_pack" -> q109Sql,
+    "q110_exactsubstr_dedup" -> q110Sql,
     "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,

@@ -1232,7 +1232,15 @@ object Dedup {
     * multiset (no sampling, no hash seeds beyond md5). The 128-bit
     * gram hash stands in for the substring itself — any engine
     * replaying md5-over-substr reproduces the byte-identical span
-    * table. Merge rule: windows whose [pos, pos+k-1] char ranges
+    * table. The key stays the md5 HEX STRING deliberately: a 60-bit
+    * integer key (conv of the 15-digit md5 prefix, the md5Mod shape;
+    * 8 exchange bytes vs ~40) was
+    * A/B-measured 25% SLOWER on the x100 docs rung (interleaved:
+    * 54.5/53.0 s int vs 42.2 s hex, control-clean) — the per-gram
+    * conv() hex parse costs more CPU than the narrower rows save
+    * while the gram shuffles fit page cache; do not re-narrow this
+    * key without re-measuring at a rung whose shuffle exceeds RAM.
+    * Merge rule: windows whose [pos, pos+k-1] char ranges
     * touch or overlap (next.pos <= furthest_end + 1) fuse into one
     * span, so a duplicated region of length L >= k yields exactly one
     * row, not L-k+1.
@@ -1244,6 +1252,32 @@ object Dedup {
     *   corpus's sentence-scale duplicates)
     * @param maxOccurrences grams occurring at most this often are
     *   normal text (1 = report any repetition, the paper's setting)
+    * @param keepFirst false (default) = AUDIT semantics: every
+    *   occurrence of a duplicated window is spanned. true = REMOVAL
+    *   semantics (the paper's "all but one occurrence"): the
+    *   corpus-wide first occurrence of each window — min (id, pos),
+    *   a deterministic total order — is exempt, so the canonical
+    *   copy of a repeated region survives a downstream
+    *   [[spliceSpans]] while every other copy is spanned. The
+    *   canonical (id, pos) rides the SAME counting aggregation as a
+    *   min-struct (still map-side combinable); the join back
+    *   carries it as payload instead of being a bare semi-join —
+    *   same cardinality, same join shape.
+    * @param charsHint known (approximate) total character count of
+    *   the corpus; `>= 0` skips the sizing scan. SIDE EFFECT (the
+    *   minhashLsh rowsHint contract): without a hint, one eager
+    *   sum(length(text)) job runs at call time to volume-size the
+    *   gram exchanges — a pruned single-column scan over a plain
+    *   table, a re-execution of an expensive upstream plan
+    *   otherwise. Sizing matters here MORE than in the shingle
+    *   family: the gram stream is O(total chars) rows, and at the
+    *   docs x300 rung (411M grams) the session-default 32-partition
+    *   exchanges put ~GB-scale agg/sort state on every task —
+    *   measured 47.8 s (x100) -> ~251-302 s (x300, heap-insensitive:
+    *   8 g and 24 g within noise), exponent ~1.5. Volume-sized
+    *   widths + a shuffled-hash build on the (always
+    *   over-broadcast-threshold) duplicated-key side keep every task
+    *   at the 64 MB target instead (A/B in NOTES round 14).
     * @return (id, span_start, span_len) — 1-based char offset,
     *   length >= k
     */
@@ -1252,10 +1286,21 @@ object Dedup {
       idCol: Column,
       textCol: Column,
       k: Int = 20,
-      maxOccurrences: Long = 1): DataFrame = {
+      maxOccurrences: Long = 1,
+      keepFirst: Boolean = false,
+      charsHint: Long = -1L): DataFrame = {
     require(k >= 1, s"window width k must be >= 1, got $k")
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1")
     val par = df.sparkSession.sparkContext.defaultParallelism
+    val totalChars =
+      if (charsHint >= 0) charsHint
+      else df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
+        .cast("long")).head.getLong(0)
+    // ~40 B per gram row in exchange form (32-hex h + id + pos);
+    // 64 MB/task keeps the count aggregation's hash state and the
+    // verify join's build in memory at any corpus size
+    val parts = graft.ops.Sizing.groupingPartitions(
+      totalChars, 40L, par, targetBytesPerTask = 64L << 20)
     // same scan-parallelism discipline as stripDuplicateLines: the
     // generate kernel must run post-exchange, not at scan parallelism
     def positions = df
@@ -1267,11 +1312,33 @@ object Dedup {
         col("t"))
       .select(col("id"), col("pos"),
         md5(col("t").substr(col("pos"), lit(k)).cast("binary")).as("h"))
-    val dupKeys = positions
-      .groupBy("h").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxOccurrences)
-      .select("h")
-    val dupPos = positions.join(dupKeys, Seq("h"), "left_semi")
+    // both gram-keyed exchanges (count aggregation + verify join) run
+    // at the volume-derived width; the duplicated-key side is the
+    // hash build — it is ~5-15% of distinct grams on boilerplate-
+    // heavy corpora (measured 95k keys / 1.37M grams at sf0.1), far
+    // past any broadcast threshold, and a sort-merge join would SORT
+    // the full position stream instead
+    val posParted = positions.repartition(parts, col("h"))
+    val dupPos =
+      if (keepFirst) {
+        requireOrderableId(df.select(idCol).schema.head.dataType,
+          "duplicateSpans keepFirst")
+        val dupKeys = posParted
+          .groupBy("h").agg(count(lit(1)).as("n"),
+            min(struct(col("id"), col("pos"))).as("can"))
+          .filter(col("n") > maxOccurrences)
+          .select(col("h"), col("can"))
+        posParted.join(dupKeys.hint("shuffle_hash"), Seq("h"))
+          .filter(!(col("id") === col("can.id") &&
+            col("pos") === col("can.pos")))
+          .select("id", "pos")
+      } else {
+        val dupKeys = posParted
+          .groupBy("h").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxOccurrences)
+          .select("h")
+        posParted.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
+      }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
     val furthestEnd = max(col("pos") + (k - 1))
@@ -1288,6 +1355,55 @@ object Dedup {
         min(col("pos")).as("span_start"),
         (max(col("pos")) + k - min(col("pos"))).as("span_len"))
       .select("id", "span_start", "span_len")
+  }
+
+  /** Cut [[duplicateSpans]] spans out of the documents — the removal
+    * half of the ExactSubstr pipeline (pair it with
+    * `keepFirst = true` spans for the paper's "all but one
+    * occurrence" semantics). Per doc: the complement segments of its
+    * (non-overlapping, by construction) spans are computed with one
+    * lag window over the SPAN table — rows ∝ spans, never ∝ text —
+    * then one join attaches the document text and a codegen'd
+    * substr/concat projection reassembles the kept characters in
+    * order. Docs with no spans pass through byte-identical via the
+    * left join's null arm.
+    *
+    * Scale shape: the span table is the small side (duplicated
+    * regions, not the corpus); the only full-corpus stage is the
+    * final equi-join on id, which AQE broadcast-resolves when spans
+    * are few. Nothing buffers more than one doc's span list.
+    *
+    * @param spans (id, span_start, span_len) — 1-based, disjoint,
+    *   sorted-mergeable (exactly [[duplicateSpans]]'s contract)
+    * @return (id, text_clean)
+    */
+  def spliceSpans(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(idCol.as("id"), coalesce(textCol, lit("")).as("t"))
+    val w = Window.partitionBy("id").orderBy("s")
+    // kept segment BEFORE each span: [prev span end + 1, span_start)
+    val segs = spans
+      .select(col("id"), col("span_start").cast("long").as("s"),
+        col("span_len").cast("long").as("l"))
+      .withColumn("seg_start",
+        coalesce(lag(col("s") + col("l"), 1).over(w), lit(1L)))
+      .withColumn("seg_len", col("s") - col("seg_start"))
+    val byDoc = segs.groupBy("id").agg(
+      sort_array(collect_list(struct(col("seg_start"), col("seg_len"))))
+        .as("pre"),
+      max(col("s") + col("l")).as("tail_from"))
+    docs.join(byDoc, Seq("id"), "left")
+      .select(col("id"),
+        when(col("pre").isNull, col("t")).otherwise(concat(
+          array_join(transform(col("pre"), seg =>
+            col("t").substr(seg("seg_start").cast("int"),
+              seg("seg_len").cast("int"))), ""),
+          col("t").substr(col("tail_from").cast("int"), length(col("t")))))
+          .as("text_clean"))
   }
 
   /** Re-verify candidate pairs with exact Jaccard over the hashed-shingle

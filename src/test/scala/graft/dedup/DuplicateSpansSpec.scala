@@ -86,6 +86,96 @@ class DuplicateSpansSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  private def naiveKeepFirst(
+      docs: Seq[(Long, String)], k: Int): Set[(Long, Int, Int)] = {
+    // position removable iff its window duplicates AND it is not the
+    // corpus-wide first (min (id, pos)) occurrence of that window
+    val occ = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    for ((id, t) <- docs; p <- 0 to t.length - k)
+      occ.getOrElseUpdate(t.substring(p, p + k),
+        scala.collection.mutable.ArrayBuffer.empty) += ((id, p))
+    val removable = occ.values.filter(_.size > 1)
+      .flatMap(os => os.sortBy(identity).drop(1)).toSet
+    docs.flatMap { case (id, t) =>
+      val dup = (0 to t.length - k).filter(p => removable((id, p)))
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (p <- dup) {
+        val end = p + k - 1
+        if (spans.nonEmpty && p <= spans.last._2 + 1)
+          spans(spans.length - 1) =
+            (spans.last._1, math.max(spans.last._2, end))
+        else spans += ((p, end))
+      }
+      spans.map { case (s, e) => (id, s + 1, e - s + 1) }
+    }.toSet
+  }
+
+  test("keepFirst exempts the corpus-wide first occurrence " +
+      "(min (id, pos)) — the paper's all-but-one removal semantics") {
+    import spark.implicits._
+    val block = "all work and no play makes jack a dull boy"
+    val docs = Seq(
+      5L -> s"later doc yet FIRST span copy here: $block tail.",
+      9L -> s"second copy lives here: $block and more.",
+      2L -> "this doc is unique filler prose with nothing repeated qq")
+    val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k = 20, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == naiveKeepFirst(docs, 20))
+    // min id (5) keeps its copy; only doc 9 is spanned
+    assert(got.map(_._1) == Set(9L))
+    // within-doc: the first occurrence survives, the second is spanned
+    val rep = Seq(3L -> ("alpha unique lead-in. the repeated passage body " +
+      "x. middle. the repeated passage body x. coda"))
+    val got2 = Dedup.duplicateSpans(rep.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k = 20, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got2 == naiveKeepFirst(rep, 20))
+    assert(got2.size == 1)
+  }
+
+  test("spliceSpans cuts spans and passes span-free docs through " +
+      "byte-identical; keepFirst splice leaves exactly one copy") {
+    import spark.implicits._
+    val block = "all work and no play makes jack a dull boy"
+    // surrounding prose is distinct INCLUDING the characters adjacent
+    // to the block — a shared boundary char would (correctly) extend
+    // the duplicated region beyond the block
+    val docs = Seq(
+      1L -> s"alphaone intro $block ending-one.",
+      2L -> s"betatwo prelude $block closing-two.",
+      3L -> s"gammathree lead $block finish-three.",
+      4L -> "delta doc with entirely novel prose and no duplication zz")
+    val df = docs.toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, col("doc_id"), col("text"),
+      k = 20, keepFirst = true)
+    val clean = Dedup.spliceSpans(df, col("doc_id"), col("text"), spans)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // doc 1 (min id) intact; span-free doc 4 byte-identical
+    assert(clean(1L) == docs.head._2)
+    assert(clean(4L) == docs(3)._2)
+    // the block survives exactly once corpus-wide
+    assert(clean.values.count(_.contains(block)) == 1)
+    // cut docs keep their unique prose on both sides of the cut
+    // (the shared " block " region including both spaces is spanned)
+    assert(clean(2L) == "betatwo preludeclosing-two.", clean(2L))
+    // audit-mode spans (keepFirst=false) cut EVERY copy
+    val cleanAll = Dedup.spliceSpans(df, col("doc_id"), col("text"),
+        Dedup.duplicateSpans(df, col("doc_id"), col("text"), k = 20))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cleanAll.values.count(_.contains(block)) == 0)
+    // splice is exact: reconstruct doc 2 by hand from its span
+    val s2 = spans.filter(col("id") === 2L).collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    val expected2 = s2.sortBy(_._1).foldLeft((docs(1)._2, 0)) {
+      case ((acc, cut), (st, ln)) =>
+        (acc.substring(0, st - 1 - cut) + acc.substring(st - 1 - cut + ln),
+          cut + ln)
+    }._1
+    assert(clean(2L) == expected2)
+  }
+
   test("fixture corpus equals the brute-force reference") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
       .select("doc_id", "text").collect()
