@@ -2222,12 +2222,16 @@ object SparkEntry {
         maxBucketSize = 1000,
         // rowsHint: counting `paras` would re-run the split+chunk
         // kernel over every document (minhashLsh scaladoc SIDE
-        // EFFECT); estimate chunk count from the pruned n_chars
-        // column instead — words ~ chars/6, k words per chunk —
-        // the hint only sizes grouping partitions
+        // EFFECT); bound chunk count from the pruned n_chars column
+        // instead. A true UPPER bound (the rowsHint contract): a
+        // whitespace-split word needs >= 2 chars of text (1 + its
+        // separator), so words <= chars/2 and chunks = ceil(words/k)
+        // <= chars/(2k) + 1 per doc — over-allocation only widens
+        // partitions, under-allocation recreates the per-task-state
+        // failure the sizing work exists to prevent
         rowsHint = t(s, dir, "documents")
-          .agg(coalesce(sum(ceil(col("n_chars") / lit(6.0 * k))), lit(0L))
-            .cast("long"))
+          .agg(coalesce(sum(ceil(col("n_chars") / lit(2.0 * k)) + 1),
+            lit(0L)).cast("long"))
           .head.getLong(0))
       .filter(expr("id1 div 1048576") =!= expr("id2 div 1048576"))
       .select(col("id1"), col("id2"), col("jaccard"),
@@ -4743,7 +4747,11 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         col("n_chars").cast("long").as("tok"))
-    val m = substring(col("source"), 4, 10).cast("int") % 4
+    // full suffix (no length cap) + null-propagating cast, mirrored
+    // by TRY_CAST in the oracle: a non-'src<digits>' source lands in
+    // the ELSE epoch arm in BOTH engines instead of erroring in one
+    val m = col("source").substr(lit(4), length(col("source")))
+      .cast("int") % 4
     val e = when(m === 0, 2.5).when(m === 1, 1.0)
       .when(m === 2, 0.6).otherwise(0.25)
     val rep = graft.ops.Sampling.epochRepeat(docs, col("doc_id"), "ep14", e)
@@ -4763,7 +4771,7 @@ object SparkEntry {
   private val q109Sql =
     """WITH d AS (
          SELECT doc_id, CAST(n_chars AS BIGINT) AS tok,
-           CAST(substr(source, 4) AS INT) % 4 AS m
+           TRY_CAST(substr(source, 4) AS INT) % 4 AS m
          FROM documents),
        ep AS (
          SELECT doc_id, tok,
@@ -4861,7 +4869,7 @@ object SparkEntry {
            coalesce(string_agg(
              substr(d.text, CAST(g.seg_start AS INT),
                CAST(g.seg_len AS INT)), '' ORDER BY g.ord),
-             d.text) AS text_clean
+             coalesce(d.text, '')) AS text_clean
          FROM documents d LEFT JOIN segs g ON d.doc_id = g.doc_id
          GROUP BY d.doc_id, d.text)
        SELECT doc_id, CAST(len(text_clean) AS BIGINT) AS clean_len,

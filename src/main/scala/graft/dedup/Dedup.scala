@@ -1213,20 +1213,24 @@ object Dedup {
     * Three passes, all linear in total characters (the suffix-array
     * cost class, in shuffle form):
     *   1. position inventory: (id, pos, md5(substr(pos, k))) — one
-    *      generate + project per doc, no shuffle;
-    *   2. duplicated-gram keys: groupBy(hash) count — the ONLY
-    *      corpus-wide exchange, and it is map-side combinable and
-    *      16-byte-narrow; `> maxOccurrences` survivors are typically a
-    *      tiny fraction of distinct grams, so
-    *   3. the left-semi join back to positions lets AQE broadcast the
-    *      duplicated-key set in the common case (an explicit exchange
-    *      never forms on the position stream), and the per-doc
-    *      interval merge is one window over (id, pos) — doc-sized
-    *      state, never corpus-sized.
-    * The position inventory is computed twice (passes 2 and 3) — the
-    * recompute-over-cache discipline every text kernel here follows:
-    * regenerating grams from the pruned 2-column scan is cheaper than
-    * columnar-encoding an O(total chars) row stream.
+    *      generate + project per doc;
+    *   2. duplicated-gram keys: groupBy(hash) count over a
+    *      volume-sized exchange (Sizing.groupingPartitions from
+    *      total chars — see charsHint), map-side combinable;
+    *      `> maxOccurrences` survivors join back to
+    *   3. the position stream as the BUILD of a shuffled-hash
+    *      semi-join at the same width (duplicated keys measure
+    *      5-15% of distinct grams on boilerplate-heavy corpora —
+    *      far past any broadcast threshold, and a sort-merge join
+    *      would sort the full position stream); the per-doc
+    *      interval merge is then one window over (id, pos) —
+    *      doc-sized state, never corpus-sized.
+    * The gram pipeline is instantiated twice — Catalyst prunes each
+    * copy to its consumer (an h-only aggregation arm, an (id, pos, h)
+    * probe arm; plan-verified) — the recompute-over-cache discipline
+    * every text kernel here follows: regenerating grams from the
+    * pruned 2-column scan is cheaper than columnar-encoding an
+    * O(total chars) row stream.
     *
     * Determinism: spans are a pure function of the corpus's gram
     * multiset (no sampling, no hash seeds beyond md5). The 128-bit

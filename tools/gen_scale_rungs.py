@@ -45,6 +45,9 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 COPRIME_A = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
 
 
+_MAX_ID_CACHE = {}
+
+
 def needs_bigint(src, table, idcol, reps, step=10_000_000):
     """True when the largest replicated id, (reps-1)*step + max(idcol),
     exceeds INT32 range. Gating on the ACTUAL maximum (not reps alone —
@@ -54,10 +57,12 @@ def needs_bigint(src, table, idcol, reps, step=10_000_000):
     ladders safe regardless of the fixture's id range. DuckDB errors
     loudly on overflow rather than corrupting, so a miss here is a
     build failure, not bad data — but the build should not fail."""
-    mx = duckdb.sql(
-        f"SELECT max({idcol}) FROM read_parquet('{src}/{table}.parquet')"
-    ).fetchone()[0]
-    return (reps - 1) * step + int(mx) > 2**31 - 1
+    key = (src, table, idcol)
+    if key not in _MAX_ID_CACHE:  # fixture is immutable within a run
+        _MAX_ID_CACHE[key] = int(duckdb.sql(
+            f"SELECT max({idcol}) FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()[0])
+    return (reps - 1) * step + _MAX_ID_CACHE[key] > 2**31 - 1
 
 
 def doc_perm(r):
