@@ -4876,7 +4876,55 @@ object SparkEntry {
          md5(text_clean) AS clean_fp
        FROM clean"""
 
+  // ------------------------------------------------------------------
+  // q111 — exact substring CONTAMINATION spans (extension:
+  // Dedup.contaminationSpans): char ranges of the corpus (doc_id %
+  // 20 != 0) every 24-char window of which also occurs in the held-
+  // out test slice (doc_id % 20 = 0) — q72's decontamination job at
+  // full precision with exact offsets. The corpus never exchanges on
+  // grams: the test slice's distinct window hashes broadcast as a
+  // map-side semi-join build. The oracle replays positions, the IN
+  // filter, and the merge window.
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.dedup.Dedup.contaminationSpans(
+        d.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 20 === 0), col("text"), k = 24)
+      .select(col("id").as("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_len").cast("long").as("span_len"))
+  }
+
+  private val q111Sql =
+    """WITH pos AS (
+         SELECT doc_id,
+           unnest(range(1, len(text)-24+2)) AS pos,
+           unnest([md5(substr(text, i, 24))
+                   for i in range(1, len(text)-24+2)]) AS h
+         FROM documents WHERE len(text) >= 24 AND doc_id % 20 <> 0),
+       tg AS (
+         SELECT DISTINCT unnest([md5(substr(text, i, 24))
+                   for i in range(1, len(text)-24+2)]) AS h
+         FROM documents WHERE len(text) >= 24 AND doc_id % 20 = 0),
+       dp AS (SELECT doc_id, pos FROM pos
+              WHERE h IN (SELECT h FROM tg)),
+       b AS (SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 23) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) + 1, 0)
+                    THEN 1 ELSE 0 END AS brk
+             FROM dp),
+       sp AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+              FROM b)
+       SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 24 - min(pos) AS BIGINT) AS span_len
+       FROM sp GROUP BY doc_id, sid"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_contamination_spans" -> (q111 _),
     "q110_exactsubstr_dedup" -> (q110 _),
     "q109_epoch_pack" -> (q109 _),
     "q108_duplicate_spans" -> (q108 _),
@@ -5069,6 +5117,7 @@ object SparkEntry {
     "q108_duplicate_spans" -> q108Sql,
     "q109_epoch_pack" -> q109Sql,
     "q110_exactsubstr_dedup" -> q110Sql,
+    "q111_contamination_spans" -> q111Sql,
     "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,

@@ -1305,17 +1305,7 @@ object Dedup {
     // verify join's build in memory at any corpus size
     val parts = graft.ops.Sizing.groupingPartitions(
       totalChars, 40L, par, targetBytesPerTask = 64L << 20)
-    // same scan-parallelism discipline as stripDuplicateLines: the
-    // generate kernel must run post-exchange, not at scan parallelism
-    def positions = df
-      .repartition(par, idCol)
-      .select(idCol.as("id"), coalesce(textCol, lit("")).as("t"))
-      .filter(length(col("t")) >= k)
-      .select(col("id"),
-        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"),
-        col("t"))
-      .select(col("id"), col("pos"),
-        md5(col("t").substr(col("pos"), lit(k)).cast("binary")).as("h"))
+    def positions = gramPositions(df, idCol, textCol, k, par)
     // both gram-keyed exchanges (count aggregation + verify join) run
     // at the volume-derived width; the duplicated-key side is the
     // hash build — it is ~5-15% of distinct grams on boilerplate-
@@ -1343,11 +1333,34 @@ object Dedup {
           .select("h")
         posParted.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
       }
+    mergeWindowSpans(dupPos, k)
+  }
+
+  /** Shared position kernel of the ExactSubstr family: one row per
+    * k-char window, (id, pos, md5-of-window). Runs post-exchange,
+    * never at scan parallelism — the stripDuplicateLines discipline.
+    */
+  private def gramPositions(
+      df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, par: Int): DataFrame = df
+    .repartition(par, idCol)
+    .select(idCol.as("id"), coalesce(textCol, lit("")).as("t"))
+    .filter(length(col("t")) >= k)
+    .select(col("id"),
+      explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"),
+      col("t"))
+    .select(col("id"), col("pos"),
+      md5(col("t").substr(col("pos"), lit(k)).cast("binary")).as("h"))
+
+  /** Shared span-merge tail: fuse flagged window positions whose
+    * [pos, pos+k-1] ranges touch or overlap into maximal spans — one
+    * window over (id, pos), doc-sized state. */
+  private def mergeWindowSpans(flagged: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
     val furthestEnd = max(col("pos") + (k - 1))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    dupPos
+    flagged
       .withColumn("brk",
         when(col("pos") > coalesce(furthestEnd + 1, lit(0L)), 1L)
           .otherwise(0L))
@@ -1359,6 +1372,52 @@ object Dedup {
         min(col("pos")).as("span_start"),
         (max(col("pos")) + k - min(col("pos"))).as("span_len"))
       .select("id", "span_start", "span_len")
+  }
+
+  /** Exact substring CONTAMINATION spans: maximal character ranges of
+    * corpus documents every k-char window of which also occurs in a
+    * benchmark/test set — the precision instrument next to
+    * [[winnowContamination]] (which trades ~2/(w+1) posting volume
+    * for window-sampled positions and guarantees only quotes >=
+    * k+w-1): here EVERY shared k-window is found and the exact char
+    * offsets come back, so the spans can drive [[spliceSpans]]
+    * surgery instead of doc-level drops.
+    *
+    * Plan shape — deliberately NOT [[duplicateSpans]]'s: the corpus
+    * side never exchanges on grams at all. The test set's distinct
+    * window hashes (test sets are benchmark-sized by definition)
+    * broadcast as the build of a map-side semi-join over the
+    * position stream; the only corpus exchanges are the kernel's
+    * id-repartition and the doc-keyed merge window. At 100 TB the
+    * corpus cost is one scan + one narrow (id, pos) shuffle of the
+    * HITS only. For a test side too large to broadcast, band it
+    * through [[duplicateSpans]]-style volume-sized joins instead —
+    * the explicit broadcast here fails loudly past Spark's
+    * broadcast-size ceiling rather than silently degrading.
+    *
+    * @return (id, span_start, span_len) — contaminated ranges,
+    *   1-based char offsets, length >= k
+    */
+  def contaminationSpans(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      test: DataFrame,
+      testTextCol: Column,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"window width k must be >= 1, got $k")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val testGrams = test
+      .select(coalesce(testTextCol, lit("")).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(explode(sequence(lit(1), length(col("t")) - (k - 1)))
+        .as("pos"), col("t"))
+      .select(md5(col("t").substr(col("pos"), lit(k)).cast("binary"))
+        .as("h"))
+      .distinct()
+    val hits = gramPositions(df, idCol, textCol, k, par)
+      .join(broadcast(testGrams), Seq("h"), "left_semi")
+    mergeWindowSpans(hits, k)
   }
 
   /** Cut [[duplicateSpans]] spans out of the documents — the removal

@@ -176,6 +176,56 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(clean(2L) == expected2)
   }
 
+  test("contaminationSpans: exact quote offsets vs a test set, clean " +
+      "docs silent, broadcast semi-join pinned in the plan") {
+    import spark.implicits._
+    val quote = "to be or not to be that is the question"
+    val test = Seq(100L -> s"benchmark item alpha. $quote more.").toDF(
+      "tid", "ttext")
+    val corpus = Seq(
+      1L -> s"xxone preface, quoting: $quote closing-one.",
+      2L -> "novel text sharing not a single window with the benchmark",
+      3L -> s"yythree cites $quote mid-doc, then continues freely zz")
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(corpus, col("doc_id"),
+      col("text"), test, col("ttext"), k = 20)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // naive: position contaminated iff its 20-window occurs in test
+    val testGrams = {
+      val t = s"benchmark item alpha. $quote more."
+      (0 to t.length - 20).map(p => t.substring(p, p + 20)).toSet
+    }
+    val expected = Seq(
+      1L -> s"xxone preface, quoting: $quote closing-one.",
+      3L -> s"yythree cites $quote mid-doc, then continues freely zz")
+      .flatMap { case (id, t) =>
+        val dup = (0 to t.length - 20)
+          .filter(p => testGrams(t.substring(p, p + 20)))
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        for (p <- dup) {
+          val e = p + 19
+          if (spans.nonEmpty && p <= spans.last._2 + 1)
+            spans(spans.length - 1) =
+              (spans.last._1, math.max(spans.last._2, e))
+          else spans += ((p, e))
+        }
+        spans.map { case (s, e) => (id, s + 1, e - s + 1) }
+      }.toSet
+    assert(got == expected && got.map(_._1) == Set(1L, 3L))
+    // each contaminated doc: the quote is inside its single span
+    for ((id, st, ln) <- got) {
+      val t = if (id == 1L) s"xxone preface, quoting: $quote closing-one."
+              else s"yythree cites $quote mid-doc, then continues freely zz"
+      assert(t.substring(st - 1, st - 1 + ln).contains(quote))
+    }
+    // the test-gram set must BUILD a broadcast semi-join — the corpus
+    // side must not exchange on gram hashes
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi:\n$plan")
+  }
+
   test("fixture corpus equals the brute-force reference") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
       .select("doc_id", "text").collect()
