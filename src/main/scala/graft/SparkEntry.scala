@@ -2223,14 +2223,15 @@ object SparkEntry {
         // rowsHint: counting `paras` would re-run the split+chunk
         // kernel over every document (minhashLsh scaladoc SIDE
         // EFFECT); bound chunk count from the pruned n_chars column
-        // instead. A true UPPER bound (the rowsHint contract): a
-        // whitespace-split word needs >= 2 chars of text (1 + its
-        // separator), so words <= chars/2 and chunks = ceil(words/k)
-        // <= chars/(2k) + 1 per doc — over-allocation only widens
-        // partitions, under-allocation recreates the per-task-state
-        // failure the sizing work exists to prevent
+        // instead. A true UPPER bound (the rowsHint contract): the
+        // chunker splits on SINGLE spaces keeping empty tokens, so a
+        // doc yields at most n_chars+1 elements and
+        // ceil((n_chars+1)/k)+1 covers every chunk count —
+        // over-allocation only widens partitions, under-allocation
+        // recreates the per-task-state failure the sizing work
+        // exists to prevent
         rowsHint = t(s, dir, "documents")
-          .agg(coalesce(sum(ceil(col("n_chars") / lit(2.0 * k)) + 1),
+          .agg(coalesce(sum(ceil((col("n_chars") + 1) / lit(k.toDouble)) + 1),
             lit(0L)).cast("long"))
           .head.getLong(0))
       .filter(expr("id1 div 1048576") =!= expr("id2 div 1048576"))
@@ -4747,11 +4748,12 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         col("n_chars").cast("long").as("tok"))
-    // full suffix (no length cap) + null-propagating cast, mirrored
-    // by TRY_CAST in the oracle: a non-'src<digits>' source lands in
-    // the ELSE epoch arm in BOTH engines instead of erroring in one
-    val m = col("source").substr(lit(4), length(col("source")))
-      .cast("int") % 4
+    // full suffix (no length cap) + try_cast, mirrored by TRY_CAST in
+    // the oracle: a non-'src<digits>' source lands in the ELSE epoch
+    // arm in BOTH engines instead of erroring in one. try_cast, not
+    // cast: under Spark 4's default ANSI mode a plain cast THROWS on
+    // 'web'/'' instead of null-propagating
+    val m = expr("try_cast(substring(source, 4) AS int)") % 4
     val e = when(m === 0, 2.5).when(m === 1, 1.0)
       .when(m === 2, 0.6).otherwise(0.25)
     val rep = graft.ops.Sampling.epochRepeat(docs, col("doc_id"), "ep14", e)

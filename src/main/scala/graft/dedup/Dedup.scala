@@ -1322,9 +1322,15 @@ object Dedup {
             min(struct(col("id"), col("pos"))).as("can"))
           .filter(col("n") > maxOccurrences)
           .select(col("h"), col("can"))
+        // null-SAFE equality: with === a null id makes the predicate
+        // three-valued and SILENTLY DROPS (wrongly exempts) the row;
+        // <=> keeps the exclusion total. (Null ids sort first in
+        // Spark's min-struct, so a null-id doc wins the canonical —
+        // orderable-keyed corpora should not carry null ids, but the
+        // operator must not mis-classify if they do.)
         posParted.join(dupKeys.hint("shuffle_hash"), Seq("h"))
-          .filter(!(col("id") === col("can.id") &&
-            col("pos") === col("can.pos")))
+          .filter(!(col("id") <=> col("can.id") &&
+            col("pos") <=> col("can.pos")))
           .select("id", "pos")
       } else {
         val dupKeys = posParted

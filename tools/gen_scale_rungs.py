@@ -160,12 +160,21 @@ def emb_arms_perm(src, reps, dim=64):
 
 
 def event_arms(src, reps):
+    # same actual-max overflow gate as doc/emb arms (event offsets are
+    # 10x larger, so an INT32-typed fixture would overflow by ~x21)
+    eid = ("CAST(event_id AS BIGINT)"
+           if needs_bigint(src, "events", "event_id", reps,
+                           step=100_000_000)
+           else "event_id")
+    uid = ("CAST(user_id AS BIGINT)"
+           if needs_bigint(src, "events", "user_id", reps)
+           else "user_id")
     arms = []
     for r in range(reps):
         arms.append(f"""
-          SELECT event_id + {r * 100000000} AS event_id,
+          SELECT {eid} + {r * 100000000} AS event_id,
                  CAST(ts + INTERVAL ({r}*400) DAYS AS TIMESTAMP_NS) AS ts,
-                 user_id + {r * 10000000} AS user_id,
+                 {uid} + {r * 10000000} AS user_id,
                  event_type, value, props
           FROM read_parquet('{src}/events.parquet')""")
     return " UNION ALL ".join(arms)
