@@ -4925,7 +4925,161 @@ object SparkEntry {
          CAST(max(pos) + 24 - min(pos) AS BIGINT) AS span_len
        FROM sp GROUP BY doc_id, sid"""
 
+  // ------------------------------------------------------------------
+  // q112 — binary-quantized ANN (extension: Similarity.binaryTopK):
+  // sign-bit codes (8 B per 64-dim vector — 32x denser than floats),
+  // Hamming-distance candidate generation, exact cosine re-rank of the
+  // 40 closest. The deepest memory point on the ANN ladder
+  // (q26 float / q40 int8 / q57 PQ / here 1-bit). The oracle compares
+  // per-dimension SIGNS (packing is an executor-side layout detail),
+  // ranks by (hamming asc, id asc), and re-ranks by exact cosine.
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.binaryTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10, rerank = 40)
+  }
+
+  private val q112Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       b AS (SELECT vec_id, [CASE WHEN x >= 0 THEN 1 ELSE 0 END for x in e] AS bits FROM v),
+       q AS (SELECT vec_id AS query_id, bits AS qb FROM b WHERE vec_id % 25 = 0),
+       ham AS (
+         SELECT query_id, vec_id AS corpus_id,
+           list_sum([CASE WHEN qb[i] <> bits[i] THEN 1 ELSE 0 END
+                     for i in range(1, len(bits)+1)]) AS d
+         FROM q CROSS JOIN b WHERE query_id <> vec_id),
+       cand AS (
+         SELECT query_id, corpus_id FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY d ASC, corpus_id ASC) AS rn
+           FROM ham) WHERE rn <= 40),
+       scored AS (
+         SELECT c.query_id, c.corpus_id,
+           list_sum([qv.e[i] * cv.e[i] for i in range(1, len(cv.e)+1)]) /
+             (sqrt(list_sum([qv.e[i] * qv.e[i] for i in range(1, len(qv.e)+1)])) *
+              sqrt(list_sum([cv.e[i] * cv.e[i] for i in range(1, len(cv.e)+1)]))) AS sim
+         FROM cand c
+         JOIN v cv ON c.corpus_id = cv.vec_id
+         JOIN v qv ON c.query_id = qv.vec_id)
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
+  // ------------------------------------------------------------------
+  // q113 — temperature-weighted corpus assembly (extension:
+  // Sampling.temperatureMixture): per-language target rows
+  // proportional to n_lang^0.5 (the XLM-R/mT5 multilingual sampling
+  // rule — tail languages up-weighted without flattening the head),
+  // realized as exact-integer epochs + content-addressed fractional
+  // copies. The oracle replays the weight fixed point
+  // (floor(sqrt(n)*2^16) — correctly-rounded IEEE sqrt, identical in
+  // both engines), the exact rational epoch split in HUGEINT, and the
+  // 52-bit unit hash digit-by-digit.
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), "tmix", col("lang"),
+        targetRows = 800, alphaEighths = 4)
+      .select("doc_id", "lang", "copy_idx")
+
+  private val q113Sql =
+    """WITH counts AS (
+         SELECT lang AS g, CAST(COUNT(*) AS HUGEINT) AS n
+         FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+       w AS (SELECT g, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 65536) AS HUGEINT) AS wg
+             FROM counts),
+       tot AS (SELECT SUM(wg) AS s FROM w),
+       plan AS (
+         SELECT g, n,
+           (800 * wg) // (s * n) AS copies,
+           (((800 * wg) % (s * n)) * 4503599627370496) // (s * n) AS thresh
+         FROM w CROSS JOIN tot),
+       rh AS (
+         SELECT d.doc_id, d.lang, p.copies, p.thresh,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || ':tmix'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) AS h
+         FROM documents d JOIN plan p ON d.lang = p.g),
+       tt AS (
+         SELECT doc_id, lang,
+           CAST(copies + (CASE WHEN h < thresh THEN 1 ELSE 0 END) AS BIGINT) AS total
+         FROM rh)
+       SELECT doc_id, lang,
+         CAST(unnest(range(1, total + 1)) AS BIGINT) AS copy_idx
+       FROM tt WHERE total >= 1"""
+
+  // ------------------------------------------------------------------
+  // q114 — ANN recall evaluation (extension: Similarity.recallAtK):
+  // per-query recall@10 of the q27 LSH result against the q26
+  // brute-force ground truth — the quality dial the approximate
+  // family trades against cost, as a first-class relational operator.
+  // The oracle replays BOTH pipelines (q27's exact-integer bucketing,
+  // q26's exact cosine) and grades the overlap.
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.recallAtK(
+      approx = q27(s, dir), exact = q26(s, dir), k = 10)
+
+  private val q114Sql =
+    """WITH planes AS (
+         SELECT t.t, p.p, d.d,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5('t' || t.t || ':p' || p.p || ':d' || d.d), j, 1)) - 1) * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)]) AS BIGINT) - 2147483648 AS w
+         FROM (SELECT range AS t FROM range(0,2)) t
+         CROSS JOIN (SELECT range AS p FROM range(0,8)) p
+         CROSS JOIN (SELECT range AS d FROM range(0,64)) d),
+       vx AS (
+         SELECT vec_id, dd.d,
+           CAST(round(CAST(embedding[dd.d + 1] AS DOUBLE) * 1048576) AS BIGINT) AS xi
+         FROM embeddings CROSS JOIN (SELECT range AS d FROM range(0,64)) dd),
+       proj AS (
+         SELECT vec_id, pl.t, pl.p, SUM(vx.xi * pl.w) AS s
+         FROM vx JOIN planes pl ON vx.d = pl.d
+         GROUP BY vec_id, pl.t, pl.p),
+       sigs AS (
+         SELECT vec_id, t,
+           CAST(t AS VARCHAR) || '|' || string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         FROM proj GROUP BY vec_id, t),
+       v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       lcands AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+         FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+         WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id),
+       lscored AS (
+         SELECT query_id, corpus_id,
+           list_sum([qv.e[i] * cv.e[i] for i in range(1, len(cv.e)+1)]) /
+             (sqrt(list_sum([qv.e[i] * qv.e[i] for i in range(1, len(qv.e)+1)])) *
+              sqrt(list_sum([cv.e[i] * cv.e[i] for i in range(1, len(cv.e)+1)]))) AS sim
+         FROM lcands JOIN v qv ON query_id = qv.vec_id JOIN v cv ON corpus_id = cv.vec_id),
+       approxk AS (
+         SELECT query_id, corpus_id FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+           FROM lscored) WHERE rank <= 10),
+       qv2 AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       bscored AS (
+         SELECT query_id, vec_id AS corpus_id,
+           list_sum([qe[i] * e[i] for i in range(1, len(e)+1)]) /
+             (sqrt(list_sum([qe[i] * qe[i] for i in range(1, len(qe)+1)])) *
+              sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)]))) AS sim
+         FROM qv2 CROSS JOIN v WHERE query_id <> vec_id),
+       exactk AS (
+         SELECT query_id, corpus_id FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+           FROM bscored) WHERE rank <= 10)
+       SELECT e.query_id,
+         CAST(COUNT(*) AS BIGINT) AS expected,
+         CAST(COALESCE(SUM(CASE WHEN a.corpus_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits,
+         CAST(COALESCE(SUM(CASE WHEN a.corpus_id IS NOT NULL THEN 1 END), 0) AS DOUBLE) /
+           CAST(COUNT(*) AS DOUBLE) AS recall
+       FROM exactk e
+       LEFT JOIN approxk a
+         ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id
+       GROUP BY e.query_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_ann_recall" -> (q114 _),
+    "q113_temperature_mixture" -> (q113 _),
+    "q112_binary_topk" -> (q112 _),
     "q111_contamination_spans" -> (q111 _),
     "q110_exactsubstr_dedup" -> (q110 _),
     "q109_epoch_pack" -> (q109 _),
@@ -5120,6 +5274,9 @@ object SparkEntry {
     "q109_epoch_pack" -> q109Sql,
     "q110_exactsubstr_dedup" -> q110Sql,
     "q111_contamination_spans" -> q111Sql,
+    "q112_binary_topk" -> q112Sql,
+    "q113_temperature_mixture" -> q113Sql,
+    "q114_ann_recall" -> q114Sql,
     "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,

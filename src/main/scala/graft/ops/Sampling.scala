@@ -265,6 +265,108 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** n^(eighths/8) via repeated square roots — the determinism trick:
+    * IEEE requires sqrt and multiply correctly rounded, so every engine
+    * that evaluates THIS factorization in THIS order (factors multiplied
+    * in descending-exponent order) produces the bit-identical double.
+    * A libm `pow(n, alpha)` carries no such guarantee — its last ulp is
+    * implementation-defined, and one ulp is exactly what flips a floor()
+    * on a boundary.
+    */
+  private[ops] def powEighths(n: Long, eighths: Int): Double = {
+    val r1 = math.sqrt(n.toDouble) // n^(4/8)
+    val r2 = math.sqrt(r1) //          n^(2/8)
+    val r3 = math.sqrt(r2) //          n^(1/8)
+    var x = 1.0
+    if ((eighths & 8) != 0) x *= n.toDouble
+    if ((eighths & 4) != 0) x *= r1
+    if ((eighths & 2) != 0) x *= r2
+    if ((eighths & 1) != 0) x *= r3
+    x
+  }
+
+  /** Temperature-weighted corpus assembly (the multilingual-LM sampling
+    * rule, XLM-R/mT5 style): group g receives target rows proportional
+    * to n_g^alpha — alpha = 1 reproduces the natural distribution,
+    * alpha -> 0 approaches uniform per group, the usual 0.3–0.7 band
+    * up-weights tail domains without flattening the head. Complements
+    * [[targetMixture]] (exact down-sample to hand-picked integer
+    * weights) by DERIVING the weights from corpus statistics, and
+    * up-samples through the same copy semantics as [[epochRepeat]]
+    * (copyCol in [1, copies], content-addressed fractional copy).
+    *
+    * Exactness: alpha is a dyadic rational `alphaEighths`/8 so the
+    * weight w_g = floor(n_g^alpha * 2^16) is computed from
+    * correctly-rounded sqrt/multiply only ([[powEighths]]) — identical
+    * in any IEEE engine; everything after is integer arithmetic
+    * (driver-side BigInt): epochs e_g = targetRows*w_g / (SUM(w)*n_g)
+    * as exact rationals, the fractional copy admitted when the row's
+    * 52-bit unit hash < floor(frac(e_g)*2^52). Same determinism
+    * contract as every sampler here: a pure function of (data, salt,
+    * targetRows, alpha).
+    *
+    * Scale shape: group counts are a bounded driver statistic (one
+    * map-side-combined groupBy, <= #groups rows — the targetMixture
+    * contract); the expansion itself is map-only (when-chain + hash +
+    * sequence-explode fused into the scan). Rows with a NULL group are
+    * dropped, like targetMixture's unweighted groups.
+    *
+    * @param targetRows total corpus size to assemble (expected rows out;
+    *   the realized count differs only by per-group fractional-hash
+    *   binomial noise)
+    * @param alphaEighths temperature exponent in eighths: 8 = natural,
+    *   4 = sqrt (the common default), 0 = uniform across groups
+    * @param maxEpochs loud cap on any group's epochs — a tiny group
+    *   under a big budget otherwise fans out unboundedly (fails at PLAN
+    *   time, driver-side, since counts are already on the driver)
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      id: Column,
+      salt: String,
+      group: Column,
+      targetRows: Long,
+      alphaEighths: Int = 4,
+      copyCol: String = "copy_idx",
+      maxEpochs: Int = 100): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(alphaEighths >= 0 && alphaEighths <= 8,
+      s"alphaEighths must be in [0, 8], got $alphaEighths")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val counts = df.select(group.cast("string").as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per group
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    require(counts.nonEmpty, "no non-null group has any rows")
+    val w = counts.map { case (g, n) =>
+      g -> BigInt(math.floor(powEighths(n, alphaEighths) * 65536.0).toLong)
+    }
+    val sumW = w.values.sum
+    val plan = counts.map { case (g, n) =>
+      val num = BigInt(targetRows) * w(g)
+      val den = sumW * n
+      val copies = (num / den).toLong
+      val thresh = (((num % den) << 52) / den).toLong
+      require(copies < maxEpochs || (copies == maxEpochs && thresh == 0L),
+        s"temperatureMixture: group '$g' (n=$n) needs ~${copies + 1} " +
+          s"epochs > maxEpochs=$maxEpochs; raise the cap or lower " +
+          "targetRows/alpha")
+      g -> (copies, thresh)
+    }
+    val gs = group.cast("string")
+    val copiesCol = plan.foldLeft(lit(0L)) { case (acc, (g, (c, _))) =>
+      when(gs === g, lit(c)).otherwise(acc) }
+    val threshCol = plan.foldLeft(lit(0L)) { case (acc, (g, (_, t))) =>
+      when(gs === g, lit(t)).otherwise(acc) }
+    val h = conv(substring(md5(concat(id.cast("string"), lit(":" + salt))),
+      1, 13), 16, 10).cast("long")
+    val total = copiesCol +
+      when(h < threshCol, 1L).otherwise(0L)
+    df.withColumn(copyCol,
+      explode(when(total >= 1, sequence(lit(1L), total))
+        .otherwise(array().cast("array<long>"))))
+  }
+
   /** Weighted sample without replacement (Efraimidis–Spirakis A-Res,
     * 2006): k rows with inclusion biased toward high `weight`, as the
     * k smallest of key = −log2(u) / w with u a content-addressed

@@ -192,6 +192,151 @@ object Similarity extends Serializable {
     topKPerQuery(scored.select("query_id", "corpus_id", "sim"), k)
   }
 
+  /** Sign-bit (1-bit) quantization: bit d is set iff element d >= 0,
+    * packed LSB-first into `ceil(dim/64)` longs. A 64-dim float vector
+    * (256 B) becomes ONE long (8 B) — 32x more corpus per executor than
+    * floats, 8x denser than the int8 codes, and Hamming distance between
+    * codes is a handful of XOR+popcount instructions. The packed layout
+    * is an executor-side detail only: equality of SIGNS is the semantic
+    * contract (the oracle compares per-dimension signs, never bits).
+    */
+  private def withSignBitsKernel(
+      df: DataFrame, vecCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val vi = df.schema.fieldIndex(vecCol)
+    val schema = df.schema
+      .add(StructField(out, ArrayType(LongType, false), false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val v = r.getSeq[Float](vi)
+        val words = new Array[Long]((v.length + 63) >>> 6)
+        var i = 0
+        while (i < v.length) {
+          // -0.0f >= 0 is true in both Java and SQL numeric comparison,
+          // so the zero sign convention is engine-independent
+          if (v(i) >= 0f) words(i >>> 6) |= 1L << (i & 63)
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ words.toIndexedSeq)
+      }
+    }(enc)
+  }
+
+  /** Hamming distance between packed sign codes: XOR + popcount per
+    * word. Emitted as double so it feeds `topk_by` directly (distances
+    * are small integers — exact in a double in any engine).
+    */
+  private def withHammingKernel(
+      df: DataFrame, aCol: String, bCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ai = df.schema.fieldIndex(aCol)
+    val bi = df.schema.fieldIndex(bCol)
+    val schema = df.schema.add(StructField(out, DoubleType, false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getSeq[Long](ai)
+        val b = r.getSeq[Long](bi)
+        val n = math.min(a.length, b.length)
+        var d = 0
+        var i = 0
+        while (i < n) { d += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ d.toDouble)
+      }
+    }(enc)
+  }
+
+  /** Binary-quantized ANN: rank the corpus per query by Hamming distance
+    * between sign codes, keep the `rerank` closest as candidates, then
+    * re-rank candidates by EXACT cosine and keep k. The deepest point on
+    * the ANN memory ladder (float 256 B -> int8 64 B -> PQ ~8-16 B ->
+    * sign code 8 B for 64 dims): the distance pass touches 8 bytes per
+    * corpus vector, so ~32x more index fits in executor memory than
+    * brute force, and the full-precision vectors are fetched afterwards
+    * for only |queries| x rerank rows.
+    *
+    * Scale shape: the Hamming pass is a broadcast(query-codes) map over
+    * the corpus-code scan feeding the bounded `topk_by` fold (shuffle =
+    * |tasks| x |queries| x rerank partial rows, never the score stream);
+    * the re-rank fetch broadcasts the candidate id list back over the
+    * corpus scan — at 100 TB the code table would be a persisted 1/32
+    * projection and the fetch a storage lookup, same two-pass shape.
+    *
+    * Determinism: Hamming is integer-exact; candidate ties break by
+    * (distance asc, corpus_id asc) — `topk_by` on score = -distance;
+    * final order (sim desc, corpus_id asc) as everywhere in the family.
+    *
+    * @param rerank Hamming candidates per query re-ranked exactly
+    *   ([[graft.ops.Sizing.Auto]] = 4k); recall improves monotonically
+    *   in `rerank` at linear re-rank cost
+    */
+  def binaryTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      rerank: Int = graft.ops.Sizing.Auto): DataFrame = {
+    val r = if (rerank == graft.ops.Sizing.Auto) 4 * k else rerank
+    require(r >= k, s"rerank $r must be >= k $k")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("corpus_id")) // spread the distance stage beyond scan splits
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cCodes = withSignBitsKernel(c, "cv", "cb").select("corpus_id", "cb")
+    val qCodes = withSignBitsKernel(q, "qv", "qb").select("query_id", "qb")
+    val ham = withHammingKernel(
+      cCodes.join(broadcast(qCodes), col("query_id") =!= col("corpus_id")),
+      "qb", "cb", "hd")
+    val cands = ham
+      .select(col("query_id"), col("corpus_id"), (-col("hd")).as("negd"))
+      .groupBy("query_id")
+      .agg(call_function("topk_by", col("corpus_id"), col("negd"), lit(r))
+        .as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("corpus_id"))
+    val scored = withCosineKernel(
+      c.join(broadcast(cands), Seq("corpus_id"))
+        .join(broadcast(q), Seq("query_id")),
+      "qv", "cv", "sim")
+    topKPerQuery(scored.select("query_id", "corpus_id", "sim"), k)
+  }
+
+  /** Per-query recall@k of an approximate ANN result against an exact
+    * reference — the quality dial every approximate operator in this
+    * family trades against cost (lshTopK bits/tables, ivfTopK nprobe,
+    * binaryTopK rerank, quantizedTopK/pqTopK code width). Inputs are
+    * any two results in the family's output shape (query_id, corpus_id,
+    * rank, ...); rows with rank > k are ignored, so full results pass
+    * directly.
+    *
+    * recall = |approx@k ∩ exact@k| / |exact@k| per query (the
+    * denominator is the exact side's row count — below k only when the
+    * corpus itself offers fewer than k candidates). Queries in `exact`
+    * with no `approx` rows score 0; queries only in `approx` are
+    * dropped (no ground truth to grade against).
+    *
+    * Scale shape: both inputs are |queries| x k rows — nothing here
+    * touches the corpus; the pair join broadcasts whenever the query
+    * set is small (AQE) and the groupBy is map-side combined.
+    *
+    * Output: (query_id, expected, hits, recall).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+      .withColumn("hit", lit(1L))
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    e.join(a, Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("expected"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("expected").cast("double"))
+  }
+
   /** Deterministic hyperplane weights: integer values derived from md5 of
     * "t<table>:p<plane>:d<dim>" (first 8 hex digits, re-centered around 0).
     * Integer weights + fixed-point vector elements make every projection

@@ -232,4 +232,90 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L))
   }
+
+  test("powEighths: dyadic exponents from correctly-rounded sqrt only") {
+    assert(Sampling.powEighths(81, 8) == 81.0)
+    assert(Sampling.powEighths(81, 4) == 9.0)
+    assert(Sampling.powEighths(256, 2) == 4.0)
+    assert(Sampling.powEighths(256, 6) == 64.0) // r1*r2 = 16*4
+    assert(Sampling.powEighths(65536, 1) == 4.0)
+    assert(Sampling.powEighths(7, 0) == 1.0)
+    // strictly monotone in the exponent for n > 1
+    val v = (0 to 8).map(Sampling.powEighths(1000, _))
+    assert(v == v.sorted && v.distinct == v)
+  }
+
+  test("temperatureMixture matches the exact integer-rational model, " +
+      "up-weights tail groups, and ignores partitioning") {
+    import spark.implicits._
+    // skewed corpus: a=16 rows, b=4, c=1
+    val rows = (1L to 16L).map(i => (i, "a")) ++
+      (17L to 20L).map(i => (i, "b")) ++ Seq((21L, "c"))
+    val data = rows.toDF("doc_id", "g")
+    // reference model: the operator's documented math, recomputed here
+    val counts = Map("a" -> 16L, "b" -> 4L, "c" -> 1L)
+    val w = counts.map { case (g, n) =>
+      g -> BigInt(math.floor(math.sqrt(n.toDouble) * 65536.0).toLong) }
+    val s = w.values.sum
+    def h52(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:tm".getBytes("UTF-8"))
+        .map(b => "%02x".format(b & 0xff)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val B = 30L
+    val expected = rows.flatMap { case (i, g) =>
+      val num = BigInt(B) * w(g); val den = s * counts(g)
+      val copies = (num / den).toLong +
+        (if (BigInt(h52(i)) < ((num % den) << 52) / den) 1 else 0)
+      (1L to copies).map(k => (i, g, k))
+    }.toSet
+    def run(parts: Int) = Sampling.temperatureMixture(
+        data.repartition(parts), col("doc_id"), "tm", col("g"), B,
+        alphaEighths = 4)
+      .select("doc_id", "g", "copy_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val got = run(2)
+    assert(got == expected && got == run(5))
+    // temperature < 1 moves share from head to tail: per-ROW copy rate
+    // of the 1-row group exceeds the 16-row group's
+    val perRow = got.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.size.toDouble / counts(g) }
+    assert(perRow("c") > perRow("a"))
+  }
+
+  test("temperatureMixture alpha=8 is the natural distribution: exactly " +
+      "targetRows/N copies of every row when integral") {
+    import spark.implicits._
+    val data = (1L to 10L).map(i => (i, if (i <= 7) "x" else "y"))
+      .toDF("doc_id", "g")
+    val out = Sampling.temperatureMixture(data, col("doc_id"), "nat",
+        col("g"), targetRows = 30, alphaEighths = 8)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 10 && out.values.forall(_ == 3L))
+  }
+
+  test("temperatureMixture: loud plan-time cap, null groups dropped, " +
+      "degenerate params rejected") {
+    import spark.implicits._
+    val data = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "g")
+    // a 2-row group under a 1000-row budget needs 500 epochs — the cap
+    // must fire on the DRIVER at plan time, before any job runs
+    val boom = intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(data, col("doc_id"), "s", col("g"),
+        targetRows = 1000, maxEpochs = 10))
+    assert(boom.getMessage.contains("maxEpochs"))
+    val ok = Sampling.temperatureMixture(data, col("doc_id"), "s",
+        col("g"), targetRows = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ok == Set(1L, 2L)) // null group contributes no rows
+    assertThrows[IllegalArgumentException](
+      Sampling.temperatureMixture(data, col("doc_id"), "s", col("g"), 0))
+    assertThrows[IllegalArgumentException](
+      Sampling.temperatureMixture(data, col("doc_id"), "s", col("g"), 5,
+        alphaEighths = 9))
+  }
 }
