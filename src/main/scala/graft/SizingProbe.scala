@@ -247,9 +247,46 @@ object SizingProbe {
           s""""rows_auto":$rowsAuto,"sec_ctl_240":$tCtl,""" +
           s""""rows_ctl":$rowsCtl}""")
 
+      case "bintopk" =>
+        // binaryTopK ladder: time the 1-bit Hamming path against int8
+        // and float brute force on the same rung, and grade its recall
+        // with recallAtK — the operator's quality/cost dial measured,
+        // not asserted. ~200 queries regardless of rung size (every
+        // (n/200)th id) so the per-query cost is what scales.
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val n = e.count()
+        val step = math.max(1L, n / 200L)
+        val q = e.filter(col("vec_id") % step === 0)
+        val nq = q.count()
+        import graft.similarity.Similarity
+        def brute() = Similarity.bruteForceTopK(e, q, "vec_id",
+          "embedding", 10)
+        def int8() = Similarity.quantizedTopK(e, q, "vec_id",
+          "embedding", 10)
+        def bin(r: Int) = Similarity.binaryTopK(e, q, "vec_id",
+          "embedding", 10, rerank = r)
+        // warm every plan once, then time
+        time(brute()); time(int8()); time(bin(40)); time(bin(160))
+        val (tB, _) = time(brute())
+        val (tI, _) = time(int8())
+        val (t40, _) = time(bin(40))
+        val (t160, _) = time(bin(160))
+        val exact = brute().cache(); exact.count()
+        def rec(approx: org.apache.spark.sql.DataFrame): Double =
+          Similarity.recallAtK(approx, exact, 10)
+            .agg(avg(col("recall"))).first().getDouble(0)
+        val rI = rec(int8()); val r40 = rec(bin(40))
+        val r160 = rec(bin(160))
+        exact.unpersist()
+        println(s"""{"metric":"bintopk_ladder","rows":$n,"queries":$nq,""" +
+          s""""sec_brute":$tB,"sec_int8":$tI,"sec_bin40":$t40,""" +
+          s""""sec_bin160":$t160,"recall_int8":$rI,""" +
+          s""""recall_bin40":$r40,"recall_bin160":$r160}""")
+
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
-          "(valid: emb, embstages, ivf, docs, assign, semdedup)")
+          "(valid: emb, embstages, ivf, docs, assign, semdedup, bintopk)")
     }
     spark.stop()
   }
