@@ -5076,7 +5076,84 @@ object SparkEntry {
          ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id
        GROUP BY e.query_id"""
 
+  // ------------------------------------------------------------------
+  // q115 — hard-negative mining (extension: Similarity.hardNegatives):
+  // per query, the 10 most-similar corpus vectors with a DIFFERENT
+  // label — the contrastive-training negatives that are similar enough
+  // to confuse but labeled different. Exact path (label filter rides
+  // the broadcast join; topk_by fold); the oracle replays the filtered
+  // cosine ranking.
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.hardNegatives(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 10)
+  }
+
+  private val q115Sql =
+    """WITH v AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       q AS (SELECT vec_id AS query_id, label AS ql, e AS qe FROM v WHERE vec_id % 25 = 0),
+       scored AS (
+         SELECT query_id, vec_id AS corpus_id,
+           list_sum([qe[i] * e[i] for i in range(1, len(e)+1)]) /
+             (sqrt(list_sum([qe[i] * qe[i] for i in range(1, len(qe)+1)])) *
+              sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)]))) AS sim
+         FROM q CROSS JOIN v
+         WHERE query_id <> vec_id AND label <> ql)
+       SELECT query_id, corpus_id, sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+         FROM scored) WHERE rank <= 10"""
+
+  // ------------------------------------------------------------------
+  // q116 — kNN label agreement (extension: Similarity.labelAgreement):
+  // label-noise screening — for every 5th vector, the fraction of its
+  // 10 nearest neighbors (exact cosine) sharing its label. The grading
+  // is decoupled from the search (any ANN family member can supply the
+  // neighbor table); the oracle replays the kNN and both label joins.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val nbrs = graft.similarity.Similarity.bruteForceTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 5 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10)
+    graft.similarity.Similarity.labelAgreement(
+      nbrs, emb, idCol = "vec_id", labelCol = "label", k = 10)
+  }
+
+  private val q116Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 5 = 0),
+       scored AS (
+         SELECT query_id, vec_id AS corpus_id,
+           list_sum([qe[i] * e[i] for i in range(1, len(e)+1)]) /
+             (sqrt(list_sum([qe[i] * qe[i] for i in range(1, len(qe)+1)])) *
+              sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)]))) AS sim
+         FROM q CROSS JOIN v WHERE query_id <> vec_id),
+       nb AS (
+         SELECT query_id, corpus_id FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+           FROM scored) WHERE rank <= 10),
+       lab AS (SELECT vec_id, label FROM embeddings)
+       SELECT n.query_id, ql.label AS label,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         CAST(SUM(CASE WHEN cl.label = ql.label OR
+                         (cl.label IS NULL AND ql.label IS NULL)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         CAST(SUM(CASE WHEN cl.label = ql.label OR
+                         (cl.label IS NULL AND ql.label IS NULL)
+                       THEN 1 ELSE 0 END) AS DOUBLE) /
+           CAST(COUNT(*) AS DOUBLE) AS agree_frac
+       FROM nb n
+       JOIN lab ql ON n.query_id = ql.vec_id
+       JOIN lab cl ON n.corpus_id = cl.vec_id
+       GROUP BY n.query_id, ql.label"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_label_agreement" -> (q116 _),
+    "q115_hard_negatives" -> (q115 _),
     "q114_ann_recall" -> (q114 _),
     "q113_temperature_mixture" -> (q113 _),
     "q112_binary_topk" -> (q112 _),
@@ -5277,6 +5354,8 @@ object SparkEntry {
     "q112_binary_topk" -> q112Sql,
     "q113_temperature_mixture" -> q113Sql,
     "q114_ann_recall" -> q114Sql,
+    "q115_hard_negatives" -> q115Sql,
+    "q116_label_agreement" -> q116Sql,
     "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,

@@ -301,6 +301,81 @@ object Similarity extends Serializable {
     topKPerQuery(scored.select("query_id", "corpus_id", "sim"), k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar corpus vectors with a DIFFERENT label — the
+    * highest-value negatives a contrastive loss can see (similar enough
+    * to be confused, labeled different enough to be informative).
+    * Rows with a NULL label never pair (a negative must be KNOWN
+    * different, not unknown).
+    *
+    * Scale shape: bruteForceTopK's exact plan — query side broadcast,
+    * scoring fused into the corpus scan, bounded `topk_by` fold (the
+    * label filter rides the same join, so mismatched pairs never reach
+    * the kernel). For corpora past the exact path, generate candidates
+    * with any approximate family member first and anti-filter labels on
+    * its (small) output instead.
+    *
+    * Output: (query_id, corpus_id, sim, rank) — rank within the
+    * query's negatives.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        col(labelCol).as("clabel"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val scored = withCosineKernel(
+      c.join(broadcast(q),
+        col("query_id") =!= col("corpus_id") &&
+          col("clabel") =!= col("qlabel")), // null-safe: nulls never pair
+      "qv", "cv", "sim")
+    topKPerQuery(scored.select("query_id", "corpus_id", "sim"), k)
+  }
+
+  /** kNN label agreement — label-noise screening (the Confident-
+    * Learning signal): for each graded id, the fraction of its k
+    * nearest neighbors that share its label. Low agreement flags
+    * suspected mislabels; per-label mean agreement flags confusable
+    * class pairs.
+    *
+    * Deliberately decoupled from the search: `neighbors` is ANY result
+    * in the family's output shape (query_id, corpus_id, rank — brute
+    * force for exactness, IVF/LSH/binary at scale), graded against a
+    * (id, label) table. Neighbors whose corpus_id has no label row are
+    * dropped from both numerator and denominator (unknown can neither
+    * agree nor disagree); queries with no labeled neighbors left emit
+    * no row.
+    *
+    * Scale shape: the neighbor table is |queries| x k narrow rows;
+    * both label joins broadcast whenever the label table does (AQE),
+    * and the agreement aggregation is map-side combined. Nothing here
+    * touches the vectors.
+    *
+    * Output: (query_id, label, n_neighbors, n_agree, agree_frac).
+    */
+  def labelAgreement(
+      neighbors: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__l"))
+    val n = neighbors.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+      .join(lab, col("query_id") === col("__id"))
+      .withColumnRenamed("__l", "label").drop("__id")
+      .join(lab, col("corpus_id") === col("__id"))
+      .withColumnRenamed("__l", "nlabel").drop("__id")
+    n.groupBy("query_id", "label")
+      .agg(
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("nlabel") <=> col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_frac",
+        col("n_agree").cast("double") / col("n_neighbors").cast("double"))
+  }
+
   /** Per-query recall@k of an approximate ANN result against an exact
     * reference — the quality dial every approximate operator in this
     * family trades against cost (lshTopK bits/tables, ivfTopK nprobe,

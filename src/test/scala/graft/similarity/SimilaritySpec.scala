@@ -748,6 +748,66 @@ class SimilaritySpec extends SparkSpec {
     assert(out2.length == 1 && out2.head.getLong(1) == 1L)
   }
 
+  test("hardNegatives: every result has a different, non-null label; " +
+    "equals bruteForceTopK restricted to label-mismatched pairs") {
+    import spark.implicits._
+    val labeled = emb.withColumn("label",
+      when(col("vec_id") % 3 === 0, lit(null).cast("int"))
+        .otherwise((col("vec_id") % 2).cast("int")))
+    val q = labeled.filter(col("vec_id") < 4)
+    val out = Similarity.hardNegatives(labeled, q, "vec_id", "embedding",
+      "label", 5).collect()
+    val labels = labeled.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString)).toMap
+    // no self, labels differ, never null on either side
+    out.foreach { r =>
+      val (qi, ci) = (r.getLong(0), r.getLong(1))
+      assert(qi != ci)
+      assert(labels(qi).isDefined && labels(ci).isDefined)
+      assert(labels(qi) != labels(ci))
+    }
+    // null-label queries emit nothing
+    assert(!out.map(_.getLong(0)).contains(0L) &&
+      !out.map(_.getLong(0)).contains(3L))
+    // model: brute force over the pre-filtered opposite-label corpus
+    val expect = q.filter(col("label").isNotNull).collect()
+      .map(_.getLong(0)).flatMap { qi =>
+        val opp = labeled.filter(col("label").isNotNull &&
+          col("label") =!= lit(labels(qi).get.toInt))
+        Similarity.bruteForceTopK(opp,
+            labeled.filter(col("vec_id") === qi), "vec_id", "embedding", 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3)))
+      }.toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getInt(3))).toSet == expect)
+  }
+
+  test("labelAgreement grades neighbor label overlap; unlabeled " +
+    "neighbors drop from both sides of the fraction") {
+    import spark.implicits._
+    val neighbors = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // 12 unlabeled
+      (2L, 10L, 1), (2L, 20L, 2),
+      (3L, 12L, 1) //                              all neighbors unlabeled
+    ).toDF("query_id", "corpus_id", "rank")
+    val labels = Seq(1L -> "a", 2L -> "b", 3L -> "a",
+      10L -> "a", 11L -> "b", 20L -> "b").toDF("vec_id", "label")
+    val out = Similarity.labelAgreement(neighbors, labels, "vec_id",
+        "label", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) == (("a", 2L, 1L, 0.5))) // 10 agrees, 11 not, 12 gone
+    assert(out(2L) == (("b", 2L, 1L, 0.5)))
+    assert(!out.contains(3L)) // no labeled neighbors -> no row
+    // rank > k ignored
+    val out2 = Similarity.labelAgreement(
+      neighbors, labels, "vec_id", "label", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2(1L) == 1L && out2(2L) == 1L)
+  }
+
   test("multimodal stub pipeline: features have the declared shape") {
     import spark.implicits._
     val df = Seq(
