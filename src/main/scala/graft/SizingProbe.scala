@@ -284,9 +284,26 @@ object SizingProbe {
           s""""sec_bin160":$t160,"recall_int8":$rI,""" +
           s""""recall_bin40":$r40,"recall_bin160":$r160}""")
 
+      case "tmix" =>
+        // temperatureMixture ladder: the op is map-only after the
+        // bounded counts job, so the ladder should be scan-bound
+        // linear; a superlinear tail here would mean the when-chain or
+        // the explode stopped fusing.
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("lang"))
+        val n = d.count()
+        def run() = time(graft.ops.Sampling.temperatureMixture(
+          d, col("doc_id"), "tmx", col("lang"),
+          targetRows = 2L * n, alphaEighths = 4))
+        run() // warm
+        val (t, rows) = run()
+        println(s"""{"metric":"tmix_ladder","rows":$n,"sec":$t,""" +
+          s""""rows_out":$rows}""")
+
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
-          "(valid: emb, embstages, ivf, docs, assign, semdedup, bintopk)")
+          "(valid: emb, embstages, ivf, docs, assign, semdedup, " +
+          "bintopk, tmix)")
     }
     spark.stop()
   }

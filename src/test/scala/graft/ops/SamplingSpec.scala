@@ -297,6 +297,16 @@ class SamplingSpec extends SparkSpec {
     assert(out.size == 10 && out.values.forall(_ == 3L))
   }
 
+  test("temperatureMixture expansion is map-only: no exchange in the " +
+      "returned plan (the counts groupBy is a separate bounded job)") {
+    val data = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("g"))
+    val out = Sampling.temperatureMixture(data, col("doc_id"), "pp",
+      col("g"), targetRows = 200)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("temperatureMixture: loud plan-time cap, null groups dropped, " +
       "degenerate params rejected") {
     import spark.implicits._

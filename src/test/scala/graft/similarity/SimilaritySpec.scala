@@ -724,6 +724,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getLong(1) == 3L)
   }
 
+  test("binaryTopK plan: broadcast joins only — the corpus is never " +
+    "sort-merge shuffled for candidates or the re-rank fetch") {
+    val q = emb.filter(col("vec_id") < 3)
+    val plan = Similarity.binaryTopK(emb, q, "vec_id", "embedding", 5,
+      rerank = 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // Hamming pass: non-equi broadcast(queries); re-rank fetch:
+    // equi broadcast(candidate ids) back over the corpus scan
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("recallAtK: self-recall 1.0; disjoint 0.0; missing-query scores " +
     "0; extra approx queries ignored") {
     import spark.implicits._
