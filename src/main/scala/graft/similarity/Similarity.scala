@@ -199,6 +199,10 @@ object Similarity extends Serializable {
     * codes is a handful of XOR+popcount instructions. The packed layout
     * is an executor-side detail only: equality of SIGNS is the semantic
     * contract (the oracle compares per-dimension signs, never bits).
+    * Assumes the family's data contract: fixed dimensionality, no NaN
+    * elements (a NaN would sign as 0 here but as 1 under DuckDB's
+    * NaN-is-largest ordering — the cosine kernels reject NaN corpora
+    * the same way, by producing NaN sims).
     */
   private def withSignBitsKernel(
       df: DataFrame, vecCol: String, out: String): DataFrame = {
@@ -347,7 +351,8 @@ object Similarity extends Serializable {
     * (id, label) table. Neighbors whose corpus_id has no label row are
     * dropped from both numerator and denominator (unknown can neither
     * agree nor disagree); queries with no labeled neighbors left emit
-    * no row.
+    * no row. `labels` must be unique per id — duplicate label rows
+    * would fan the joins out and inflate the counts.
     *
     * Scale shape: the neighbor table is |queries| x k narrow rows;
     * both label joins broadcast whenever the label table does (AQE),
@@ -388,7 +393,9 @@ object Similarity extends Serializable {
     * denominator is the exact side's row count — below k only when the
     * corpus itself offers fewer than k candidates). Queries in `exact`
     * with no `approx` rows score 0; queries only in `approx` are
-    * dropped (no ground truth to grade against).
+    * dropped (no ground truth to grade against). Inputs are assumed
+    * distinct per (query_id, corpus_id) within rank <= k — the shape
+    * every family operator emits; duplicated pairs would double-count.
     *
     * Scale shape: both inputs are |queries| x k rows — nothing here
     * touches the corpus; the pair join broadcasts whenever the query
