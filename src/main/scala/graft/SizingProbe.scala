@@ -300,10 +300,83 @@ object SizingProbe {
         println(s"""{"metric":"tmix_ladder","rows":$n,"sec":$t,""" +
           s""""rows_out":$rows}""")
 
+      case "pipeline" =>
+        // END-TO-END curation ladder: the full corpus -> training-shard
+        // chain (q34's filter + exact-fingerprint dedup + minhash
+        // near-dup anti-join, then q113's temperature mixture and
+        // q109's epoch shuffle + shard packing) timed as ONE job per
+        // rung. Every stage has its own ladder elsewhere; this measures
+        // that composing them introduces no cross-stage pathology
+        // (barriers, recompute blowups, partition collapse).
+        import graft.functions.Text
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val nRaw = d.count()
+        def chain() = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")
+          val base = d
+            .filter(Text.langId(col("text")) === "en")
+            .filter(Text.qualityScore(col("text")) >= 0.5)
+          val kept1 = base
+            .withColumn("fp", Text.fingerprint(col("text")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select("doc_id", "text", "lang")
+          val dupIds = graft.dedup.Dedup.minhashLsh(
+              kept1, col("doc_id"), col("text"),
+              shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+              maxBucketSize = 1000, rowsHint = nRaw)
+            .select(col("id2").as("doc_id")).distinct()
+          val kept = kept1.join(dupIds, Seq("doc_id"), "left_anti")
+          val mixed = graft.ops.Sampling.temperatureMixture(
+            kept, col("doc_id"), "pl15", col("lang"),
+            targetRows = nRaw, alphaEighths = 4)
+          val keyed = mixed.select(
+            md5(concat(col("doc_id").cast("string"), lit("#"),
+              col("copy_idx").cast("string")).cast("binary")).as("ord"),
+            col("doc_id"),
+            length(col("text")).cast("long").as("tok"))
+          graft.ops.Prefix.packIntoShards(
+              keyed, orderCol = "ord", tokenCol = "tok", budget = 20000L)
+            .groupBy("shard")
+            .agg(count(lit(1)).as("n_rows"), sum(col("tok")).as("toks"))
+        }
+        // GRAFT_PIPE_STAGE: time a PREFIX of the chain instead (stage
+        // attribution for ladder anomalies): kept1 = filters + exact
+        // fingerprint dedup; dup = + minhash near-dup pair emit.
+        def prefix(): org.apache.spark.sql.DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")
+          val kept1 = d
+            .filter(Text.langId(col("text")) === "en")
+            .filter(Text.qualityScore(col("text")) >= 0.5)
+            .withColumn("fp", Text.fingerprint(col("text")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select("doc_id", "text", "lang")
+          sys.env.get("GRAFT_PIPE_STAGE") match {
+            case Some("filter") => d
+              .filter(Text.langId(col("text")) === "en")
+              .filter(Text.qualityScore(col("text")) >= 0.5)
+            case Some("kept1") => kept1
+            case Some("dup") => graft.dedup.Dedup.minhashLsh(
+              kept1, col("doc_id"), col("text"),
+              shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+              maxBucketSize = 1000, rowsHint = nRaw)
+            case _ => chain()
+          }
+        }
+        time(prefix()) // warm
+        val (t, shards) = time(prefix())
+        val stage = sys.env.getOrElse("GRAFT_PIPE_STAGE", "full")
+        println(s"""{"metric":"pipeline_ladder","rows":$nRaw,"sec":$t,""" +
+          s""""shards":$shards,"stage":"$stage"}""")
+
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
           "(valid: emb, embstages, ivf, docs, assign, semdedup, " +
-          "bintopk, tmix)")
+          "bintopk, tmix, pipeline)")
     }
     spark.stop()
   }
