@@ -5151,7 +5151,98 @@ object SparkEntry {
        JOIN lab cl ON n.corpus_id = cl.vec_id
        GROUP BY n.query_id, ql.label"""
 
+  // ------------------------------------------------------------------
+  // q117 — asymmetric near-dup pairs by overlap coefficient (extension:
+  // Dedup.ngramContainment): |A∩B| / min(|A|,|B|) over the q19
+  // df-filtered shingle space — catches a short doc quoted verbatim
+  // inside a long one (containment 1.0) where Jaccard ≈ short/long
+  // vanishes. Same counting pass as q19; only the score differs.
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.ngramContainment(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      shingleK = 8, threshold = 0.5, maxDf = 100)
+
+  private val q117Sql =
+    """WITH docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       hdocs AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       posting AS (SELECT id, unnest(vms) AS sh FROM hdocs),
+       rare AS (SELECT sh FROM posting GROUP BY sh HAVING COUNT(*) <= 100),
+       fp AS (SELECT id, p.sh FROM posting p JOIN rare r ON p.sh = r.sh),
+       sizes AS (SELECT id, COUNT(*) AS nsh FROM fp GROUP BY id),
+       common AS (
+         SELECT a.id AS id1, b.id AS id2, COUNT(*) AS common
+         FROM fp a JOIN fp b ON a.sh = b.sh AND a.id < b.id
+         GROUP BY a.id, b.id)
+       SELECT id1, id2,
+         CAST(common AS DOUBLE) / least(s1.nsh, s2.nsh) AS containment,
+         CAST(s1.nsh AS BIGINT) AS n1, CAST(s2.nsh AS BIGINT) AS n2
+       FROM common JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+       WHERE CAST(common AS DOUBLE) / least(s1.nsh, s2.nsh) >= 0.5"""
+
+  // ------------------------------------------------------------------
+  // q118 — per-SOURCE boilerplate line strip (extension:
+  // Dedup.stripDuplicateLines(scopeCol)): q55's line-level dedup with
+  // occurrences counted within each source instead of corpus-wide —
+  // the site-template rule (a navigation line repeated across one
+  // site's pages is boilerplate there even if globally rare). Same
+  // 3-word-chunk multiline synthesis as q55 so line structure exists.
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val chunks = transform(
+      sequence(lit(1), floor((size(ws) + k - 1) / lit(k)).cast("int")),
+      i => array_join(slice(ws, (i - 1) * k + 1, lit(k)), " "))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_join(chunks, "\n").as("multiline"))
+    graft.dedup.Dedup.stripDuplicateLines(
+        docs, col("doc_id"), col("multiline"), maxOccurrences = 1,
+        scopeCol = Some(col("source")))
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text_clean").cast("binary")).as("clean_fp"))
+  }
+
+  private val q118Sql =
+    """WITH w AS (
+         SELECT doc_id, source,
+           [array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' ')
+            for i in range(1, ((len(ws)+2)//3)+1)] AS chunks
+         FROM (SELECT doc_id, source, split(coalesce(text, ''), ' ') AS ws
+               FROM documents)),
+       n AS (
+         SELECT doc_id, source, generate_subscripts(chunks, 1) AS pos,
+           unnest(chunks) AS line
+         FROM w),
+       n2 AS (
+         SELECT doc_id, source, pos, line, lower(trim(line)) AS norm
+         FROM n),
+       d AS (
+         SELECT source AS bsource, md5(norm) AS h
+         FROM n2 WHERE len(norm) >= 1
+         GROUP BY 1, 2 HAVING count(*) > 1),
+       m AS (
+         SELECT n2.doc_id, n2.pos, n2.line, d.h
+         FROM n2 LEFT JOIN d
+           ON md5(n2.norm) = d.h
+          AND (n2.source = d.bsource OR
+               (n2.source IS NULL AND d.bsource IS NULL)))
+       SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(*) - count(h) AS BIGINT) AS n_kept,
+         md5(coalesce(string_agg(CASE WHEN h IS NULL THEN line END,
+           chr(10) ORDER BY pos), '')) AS clean_fp
+       FROM m GROUP BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_source_boilerplate" -> (q118 _),
+    "q117_ngram_containment" -> (q117 _),
     "q116_label_agreement" -> (q116 _),
     "q115_hard_negatives" -> (q115 _),
     "q114_ann_recall" -> (q114 _),
@@ -5356,6 +5447,8 @@ object SparkEntry {
     "q114_ann_recall" -> q114Sql,
     "q115_hard_negatives" -> q115Sql,
     "q116_label_agreement" -> q116Sql,
+    "q117_ngram_containment" -> q117Sql,
+    "q118_source_boilerplate" -> q118Sql,
     "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,

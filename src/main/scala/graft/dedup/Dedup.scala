@@ -937,6 +937,25 @@ object Dedup {
     // aggregations. The `unified` result is one row per surviving pair
     // plus one per doc — small — and feeds the final jaccard via two
     // self-joins that AQE broadcasts when small.
+    ngramPairCounts(df, idCol, textCol, shingleK, maxDf)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Shared counting pass behind [[ngramJaccard]] and
+    * [[ngramContainment]]: one row per co-occurring pair with the
+    * intersection size and both docs' (df-filtered) shingle-set sizes —
+    * (id1, id2, common, n1, n2). See ngramJaccard's scaladoc for the
+    * single-scan, capped-posting-list plan shape.
+    */
+  private def ngramPairCounts(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleK: Int,
+      maxDf: Int): DataFrame = {
     val docs = shingleDocs(df, idCol, textCol, shingleK)
 
     val groups = docs
@@ -961,11 +980,37 @@ object Dedup {
         .withColumnRenamed("nsh", "n1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2")
         .withColumnRenamed("nsh", "n2"), "id2")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
   }
+
+  /** Asymmetric near-dup pairs by the OVERLAP COEFFICIENT
+    * |A∩B| / min(|A|, |B|) over the same df-filtered shingle space as
+    * [[ngramJaccard]] — the duplication mode Jaccard structurally
+    * misses: a short document quoted verbatim inside a long one scores
+    * containment 1.0 but Jaccard ≈ |short|/|long| (arbitrarily small).
+    * The standard screen for wrapper pages, quote farms, and
+    * excerpt-expansion dups (Broder's containment, resemblance's
+    * sibling). Same single-scan counting pass and capped posting lists;
+    * only the final score differs, so the scale shape is q19's.
+    *
+    * min (the symmetric overlap coefficient), not a directional
+    * |A∩B|/|A|: pairs emit once as (min id, max id) and "either side
+    * mostly contained" is the dedup-relevant predicate; the n1/n2
+    * columns let a caller recover direction when needed.
+    *
+    * @return (id1, id2, containment, n1, n2), containment >= threshold
+    */
+  def ngramContainment(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleK: Int = 8,
+      threshold: Double = 0.8,
+      maxDf: Int = 500): DataFrame =
+    ngramPairCounts(df, idCol, textCol, shingleK, maxDf)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment", "n1", "n2")
 
   /** 64-bit simhash per document as a typed kernel (same rationale as
     * shingleDocs: the Column simhash, Hashing.simhash, runs interpreted
@@ -1148,6 +1193,15 @@ object Dedup {
     * @param maxOccurrences keep lines occurring at most this many times
     *   corpus-wide (occurrences WITHIN one document count too)
     * @param lineSep literal line separator (split and rejoin)
+    * @param scopeCol count occurrences within this group instead of
+    *   corpus-wide (None = corpus-wide, the C4 rule). Per-source scope
+    *   is the site-template variant: a navigation line repeated across
+    *   one site's pages is boilerplate THERE even if globally rare,
+    *   and a licence line shared by two sites twice each stays below a
+    *   per-site threshold a global count would breach. NULL scopes
+    *   form their own group. The count exchange gains the scope key;
+    *   everything else (broadcast-able boilerplate set, doc-bounded
+    *   reassembly buffers) keeps its shape.
     * @return (id, n_lines, n_kept, text_clean)
     */
   def stripDuplicateLines(
@@ -1156,7 +1210,8 @@ object Dedup {
       textCol: Column,
       maxOccurrences: Long = 1,
       lineSep: String = "\n",
-      minLineChars: Int = 1): DataFrame = {
+      minLineChars: Int = 1,
+      scopeCol: Option[Column] = None): DataFrame = {
     val sep = java.util.regex.Pattern.quote(lineSep) // Spark split is regex
     val par = df.sparkSession.sparkContext.defaultParallelism
     val lines = df
@@ -1168,19 +1223,26 @@ object Dedup {
       // inversion, NOTES.md "line-dedup scan-parallelism trap").
       // Partitioning by id also pre-positions the final groupBy(id).
       .repartition(par, idCol)
-      .select(idCol.as("id"),
-        posexplode(split(coalesce(textCol, lit("")), sep))
-          .as(Seq("pos", "line")))
+      .select((Seq(idCol.as("id")) ++
+          scopeCol.map(_.as("scope")).toSeq :+
+          posexplode(split(coalesce(textCol, lit("")), sep))
+            .as(Seq("pos", "line"))): _*)
       .withColumn("norm", lower(trim(col("line"))))
       .withColumn("lh", md5(col("norm").cast("binary")))
+    val scopeKeys = scopeCol.map(_ => col("scope")).toSeq
     val boilerplate = lines
       .filter(length(col("norm")) >= minLineChars)
-      .groupBy(col("lh").as("h"))
+      .groupBy(scopeKeys :+ col("lh").as("h"): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxOccurrences)
-      .select("h")
+      .select(scopeKeys.map(_.as("bscope")) :+ col("h"): _*)
+    val joinCond = scopeCol match {
+      case Some(_) => lines("lh") === boilerplate("h") &&
+        lines("scope") <=> boilerplate("bscope")
+      case None => lines("lh") === boilerplate("h")
+    }
     lines
-      .join(boilerplate, lines("lh") === boilerplate("h"), "left")
+      .join(boilerplate, joinCond, "left")
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_lines"),

@@ -159,6 +159,38 @@ class DedupKernelSpec extends SparkSpec {
       s"posting-list grouping duplicated outside the cache:\n$plan")
   }
 
+  test("ngramContainment scores the asymmetric dup Jaccard misses, and " +
+      "matches a brute-force overlap-coefficient model") {
+    import spark.implicits._
+    val long = ("The quick brown fox jumps over the lazy dog while " +
+      "seventeen further unrelated sentences pad this document out " +
+      "with plenty of distinct shingle material to dilute any overlap")
+    val short = "The quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, long), (2L, short), (3L, "completely different text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContainment(docs, col("doc_id"), col("text"),
+        shingleK = 8, threshold = 0.9, maxDf = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    // the quote pair survives at 0.9 containment...
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    val (_, _, c, n1, n2) = out.head
+    assert(c == 1.0) // every shingle of the short doc occurs in the long
+    // ...where Jaccard rejects it even at a LOW bar
+    val jac = Dedup.ngramJaccard(docs, col("doc_id"), col("text"),
+      shingleK = 8, threshold = 0.5, maxDf = 500).collect()
+    assert(jac.isEmpty)
+    // brute-force model over the same hashed-shingle space
+    def hs(t: String): Set[Long] = Dedup
+      .shingleDocs(Seq((9L, t)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 8)
+      .collect().head.getSeq[Long](1).toSet
+    val (s1, s2) = (hs(long), hs(short))
+    assert(n1 == s1.size && n2 == s2.size)
+    assert(c == (s1 & s2).size.toDouble / math.min(s1.size, s2.size))
+  }
+
   test("minhashLsh caps hot band buckets to a representative pair " +
       "(cluster still surfaces; cacheSignatures lever changes nothing)") {
     import spark.implicits._

@@ -115,4 +115,41 @@ class LineDedupSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("Partial"),
       s"no map-side partial aggregation in count pass:\n$plan")
   }
+
+  test("scoped (per-source) counting: a line repeated within one scope " +
+      "strips there only; cross-scope repeats stay under a per-scope " +
+      "threshold a global count would breach") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "nav\nbody one"),
+      (2L, "s1", "nav\nbody two"), //   "nav" 2x in s1 -> stripped in s1
+      (3L, "s2", "nav\nbody three"), // "nav" 1x in s2 -> KEPT there
+      (4L, "s2", "legal\nbody four"),
+      (5L, "s3", "legal\nbody five")) // "legal" 1x per scope -> kept,
+      //                                 though globally 2x (> 1)
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.stripDuplicateLines(
+        docs, col("doc_id"), col("text"), maxOccurrences = 1,
+        scopeCol = Some(col("source")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, "body one")))
+    assert(out(2L) == ((1L, "body two")))
+    assert(out(3L) == ((2L, "nav\nbody three")))
+    assert(out(4L) == ((2L, "legal\nbody four")))
+    assert(out(5L) == ((2L, "legal\nbody five")))
+    // and the same corpus under GLOBAL counting strips both
+    val global = Dedup.stripDuplicateLines(
+        docs, col("doc_id"), col("text"), maxOccurrences = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(global(3L) == "body three" && global(5L) == "body five")
+    // null scopes form their own group: two null-scope "nav"s strip
+    val nulls = Dedup.stripDuplicateLines(
+        Seq((6L, null: String, "nav\nx"), (7L, null: String, "nav\ny"))
+          .toDF("doc_id", "source", "text"),
+        col("doc_id"), col("text"), maxOccurrences = 1,
+        scopeCol = Some(col("source")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(nulls == Map(6L -> "x", 7L -> "y"))
+  }
 }
