@@ -373,10 +373,44 @@ object SizingProbe {
         println(s"""{"metric":"pipeline_ladder","rows":$nRaw,"sec":$t,""" +
           s""""shards":$shards,"stage":"$stage"}""")
 
+      case "r15dedup" =>
+        // Ladders for the round-15 dedup additions on the docs rungs:
+        // ngramContainment (q19's counting pass, different score — the
+        // pair-emission volume at containment's looser threshold is
+        // the open question) and scoped stripDuplicateLines (the scope
+        // key widens the count exchange rows; does the per-scope
+        // grouping change the exchange's scaling?), with the global
+        // strip as the control arm.
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("source"), col("text"))
+        val n = d.count()
+        val k = 3
+        val ws = split(coalesce(col("text"), lit("")), " ")
+        val chunks = transform(
+          sequence(lit(1), floor((size(ws) + k - 1) / lit(k)).cast("int")),
+          i => array_join(slice(ws, (i - 1) * k + 1, lit(k)), " "))
+        val lined = d.select(col("doc_id"), col("source"),
+          array_join(chunks, "\n").as("ml"))
+        def contain() = graft.dedup.Dedup.ngramContainment(
+          d, col("doc_id"), col("text"), shingleK = 8, threshold = 0.5,
+          maxDf = 100)
+        def stripScoped() = graft.dedup.Dedup.stripDuplicateLines(
+          lined, col("doc_id"), col("ml"), maxOccurrences = 1,
+          scopeCol = Some(col("source")))
+        def stripGlobal() = graft.dedup.Dedup.stripDuplicateLines(
+          lined, col("doc_id"), col("ml"), maxOccurrences = 1)
+        time(contain()); time(stripScoped()); time(stripGlobal()) // warm
+        val (tC, pairs) = time(contain())
+        val (tS, _) = time(stripScoped())
+        val (tG, _) = time(stripGlobal())
+        println(s"""{"metric":"r15dedup_ladder","rows":$n,""" +
+          s""""sec_containment":$tC,"pairs":$pairs,""" +
+          s""""sec_strip_scoped":$tS,"sec_strip_global":$tG}""")
+
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
           "(valid: emb, embstages, ivf, docs, assign, semdedup, " +
-          "bintopk, tmix, pipeline)")
+          "bintopk, tmix, pipeline, r15dedup)")
     }
     spark.stop()
   }

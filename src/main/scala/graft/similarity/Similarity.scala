@@ -334,7 +334,9 @@ object Similarity extends Serializable {
     val scored = withCosineKernel(
       c.join(broadcast(q),
         col("query_id") =!= col("corpus_id") &&
-          col("clabel") =!= col("qlabel")), // null-safe: nulls never pair
+          col("clabel") =!= col("qlabel")), // <> is null-REJECTING, so a
+      // null label on either side drops the pair — the documented
+      // "negatives must be KNOWN different" rule (oracle: `label <> ql`)
       "qv", "cv", "sim")
     topKPerQuery(scored.select("query_id", "corpus_id", "sim"), k)
   }
