@@ -319,6 +319,15 @@ object Sampling {
     * @param maxEpochs loud cap on any group's epochs — a tiny group
     *   under a big budget otherwise fans out unboundedly (fails at PLAN
     *   time, driver-side, since counts are already on the driver)
+    * @param maxWhenChainGroups few groups (the common case) ship the
+    *   per-group (copies, thresh) plan as a when-chain — pure map-only,
+    *   no join node; past this many groups the chain becomes a
+    *   pathological expression tree (analyzer cost is quadratic-ish in
+    *   nesting, and a 50k-domain corpus is a legitimate input — unlike
+    *   [[targetMixture]], whose weights are a hand-typed Map, THIS
+    *   operator derives its groups from data), so the plan ships as a
+    *   broadcast-joined table instead: still no shuffle of the corpus,
+    *   one BroadcastExchange of <= #groups rows
     */
   def temperatureMixture(
       df: DataFrame,
@@ -328,7 +337,8 @@ object Sampling {
       targetRows: Long,
       alphaEighths: Int = 4,
       copyCol: String = "copy_idx",
-      maxEpochs: Int = 100): DataFrame = {
+      maxEpochs: Int = 100,
+      maxWhenChainGroups: Int = 64): DataFrame = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     require(alphaEighths >= 0 && alphaEighths <= 8,
       s"alphaEighths must be in [0, 8], got $alphaEighths")
@@ -354,17 +364,43 @@ object Sampling {
       g -> (copies, thresh)
     }
     val gs = group.cast("string")
-    val copiesCol = plan.foldLeft(lit(0L)) { case (acc, (g, (c, _))) =>
-      when(gs === g, lit(c)).otherwise(acc) }
-    val threshCol = plan.foldLeft(lit(0L)) { case (acc, (g, (_, t))) =>
-      when(gs === g, lit(t)).otherwise(acc) }
     val h = conv(substring(md5(concat(id.cast("string"), lit(":" + salt))),
       1, 13), 16, 10).cast("long")
-    val total = copiesCol +
-      when(h < threshCol, 1L).otherwise(0L)
-    df.withColumn(copyCol,
-      explode(when(total >= 1, sequence(lit(1L), total))
-        .otherwise(array().cast("array<long>"))))
+    def expand(base: DataFrame, copiesCol: Column, threshCol: Column) = {
+      val total = copiesCol + when(h < threshCol, 1L).otherwise(0L)
+      base.withColumn(copyCol,
+        explode(when(total >= 1, sequence(lit(1L), total))
+          .otherwise(array().cast("array<long>"))))
+    }
+    if (plan.size <= maxWhenChainGroups) {
+      val copiesCol = plan.foldLeft(lit(0L)) { case (acc, (g, (c, _))) =>
+        when(gs === g, lit(c)).otherwise(acc) }
+      val threshCol = plan.foldLeft(lit(0L)) { case (acc, (g, (_, t))) =>
+        when(gs === g, lit(t)).otherwise(acc) }
+      expand(df, copiesCol, threshCol)
+    } else {
+      // many-group arm: the identical plan, shipped as a broadcast
+      // table instead of an expression tree. Inner join = the same
+      // "null/unknown groups contribute nothing" rule as the chain's
+      // otherwise(0) arm (every non-null group IS in the plan — counts
+      // came from df itself).
+      val sess = df.sparkSession
+      import scala.jdk.CollectionConverters._
+      val planDf = sess.createDataFrame(
+        plan.toSeq.map { case (g, (c, t)) =>
+          org.apache.spark.sql.Row(g, c, t) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__tm_g",
+            org.apache.spark.sql.types.StringType, false),
+          org.apache.spark.sql.types.StructField("__tm_copies",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("__tm_thresh",
+            org.apache.spark.sql.types.LongType, false))))
+      expand(
+        df.join(broadcast(planDf), gs === col("__tm_g")),
+        col("__tm_copies"), col("__tm_thresh"))
+        .drop("__tm_g", "__tm_copies", "__tm_thresh")
+    }
   }
 
   /** Weighted sample without replacement (Efraimidis–Spirakis A-Res,

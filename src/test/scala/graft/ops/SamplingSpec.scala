@@ -307,6 +307,30 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("temperatureMixture many-group arm: broadcast-joined plan equals " +
+      "the when-chain bit-for-bit; corpus still never shuffles") {
+    import spark.implicits._
+    // 100 groups (> the 64 chain cap) with skewed sizes
+    val data = (1L to 600L).map(i => (i, s"g${i % 100}"))
+      .toDF("doc_id", "g")
+    def run(chainCap: Int) = Sampling.temperatureMixture(
+        data, col("doc_id"), "arm", col("g"), targetRows = 900,
+        alphaEighths = 4, maxWhenChainGroups = chainCap)
+      .select("doc_id", "g", "copy_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val joined = run(64) //   default: join arm engages at 100 groups
+    val chained = run(1000) // forced when-chain on the same data
+    assert(joined == chained && joined.nonEmpty)
+    // the join arm broadcasts the plan table; the corpus side must
+    // not hit a shuffle exchange
+    val plan = Sampling.temperatureMixture(
+        data, col("doc_id"), "arm", col("g"), targetRows = 900)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!"(?<!Broadcast)Exchange".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("temperatureMixture: loud plan-time cap, null groups dropped, " +
       "degenerate params rejected") {
     import spark.implicits._
