@@ -33,6 +33,15 @@ object Sessions {
           children.head, intLit(children(1), "collect_list_capped", "cap"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.plans.NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "nfc_normalize(str) takes exactly 1 argument")
+        graft.plans.NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("topk_by"),
       new ExpressionInfo(
         classOf[graft.plans.TopKByScore].getName, "topk_by"),

@@ -5240,7 +5240,35 @@ object SparkEntry {
            chr(10) ORDER BY pos), '')) AS clean_fp
        FROM m GROUP BY doc_id"""
 
+  // ------------------------------------------------------------------
+  // q119 — canonical text normalization (extension: Text.normalizeText
+  // over graft's codegen'd `nfc_normalize` Catalyst expression): NFC ∘
+  // lower ∘ ws-collapse ∘ trim, fingerprinted per doc. The oracle runs
+  // DuckDB's nfc_normalize — parity IS the Unicode standard (NFC is
+  // stabilized); the whitespace class is the explicit [ \t\n\r], never
+  // regex \s (engine-dependent membership).
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        graft.functions.Text.normalizeText(col("text")).as("norm"))
+      .select(
+        col("doc_id"),
+        length(col("norm")).cast("long").as("norm_len"),
+        md5(col("norm").cast("binary")).as("norm_fp"))
+
+  private val q119Sql =
+    """SELECT doc_id,
+         CAST(len(n) AS BIGINT) AS norm_len,
+         md5(n) AS norm_fp
+       FROM (
+         SELECT doc_id,
+           trim(regexp_replace(lower(nfc_normalize(text)),
+             '[ \t\n\r]+', ' ', 'g')) AS n
+         FROM documents)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_normalize_text" -> (q119 _),
     "q118_source_boilerplate" -> (q118 _),
     "q117_ngram_containment" -> (q117 _),
     "q116_label_agreement" -> (q116 _),
@@ -5449,6 +5477,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q119_normalize_text" -> q119Sql,
     "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_monoid_join" -> q28Sql,

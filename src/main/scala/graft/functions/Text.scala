@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Canonical text normalization — the standard pre-dedup stage:
+    * Unicode NFC (graft's codegen'd `nfc_normalize` expression —
+    * composed and decomposed accents must hash identically before ANY
+    * fingerprint/shingle/minhash runs), simple lowercase, whitespace
+    * runs collapsed to one space, ends trimmed.
+    *
+    * The whitespace class is the EXPLICIT `[ \t\n\r]` — not regex
+    * `\s`, whose membership differs by engine (Java includes \x0B and
+    * \f; RE2's differs again), and cross-engine byte-identity is this
+    * function's contract. Null propagates.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      lower(call_function("nfc_normalize", c)), "[ \t\n\r]+", " "))
+
   /** Whitespace tokenization — `B.words` analog: split on runs of
     * whitespace, drop empty tokens (leading/trailing whitespace artifacts).
     */
