@@ -399,13 +399,30 @@ object SizingProbe {
           scopeCol = Some(col("source")))
         def stripGlobal() = graft.dedup.Dedup.stripDuplicateLines(
           lined, col("doc_id"), col("ml"), maxOccurrences = 1)
-        time(contain()); time(stripScoped()); time(stripGlobal()) // warm
-        val (tC, pairs) = time(contain())
-        val (tS, _) = time(stripScoped())
-        val (tG, _) = time(stripGlobal())
-        println(s"""{"metric":"r15dedup_ladder","rows":$n,""" +
-          s""""sec_containment":$tC,"pairs":$pairs,""" +
-          s""""sec_strip_scoped":$tS,"sec_strip_global":$tG}""")
+        // GRAFT_R15_STAGE isolates one arm (deep-rung attribution runs
+        // each arm in its own JVM so an OOM names its stage and the
+        // scratch footprint isn't the sum of all arms' shuffle files)
+        sys.env.get("GRAFT_R15_STAGE") match {
+          case Some("contain") =>
+            val (tW, _) = time(contain())
+            val (tC, pairs) = time(contain())
+            println(s"""{"metric":"r15dedup_ladder","rows":$n,""" +
+              s""""sec_containment":$tC,"warm":$tW,"pairs":$pairs}""")
+          case Some("strip") =>
+            time(stripScoped()); time(stripGlobal()) // warm
+            val (tS, _) = time(stripScoped())
+            val (tG, _) = time(stripGlobal())
+            println(s"""{"metric":"r15dedup_ladder","rows":$n,""" +
+              s""""sec_strip_scoped":$tS,"sec_strip_global":$tG}""")
+          case _ =>
+            time(contain()); time(stripScoped()); time(stripGlobal())
+            val (tC, pairs) = time(contain())
+            val (tS, _) = time(stripScoped())
+            val (tG, _) = time(stripGlobal())
+            println(s"""{"metric":"r15dedup_ladder","rows":$n,""" +
+              s""""sec_containment":$tC,"pairs":$pairs,""" +
+              s""""sec_strip_scoped":$tS,"sec_strip_global":$tG}""")
+        }
 
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +

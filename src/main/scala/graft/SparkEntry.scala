@@ -448,7 +448,10 @@ object SparkEntry {
   private def q19(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.ngramJaccard(
       t(s, dir, "documents"), col("doc_id"), col("text"),
-      shingleK = 8, threshold = 0.3, maxDf = 100)
+      shingleK = 8, threshold = 0.3, maxDf = 100,
+      // metadata-only upper bound off the pruned n_chars column — the
+      // rowsHint/charsHint contract: skip the sizing scan
+      charsHint = docChars(s, dir))
 
   private val q19Sql =
     """WITH docs AS (
@@ -5160,7 +5163,8 @@ object SparkEntry {
   private def q117(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.ngramContainment(
       t(s, dir, "documents"), col("doc_id"), col("text"),
-      shingleK = 8, threshold = 0.5, maxDf = 100)
+      shingleK = 8, threshold = 0.5, maxDf = 100,
+      charsHint = docChars(s, dir))
 
   private val q117Sql =
     """WITH docs AS (

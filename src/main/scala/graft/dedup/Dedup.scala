@@ -919,7 +919,8 @@ object Dedup {
       textCol: Column,
       shingleK: Int = 8,
       threshold: Double = 0.5,
-      maxDf: Int = 500): DataFrame = {
+      maxDf: Int = 500,
+      charsHint: Long = -1L): DataFrame = {
     // Posting list over the HASHED shingle set (8-byte keys — the
     // groupBys shuffle longs, not strings; hash collisions fold
     // identically in the oracle, which computes the same md5-mod space).
@@ -937,7 +938,7 @@ object Dedup {
     // aggregations. The `unified` result is one row per surviving pair
     // plus one per doc — small — and feeds the final jaccard via two
     // self-joins that AQE broadcasts when small.
-    ngramPairCounts(df, idCol, textCol, shingleK, maxDf)
+    ngramPairCounts(df, idCol, textCol, shingleK, maxDf, charsHint)
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -949,17 +950,42 @@ object Dedup {
     * intersection size and both docs' (df-filtered) shingle-set sizes —
     * (id1, id2, common, n1, n2). See ngramJaccard's scaladoc for the
     * single-scan, capped-posting-list plan shape.
+    *
+    * Both wide exchanges are VOLUME-sized (the jaccardBuildParts /
+    * duplicateSpans discipline): the posting stream is ~one row per
+    * distinct shingle occurrence (≈ total chars) and at the 32-partition
+    * session default a deep corpus puts GB-scale posting-list agg state
+    * on every task — the round-15 containment x300 rung (445M chars)
+    * died exactly there (GCLocker thrash at 8 g) before this sizing;
+    * post-fix the same rung runs at 8 g in 268 s (x100 92.4 -> 78.3 s,
+    * pair volume bit-identical — NOTES round-15 ladder). The pair
+    * exchange reuses the same width via a repartition the following
+    * groupBy's requirement is satisfied by (no second exchange).
+    * charsHint follows the duplicateSpans contract: pass an upper
+    * bound on total text chars to skip the sizing scan.
     */
   private def ngramPairCounts(
       df: DataFrame,
       idCol: Column,
       textCol: Column,
       shingleK: Int,
-      maxDf: Int): DataFrame = {
+      maxDf: Int,
+      charsHint: Long = -1L): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val totalChars =
+      if (charsHint >= 0) charsHint
+      else df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
+        .cast("long")).head.getLong(0)
+    // ~24 B per posting row in exchange form (8-byte hashed shingle +
+    // id + overhead); 64 MB/task keeps the capped posting-list buffers
+    // in memory at any corpus size
+    val parts = graft.ops.Sizing.groupingPartitions(
+      totalChars, 24L, par, targetBytesPerTask = 64L << 20)
     val docs = shingleDocs(df, idCol, textCol, shingleK)
 
     val groups = docs
       .select(col("id"), explode(col("vms")).as("sh"))
+      .repartition(parts, col("sh"))
       .groupBy("sh")
       .agg(
         call_function("collect_list_capped", col("id"), lit(maxDf)).as("ids"),
@@ -967,6 +993,7 @@ object Dedup {
       .filter(col("df") <= maxDf)
 
     val unified = emitPairAndSizeCounts(groups, docs.schema("id").dataType)
+      .repartition(parts, col("id1"), col("id2"))
       .groupBy("id1", "id2").agg(sum(col("cnt")).as("cnt"))
       .cache() // small: one row per co-occurring pair + one per doc
 
@@ -1005,8 +1032,9 @@ object Dedup {
       textCol: Column,
       shingleK: Int = 8,
       threshold: Double = 0.8,
-      maxDf: Int = 500): DataFrame =
-    ngramPairCounts(df, idCol, textCol, shingleK, maxDf)
+      maxDf: Int = 500,
+      charsHint: Long = -1L): DataFrame =
+    ngramPairCounts(df, idCol, textCol, shingleK, maxDf, charsHint)
       .withColumn("containment",
         col("common").cast("double") / least(col("n1"), col("n2")))
       .filter(col("containment") >= threshold)

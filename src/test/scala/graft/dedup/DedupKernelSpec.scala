@@ -285,6 +285,50 @@ class DedupKernelSpec extends SparkSpec {
     assert(hinted == cached && cached == bare && bare.nonEmpty)
   }
 
+  test("ngramJaccard/ngramContainment charsHint skips the sizing scan " +
+      "(upstream runs once) and any upper bound gives identical output") {
+    import spark.implicits._
+    val base = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = base.length
+    def instrumented() = {
+      val acc = spark.sparkContext.longAccumulator("upstream")
+      val df = spark.createDataset(base)
+        .map { t => acc.add(1); t }.toDF("doc_id", "text")
+      (df, acc)
+    }
+    def run(df: org.apache.spark.sql.DataFrame, hint: Long) =
+      Dedup.ngramJaccard(df, col("doc_id"), col("text"),
+        shingleK = 8, threshold = 0.3, maxDf = 100, charsHint = hint)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // hint set: the cached pair-count materialization is the ONLY
+    // execution of the upstream plan
+    val (d1, a1) = instrumented()
+    val exact = run(d1, base.map(_._2.length.toLong).sum)
+    assert(a1.value == n.toLong, s"hinted arm ran upstream ${a1.value / n}x")
+    // no hint: the Sigma-chars sizing aggregation is a second full
+    // execution (the minhashLsh rowsHint ADVICE case, same contract)
+    val (d2, a2) = instrumented()
+    val bare = run(d2, -1L)
+    assert(a2.value == 2L * n, s"bare arm ran upstream ${a2.value / n}x")
+    // charsHint is an UPPER BOUND: a loose hint (1000x the corpus — a
+    // few hundred partitions, not the 2^18 cap a TB-scale hint would
+    // schedule) only widens the exchange, never changes rows
+    val (d3, _) = instrumented()
+    val loose = run(d3, 1000L * base.map(_._2.length.toLong).sum)
+    assert(exact == bare && bare == loose && exact.nonEmpty)
+    // containment shares the kernel; pin its hint arm output too
+    def runC(df: org.apache.spark.sql.DataFrame, hint: Long) =
+      Dedup.ngramContainment(df, col("doc_id"), col("text"),
+        shingleK = 8, threshold = 0.5, maxDf = 100, charsHint = hint)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(runC(instrumented()._1, base.map(_._2.length.toLong).sum) ==
+      runC(instrumented()._1, -1L))
+  }
+
   test("minhashLsh plan: the band-bucket grouping has exactly one " +
       "consumer (a second arm would recompute the whole bucket shuffle)") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
