@@ -373,6 +373,24 @@ object SizingProbe {
         println(s"""{"metric":"pipeline_ladder","rows":$nRaw,"sec":$t,""" +
           s""""shards":$shards,"stage":"$stage"}""")
 
+      case "proto" =>
+        // Prototypicality ladder on the emb rungs: auto-nlist training
+        // + map-only scoring + the narrow per-cell rank window. The
+        // open question at depth is ONLY the window exchange (n rows x
+        // 3 narrow cols) — assignment shares kmeans/IVF's measured
+        // shape — so the rung exponent should track the k-means
+        // assignment floor, not the pair kernels.
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val n = e.count()
+        def run() = time(graft.similarity.Similarity.prototypicality(
+          e, "vec_id", "embedding", dropNum = 1, dropDen = 4,
+          trainIters = 1))
+        run() // warm
+        val (t, kept) = run()
+        println(s"""{"metric":"proto_ladder","rows":$n,"sec":$t,""" +
+          s""""kept":$kept}""")
+
       case "r15dedup" =>
         // Ladders for the round-15 dedup additions on the docs rungs:
         // ngramContainment (q19's counting pass, different score — the
@@ -427,7 +445,7 @@ object SizingProbe {
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
           "(valid: emb, embstages, ivf, docs, assign, semdedup, " +
-          "bintopk, tmix, pipeline, r15dedup)")
+          "bintopk, tmix, pipeline, r15dedup, proto)")
     }
     spark.stop()
   }

@@ -5271,7 +5271,234 @@ object SparkEntry {
              '[ \t\n\r]+', ' ', 'g')) AS n
          FROM documents)"""
 
+  // ------------------------------------------------------------------
+  // q120 — URL canonicalization + URL-keyed dedup (extension:
+  // Text.canonicalizeUrl): the C4/CCNet/RefinedWeb first dedup stage.
+  // The documents table carries no URL, so a crawl URL is synthesized
+  // DETERMINISTICALLY from (source, doc_id) — with scheme/host case,
+  // www., a default port, a trailing slash, tracking params, and a
+  // fragment injected on disjoint doc_id residues — and the oracle
+  // builds the identical string. Variants collapse to one canonical
+  // key; per key the longest doc wins (ties to min doc_id), the
+  // CCNet keep-best rule. Canonicalization is map-only; the dedup is
+  // one partial-agg groupBy on the canonical key.
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("HTTP://"),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Docs/"), (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&b=2&a=1"),
+      when(col("doc_id") % 5 === 0, lit("&utm_campaign=x")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#sec-2")).otherwise(lit("")))
+    // keep-best via the bounded topk_by aggregate (k=1): a min(struct)
+    // argmin falls out of hash aggregation into SortAggregate (struct
+    // buffers aren't mutable) — topk_by keeps the partial agg hash-based
+    // and map-side, and its (score desc, id asc) order IS the CCNet rule
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.Text.canonicalizeUrl(url).as("curl"))
+      .groupBy("curl")
+      .agg(
+        call_function("topk_by", col("doc_id"),
+          col("n_chars").cast("double"), lit(1)).as("top"),
+        count(lit(1)).as("n_dups"))
+      .select(col("curl"),
+        col("top")(0)("id").as("doc_id"),
+        col("top")(0)("score").cast("long").as("n_chars"),
+        col("n_dups"))
+  }
+
+  private val q120Sql =
+    """WITH u AS (
+         SELECT doc_id, n_chars,
+           'HTTP://' ||
+           CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+           source || '.Example.COM' ||
+           CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+           '/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+           CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+           '?utm_source=feed&b=2&a=1' ||
+           CASE WHEN doc_id % 5 = 0 THEN '&utm_campaign=x' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END AS url
+         FROM documents),
+       p AS (
+         SELECT doc_id, n_chars,
+           lower(regexp_extract(trim(url),
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           regexp_replace(trim(url),
+             '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         FROM u),
+       h AS (
+         SELECT doc_id, n_chars, scheme,
+           regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+             '^www\.', '') AS hp,
+           regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+             '#.*$', '') AS pq
+         FROM p),
+       c AS (
+         SELECT doc_id, n_chars,
+           scheme || '://' ||
+           CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+                ELSE hp END ||
+           regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$', '') ||
+           CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS curl
+         FROM (
+           SELECT *, array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(pq, '\?(.*)$', 1), '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))),
+             '&') AS qs
+           FROM h)),
+       r AS (
+         SELECT curl, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY curl
+             ORDER BY n_chars DESC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY curl) AS n_dups
+         FROM c)
+       SELECT curl, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(n_dups AS BIGINT) AS n_dups
+       FROM r WHERE rn = 1"""
+
+  // ------------------------------------------------------------------
+  // q121 — prototypicality pruning (extension:
+  // Similarity.prototypicality — SSL-prototypes / D4 stage 2): rank
+  // every embedding by cosine to its trained k-means centroid, drop
+  // each cell's most-prototypical quarter (exact integer rational).
+  // Same nlist-8 / 1-iteration training as q58, so the oracle replays
+  // the identical seeded Lloyd pass and then the per-cell rank window.
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.prototypicality(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      dropNum = 1, dropDen = 4, nlist = 8, trainIters = 1)
+      .withColumnRenamed("id", "vec_id")
+      .withColumnRenamed("rank", "proto_rank")
+
+  private val q121Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       fx AS (SELECT vec_id, e, [CAST(round(x * 1048576.0) AS BIGINT) for x in e] AS f FROM v),
+       seed AS (
+         SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cent_id, e AS ce
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, f, cent_id FROM (
+           SELECT fx.vec_id, fx.f, s.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+               list_sum([fx.e[i] * s.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([fx.e[i] * fx.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([s.ce[i] * s.ce[i] for i in range(1, 65)]))) DESC,
+               s.cent_id ASC) AS r
+           FROM fx CROSS JOIN seed s) WHERE r = 1),
+       u1 AS (SELECT cent_id, unnest(f) AS xf, unnest(range(1, 65)) AS i FROM a1),
+       s1 AS (SELECT cent_id, i, SUM(xf) AS sf FROM u1 GROUP BY cent_id, i),
+       n1 AS (SELECT cent_id, COUNT(*) AS cnt FROM a1 GROUP BY cent_id),
+       m1 AS (SELECT s1.cent_id, list(CAST(sf AS DOUBLE) / cnt / 1048576.0 ORDER BY i) AS ce
+              FROM s1 JOIN n1 USING (cent_id) GROUP BY s1.cent_id),
+       c1 AS (SELECT sd.cent_id, COALESCE(m1.ce, sd.ce) AS ce FROM seed sd LEFT JOIN m1 USING (cent_id)),
+       asg AS (
+         SELECT vec_id, e, cent_id FROM (
+           SELECT v.vec_id, v.e, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum([v.e[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM v CROSS JOIN c1 c) WHERE r = 1),
+       proto AS (
+         SELECT a.vec_id, a.cent_id AS cell,
+           list_sum([a.e[i] * c.ce[i] for i in range(1, 65)]) /
+             (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
+              sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) AS sim
+         FROM asg a JOIN c1 c ON a.cent_id = c.cent_id),
+       r AS (
+         SELECT vec_id, cell, sim,
+           ROW_NUMBER() OVER (PARTITION BY cell
+             ORDER BY sim DESC, vec_id ASC) AS proto_rank,
+           COUNT(*) OVER (PARTITION BY cell) AS n_cell
+         FROM proto)
+       SELECT vec_id, cell, sim, CAST(proto_rank AS BIGINT) AS proto_rank,
+         CAST(n_cell AS BIGINT) AS n_cell
+       FROM r WHERE proto_rank > (n_cell * 1) // 4"""
+
+  // ------------------------------------------------------------------
+  // q122 — adaptive per-language quality cutoffs (composition:
+  // Text.qualityScore ∘ Profile.histogramQuantilesByGroup ∘ broadcast
+  // join): a FIXED quality bar is miscalibrated across languages (the
+  // stopword term is English-tuned, so non-English prose scores
+  // systematically lower) — the CCNet move is a PER-LANGUAGE cutoff.
+  // Each language's P25 from the deterministic histogram quantile
+  // becomes its bar; one conditional aggregation counts survivors.
+  // Exactness: quality ∈ [0,1] and the 1024-bin width is 2^-10, so
+  // bin = floor(q/w) and cut = (bin+1)*w are exact doubles in both
+  // engines. Two corpus passes (histogram counts + conditional agg),
+  // both reduced to (lang, ...) partials; the cut table is langs-sized
+  // and broadcast.
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Text.qualityScore(col("text")).as("q"))
+    val cuts = graft.ops.Profile.histogramQuantilesByGroup(
+        d, Seq("lang"), col("q"), lo = 0.0, hi = 1.0, bins = 1024,
+        quantiles = Seq(0.25))
+      .select(col("lang"), col("approx_value").as("cut"))
+    d.join(broadcast(cuts), "lang")
+      .groupBy("lang")
+      .agg(min(col("cut")).as("cut"),
+        sum(when(col("q") >= col("cut"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_total"))
+      .select(col("lang"), col("cut"), col("n_kept"), col("n_total"))
+  }
+
+  private val q122Sql =
+    """WITH base AS (
+         SELECT doc_id, lang, text,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       m AS (
+         SELECT doc_id, lang,
+           len(tk) AS n_tokens,
+           CASE WHEN len(text) > 0 THEN
+             CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+             ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(tk) > 0 THEN
+             CAST(len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+             ELSE 0.0 END AS stopword_ratio,
+           len(text) AS n_chars
+         FROM base),
+       scored AS (
+         SELECT lang,
+           least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+             + greatest(1.0 - punct_ratio * 4, 0.0) * 0.3
+             + least(stopword_ratio * 5, 1.0) * 0.3 AS q
+         FROM m),
+       b AS (
+         SELECT lang,
+           CAST(least(greatest(floor((q - 0.0) / 0.0009765625), 0),
+             1023) AS BIGINT) AS bin,
+           count(*) AS n
+         FROM scored WHERE q IS NOT NULL GROUP BY 1, 2),
+       c AS (
+         SELECT lang, bin, n,
+           sum(n) OVER (PARTITION BY lang ORDER BY bin
+             ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n) OVER (PARTITION BY lang) AS total
+         FROM b),
+       cut AS (
+         SELECT lang, 0.0 + (MIN(bin) + 1) * 0.0009765625 AS cut
+         FROM c WHERE cum >= ceil(0.25 * total) GROUP BY lang)
+       SELECT s.lang, cut,
+         CAST(sum(CASE WHEN s.q >= cut THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(count(*) AS BIGINT) AS n_total
+       FROM scored s JOIN cut USING (lang) GROUP BY 1, 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_adaptive_quality" -> (q122 _),
+    "q121_prototypicality" -> (q121 _),
+    "q120_url_dedup" -> (q120 _),
     "q119_normalize_text" -> (q119 _),
     "q118_source_boilerplate" -> (q118 _),
     "q117_ngram_containment" -> (q117 _),
@@ -5481,6 +5708,9 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q122_adaptive_quality" -> q122Sql,
+    "q121_prototypicality" -> q121Sql,
+    "q120_url_dedup" -> q120Sql,
     "q119_normalize_text" -> q119Sql,
     "q107_stream_dedup" -> q107Sql,
     "q27_lsh_ann" -> q27Sql,

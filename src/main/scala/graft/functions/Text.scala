@@ -133,6 +133,53 @@ object Text {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "[^a-z0-9]+", " ").cast("binary"))
 
+  /** URL canonicalization — the key for URL-level dedup, the FIRST
+    * dedup stage of every web-corpus pipeline (C4, CCNet, RefinedWeb
+    * all dedup by normalized URL before any content pass): the same
+    * page arrives under scheme/host case variants, with or without
+    * `www.`, default ports, trailing slashes, tracking parameters, and
+    * fragments, and each variant would survive exact content dedup
+    * whenever the crawl captured different page chrome.
+    *
+    * Rules (each deliberately cheap and engine-reproducible):
+    * scheme and host lowercase; leading `www.` dropped; default port
+    * dropped (`:80` for http, `:443` for https — a NON-default port is
+    * meaningful and kept); trailing slash runs stripped from the path
+    * (so `/docs/` = `/docs`, and a bare root becomes the empty path);
+    * the fragment dropped; query parameters split on `&`, tracking
+    * params dropped (`utm_*`, `fbclid`, `gclid`, `msclkid`, `ref`),
+    * the rest SORTED bytewise and rejoined (param order is transport
+    * noise). Path case is preserved — paths are case-sensitive by
+    * spec. Input without a `scheme://` is returned trimmed, unparsed
+    * (this canonicalizes crawl URLs, it does not repair them).
+    *
+    * Pure composition of codegen'd built-ins + two higher-order array
+    * ops — map-only, no UDF, patterns in the shared Java-regex/RE2
+    * subset and every one anchored (single-match, so Spark's
+    * replace-all and DuckDB's replace-first agree).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val t0 = trim(u)
+    val scheme = lower(regexp_extract(t0, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(t0, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hp = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?#]*)", 1)), "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hp, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hp, ":443$", ""))
+      .otherwise(hp)
+    // path + query, fragment dropped (anchored from the first '#')
+    val pq = regexp_replace(regexp_replace(rest, "^[^/?#]*", ""), "#.*$", "")
+    val path = regexp_replace(regexp_extract(pq, "^([^?]*)", 1), "/+$", "")
+    val params = filter(
+      split(regexp_extract(pq, "\\?(.*)$", 1), "&"),
+      p => p =!= "" &&
+        !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"))
+    val qs = array_join(array_sort(params), "&")
+    when(scheme === "", t0).otherwise(concat(
+      scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
   // ----------------------------------------------------------------
   // PII detection / redaction. Patterns deliberately stay in the
   // common subset of Java regex and RE2 (no lookaround, no backrefs,

@@ -2564,4 +2564,85 @@ object Similarity extends Serializable {
       .agg(
         min(col("id1")).as("dup_of"),
         min_by(col("sim"), col("id1")).as("sim"))
+
+  /** Prototypicality pruning (the "SSL Prototypes" metric of Sorscher
+    * et al. 2022, arXiv:2206.14486, applied to LLM data as stage 2 of
+    * D4, Tirumala et al. 2023, arXiv:2308.12284): rank every vector by
+    * cosine to its own trained k-means centroid and DROP the
+    * most-prototypical `dropNum/dropDen` fraction of each cell — the
+    * easy, over-represented core of a cluster contributes least to
+    * training once the cluster is represented at all; the informative
+    * boundary examples stay. Complements [[semDedup]] (which removes
+    * pairwise near-duplicates; this thins cluster cores wholesale) —
+    * run semDedup first and this second for the full D4 recipe.
+    *
+    * The drop fraction is an exact rational (`n_drop = n_cell *
+    * dropNum div dropDen`, integer arithmetic — never a float times a
+    * count), and ranking is the total order (cosine desc, id asc), so
+    * the kept set is deterministic and engine-reproducible; centroids
+    * come from [[trainKmeans]]'s exact fixed-point Lloyd pass like
+    * every k-means consumer here (reference runOnce idiom:
+    * /root/reference/src/Hadron/Controller.hs:724-725).
+    *
+    * Scale shape: centroids are a bounded driver statistic; assignment
+    * and the cosine-to-own-centroid score are one map-only pass over
+    * the corpus (same pruned [[CentroidScan]] as IVF past the tier
+    * gate); the ONLY shuffle is the per-cell rank window over three
+    * narrow columns (id, cell, sim) — vectors never exchange. Cell
+    * populations are ~`Sizing.semDedupNlist`'s target regardless of n,
+    * so the window's per-group sort state is bounded.
+    *
+    * @return one row per KEPT vector: (id, cell, sim, rank, n_cell) —
+    *   `sim` = cosine to the cell centroid, `rank` 1-based from most
+    *   prototypical, rows with `rank <= n_cell * dropNum div dropDen`
+    *   are removed.
+    */
+  def prototypicality(
+      corpus: DataFrame,
+      idCol: String, vecCol: String,
+      dropNum: Int, dropDen: Int,
+      nlist: Int = graft.ops.Sizing.Auto,
+      trainIters: Int = 1): DataFrame = {
+    require(dropDen >= 1 && dropNum >= 0 && dropNum <= dropDen,
+      s"drop fraction must be a rational in [0, 1], got $dropNum/$dropDen")
+    require(nlist >= 1 || nlist == graft.ops.Sizing.Auto,
+      s"nlist must be >= 1 (or Sizing.Auto), got $nlist")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val nlistN =
+      if (nlist == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.semDedupNlist(c.select(col("id")).count())
+      else nlist
+    val cents = trainKmeans(corpus, idCol, vecCol, nlistN, trainIters)
+    val assigned = assignNearest(c, cents, 1, 1)
+    // cosine to the OWN centroid: closure-shipped centroid lookup,
+    // float->double promotion per term — bit-identical to the
+    // assignment scan's score for the winning centroid
+    val byId = cents.toMap
+    val norms = cents.map { case (cid, ce) => (cid, normD(ce)) }.toMap
+    val schema = assigned.schema
+      .add(org.apache.spark.sql.types.StructField(
+        "sim", org.apache.spark.sql.types.DoubleType, false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val vi = assigned.schema.fieldIndex("v")
+    val ci = assigned.schema.fieldIndex("cent_id")
+    val scored = assigned.mapPartitions { rows =>
+      rows.map { r =>
+        val v = r.getSeq[Float](vi)
+        val cid = r.getLong(ci)
+        val ce = byId(cid)
+        val sim = dotFD(v, ce) / (normF(v) * norms(cid))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sim)
+      }
+    }(enc)
+    val byCell = Window.partitionBy("cell")
+    scored
+      .select(col("id"), col("cent_id").as("cell"), col("sim"))
+      .withColumn("rank",
+        row_number().over(byCell.orderBy(col("sim").desc, col("id").asc))
+          .cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(byCell))
+      .filter(col("rank") > expr(s"n_cell * $dropNum div $dropDen"))
+  }
 }

@@ -26,6 +26,34 @@ class FunctionsSpec extends SparkSpec {
     assert(r.asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a b", "b c"))
   }
 
+  test("canonicalizeUrl: case/www/default-port/trailing-slash/tracking/" +
+      "fragment variants collapse; meaningful differences survive") {
+    def cu(s: String): String =
+      eval1(Text.canonicalizeUrl(lit(s))).asInstanceOf[String]
+    // every chrome variant of the same page -> one key
+    val want = "http://ex.com/Docs/3?a=1&b=2"
+    assert(cu("HTTP://WWW.Ex.COM:80/Docs/3/?utm_source=f&b=2&a=1#frag")
+      == want)
+    assert(cu("http://ex.com/Docs/3?b=2&a=1") == want)
+    assert(cu(" http://www.ex.com/Docs/3/?a=1&utm_campaign=x&b=2 ") == want)
+    // https strips :443, not :80
+    assert(cu("HTTPS://ex.com:443/p") == "https://ex.com/p")
+    assert(cu("https://ex.com:80/p") == "https://ex.com:80/p")
+    // a NON-default port is meaning, not chrome
+    assert(cu("http://ex.com:8080/p") == "http://ex.com:8080/p")
+    // path case preserved (case-sensitive by spec); root becomes empty
+    assert(cu("http://ex.com/A/b") == "http://ex.com/A/b")
+    assert(cu("http://EX.com/") == "http://ex.com")
+    // all-tracking query disappears entirely (no dangling '?'); bare
+    // 'ref' without '=' is stripped too, 'refresh=1' is NOT (the
+    // pattern requires a param boundary)
+    assert(cu("http://ex.com/p?utm_a=1&fbclid=2&gclid=3&ref") ==
+      "http://ex.com/p")
+    assert(cu("http://ex.com/p?refresh=1") == "http://ex.com/p?refresh=1")
+    // scheme-less input passes through trimmed, unparsed
+    assert(cu("  not a url  ") == "not a url")
+  }
+
   test("md5Mod matches an independent JVM md5 computation") {
     val s = "hello"
     val digest = java.security.MessageDigest.getInstance("MD5")

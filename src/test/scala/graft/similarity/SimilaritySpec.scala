@@ -252,6 +252,71 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(2L -> 1L, 4L -> 3L))
   }
 
+  test("prototypicality: per-cell drop of the most-prototypical exact " +
+      "rational fraction matches a brute-force model (nlist=1)") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 97 + i * 13).toFloat)
+    val rows = (1 to 11).map(i => (i.toLong, vec(i)))
+    val df = rows.toDF("vec_id", "embedding")
+    // model: one Lloyd pass at nlist=1 -> centroid = exact fixed-point
+    // mean of EVERY vector (trainKmeans's half-away-from-zero rounding
+    // at 2^20, sum.toDouble / cnt / 2^20), then the same
+    // float->double-per-term cosine fold as the assignment scan
+    def fx(x: Double): Long =
+      (if (x >= 0) math.floor(x * 1048576.0 + 0.5)
+       else math.ceil(x * 1048576.0 - 0.5)).toLong
+    val ce = Array.tabulate(64) { i =>
+      rows.map(r => fx(r._2(i).toDouble)).sum.toDouble /
+        rows.length / 1048576.0 }
+    def cos(v: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dot += v(i).toDouble * ce(i)
+        na += v(i).toDouble * v(i); nb += ce(i) * ce(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ranked = rows.map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, 0L, s, i + 1L, 11L) }
+    def run(num: Int, den: Int) = Similarity.prototypicality(
+        df, "vec_id", "embedding", dropNum = num, dropDen = den,
+        nlist = 1, trainIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // 11 * 1 div 4 = 2 dropped — exact integer rational, never a
+    // float-times-count; sims/ranks bit-equal to the model
+    assert(run(1, 4) == ranked.filter(_._4 > 2).toSet)
+    // degenerate rationals: 0/1 keeps everything (full ranking), 1/1
+    // drops every row
+    assert(run(0, 1) == ranked.toSet)
+    assert(run(1, 1).isEmpty)
+  }
+
+  test("prototypicality multi-cell: ranks are a 1..n_cell permutation " +
+      "per cell and the drop count is per-cell exact") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 97 + i * 13).toFloat)
+    val rows = (1 to 20).map(i => (i.toLong, vec(i % 5))) // 5 tight groups
+    val out = Similarity.prototypicality(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dropNum = 1, dropDen = 3, nlist = 4, trainIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (cell, members) =>
+      val nCell = members.head._4
+      assert(members.forall(_._4 == nCell), s"n_cell disagrees in $cell")
+      val drop = nCell * 1 / 3
+      assert(members.length == (nCell - drop).toInt,
+        s"cell $cell kept ${members.length} of $nCell (drop $drop)")
+      assert(members.map(_._3).sorted.toSeq ==
+        ((drop + 1) to nCell).toSeq, s"cell $cell ranks not contiguous")
+    }
+  }
+
   test("semDedup keep rule is single-hop min-id, not transitive " +
       "(a chain removes every non-head link, each blaming its neighbor)") {
     import spark.implicits._
