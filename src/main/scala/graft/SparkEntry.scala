@@ -5282,17 +5282,29 @@ object SparkEntry {
   // key; per key the longest doc wins (ties to min doc_id), the
   // CCNet keep-best rule. Canonicalization is map-only; the dedup is
   // one partial-agg groupBy on the canonical key.
+  // the deterministic crawl-URL synthesis shared by q120/q123 (the
+  // documents table carries no URL column; scheme/host case, www., a
+  // default port, a trailing slash, tracking params, and a fragment
+  // injected on disjoint doc_id residues); the oracles build the
+  // identical string
+  private def synthUrl: Column = concat(
+    lit("HTTP://"),
+    when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+    col("source"), lit(".Example.COM"),
+    when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit("")),
+        // path modulus 56: with source = id%20, the canonical key is id
+    // mod lcm(20,56)=280 — dense ids form distance-280 URL-dup PAIRS
+    // plus singletons, and 280 % 3 = 1 means a pair straddles q123's
+    // %3 base/increment split (a %10-style split would be pinned by
+    // the source term: id%20 determines id%10)
+    lit("/Docs/"), (col("doc_id") % 56).cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&b=2&a=1"),
+    when(col("doc_id") % 5 === 0, lit("&utm_campaign=x")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("#sec-2")).otherwise(lit("")))
+
   private def q120(s: SparkSession, dir: String): DataFrame = {
-    val url = concat(
-      lit("HTTP://"),
-      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
-      col("source"), lit(".Example.COM"),
-      when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit("")),
-      lit("/Docs/"), (col("doc_id") % 40).cast("string"),
-      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
-      lit("?utm_source=feed&b=2&a=1"),
-      when(col("doc_id") % 5 === 0, lit("&utm_campaign=x")).otherwise(lit("")),
-      when(col("doc_id") % 7 === 0, lit("#sec-2")).otherwise(lit("")))
+    val url = synthUrl
     // keep-best via the bounded topk_by aggregate (k=1): a min(struct)
     // argmin falls out of hash aggregation into SortAggregate (struct
     // buffers aren't mutable) — topk_by keeps the partial agg hash-based
@@ -5318,7 +5330,7 @@ object SparkEntry {
            CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
            source || '.Example.COM' ||
            CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
-           '/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+           '/Docs/' || CAST(doc_id % 56 AS VARCHAR) ||
            CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
            '?utm_source=feed&b=2&a=1' ||
            CASE WHEN doc_id % 5 = 0 THEN '&utm_campaign=x' ELSE '' END ||
@@ -5495,7 +5507,207 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS n_total
        FROM scored s JOIN cut USING (lang) GROUP BY 1, 2"""
 
+  // ------------------------------------------------------------------
+  // q123 — incremental crawl admission (composition: canonicalizeUrl ∘
+  // two BloomJoin.antiJoins): a crawl increment (doc_id % 10 >= 8)
+  // enters the corpus only if BOTH its canonical URL and its content
+  // fingerprint are unseen in the base — URL identity first, content
+  // identity as the moved-URL fallback (the daily-crawl dedup rule).
+  // Bloom definite-no rows never shuffle; exact anti arms clear the
+  // false positives, so output equals the plain NOT-EXISTS oracle.
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Text.canonicalizeUrl(synthUrl).as("curl"),
+        graft.functions.Text.fingerprint(col("text")).as("fp"))
+    val base = d.filter(col("doc_id") % 3 < 2)
+    val inc = d.filter(col("doc_id") % 3 === 2)
+    val byUrl = graft.ops.BloomJoin.antiJoin(
+      inc, col("curl"), base, col("curl"), expectedItems = 100000L)
+    graft.ops.BloomJoin.antiJoin(
+        byUrl, col("fp"), base, col("fp"), expectedItems = 100000L)
+      .select("doc_id", "curl", "fp")
+  }
+
+  private val q123Sql =
+    """WITH u AS (
+         SELECT doc_id, text,
+           'HTTP://' ||
+           CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+           source || '.Example.COM' ||
+           CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+           '/Docs/' || CAST(doc_id % 56 AS VARCHAR) ||
+           CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+           '?utm_source=feed&b=2&a=1' ||
+           CASE WHEN doc_id % 5 = 0 THEN '&utm_campaign=x' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END AS url
+         FROM documents),
+       p AS (
+         SELECT doc_id, text,
+           lower(regexp_extract(trim(url),
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           regexp_replace(trim(url),
+             '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         FROM u),
+       h AS (
+         SELECT doc_id, text, scheme,
+           regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+             '^www\.', '') AS hp,
+           regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+             '#.*$', '') AS pq
+         FROM p),
+       c AS (
+         SELECT doc_id,
+           scheme || '://' ||
+           CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+                ELSE hp END ||
+           regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$', '') ||
+           CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS curl,
+           md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp
+         FROM (
+           SELECT *, array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(pq, '\?(.*)$', 1), '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))),
+             '&') AS qs
+           FROM h))
+       SELECT i.doc_id, i.curl, i.fp
+       FROM c i
+       WHERE i.doc_id % 3 = 2
+         AND NOT EXISTS (SELECT 1 FROM c b
+           WHERE b.doc_id % 3 < 2 AND b.curl = i.curl)
+         AND NOT EXISTS (SELECT 1 FROM c b
+           WHERE b.doc_id % 3 < 2 AND b.fp = i.fp)"""
+
+  // ------------------------------------------------------------------
+  // q124 — deterministic token-budget sampling (extension:
+  // Sampling.budgetSample over Prefix.runningTotal): keep documents in
+  // content-addressed hash order while the running token total stays
+  // within a 5000-token budget — "give me ~N tokens, reproducibly",
+  // the unit training runs are provisioned in.
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.budgetSample(
+      t(s, dir, "documents"), col("doc_id"),
+      graft.functions.Text.tokenCount(col("text")),
+      budget = 5000L, salt = "s124")
+      .withColumnRenamed("id", "doc_id")
+
+  private val q124Sql =
+    """WITH t AS (
+         SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS BIGINT) AS w,
+           md5(CAST(doc_id AS VARCHAR) || ':s124') || ':' ||
+             CAST(doc_id AS VARCHAR) AS ord
+         FROM documents),
+       c AS (
+         SELECT doc_id, w,
+           sum(w) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS cum
+         FROM t)
+       SELECT doc_id, w, CAST(cum AS BIGINT) AS cum
+       FROM c WHERE cum <= 5000"""
+
+  // ------------------------------------------------------------------
+  // q125 — keep-BEST-copy near-dup removal (composition: minhashLsh ∘
+  // connectedComponents ∘ qualityScore ∘ topk_by(k=1)): q37's dup
+  // clusters, but the survivor is each cluster's highest-QUALITY
+  // member (ties to min id), not the min id — the removal list a real
+  // curation pipeline wants (drop the worse copies, keep the best).
+  // Only pair-graph nodes reach the cluster stages; the keeper table
+  // is cluster-sized and AQE-broadcast back.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val comps = graft.dedup.Components.connectedComponents(
+      graft.dedup.Dedup.minhashLsh(
+        d, col("doc_id"), col("text"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+        maxBucketSize = 1000))
+    val qual = d.select(col("doc_id").as("id"),
+      graft.functions.Text.qualityScore(col("text")).as("q"))
+    val members = comps.join(qual, "id")
+    val keepers = members.groupBy("component")
+      .agg(
+        call_function("topk_by", col("id"), col("q"), lit(1))(0)("id")
+          .as("keep_id"),
+        count(lit(1)).as("n_cluster"))
+    members.join(keepers, "component")
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("doc_id"), col("component"), col("keep_id"),
+        col("n_cluster"))
+  }
+
+  private val q125Sql =
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       sigs AS (
+         SELECT id, vms,
+           [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM based),
+       bands AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigs CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       ok_buckets AS (
+         SELECT bucket FROM bands GROUP BY bucket HAVING COUNT(*) <= 1000),
+       cand AS (
+         SELECT a.id AS id1, b.id AS id2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
+         JOIN ok_buckets c ON a.bucket = c.bucket
+         UNION
+         SELECT min(id) AS id1, max(id) AS id2
+         FROM bands GROUP BY bucket HAVING COUNT(*) > 1000),
+       verified AS (
+         SELECT id1, id2
+         FROM cand JOIN sigs d1 ON id1 = d1.id JOIN sigs d2 ON id2 = d2.id
+         WHERE CAST(len(list_intersect(d1.vms, d2.vms)) AS DOUBLE) /
+           (len(d1.vms) + len(d2.vms) - len(list_intersect(d1.vms, d2.vms))) >= 0.3),
+       edges AS (
+         SELECT id1 AS a, id2 AS b FROM verified
+         UNION SELECT id2, id1 FROM verified),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (
+         SELECT a AS id, LEAST(a, MIN(b)) AS component
+         FROM reach GROUP BY a),
+       qtk AS (
+         SELECT doc_id AS id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk,
+           text FROM documents),
+       qual AS (
+         SELECT id,
+           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+             + greatest(1.0 - (CASE WHEN len(text) > 0 THEN
+                 CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+                 ELSE 0.0 END) * 4, 0.0) * 0.3
+             + least((CASE WHEN len(tk) > 0 THEN
+                 CAST(len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END) * 5, 1.0) * 0.3 AS q
+         FROM qtk),
+       members AS (
+         SELECT c.id, c.component, q.q FROM comp c JOIN qual q USING (id)),
+       ranked AS (
+         SELECT id, component,
+           ROW_NUMBER() OVER (PARTITION BY component
+             ORDER BY q DESC, id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY component) AS n_cluster
+         FROM members),
+       k AS (SELECT component, id AS keep_id FROM ranked WHERE rn = 1)
+       SELECT m.id AS doc_id, m.component, k.keep_id,
+         CAST(m.n_cluster AS BIGINT) AS n_cluster
+       FROM ranked m JOIN k USING (component) WHERE m.id <> k.keep_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_keep_best_dedup" -> (q125 _),
+    "q124_budget_sample" -> (q124 _),
+    "q123_crawl_admission" -> (q123 _),
     "q122_adaptive_quality" -> (q122 _),
     "q121_prototypicality" -> (q121 _),
     "q120_url_dedup" -> (q120 _),
@@ -5708,6 +5920,9 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q125_keep_best_dedup" -> q125Sql,
+    "q124_budget_sample" -> q124Sql,
+    "q123_crawl_admission" -> q123Sql,
     "q122_adaptive_quality" -> q122Sql,
     "q121_prototypicality" -> q121Sql,
     "q120_url_dedup" -> q120Sql,

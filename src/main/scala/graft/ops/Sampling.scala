@@ -458,4 +458,46 @@ object Sampling {
       .orderBy(col("key_fp").asc, col("id").asc)
       .limit(k)
   }
+
+  /** Deterministic token-budget head sample: "give me ~`budget` tokens
+    * of this corpus, reproducibly". Rows are ordered by the
+    * content-addressed md5 key (the house unit-hash convention — a
+    * shuffle-proof uniform "random" order; `salt` draws an independent
+    * sample) and kept while the running weight total stays within
+    * `budget` (inclusive: the first row whose cumulative total exceeds
+    * the budget is dropped, as is everything after it in hash order).
+    * Unlike a fraction-based `sampleByHash`, the budget is in WEIGHT
+    * units (tokens, bytes), the quantity training runs are actually
+    * provisioned in — and unlike `weightedSample(k)`, weight here is
+    * cost, not sampling propensity.
+    *
+    * Membership is a pure function of (id, weight, salt, budget) —
+    * stable across runs, partitionings, and engines. Null weights
+    * count as 0 (the row is kept for free if reached).
+    *
+    * Scale shape: one range exchange + two linear passes
+    * ([[Prefix.runningTotal]]'s materialized-layout contract — see its
+    * scaladoc for the persist rationale and the DISK_ONLY lever at
+    * corpus scale); the driver sees O(partitions) longs. The order key
+    * ends with the id, so ties are impossible and the cut is total.
+    *
+    * @return (id, w, cum) for kept rows — `cum` the inclusive running
+    *   total in hash order, ≤ `budget`.
+    */
+  def budgetSample(
+      df: DataFrame,
+      idCol: Column,
+      weightCol: Column,
+      budget: Long,
+      salt: String = "budget"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val keyed = df.select(
+      concat(md5(concat(idCol.cast("string"), lit(":" + salt))),
+        lit(":"), idCol.cast("string")).as("ord"),
+      idCol.as("id"),
+      weightCol.cast("long").as("w"))
+    Prefix.runningTotal(keyed, "ord", "w", "cum")
+      .filter(col("cum") <= budget)
+      .select(col("id"), col("w"), col("cum"))
+  }
 }

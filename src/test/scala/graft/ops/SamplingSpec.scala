@@ -144,6 +144,40 @@ class SamplingSpec extends SparkSpec {
     assert(boom.getMessage.contains("epochs outside"))
   }
 
+  test("budgetSample matches the sequential hash-order model, cuts " +
+      "inclusively, and is partitioning-invariant") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = 400
+    val rows = (0L until n).map(i => (i, (i * 7 % 23) + 1)) // weights 1..23
+    val budget = 900L
+    // model: sort by (md5("id:s") ++ ":" ++ id), keep while cum <= budget
+    val model = rows
+      .map { case (id, w) => (md5hex(s"$id:s") + ":" + id, id, w) }
+      .sortBy(_._1)
+      .scanLeft(("", -1L, 0L, 0L)) { case ((_, _, _, cum), (k, id, w)) =>
+        (k, id, w, cum + w) }
+      .drop(1)
+      .takeWhile(_._4 <= budget)
+      .map(t => (t._2, t._3, t._4)).toSet
+    assert(model.nonEmpty && model.size < n) // the cut actually bites
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.budgetSample(df, col("id"), col("w"), budget, salt = "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    import spark.implicits._
+    val df = rows.toDF("id", "w")
+    assert(run(df) == model)
+    assert(run(df.repartition(13)) == model) // layout-proof
+    // inclusive cut: total of kept == the largest cum <= budget
+    assert(model.map(_._3).max <= budget)
+    // zero budget keeps nothing (weights are all >= 1 here)
+    assert(run(df.limit(50)).nonEmpty)
+    assert(Sampling.budgetSample(df, col("id"), col("w"), 0L, "s")
+      .count() == 0L)
+  }
+
   test("degenerate configurations are rejected") {
     assertThrows[IllegalArgumentException](
       Sampling.splitLabel(col("id"), "s", Seq.empty))
