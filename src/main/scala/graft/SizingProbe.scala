@@ -373,6 +373,97 @@ object SizingProbe {
         println(s"""{"metric":"pipeline_ladder","rows":$nRaw,"sec":$t,""" +
           s""""shards":$shards,"stage":"$stage"}""")
 
+      case "fullcur" =>
+        // Round-15 EXTENDED end-to-end ladder: the q34-era "pipeline"
+        // chain widened to the full modern curation stack — HTML
+        // extraction (q129) -> NFC normalize (q119) -> Gopher rule
+        // filter (q126) -> canonical-URL keep-longest dedup (q120) ->
+        // exact-fingerprint dedup -> minhash near-dup anti-join ->
+        // UniMax mixture (q127) -> epoch shuffle + shard packing
+        // (q109). Every stage is map-only or already carries its own
+        // ladder; this measures the COMPOSITION (recompute blowups,
+        // barrier stalls, partition collapse across 8 stages).
+        // URL-dup structure: the synthetic URL keys pairs of adjacent
+        // ids (floor(id/2)) with chrome variants, so canonicalization
+        // removes a CONSTANT ~half at every rung (replica offsets are
+        // even multiples of 1e7, preserving the pairing) — a scale-
+        // fair dedup fraction, unlike a mod-56 path that would
+        // collapse deep rungs entirely.
+        import graft.functions.Text
+        val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val nRaw = d0.count()
+        def stagePrefix(): org.apache.spark.sql.DataFrame = {
+          val html = concat(
+            lit("<html><head><style>p {color: red}</style></head>" +
+              "<body><h1>"), upper(col("source")), lit("</h1><p>"),
+            col("text"),
+            lit("</p><script>var x = 1 < 2;</script></body></html>"))
+          val extracted = d0.select(col("doc_id"), col("lang"),
+            col("source"),
+            Text.normalizeText(Text.stripHtml(html)).as("text"))
+          val gophered = extracted.filter(Text.gopherRules(col("text"),
+            minWords = 25, maxWords = 80, minMeanWordLen = 4,
+            maxMeanWordLen = 10, minAlphaRatio = (24, 25),
+            minStopwordHits = 1)("pass"))
+          val curl = Text.canonicalizeUrl(concat(
+            lit("HTTP://WWW."), col("source"), lit(".Example.COM"),
+            when(col("doc_id") % 2 === 0, ":80").otherwise(lit("")),
+            lit("/d/"), floor(col("doc_id") / 2).cast("long"),
+            when(col("doc_id") % 2 === 0, "?utm_source=x")
+              .otherwise(lit(""))))
+          val urlKept = gophered.withColumn("curl", curl)
+            .groupBy("curl")
+            .agg(call_function("topk_by",
+              struct(col("doc_id"), col("text"), col("lang")),
+              length(col("text")).cast("double"), lit(1))(0)("id")
+              .as("r"))
+            .select(col("r.doc_id").as("doc_id"),
+              col("r.text").as("text"), col("r.lang").as("lang"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")
+          val kept1 = urlKept
+            .withColumn("fp", Text.fingerprint(col("text")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select("doc_id", "text", "lang")
+          def dup() = graft.dedup.Dedup.minhashLsh(
+            kept1, col("doc_id"), col("text"),
+            shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+            maxBucketSize = 1000, rowsHint = nRaw)
+          def full() = {
+            val dupIds = dup().select(col("id2").as("doc_id")).distinct()
+            val kept = kept1.join(dupIds, Seq("doc_id"), "left_anti")
+            val mixed = graft.ops.Sampling.uniMax(
+              kept, col("doc_id"), "fc15", col("lang"),
+              budgetRows = nRaw, maxEpochs = 4)
+            val keyed = mixed.select(
+              md5(concat(col("doc_id").cast("string"), lit("#"),
+                col("copy_idx").cast("string")).cast("binary"))
+                .as("ord"),
+              col("doc_id"),
+              length(col("text")).cast("long").as("tok"))
+            graft.ops.Prefix.packIntoShards(
+                keyed, orderCol = "ord", tokenCol = "tok",
+                budget = 20000L)
+              .groupBy("shard")
+              .agg(count(lit(1)).as("n_rows"), sum(col("tok")).as("toks"))
+          }
+          sys.env.get("GRAFT_PIPE_STAGE") match {
+            case Some("extract") => extracted
+            case Some("gopher") => gophered
+            case Some("url") => urlKept
+            case Some("kept1") => kept1
+            case Some("dup") => dup()
+            case _ => full()
+          }
+        }
+        time(stagePrefix()) // warm
+        val (t, outRows) = time(stagePrefix())
+        val stage = sys.env.getOrElse("GRAFT_PIPE_STAGE", "full")
+        println(s"""{"metric":"fullcur_ladder","rows":$nRaw,"sec":$t,""" +
+          s""""out":$outRows,"stage":"$stage"}""")
+
       case "proto" =>
         // Prototypicality ladder on the emb rungs: auto-nlist training
         // + map-only scoring + the narrow per-cell rank window. The

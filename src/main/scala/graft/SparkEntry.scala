@@ -5704,7 +5704,227 @@ object SparkEntry {
          CAST(m.n_cluster AS BIGINT) AS n_cluster
        FROM ranked m JOIN k USING (component) WHERE m.id <> k.keep_id"""
 
+  // ------------------------------------------------------------------
+  // q126 — the Gopher quality rule set (extension: Text.gopherRules,
+  // Rae et al. 2021 Table A1) as per-doc named booleans — the filter
+  // every web-corpus pipeline applies BEFORE dedup, with per-rule
+  // fields so rejection counts are reportable per rule (how the papers
+  // tune them). The fixture synthesizes line structure from word
+  // occurrences via plain (non-regex) replace so the line rules have
+  // both outcomes; thresholds are query-level parameters chosen to
+  // straddle on this corpus (the operator's DEFAULTS are the published
+  // Gopher numbers). Every ratio is integer cross-multiplied — no
+  // float anywhere, bit-identical across engines. Map-only.
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val synth = replace(
+      replace(col("text"), lit(" line "), lit("\n- line ")),
+      lit(" batch "), lit("...\n batch "))
+    val g = graft.functions.Text.gopherRules(synth,
+      minWords = 25, maxWords = 80,
+      minMeanWordLen = 4, maxMeanWordLen = 10,
+      maxSymbolRatio = (1, 20), maxBulletRatio = (1, 2),
+      maxEllipsisRatio = (3, 10), minAlphaRatio = (24, 25),
+      minStopwordHits = 1)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), g.as("g"))
+      .select(col("doc_id"), col("lang"), col("g.n_words"),
+        col("g.ok_words"), col("g.ok_mean_word_len"),
+        col("g.ok_symbol_ratio"), col("g.ok_bullet_lines"),
+        col("g.ok_ellipsis_lines"), col("g.ok_alpha_words"),
+        col("g.ok_stopwords"), col("g.pass"))
+  }
+
+  private val q126Sql =
+    """WITH s0 AS (
+         SELECT doc_id, lang,
+           replace(replace(text, ' line ', chr(10) || '- line '),
+                   ' batch ', '...' || chr(10) || ' batch ') AS d
+         FROM documents),
+       m AS (
+         SELECT doc_id, lang, d,
+           list_filter(regexp_split_to_array(d, '\s+'), x -> x <> '') AS ws,
+           string_split(d, chr(10)) AS lines
+         FROM s0),
+       r AS (
+         SELECT doc_id, lang,
+           CAST(len(ws) AS BIGINT) AS n,
+           CAST(COALESCE(list_sum([len(x) for x in ws]), 0) AS BIGINT) AS sum_len,
+           CAST(len(d) - len(replace(d, '#', '')) AS BIGINT)
+             + CAST((len(d) - len(replace(d, '...', ''))) // 3 AS BIGINT) AS symbols,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines, x -> starts_with(ltrim(x), '-')
+             OR starts_with(ltrim(x), '*'))) AS BIGINT) AS bullets,
+           CAST(len(list_filter(lines, x -> ends_with(rtrim(x), '...'))) AS BIGINT) AS ell_lines,
+           CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+           CAST(len(list_intersect(list_transform(ws, x -> lower(x)),
+             ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         FROM m),
+       f AS (
+         SELECT doc_id, lang, n AS n_words,
+           (n >= 25 AND n <= 80) AS ok_words,
+           (sum_len >= n * 4 AND sum_len <= n * 10) AS ok_mean_word_len,
+           (symbols * 20 <= n * 1) AS ok_symbol_ratio,
+           (bullets * 2 <= n_lines * 1) AS ok_bullet_lines,
+           (ell_lines * 10 <= n_lines * 3) AS ok_ellipsis_lines,
+           (alpha_words * 25 >= n * 24) AS ok_alpha_words,
+           (stop_hits >= 1) AS ok_stopwords
+         FROM r)
+       SELECT doc_id, lang, n_words, ok_words, ok_mean_word_len,
+         ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines,
+         ok_alpha_words, ok_stopwords,
+         (ok_words AND ok_mean_word_len AND ok_symbol_ratio
+          AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+          AND ok_stopwords) AS pass
+       FROM f"""
+
+  // ------------------------------------------------------------------
+  // q127 — UniMax corpus assembly (extension: Sampling.uniMax, Chung
+  // et al. 2023): fair-share budget allocation with an explicit
+  // repetition cap, visiting languages smallest-first so a cap-bound
+  // group returns its surplus to the pool. Budget 1000 over the 500
+  // docs at cap 3 makes the cap BIND on the smallest language (fr:
+  // exactly 3 epochs = 192 rows) while the rest split the remainder
+  // evenly — allocation, epochs, and fractional membership all exact
+  // integer arithmetic, replayed by the oracle as a recursive CTE in
+  // HUGEINT plus the shared 52-bit-hash copy rule.
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.uniMax(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), "unimax", col("lang"),
+        budgetRows = 1000, maxEpochs = 3)
+      .select("doc_id", "lang", "copy_idx")
+
+  private val q127Sql =
+    """WITH RECURSIVE counts AS (
+         SELECT lang AS g, CAST(COUNT(*) AS HUGEINT) AS n
+         FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+       ord AS (
+         SELECT g, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n ASC, g ASC) AS HUGEINT) AS i,
+           CAST(COUNT(*) OVER () AS HUGEINT) AS l
+         FROM counts),
+       rec AS (
+         SELECT CAST(0 AS HUGEINT) AS i, CAST(1000 AS HUGEINT) AS b_rem,
+           CAST(NULL AS VARCHAR) AS g, CAST(NULL AS HUGEINT) AS n,
+           CAST(0 AS HUGEINT) AS alloc
+         UNION ALL
+         SELECT o.i,
+           r.b_rem - least(3 * o.n, r.b_rem // (o.l - o.i + 1)),
+           o.g, o.n,
+           least(3 * o.n, r.b_rem // (o.l - o.i + 1))
+         FROM rec r JOIN ord o ON o.i = r.i + 1),
+       plan AS (
+         SELECT g, n, alloc // n AS copies,
+           ((alloc % n) * 4503599627370496) // n AS thresh
+         FROM rec WHERE g IS NOT NULL),
+       rh AS (
+         SELECT d.doc_id, d.lang, p.copies, p.thresh,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || ':unimax'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) AS h
+         FROM documents d JOIN plan p ON d.lang = p.g),
+       tt AS (
+         SELECT doc_id, lang,
+           CAST(copies + (CASE WHEN h < thresh THEN 1 ELSE 0 END) AS BIGINT) AS total
+         FROM rh)
+       SELECT doc_id, lang,
+         CAST(unnest(range(1, total + 1)) AS BIGINT) AS copy_idx
+       FROM tt WHERE total >= 1"""
+
+  // ------------------------------------------------------------------
+  // q128 — soft dedup reweighting (composition: minhashLsh ∘
+  // connectedComponents ∘ cluster size → weight): instead of REMOVING
+  // near-duplicates, keep every copy and down-weight it by its
+  // cluster's size (weight_fx = floor(2^20 / size)) — the
+  // SoftDedup-style sampling-weight alternative to hard removal, and
+  // the third consumer of the q37 cluster machinery (q37 keeps min-id,
+  // q125 keeps best-quality, q128 keeps all at reduced weight).
+  // Unclustered docs get weight 1.0 (2^20). The double division
+  // cannot mis-floor: 2^20/size has fractional part k/size ≥ 2^-20,
+  // far above the 2^-33-relative rounding of the quotient.
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val comps = graft.dedup.Components.connectedComponents(
+      graft.dedup.Dedup.minhashLsh(
+        d, col("doc_id"), col("text"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+        maxBucketSize = 1000))
+    val sizes = comps.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    d.select(col("doc_id"))
+      .join(
+        comps.join(sizes, "component")
+          .select(col("id").as("doc_id"), col("cluster_size")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_fx",
+        (lit(1048576L) / col("cluster_size")).cast("long"))
+  }
+
+  private val q128Sql = {
+    val ccPrefix = q125Sql.substring(0, q125Sql.indexOf("qtk AS ("))
+    ccPrefix +
+      """sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         FROM comp GROUP BY component),
+       j AS (
+         SELECT d.doc_id, COALESCE(s.cluster_size, 1) AS cluster_size
+         FROM documents d
+         LEFT JOIN comp c ON d.doc_id = c.id
+         LEFT JOIN sz s USING (component))
+       SELECT doc_id, cluster_size,
+         CAST(1048576 // cluster_size AS BIGINT) AS weight_fx
+       FROM j"""
+  }
+
+  // ------------------------------------------------------------------
+  // q129 — HTML text extraction (extension: Text.stripHtml): the stage
+  // between a raw crawl and every quality/dedup pass. The fixture
+  // wraps each doc in deterministic markup exercising the order-
+  // sensitive cases — a <script> body containing a bare '<' (must be
+  // removed as a BLOCK before the generic tag pass), '&amp;' entities
+  // in prose, '&gt;' in visible text, and an unknown entity (&copy;)
+  // that must pass through undecoded. Map-only; oracle replays the
+  // identical regex/replace chain in RE2.
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><style>p {color: red}</style></head><body><h1>"),
+      upper(col("source")),
+      lit("</h1><p>"),
+      replace(col("text"), lit(" value "), lit(" &amp; <b>value</b> ")),
+      lit("</p><script type=\"text/javascript\">var x = 1 < 2;" +
+        "</script><ul><li>Next &gt; prev</li></ul>&nbsp;&copy;" +
+        "</body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.stripHtml(html).as("clean"))
+      .withColumn("n_chars", length(col("clean")).cast("long"))
+  }
+
+  private val q129Sql =
+    """WITH h AS (
+         SELECT doc_id, source,
+           '<html><head><title>' || source || '</title><style>p {color: red}</style></head><body><h1>' || upper(source) || '</h1><p>' || replace(text, ' value ', ' &amp; <b>value</b> ') || '</p><script type="text/javascript">var x = 1 < 2;</script><ul><li>Next &gt; prev</li></ul>&nbsp;&copy;</body></html>' AS html
+         FROM documents),
+       s1 AS (SELECT doc_id, source,
+         regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+       s2 AS (SELECT doc_id, source,
+         regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+       s3 AS (SELECT doc_id, source,
+         regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+       s4 AS (SELECT doc_id, source,
+         replace(replace(replace(replace(replace(replace(replace(t,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+       f AS (SELECT doc_id, source,
+         trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g')) AS clean FROM s4)
+       SELECT doc_id, source, clean, CAST(len(clean) AS BIGINT) AS n_chars
+       FROM f"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_html_extract" -> (q129 _),
+    "q128_soft_dedup" -> (q128 _),
+    "q127_unimax_sample" -> (q127 _),
+    "q126_gopher_rules" -> (q126 _),
     "q125_keep_best_dedup" -> (q125 _),
     "q124_budget_sample" -> (q124 _),
     "q123_crawl_admission" -> (q123 _),
@@ -5920,6 +6140,10 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q129_html_extract" -> q129Sql,
+    "q128_soft_dedup" -> q128Sql,
+    "q127_unimax_sample" -> q127Sql,
+    "q126_gopher_rules" -> q126Sql,
     "q125_keep_best_dedup" -> q125Sql,
     "q124_budget_sample" -> q124Sql,
     "q123_crawl_admission" -> q123Sql,

@@ -125,6 +125,127 @@ object Text {
     lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
   }
 
+  /** The Gopher rule-set stopword list (Rae et al. 2021, §A1.1): a doc
+    * must contain at least `minStopwordHits` DISTINCT of these — the
+    * "is this prose at all" check.
+    */
+  private[graft] val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality rule set (Rae et al. 2021, Table A1) as one
+    * map-only struct column — the standard named pre-filter every
+    * web-corpus pipeline (Gopher, RefinedWeb, Dolma, FineWeb) applies
+    * before any dedup pass. Each rule is its own boolean field so a
+    * pipeline can report per-rule rejection counts (the way the papers
+    * tune them), plus the conjunction as `pass`:
+    *
+    *  - `ok_words`: word count in [minWords, maxWords]
+    *  - `ok_mean_word_len`: mean word length in [minMeanWordLen,
+    *    maxMeanWordLen]
+    *  - `ok_symbol_ratio`: (# of `#` chars + # of `...` runs) / words
+    *    ≤ maxSymbolRatio — the "hash/ellipsis spam" rule
+    *  - `ok_bullet_lines`: fraction of lines starting with `-`/`*`
+    *    ≤ maxBulletRatio
+    *  - `ok_ellipsis_lines`: fraction of lines ending with `...`
+    *    ≤ maxEllipsisRatio
+    *  - `ok_alpha_words`: fraction of words containing ≥1 [A-Za-z]
+    *    ≥ minAlphaRatio
+    *  - `ok_stopwords`: ≥ minStopwordHits distinct Gopher stopwords
+    *
+    * Exactness contract: every ratio threshold is an exact rational
+    * `(num, den)` compared by integer cross-multiplication — no float
+    * division anywhere, so the booleans are bit-identical in any
+    * engine. `...` runs are counted via plain (non-regex) replace —
+    * leftmost non-overlapping in every engine; lines split on the
+    * literal newline character, never regex `\s`. A doc with zero
+    * words fails `ok_words` (and therefore `pass`); the ratio rules
+    * then compare 0 ≤/≥ 0 and are not meaningful on their own.
+    *
+    * Pure composition of codegen'd built-ins + higher-order array ops
+    * — no UDF, fuses into the scan. The reference has no quality
+    * filtering at all (SURVEY §2.7); this is the LLM-pipeline
+    * extension set's named counterpart of [[qualityScore]]'s
+    * continuous signal.
+    */
+  def gopherRules(
+      c: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Int = 3,
+      maxMeanWordLen: Int = 10,
+      maxSymbolRatio: (Int, Int) = (1, 10),
+      maxBulletRatio: (Int, Int) = (9, 10),
+      maxEllipsisRatio: (Int, Int) = (3, 10),
+      minAlphaRatio: (Int, Int) = (4, 5),
+      minStopwordHits: Int = 2): Column = {
+    val ws = tokens(c)
+    val n = size(ws).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val nHash = (length(c) - length(translate(c, "#", ""))).cast("long")
+    val nEllRuns =
+      ((length(c) - length(replace(c, lit("..."), lit("")))) / 3).cast("long")
+    val lines = split(c, "\n")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l =>
+      startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*"))))
+      .cast("long")
+    val ellLines = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")))).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHitsDistinct = size(array_intersect(
+      transform(ws, w => lower(w)), typedLit(gopherStops))).cast("long")
+    val okWords = n >= minWords && n <= maxWords
+    val okMean = sumLen >= n * minMeanWordLen && sumLen <= n * maxMeanWordLen
+    val okSymbol =
+      (nHash + nEllRuns) * maxSymbolRatio._2 <= n * maxSymbolRatio._1
+    val okBullet = bullets * maxBulletRatio._2 <= nLines * maxBulletRatio._1
+    val okEll =
+      ellLines * maxEllipsisRatio._2 <= nLines * maxEllipsisRatio._1
+    val okAlpha = alphaWords * minAlphaRatio._2 >= n * minAlphaRatio._1
+    val okStop = stopHitsDistinct >= minStopwordHits
+    struct(
+      n.as("n_words"),
+      okWords.as("ok_words"),
+      okMean.as("ok_mean_word_len"),
+      okSymbol.as("ok_symbol_ratio"),
+      okBullet.as("ok_bullet_lines"),
+      okEll.as("ok_ellipsis_lines"),
+      okAlpha.as("ok_alpha_words"),
+      okStop.as("ok_stopwords"),
+      (okWords && okMean && okSymbol && okBullet && okEll && okAlpha &&
+        okStop).as("pass"))
+  }
+
+  /** Strip HTML down to visible text — the extraction stage between a
+    * raw crawl and every filter above (quality/langid scores on markup
+    * measure the markup, not the prose). Deliberately a tag/entity
+    * pass, not a DOM parser: `<script>`/`<style>` blocks removed
+    * whole (their text content is code, not prose), then all tags
+    * replaced by a space (so `a</p><p>b` keeps its word boundary),
+    * then the predefined XML entities + the two ubiquitous web ones
+    * (`&nbsp;`, `&#39;`) decoded — `&amp;` strictly LAST, so
+    * `&amp;lt;` correctly yields the literal text `&lt;` — and
+    * whitespace collapsed with the explicit `[ \t\n\r]` class (the
+    * [[normalizeText]] cross-engine rule).
+    *
+    * Patterns stay in the shared Java-regex/RE2 subset: `(?is)` flags
+    * and lazy `.*?` are common to both; entity decoding is plain
+    * non-regex replace. Map-only, no UDF.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript =
+      regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) =>
+        replace(acc, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
   /** Document fingerprint: md5 of case-folded, whitespace/punct-normalized
     * text — the standard exact-near-exact dedup key (casing/spacing
     * variants collapse). md5 rather than a bespoke rolling hash: identical

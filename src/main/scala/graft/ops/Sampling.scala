@@ -363,6 +363,27 @@ object Sampling {
           "targetRows/alpha")
       g -> (copies, thresh)
     }
+    expandByPlan(df, id, salt, group, plan.toMap, copyCol,
+      maxWhenChainGroups)
+  }
+
+  /** Shared expansion kernel for the derived-epoch samplers
+    * ([[temperatureMixture]], [[uniMax]]): ship a per-group
+    * (copies, 52-bit fractional threshold) plan and explode each row
+    * to `copies + [unit hash < thresh]` copies. Few groups ride a
+    * when-chain (map-only, no join node); past `maxWhenChainGroups`
+    * the identical plan ships as a broadcast-joined table — the
+    * corpus side never shuffles in either arm (arm equality is
+    * spec-pinned bit-for-bit in SamplingSpec).
+    */
+  private def expandByPlan(
+      df: DataFrame,
+      id: Column,
+      salt: String,
+      group: Column,
+      plan: Map[String, (Long, Long)],
+      copyCol: String,
+      maxWhenChainGroups: Int): DataFrame = {
     val gs = group.cast("string")
     val h = conv(substring(md5(concat(id.cast("string"), lit(":" + salt))),
       1, 13), 16, 10).cast("long")
@@ -401,6 +422,73 @@ object Sampling {
         col("__tm_copies"), col("__tm_thresh"))
         .drop("__tm_g", "__tm_copies", "__tm_thresh")
     }
+  }
+
+  /** UniMax corpus assembly (Chung et al. 2023): allocate a total row
+    * budget across groups by FAIR SHARES WITH AN EPOCH CAP rather than
+    * a temperature curve — the closed-form answer to "give every
+    * language as equal a share as possible without repeating any
+    * language more than `maxEpochs` times". Groups are visited in
+    * ASCENDING size order; each receives
+    * `min(maxEpochs * n_g, floor(budget_remaining / groups_remaining))`
+    * rows — a small group that can't absorb its fair share (the cap
+    * binds) returns the surplus to the pool, which re-splits evenly
+    * over the remaining larger groups. Complements
+    * [[temperatureMixture]] (same expansion semantics, different
+    * allocation rule): temperature over-samples the tail smoothly but
+    * has no repetition bound; UniMax bounds repetition explicitly,
+    * which is what the paper shows matters at scale.
+    *
+    * Exactness: the allocation loop is pure integer arithmetic over
+    * the bounded driver-side group counts (ascending (n, g) order
+    * makes it deterministic; floor division each step keeps every
+    * intermediate an integer — replayable as a recursive CTE in any
+    * engine). Per-group epochs e_g = alloc_g / n_g as exact rationals;
+    * fractional copies through the shared 52-bit content-addressed
+    * hash rule. Same determinism contract as every sampler here.
+    *
+    * Scale shape: identical to temperatureMixture — one bounded
+    * groupBy for counts, then a map-only expansion (when-chain or
+    * broadcast plan table past `maxWhenChainGroups`); the corpus
+    * never shuffles. NULL groups drop.
+    *
+    * @param budgetRows total corpus size to assemble (expected rows
+    *   out, up to per-group fractional-hash binomial noise; when the
+    *   cap binds on EVERY group the realized total is the capped
+    *   maximum `maxEpochs * n` instead, and the surplus budget is
+    *   simply unspent — that is UniMax's contract, not an error)
+    * @param maxEpochs the repetition bound (epochs per group, the
+    *   paper's N); unlike temperatureMixture's loud overflow cap this
+    *   is a semantic input, so it silently BINDS rather than throws
+    */
+  def uniMax(
+      df: DataFrame,
+      id: Column,
+      salt: String,
+      group: Column,
+      budgetRows: Long,
+      maxEpochs: Int = 4,
+      copyCol: String = "copy_idx",
+      maxWhenChainGroups: Int = 64): DataFrame = {
+    require(budgetRows >= 0, s"budgetRows must be >= 0, got $budgetRows")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val counts = df.select(group.cast("string").as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per group
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toSeq
+    require(counts.nonEmpty, "no non-null group has any rows")
+    val ordered = counts.sortBy { case (g, n) => (n, g) }
+    val l = ordered.size
+    var bRem = BigInt(budgetRows)
+    val plan = ordered.zipWithIndex.map { case ((g, n), i) =>
+      val share = bRem / (l - i)
+      val alloc = (BigInt(maxEpochs) * n).min(share)
+      bRem -= alloc
+      val copies = (alloc / n).toLong
+      val thresh = (((alloc % n) << 52) / n).toLong
+      g -> (copies, thresh)
+    }.toMap
+    expandByPlan(df, id, salt, group, plan, copyCol, maxWhenChainGroups)
   }
 
   /** Weighted sample without replacement (Efraimidis–Spirakis A-Res,

@@ -155,4 +155,85 @@ class FunctionsSpec extends SparkSpec {
     assert(eval1(Text.ipv4Count(Text.redactPii(lit(s)))) == 0)
     assert(eval1(Text.phoneCount(Text.redactPii(lit(s)))) == 0)
   }
+
+  private def gopher(s: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStop: Int = 2): Map[String, Any] = {
+    import spark.implicits._
+    val row = Seq(1).toDF("x")
+      .select(Text.gopherRules(lit(s), minWords = minWords,
+        maxWords = maxWords, minStopwordHits = minStop).as("g"))
+      .select("g.*").collect().head
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("gopherRules: each rule fires on its own pathology and the " +
+      "published defaults hold on plain prose") {
+    val prose = ("the cat sat on the mat and we have to be " +
+      "patient with that idea ") * 5 // 75 words, all rules clean
+    val ok = gopher(prose)
+    assert(ok("ok_words") == true && ok("ok_mean_word_len") == true &&
+      ok("ok_symbol_ratio") == true && ok("ok_bullet_lines") == true &&
+      ok("ok_ellipsis_lines") == true && ok("ok_alpha_words") == true &&
+      ok("ok_stopwords") == true && ok("pass") == true &&
+      ok("n_words") == 75L)
+    // word count out of range (too short) — only that rule fails
+    val short = gopher("the dog and that have to be quick")
+    assert(short("ok_words") == false && short("pass") == false &&
+      short("ok_stopwords") == true)
+    // hash/ellipsis spam: 8 symbols over 60 words > 1/10
+    val spam = gopher(("w " * 52) + ("# " * 4) + ("... " * 4) +
+      "the of and be", minWords = 10)
+    assert(spam("ok_symbol_ratio") == false && spam("ok_words") == true)
+    // bullet lines: 10 of 11 lines start with '-' or '*' > 9/10
+    val bullets = (1 to 5).map(i => s"- item the $i").mkString("\n") +
+      "\n" + (1 to 5).map(i => s"* item of $i").mkString("\n") +
+      "\nthe plain and line that we have to be with " + ("w " * 40)
+    assert(gopher(bullets, minWords = 10)("ok_bullet_lines") == false)
+    // ellipsis-terminated lines: 2 of 4 > 3/10
+    val ell = "the first line is fine\nsecond one trails ...\n" +
+      "third of them also trails...\nlast line that we have " + ("w " * 46)
+    assert(gopher(ell, minWords = 10)("ok_ellipsis_lines") == false)
+    // non-alphabetic words: 20 of 60 numeric > the 1/5 allowance
+    val nums = ("42 " * 20) + ("the of and that be with have to " * 5)
+    assert(gopher(nums, minWords = 10)("ok_alpha_words") == false)
+    // mean word length: single-char words pull the mean under 3
+    val tiny = ("a b c d " * 15) + "the of"
+    assert(gopher(tiny, minWords = 10)("ok_mean_word_len") == false)
+  }
+
+  test("gopherRules stopword rule counts DISTINCT stopwords, not " +
+      "occurrences, and zero-word docs fail via ok_words") {
+    // 'the' twelve times is still ONE distinct hit
+    val rep = gopher(("the " * 12) + ("w " * 48), minWords = 10)
+    assert(rep("ok_stopwords") == false)
+    assert(gopher(("the of " * 6) + ("w " * 48),
+      minWords = 10)("ok_stopwords") == true)
+    val empty = gopher("   ", minWords = 10)
+    assert(empty("n_words") == 0L && empty("ok_words") == false &&
+      empty("pass") == false)
+  }
+
+  test("stripHtml: block removal order, entity decoding order, unknown " +
+      "entities and word boundaries preserved") {
+    def sh(s: String): String = eval1(Text.stripHtml(lit(s))).asInstanceOf[String]
+    // a '<' INSIDE a script body: the block must go before the generic
+    // tag pass would mis-parse '< 2;</script>' as one tag
+    assert(sh("<p>keep</p><script>if (1 < 2) { x(); }</script><p>this</p>")
+      == "keep this")
+    assert(sh("a<style>p { color: red }</style>b") == "a b")
+    // tags become spaces so adjacent words don't fuse
+    assert(sh("one</p><p>two") == "one two")
+    // &amp; decodes LAST: '&amp;lt;' is the literal text '&lt;', not '<'
+    assert(sh("x &amp;lt; y") == "x &lt; y")
+    assert(sh("a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f &amp; g")
+      == "a <b> \"c\" 'd' e f & g")
+    // unknown entities pass through undecoded
+    assert(sh("&copy; 2026 &middot; x") == "&copy; 2026 &middot; x")
+    // attributes and self-closing tags; multi-line input collapses
+    assert(sh("<a href=\"/x?a=1&amp;b=2\">link</a>\n<br/>next")
+      == "link next")
+    // case-insensitive block tags
+    assert(sh("<SCRIPT>var a;</SCRIPT>done<STYLE>b</STYLE>") == "done")
+  }
 }

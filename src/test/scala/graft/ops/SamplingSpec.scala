@@ -386,4 +386,78 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMixture(data, col("doc_id"), "s", col("g"), 5,
         alphaEighths = 9))
   }
+
+  test("uniMax matches the exact integer allocation model: the cap binds " +
+      "smallest-first and the surplus re-splits over larger groups; " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    // a=16 rows, b=4, c=1; budget 30, cap 2.
+    // ascending (c,b,a): c share 30/3=10, cap 2*1=2 -> alloc 2 (BINDS);
+    // b share 28/2=14, cap 8 -> alloc 8 (BINDS); a share 20/1=20,
+    // cap 32 -> alloc 20 = 1 copy + 4/16 fractional.
+    val rows = (1L to 16L).map(i => (i, "a")) ++
+      (17L to 20L).map(i => (i, "b")) ++ Seq((21L, "c"))
+    val data = rows.toDF("doc_id", "g")
+    def h52(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:um".getBytes("UTF-8"))
+        .map(b => "%02x".format(b & 0xff)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val alloc = Map("a" -> 20L, "b" -> 8L, "c" -> 2L)
+    val counts = Map("a" -> 16L, "b" -> 4L, "c" -> 1L)
+    val expected = rows.flatMap { case (i, g) =>
+      val copies = alloc(g) / counts(g) +
+        (if (BigInt(h52(i)) <
+             (BigInt(alloc(g) % counts(g)) << 52) / counts(g)) 1 else 0)
+      (1L to copies).map(k => (i, g, k))
+    }.toSet
+    def run(parts: Int) = Sampling.uniMax(
+        data.repartition(parts), col("doc_id"), "um", col("g"),
+        budgetRows = 30, maxEpochs = 2)
+      .select("doc_id", "g", "copy_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val got = run(2)
+    assert(got == expected && got == run(5))
+    // the capped groups are EXACT (no fractional noise): c has 2 rows,
+    // b has 8 — the UniMax repetition bound
+    assert(got.count(_._2 == "c") == 2 && got.count(_._2 == "b") == 8)
+  }
+
+  test("uniMax under a budget beyond every cap emits exactly maxEpochs " +
+      "copies of every row and leaves the surplus unspent") {
+    import spark.implicits._
+    val data = (1L to 10L).map(i => (i, if (i <= 7) "x" else "y"))
+      .toDF("doc_id", "g")
+    val out = Sampling.uniMax(data, col("doc_id"), "cap", col("g"),
+        budgetRows = 10000, maxEpochs = 3)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 10 && out.values.forall(_ == 3L))
+  }
+
+  test("uniMax expansion is map-only (shared expandByPlan kernel); " +
+      "zero budget emits zero rows; null groups drop; degenerate " +
+      "params rejected") {
+    import spark.implicits._
+    val data = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("g"))
+    val out = Sampling.uniMax(data, col("doc_id"), "pp", col("g"),
+      budgetRows = 200)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(Sampling.uniMax(data, col("doc_id"), "pp", col("g"),
+      budgetRows = 0).count() == 0L)
+    val withNull = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "g")
+    val kept = Sampling.uniMax(withNull, col("doc_id"), "s", col("g"),
+        budgetRows = 2, maxEpochs = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L)) // alloc = min(1*2, 2//1) = 2 -> 1 copy each
+    assertThrows[IllegalArgumentException](
+      Sampling.uniMax(withNull, col("doc_id"), "s", col("g"), -1))
+    assertThrows[IllegalArgumentException](
+      Sampling.uniMax(withNull, col("doc_id"), "s", col("g"), 5,
+        maxEpochs = 0))
+  }
 }

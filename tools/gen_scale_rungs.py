@@ -204,11 +204,22 @@ def main():
     ap.add_argument("--out", default="/tmp/graft_scale_root")
     ap.add_argument("--force", action="store_true",
                     help="regenerate rungs that already exist")
+    ap.add_argument("--families", default="docs,emb,events,graph",
+                    help="comma list of rung families to (re)generate "
+                         "(docs, emb, events, graph) — deep-rung reruns "
+                         "usually need one family, and the unrequested "
+                         "ones (emb x3000assign, events x100) are the "
+                         "expensive ones")
     args = ap.parse_args()
+    families = set(args.families.split(","))
 
     con = duckdb.connect()
 
     def copy(arms, d, table):
+        # family filter: the rung's family is its directory under --out
+        fam = os.path.relpath(d, args.out).split(os.sep)[0]
+        if fam not in families:
+            return
         # The skip is keyed on a .sql manifest of the generating query:
         # after a generator change (emb cycle, graph offset, ...) a
         # stale rung is REGENERATED instead of silently reused feeding
