@@ -432,8 +432,26 @@ object SizingProbe {
             shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
             maxBucketSize = 1000, rowsHint = nRaw)
           def full() = {
-            val dupIds = dup().select(col("id2").as("doc_id")).distinct()
-            val kept = kept1.join(dupIds, Seq("doc_id"), "left_anti")
+            // kept1 is the chain's multi-consumer fan-in point: the
+            // minhash pass AND the anti-join read it, and downstream
+            // the uniMax counts job + the pack's offsets job re-run
+            // the whole plan again — 4 executions of the full-corpus
+            // prefix without a cut. kept1 is TINY by here (the
+            // filter+dedup survivors), so the production move is to
+            // materialize it. Measured at x300 (quiet, 1.5M docs):
+            // no-persist 64.4 s vs prefix-through-minhash 35.2 s
+            // (the ~2x re-execution this lever exists to show);
+            // persisted arm timed by the ladder entry in NOTES.
+            // GRAFT_FULLCUR_NOPERSIST=1 keeps the naive arm for A/B.
+            val kt =
+              if (sys.env.contains("GRAFT_FULLCUR_NOPERSIST")) kept1
+              else kept1.persist()
+            val dupIds = graft.dedup.Dedup.minhashLsh(
+                kt, col("doc_id"), col("text"),
+                shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+                maxBucketSize = 1000, rowsHint = nRaw)
+              .select(col("id2").as("doc_id")).distinct()
+            val kept = kt.join(dupIds, Seq("doc_id"), "left_anti")
             val mixed = graft.ops.Sampling.uniMax(
               kept, col("doc_id"), "fc15", col("lang"),
               budgetRows = nRaw, maxEpochs = 4)
@@ -459,6 +477,10 @@ object SizingProbe {
           }
         }
         time(stagePrefix()) // warm
+        // the persisted arm must PAY its own materialization in the
+        // timed run — a cache left warm from the first run would time
+        // only the tail
+        spark.catalog.clearCache()
         val (t, outRows) = time(stagePrefix())
         val stage = sys.env.getOrElse("GRAFT_PIPE_STAGE", "full")
         println(s"""{"metric":"fullcur_ladder","rows":$nRaw,"sec":$t,""" +

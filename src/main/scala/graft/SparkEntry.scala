@@ -5920,7 +5920,175 @@ object SparkEntry {
        SELECT doc_id, source, clean, CAST(len(clean) AS BIGINT) AS n_chars
        FROM f"""
 
+  // ------------------------------------------------------------------
+  // q130 — duplicated-text fraction (composition: duplicateSpans ∘
+  // per-doc span-length sum): the RefinedWeb/Dolma corpus-health
+  // metric "what fraction of each document's characters sit inside a
+  // corpus-wide duplicated span". Spans are disjoint after q108's
+  // merge window, so the per-doc sum is exact; docs with no spans get
+  // 0 via the left join. Reported in integer basis points
+  // (floor(10^4·dup/chars)) — the double division cannot mis-floor:
+  // the fractional part is ≥ 1/n_chars ≥ 2^-14 at this doc length,
+  // far above the ~2^-39 absolute rounding of a ≤10^4 quotient.
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val spans = graft.dedup.Dedup.duplicateSpans(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 24,
+        charsHint = docChars(s, dir))
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum(col("span_len")).cast("long").as("dup_chars"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_bp",
+        when(col("n_chars") > 0,
+          (col("dup_chars") * 10000L / col("n_chars")).cast("long"))
+          .otherwise(0L))
+  }
+
+  private val q130Sql =
+    """WITH pos AS (
+         SELECT doc_id,
+           unnest(range(1, len(text)-24+2)) AS pos,
+           unnest([md5(substr(text, i, 24))
+                   for i in range(1, len(text)-24+2)]) AS h
+         FROM documents WHERE len(text) >= 24),
+       dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 1),
+       dp AS (SELECT doc_id, pos FROM pos
+              WHERE h IN (SELECT h FROM dup)),
+       b AS (SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 23) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) + 1, 0)
+                    THEN 1 ELSE 0 END AS brk
+             FROM dp),
+       sp AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+              FROM b),
+       spans AS (
+         SELECT doc_id,
+           CAST(max(pos) + 24 - min(pos) AS BIGINT) AS span_len
+         FROM sp GROUP BY doc_id, sid),
+       agg AS (SELECT doc_id, SUM(span_len) AS dup_chars
+               FROM spans GROUP BY doc_id)
+       SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+         CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+         CAST(CASE WHEN d.n_chars > 0
+           THEN (COALESCE(a.dup_chars, 0) * 10000) // d.n_chars
+           ELSE 0 END AS BIGINT) AS dup_bp
+       FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  // ------------------------------------------------------------------
+  // q131 — tokenizer fertility by language (composition:
+  // Text.subwordCount / Text.tokenCount per-language): subword units
+  // per whitespace word — the multilingual-tokenizer cost metric
+  // (fertility ≈ 1 for languages the tokenizer fits, ≫1 where it
+  // fragments). Counts are exact integers; fertility in basis points
+  // via the same safe-floor double division as q130. The subword
+  // count uses the lookaround-free regexp_extract_all form so the
+  // SAME pattern runs in Java regex and RE2. The fixture text is pure
+  // space-separated alnum words (fertility would be exactly 1.0
+  // everywhere), so the query synthesizes intra-word punctuation from
+  // word occurrences via plain replace — 'data-set' is 1 word but 3
+  // subword units — making the metric straddle by language mix.
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val synth = replace(
+      replace(col("text"), lit(" data "), lit(" data-set ")),
+      lit(" query "), lit(" query's "))
+    t(s, dir, "documents")
+      .select(col("lang"),
+        Text.tokenCount(synth).cast("long").as("nw"),
+        graft.functions.Text.subwordCount(synth).cast("long")
+          .as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_subtokens"))
+      .withColumn("fertility_bp",
+        when(col("n_words") > 0,
+          (col("n_subtokens") * 10000L / col("n_words")).cast("long"))
+          .otherwise(0L))
+  }
+
+  private val q131Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(nw) AS BIGINT) AS n_words,
+         CAST(SUM(nt) AS BIGINT) AS n_subtokens,
+         CAST(CASE WHEN SUM(nw) > 0
+           THEN (SUM(nt) * 10000) // SUM(nw) ELSE 0 END AS BIGINT)
+           AS fertility_bp
+       FROM (SELECT lang,
+               len(list_filter(regexp_split_to_array(d, '\s+'),
+                 x -> x <> '')) AS nw,
+               len(regexp_extract_all(d,
+                 '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]')) AS nt
+             FROM (SELECT lang,
+                     replace(replace(text, ' data ', ' data-set '),
+                       ' query ', ' query''s ') AS d
+                   FROM documents))
+       GROUP BY lang"""
+
+  // ------------------------------------------------------------------
+  // q132 — matryoshka-truncated ANN + recall grading (composition:
+  // slice ∘ bruteForceTopK ∘ recallAtK): search on the FIRST 16 of 64
+  // dims (the MRL deployment move — 4x less compute and memory per
+  // query) and grade against the full-dim ground truth. On these
+  // isotropic random fixtures truncation is maximally lossy (no
+  // energy concentration in the prefix dims), so the recall readout
+  // is the honest floor; real matryoshka embeddings concentrate
+  // variance in the prefix by training. Oracle replays BOTH searches
+  // and the overlap.
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val approx = graft.similarity.Similarity.bruteForceTopK(
+      corpus = trunc,
+      queries = trunc.filter(col("vec_id") % 25 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 10)
+    graft.similarity.Similarity.recallAtK(
+      approx = approx, exact = q26(s, dir), k = 10)
+  }
+
+  private val q132Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       ex AS (
+         SELECT query_id, corpus_id FROM (
+           SELECT query_id, vec_id AS corpus_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               list_sum([qe[i] * e[i] for i in range(1, len(e)+1)]) /
+                 (sqrt(list_sum([qe[i] * qe[i] for i in range(1, len(qe)+1)])) *
+                  sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)]))) DESC,
+               vec_id ASC) AS rank
+           FROM q CROSS JOIN v WHERE query_id <> vec_id) WHERE rank <= 10),
+       vt AS (SELECT vec_id, e[1:16] AS e FROM v),
+       qt AS (SELECT query_id, qe[1:16] AS qe FROM q),
+       ap AS (
+         SELECT query_id, corpus_id FROM (
+           SELECT query_id, vec_id AS corpus_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               list_sum([qe[i] * e[i] for i in range(1, 17)]) /
+                 (sqrt(list_sum([qe[i] * qe[i] for i in range(1, 17)])) *
+                  sqrt(list_sum([e[i] * e[i] for i in range(1, 17)]))) DESC,
+               vec_id ASC) AS rank
+           FROM qt CROSS JOIN vt WHERE query_id <> vec_id) WHERE rank <= 10),
+       j AS (
+         SELECT ex.query_id,
+           CASE WHEN ap.corpus_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM ex LEFT JOIN ap
+           ON ex.query_id = ap.query_id AND ex.corpus_id = ap.corpus_id)
+       SELECT query_id, CAST(COUNT(*) AS BIGINT) AS expected,
+         CAST(SUM(hit) AS BIGINT) AS hits,
+         CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+       FROM j GROUP BY query_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_matryoshka_recall" -> (q132 _),
+    "q131_tokenizer_fertility" -> (q131 _),
+    "q130_dup_text_fraction" -> (q130 _),
     "q129_html_extract" -> (q129 _),
     "q128_soft_dedup" -> (q128 _),
     "q127_unimax_sample" -> (q127 _),
@@ -6140,6 +6308,9 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q132_matryoshka_recall" -> q132Sql,
+    "q131_tokenizer_fertility" -> q131Sql,
+    "q130_dup_text_fraction" -> q130Sql,
     "q129_html_extract" -> q129Sql,
     "q128_soft_dedup" -> q128Sql,
     "q127_unimax_sample" -> q127Sql,

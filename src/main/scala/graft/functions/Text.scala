@@ -46,6 +46,19 @@ object Text {
   def subwordTokens(c: Column): Column =
     filter(split(c, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t.rlike("\\S"))
 
+  /** Subword-unit COUNT — `size(subwordTokens(c))` re-expressed without
+    * the lookaround split so it replays in RE2 engines (lookarounds are
+    * Java-regex-only): a unit is a maximal alphanumeric run or a single
+    * non-alphanumeric non-whitespace char, counted via
+    * `regexp_extract_all`. Equal to `size(subwordTokens(c))` whenever
+    * the text's whitespace is the explicit [ \t\n\r] set (spec-pinned);
+    * the tokenizer-fertility metric needs only the count, and this form
+    * is the cross-engine-verifiable one.
+    */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c,
+      lit("[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]"), lit(0)))
+
   /** Character k-shingles. Guarded so short strings yield an empty array
     * (Spark's `sequence(1, 0)` would count DOWN, not produce empty).
     */

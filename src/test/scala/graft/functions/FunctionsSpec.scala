@@ -214,6 +214,21 @@ class FunctionsSpec extends SparkSpec {
       empty("pass") == false)
   }
 
+  test("subwordCount equals size(subwordTokens) — the lookaround-free " +
+      "RE2-replayable form counts the same units") {
+    val cases = Seq(
+      "plain words only here",
+      "data-set query's 3.14 a,b;c",
+      "x!!!y", "...", "a  b\tc\nd", "abc123 mixed9runs",
+      "", " ", "trailing punct.")
+    for (s <- cases) {
+      val viaSplit = eval1(size(Text.subwordTokens(lit(s))))
+      val viaExtract = eval1(Text.subwordCount(lit(s)))
+      assert(viaExtract == viaSplit, s"on '$s'")
+    }
+    assert(eval1(Text.subwordCount(lit("data-set query's"))) == 6)
+  }
+
   test("stripHtml: block removal order, entity decoding order, unknown " +
       "entities and word boundaries preserved") {
     def sh(s: String): String = eval1(Text.stripHtml(lit(s))).asInstanceOf[String]
