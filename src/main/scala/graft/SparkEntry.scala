@@ -6085,7 +6085,110 @@ object SparkEntry {
          CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
        FROM j GROUP BY query_id"""
 
+  // ------------------------------------------------------------------
+  // q133 — margin-based neighbor mining (extension:
+  // Similarity.marginScores — the Artetxe & Schwenk ratio margin):
+  // each vector's best match by margin rather than raw cosine, the
+  // hub-correcting score bitext/paraphrase mining uses. Backend-
+  // decoupled like recallAtK; here fed the all-pairs brute-force NN
+  // table (k=8, queries = corpus). Sums and the margin are exact
+  // fixed-point integers; the oracle replays the NN ranking, the
+  // neighborhood sums, and the floor-divided margin.
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    // mining pool = every 5th vector (a shard mined against itself);
+    // the pool is both corpus and query side — marginScores' symmetric
+    // set — and keeps the fixture's all-pairs NN build k·|pool|²
+    // instead of k·n²
+    val pool = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+    val nn = graft.similarity.Similarity.bruteForceTopK(
+      corpus = pool, queries = pool,
+      idCol = "vec_id", vecCol = "embedding", k = 8)
+    graft.similarity.Similarity.marginScores(nn, k = 8)
+      .withColumnRenamed("query_id", "vec_id")
+  }
+
+  private val q133Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+         FROM embeddings WHERE vec_id % 5 = 0),
+       nn AS (
+         SELECT query_id, corpus_id, sim FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             list_sum([q.e[i] * c.e[i] for i in range(1, len(c.e)+1)]) /
+               (sqrt(list_sum([q.e[i] * q.e[i] for i in range(1, len(q.e)+1)])) *
+                sqrt(list_sum([c.e[i] * c.e[i] for i in range(1, len(c.e)+1)]))) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               list_sum([q.e[i] * c.e[i] for i in range(1, len(c.e)+1)]) /
+                 (sqrt(list_sum([q.e[i] * q.e[i] for i in range(1, len(q.e)+1)])) *
+                  sqrt(list_sum([c.e[i] * c.e[i] for i in range(1, len(c.e)+1)]))) DESC,
+               c.vec_id ASC) AS rank
+           FROM v q CROSS JOIN v c WHERE q.vec_id <> c.vec_id)
+         WHERE rank <= 8),
+       fx AS (SELECT query_id, corpus_id,
+                CAST(round(sim * 1048576.0) AS BIGINT) AS sim_fx
+              FROM nn),
+       s AS (SELECT query_id, SUM(sim_fx) AS s, COUNT(*) AS n
+             FROM fx GROUP BY query_id),
+       m AS (SELECT f.query_id, f.corpus_id,
+               (16 * f.sim_fx * 1048576) // (sx.s + sy.s) AS margin_fp,
+               sx.n
+             FROM fx f
+             JOIN s sx ON f.query_id = sx.query_id
+             JOIN s sy ON f.corpus_id = sy.query_id
+             WHERE f.sim_fx > 0 AND sx.s + sy.s > 0),
+       r AS (SELECT query_id, corpus_id, margin_fp, n,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY margin_fp DESC, corpus_id ASC) AS rn
+             FROM m)
+       SELECT query_id AS vec_id, corpus_id AS match_id,
+         CAST(margin_fp AS BIGINT) AS margin_fp,
+         CAST(n AS BIGINT) AS n_neighbors
+       FROM r WHERE rn = 1"""
+
+  // ------------------------------------------------------------------
+  // q134 — n-gram diversity by source (composition: Text.wordShingles
+  // ∘ two-stage exact distinct): distinct word bigrams over total word
+  // bigrams (the 2-gram type-token ratio) — low diversity flags
+  // templated/boilerplate sources the way Gopher's repetition signals
+  // flag single documents. Exact distinct via (source, gram) partial
+  // then per-source count — two map-side-combinable aggregations, no
+  // count_distinct expand; the approximate path at extreme
+  // cardinality is q83's grouped KMV. Ratio in basis points through
+  // the q130 safe-floor argument.
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("source"),
+        explode(Text.wordShingles(Text.tokens(col("text")), 2))
+          .as("gram"))
+    grams.groupBy("source", "gram").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("ttr_bp",
+        when(col("n_grams") > 0,
+          (col("n_distinct") * 10000L / col("n_grams")).cast("long"))
+          .otherwise(0L))
+  }
+
+  private val q134Sql =
+    """WITH tk AS (
+         SELECT source,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+         FROM documents),
+       g AS (
+         SELECT source,
+           unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+         FROM tk WHERE len(ws) >= 2),
+       c AS (SELECT source, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
+       SELECT source, CAST(SUM(n) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(CASE WHEN SUM(n) > 0
+           THEN (COUNT(*) * 10000) // SUM(n) ELSE 0 END AS BIGINT)
+           AS ttr_bp
+       FROM c GROUP BY source"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_ngram_diversity" -> (q134 _),
+    "q133_margin_mining" -> (q133 _),
     "q132_matryoshka_recall" -> (q132 _),
     "q131_tokenizer_fertility" -> (q131 _),
     "q130_dup_text_fraction" -> (q130 _),
@@ -6308,6 +6411,8 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q134_ngram_diversity" -> q134Sql,
+    "q133_margin_mining" -> q133Sql,
     "q132_matryoshka_recall" -> q132Sql,
     "q131_tokenizer_fertility" -> q131Sql,
     "q130_dup_text_fraction" -> q130Sql,

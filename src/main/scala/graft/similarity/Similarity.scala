@@ -421,6 +421,67 @@ object Similarity extends Serializable {
         col("hits").cast("double") / col("expected").cast("double"))
   }
 
+  /** Margin-based neighbor mining (the Artetxe & Schwenk 2019 ratio
+    * margin, the standard bitext/paraphrase mining score): a raw
+    * cosine threshold is miscalibrated because "hubs" are near
+    * EVERYTHING — the margin renormalizes each pair's similarity by
+    * both endpoints' neighborhood densities,
+    * `margin(x,y) = 2k·cos(x,y) / (Σ NN_k(x) + Σ NN_k(y))`, and keeps
+    * each query's best match by margin rather than by cosine.
+    *
+    * Deliberately DECOUPLED from the search backend (the
+    * [[recallAtK]] design): takes any family's (query_id, corpus_id,
+    * sim, rank) result computed over a SYMMETRIC query set (every
+    * corpus_id that should contribute a neighborhood term must also
+    * appear as a query_id — pairs whose corpus side has no
+    * neighborhood row drop via the inner join). At scale the NN table
+    * comes from the ANN family, never from an all-pairs pass.
+    *
+    * Exactness: sims enter as `round(sim·2^20)` fixed point (the
+    * repo's half-away-from-zero convention), neighborhood sums are
+    * exact integer sums, and the margin is one integer floor division
+    * `(2k·sim_fx·2^20) // (sx+sy)` — bit-identical in any engine (no
+    * overflow: ≤ 2^45 at k ≤ 16). Contract: only pairs with
+    * `sim_fx > 0` and positive denominator are mined (a
+    * negative-cosine "best match" is noise, and truncation ≠ floor on
+    * negatives across engines); ties break corpus_id-ascending inside
+    * the bounded `topk_by` fold.
+    *
+    * Scale shape: two shuffles over the n·k NN table (neighborhood
+    * sums + the corpus-side sum join) and one bounded top-1
+    * aggregation — the corpus vectors themselves never move.
+    *
+    * Output: (query_id, match_id, margin_fp, n_neighbors).
+    */
+  def marginScores(nn: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = nn.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("sim") * FixedScale).cast("long").as("sim_fx"))
+    val sums = t.groupBy("query_id")
+      .agg(sum(col("sim_fx")).as("s"), count(lit(1)).as("n"))
+    val withSums = t
+      .join(sums.select(col("query_id"), col("s").as("sx"),
+        col("n").as("n_neighbors")), "query_id")
+      .join(sums.select(col("query_id").as("corpus_id"),
+        col("s").as("sy")), "corpus_id")
+      .filter(col("sim_fx") > 0 && col("sx") + col("sy") > 0)
+      .withColumn("margin_fp",
+        expr(s"(${2L * k} * sim_fx * ${FixedScale}) div (sx + sy)"))
+    // margin_fp ≤ 2^45 < 2^53: exact as topk_by's double score, so the
+    // score slot carries it out and the (score desc, id asc) order IS
+    // the mining rule
+    withSums.groupBy("query_id")
+      .agg(
+        call_function("topk_by", col("corpus_id"),
+          col("margin_fp").cast("double"), lit(1)).as("top"),
+        min(col("n_neighbors")).as("n_neighbors"))
+      .select(col("query_id"),
+        col("top")(0)("id").as("match_id"),
+        col("top")(0)("score").cast("long").as("margin_fp"),
+        col("n_neighbors"))
+  }
+
   /** Deterministic hyperplane weights: integer values derived from md5 of
     * "t<table>:p<plane>:d<dim>" (first 8 hex digits, re-centered around 0).
     * Integer weights + fixed-point vector elements make every projection

@@ -229,6 +229,19 @@ class FunctionsSpec extends SparkSpec {
     assert(eval1(Text.subwordCount(lit("data-set query's"))) == 6)
   }
 
+  test("the extraction/quality stack composes map-only: stripHtml ∘ " +
+      "normalizeText ∘ gopherRules plans with zero exchanges") {
+    val d = spark.range(100).select(col("id"),
+      concat(lit("<p>"), col("id").cast("string"), lit(" the of</p>"))
+        .as("html"))
+    val out = d.select(col("id"),
+      Text.gopherRules(
+        Text.normalizeText(Text.stripHtml(col("html"))))("pass")
+        .as("pass"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("stripHtml: block removal order, entity decoding order, unknown " +
       "entities and word boundaries preserved") {
     def sh(s: String): String = eval1(Text.stripHtml(lit(s))).asInstanceOf[String]

@@ -825,6 +825,48 @@ class SimilaritySpec extends SparkSpec {
     assert(out2.length == 1 && out2.head.getLong(1) == 1L)
   }
 
+  test("marginScores matches the exact fixed-point model, penalizes " +
+    "hubs past raw cosine, and drops asymmetric/non-positive pairs") {
+    import spark.implicits._
+    def fx(s: Double): Long = math.round(s * 1048576.0)
+    def nn(rows: (Long, Long, Double, Int)*) =
+      rows.toDF("query_id", "corpus_id", "sim", "rank")
+    // query 1's RAW best is the hub (sim .90 vs .88), but the hub's
+    // own neighborhood is dense (sums high) while the non-hub's is
+    // sparse — the margin must flip the pick to the non-hub.
+    val hub = 7L; val non = 8L
+    val table = nn(
+      (1L, hub, 0.90, 1), (1L, non, 0.88, 2),
+      (hub, 2L, 0.99, 1), (hub, 3L, 0.99, 2),
+      (non, 2L, 0.10, 1), (non, 3L, 0.10, 2),
+      (2L, 3L, 0.50, 1), (2L, hub, 0.40, 2),
+      (3L, 2L, 0.50, 1), (3L, hub, 0.40, 2))
+    val out = Similarity.marginScores(table, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // exact model of the documented formula
+    val sums = Map(
+      1L -> (fx(0.90) + fx(0.88)), hub -> (fx(0.99) + fx(0.99)),
+      non -> (fx(0.10) + fx(0.10)), 2L -> (fx(0.50) + fx(0.40)),
+      3L -> (fx(0.50) + fx(0.40)))
+    def margin(q: Long, c: Long, s: Double): Long =
+      (BigInt(4) * fx(s) * 1048576L / (sums(q) + sums(c))).toLong
+    assert(out(1L)._1 == non) // hub penalized despite higher cosine
+    assert(out(1L)._2 == margin(1L, non, 0.88))
+    assert(margin(1L, non, 0.88) > margin(1L, hub, 0.90))
+    assert(out(hub) == ((2L, margin(hub, 2L, 0.99))))
+    // corpus ids with no neighborhood row (asymmetric set) drop: a
+    // query whose ONLY candidates are unknown yields no output row
+    val asym = nn((1L, 2L, 0.9, 1), (1L, 99L, 0.95, 1),
+      (2L, 1L, 0.9, 1))
+    val out2 = Similarity.marginScores(asym, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 2L, 2L -> 1L)) // 99 dropped, not picked
+    // non-positive sims never mined
+    val neg = nn((1L, 2L, -0.5, 1), (2L, 1L, -0.5, 1))
+    assert(Similarity.marginScores(neg, k = 2).count() == 0L)
+  }
+
   test("hardNegatives: every result has a different, non-null label; " +
     "equals bruteForceTopK restricted to label-mismatched pairs") {
     import spark.implicits._
