@@ -6186,7 +6186,74 @@ object SparkEntry {
            AS ttr_bp
        FROM c GROUP BY source"""
 
+  // ------------------------------------------------------------------
+  // q135 — the C4 cleaning rule set (extension: Text.c4Rules, Raffel
+  // et al. 2020 §2.2): line-level retention (≥5 words, terminal
+  // punctuation, no "javascript") then page rules (≥N sentences, no
+  // "lorem ipsum", no '{') — the named LINE-granularity counterpart of
+  // q126's document-level Gopher ratios. The fixture synthesizes line
+  // structure and sentence punctuation from word occurrences via plain
+  // replace (as q126 does) and injects the page-level pathologies from
+  // doc_id arithmetic so every rule straddles; clean_text is verified
+  // whole via md5. Map-only; every field exact string/integer ops.
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      replace(replace(col("text"), lit(" sort "), lit(".\n sort ")),
+        lit(" query "), lit(" javascript query ")),
+      when(col("doc_id") % 11 === 3, lit(" lorem ipsum")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 5, lit(" {")).otherwise(lit("")))
+    val c = Text.c4Rules(synth, minLineWords = 5, minSentences = 2)
+    t(s, dir, "documents")
+      .select(col("doc_id"), c.as("c"))
+      .select(col("doc_id"), col("c.n_lines"), col("c.n_lines_kept"),
+        col("c.n_sentences"), col("c.ok_sentences"), col("c.ok_lorem"),
+        col("c.ok_brace"), col("c.pass"),
+        md5(col("c.clean_text").cast("binary")).as("clean_md5"))
+  }
+
+  private val q135Sql =
+    """WITH s0 AS (
+         SELECT doc_id,
+           replace(replace(text, ' sort ', '.' || chr(10) || ' sort '),
+                   ' query ', ' javascript query ')
+           || (CASE WHEN doc_id % 11 = 3 THEN ' lorem ipsum' ELSE '' END)
+           || (CASE WHEN doc_id % 13 = 5 THEN ' {' ELSE '' END) AS d
+         FROM documents),
+       m AS (SELECT doc_id, d, string_split(d, chr(10)) AS lines FROM s0),
+       k AS (
+         SELECT doc_id, d,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           list_filter(lines, l ->
+             len(list_filter(regexp_split_to_array(l, '\s+'),
+                             x -> x <> '')) >= 5
+             AND (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                  OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+             AND NOT contains(lower(l), 'javascript')) AS kept
+         FROM m),
+       f AS (
+         SELECT doc_id, n_lines,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join
+           -- gives '' — coalesce to the Spark/SQL-standard empty string
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+           NOT contains(lower(d), 'lorem ipsum') AS ok_lorem,
+           NOT contains(d, '{') AS ok_brace
+         FROM k),
+       g AS (
+         SELECT doc_id, n_lines, n_lines_kept, clean, ok_lorem, ok_brace,
+           CAST(len(clean)
+             - len(replace(replace(replace(clean, '.', ''), '!', ''),
+                           '?', '')) AS BIGINT) AS n_sentences
+         FROM f)
+       SELECT doc_id, n_lines, n_lines_kept, n_sentences,
+         (n_sentences >= 2) AS ok_sentences, ok_lorem, ok_brace,
+         ((n_sentences >= 2) AND ok_lorem AND ok_brace
+          AND n_lines_kept >= 1) AS pass,
+         md5(clean) AS clean_md5
+       FROM g"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_c4_rules" -> (q135 _),
     "q134_ngram_diversity" -> (q134 _),
     "q133_margin_mining" -> (q133 _),
     "q132_matryoshka_recall" -> (q132 _),
@@ -6411,6 +6478,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q135_c4_rules" -> q135Sql,
     "q134_ngram_diversity" -> q134Sql,
     "q133_margin_mining" -> q133Sql,
     "q132_matryoshka_recall" -> q132Sql,

@@ -229,6 +229,65 @@ object Text {
         okStop).as("pass"))
   }
 
+  /** The C4 cleaning rule set (Raffel et al. 2020, §2.2) as one
+    * map-only struct column — the line-level counterpart of
+    * [[gopherRules]]' document-level ratios, and the other canonical
+    * named web-corpus filter (C4 cleans LINES then rejects pages; Gopher
+    * scores pages whole). Returned fields:
+    *
+    *  - `n_lines` / `n_lines_kept`: line totals before/after the line
+    *    pass. A line is KEPT iff it has ≥ `minLineWords` whitespace
+    *    words, ends (after right-trim) in a terminal punctuation mark
+    *    (`.` `!` `?` `"`), and does not contain the word "javascript"
+    *    (case-insensitive) — C4's three line rules.
+    *  - `clean_text`: the kept lines re-joined with `\n` — what the
+    *    next pipeline stage (dedup, LM scoring) should consume.
+    *  - `n_sentences`: terminal-punctuation count (`.` `!` `?`) in the
+    *    CLEANED text — C4's sentence-count proxy.
+    *  - `ok_sentences`: `n_sentences ≥ minSentences` (C4 drops pages
+    *    with fewer than 3 sentences).
+    *  - `ok_lorem`: page does not contain "lorem ipsum" (placeholder
+    *    text ⇒ scraped template).
+    *  - `ok_brace`: page does not contain `{` (code, not prose).
+    *  - `pass`: the page-rule conjunction AND ≥1 kept line.
+    *
+    * Exactness contract: pure string builtins only — literal-newline
+    * split (never regex `\s`), whitespace words via [[tokens]], plain
+    * `contains`/`endswith` after ASCII lowercase, sentence count via
+    * single-char `translate` removal — every field bit-identical in any
+    * engine. Null text propagates null. Pure composition of codegen'd
+    * built-ins + higher-order array ops — no UDF, fuses into the scan.
+    * The reference has no quality filtering at all (SURVEY §2.7).
+    */
+  def c4Rules(
+      c: Column,
+      minLineWords: Int = 5,
+      minSentences: Int = 3): Column = {
+    val lines = split(c, "\n")
+    val kept = filter(lines, { l =>
+      val r = rtrim(l)
+      size(tokens(l)) >= minLineWords &&
+        (endswith(r, lit(".")) || endswith(r, lit("!")) ||
+          endswith(r, lit("?")) || endswith(r, lit("\""))) &&
+        !contains(lower(l), lit("javascript"))
+    })
+    val clean = array_join(kept, "\n")
+    val nSentences =
+      (length(clean) - length(translate(clean, ".!?", ""))).cast("long")
+    val okSentences = nSentences >= minSentences
+    val okLorem = !contains(lower(c), lit("lorem ipsum"))
+    val okBrace = !contains(c, lit("{"))
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      okSentences.as("ok_sentences"),
+      okLorem.as("ok_lorem"),
+      okBrace.as("ok_brace"),
+      (okSentences && okLorem && okBrace && size(kept) >= 1).as("pass"),
+      clean.as("clean_text"))
+  }
+
   /** Strip HTML down to visible text — the extraction stage between a
     * raw crawl and every filter above (quality/langid scores on markup
     * measure the markup, not the prose). Deliberately a tag/entity

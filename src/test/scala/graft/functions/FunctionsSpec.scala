@@ -214,6 +214,67 @@ class FunctionsSpec extends SparkSpec {
       empty("pass") == false)
   }
 
+  private def c4(s: String, minLineWords: Int = 5,
+      minSentences: Int = 3): Map[String, Any] = {
+    import spark.implicits._
+    val row = Seq(1).toDF("x")
+      .select(Text.c4Rules(lit(s), minLineWords = minLineWords,
+        minSentences = minSentences).as("c"))
+      .select("c.*").collect().head
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("c4Rules: each line rule drops exactly its pathology and the " +
+      "page rules fire independently") {
+    val good = "the cat sat on the mat today.\n" +
+      "we walked to the store and back!\n" +
+      "is this the right question to ask?"
+    val ok = c4(good)
+    assert(ok("n_lines") == 3L && ok("n_lines_kept") == 3L &&
+      ok("n_sentences") == 3L && ok("ok_sentences") == true &&
+      ok("ok_lorem") == true && ok("ok_brace") == true &&
+      ok("pass") == true && ok("clean_text") == good)
+    // line with < 5 words dropped, even when punctuated
+    val short = c4("too few words here.\n" + good)
+    assert(short("n_lines") == 4L && short("n_lines_kept") == 3L)
+    // line without terminal punctuation dropped (trailing spaces ignored)
+    val unpunct = c4("this line has five words but no period\n" + good)
+    assert(unpunct("n_lines_kept") == 3L)
+    assert(c4("ends with a quoted word \"stop\"  ")("n_lines_kept") == 1L)
+    // the javascript rule is case-insensitive and drops the whole line
+    val js = c4("please enable JavaScript to view this page.\n" + good)
+    assert(js("n_lines_kept") == 3L)
+    // sentence count reads the CLEANED text: a dropped line's periods
+    // don't count toward ok_sentences
+    val dropped = c4("a. b. c. d.\n" + "the only kept line is this one.",
+      minSentences = 2)
+    assert(dropped("n_sentences") == 1L && dropped("ok_sentences") == false)
+    // page rules: lorem ipsum / brace reject the page but keep the
+    // per-rule fields independent
+    val lorem = c4(good + "\nfooter: Lorem Ipsum dolor sit amet etc.")
+    assert(lorem("ok_lorem") == false && lorem("ok_brace") == true &&
+      lorem("pass") == false)
+    val brace = c4(good + "\nif (x) { return the value of it; }")
+    assert(brace("ok_brace") == false && brace("ok_lorem") == true &&
+      brace("pass") == false)
+    // zero kept lines fails pass even when page rules hold
+    val none = c4("no punct here at all", minSentences = 0)
+    assert(none("n_lines_kept") == 0L && none("clean_text") == "" &&
+      none("pass") == false)
+  }
+
+  test("c4Rules composes map-only: stripHtml ∘ c4Rules plans with " +
+      "zero exchanges") {
+    val d = spark.range(100).select(col("id"),
+      concat(lit("<p>the quick brown fox jumps.</p>\n<p>"),
+        col("id").cast("string"), lit(" of them ran away too.</p>"))
+        .as("html"))
+    val out = d.select(col("id"),
+      Text.c4Rules(Text.stripHtml(col("html")))("pass").as("pass"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("subwordCount equals size(subwordTokens) — the lookaround-free " +
       "RE2-replayable form counts the same units") {
     val cases = Seq(
