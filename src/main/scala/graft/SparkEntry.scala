@@ -6252,7 +6252,54 @@ object SparkEntry {
          md5(clean) AS clean_md5
        FROM g"""
 
+  // ------------------------------------------------------------------
+  // q136 — vocabulary growth curve (extension: Profile.vocabGrowth,
+  // the Heaps'-law corpus-health diagnostic): new word-TRIGRAM types
+  // per ingest-order tenth of the doc_id range, with cumulative type
+  // and occurrence counts — the "is the tail of this crawl still
+  // minting diversity" read that decides whether more data is worth
+  // ingesting. Trigrams (not the 30-word unigram vocab, which
+  // saturates in the first bucket) so the curve bends visibly at this
+  // corpus size. Bucket = equal-width id window via exact integer div;
+  // first appearance = min(bucket) per type. All integers.
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.vocabGrowth(
+      t(s, dir, "documents"), col("doc_id"),
+      Text.wordShingles(Text.tokens(col("text")), 3), buckets = 10)
+
+  private val q136Sql =
+    """WITH b AS (
+         SELECT min(doc_id) AS lo, max(doc_id) + 1 AS hi FROM documents),
+       tk AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+           unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   for i in range(1, len(ws) - 1)]) AS gram
+         FROM tk WHERE len(ws) >= 3),
+       gb AS (
+         SELECT ((g.doc_id - b.lo) * 10) // (b.hi - b.lo) + 1 AS bucket,
+           gram
+         FROM g, b),
+       occ AS (
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_units
+         FROM gb GROUP BY 1),
+       fa AS (SELECT gram, min(bucket) AS bucket FROM gb GROUP BY 1),
+       nt AS (
+         SELECT bucket, CAST(count(*) AS BIGINT) AS new_types
+         FROM fa GROUP BY 1)
+       SELECT CAST(o.bucket AS BIGINT) AS bucket, o.n_units,
+         CAST(SUM(o.n_units) OVER (ORDER BY o.bucket) AS BIGINT)
+           AS cum_units,
+         CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+         CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY o.bucket)
+           AS BIGINT) AS cum_types
+       FROM occ o LEFT JOIN nt ON o.bucket = nt.bucket"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_vocab_growth" -> (q136 _),
     "q135_c4_rules" -> (q135 _),
     "q134_ngram_diversity" -> (q134 _),
     "q133_margin_mining" -> (q133 _),
@@ -6478,6 +6525,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q136_vocab_growth" -> q136Sql,
     "q135_c4_rules" -> q135Sql,
     "q134_ngram_diversity" -> q134Sql,
     "q133_margin_mining" -> q133Sql,

@@ -132,4 +132,61 @@ object Profile {
         (lit(lo) + (col("bin") + 1) * lit(w)).as("approx_value"),
         col("n_le")): _*)
   }
+
+  /** Vocabulary growth curve (Heaps'/Herdan's law diagnostic): how many
+    * NEW unit types (tokens, shingles — any exploded unit) each slice
+    * of the corpus contributes, in ingest order. The canonical corpus-
+    * health read: a healthy diverse corpus keeps minting types
+    * (cum_types ~ cum_units^beta, beta in [0.4, 0.6] for natural text);
+    * a curve that flattens early means the tail of the crawl is
+    * re-crawled/templated content that dedup should remove, and a
+    * post-dedup curve that STILL flattens means the corpus is
+    * saturated — more data buys no more diversity.
+    *
+    * Slices are `buckets` equal-WIDTH windows of the id range (bounds
+    * from a 1-row aggregate attached by broadcast) — never a global
+    * row_number, so nothing sorts N rows; with ids as ingest sequence
+    * numbers the windows are ingest deciles. A type's bucket is its
+    * FIRST appearance: `min(bucket)` per unit, exact because the
+    * bucket is monotone in id.
+    *
+    * Shape at scale: two map-side-combinable aggregations over the
+    * exploded units (the same exchange class as every n-gram op — the
+    * unit groupBy's key space is the type vocabulary, not the corpus),
+    * then a window over `buckets` rows. No sort of data-sized input,
+    * no driver state.
+    *
+    * @param idCol   numeric ingest id (bucket key)
+    * @param unitCol ARRAY column of unit strings per row
+    * @return (bucket 1..buckets, n_units, cum_units, new_types,
+    *         cum_types) — buckets with zero unit occurrences are absent
+    */
+  def vocabGrowth(
+      df: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      unitCol: org.apache.spark.sql.Column,
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, "buckets must be positive")
+    val base = df.select(idCol.cast("long").as("gid"),
+      explode(unitCol).as("unit"))
+    val bounds = df.agg(min(idCol).cast("long").as("lo"),
+      (max(idCol).cast("long") + 1L).as("hi"))
+    // integer `div`: exact at any id magnitude (no double rounding);
+    // gid < hi so the quotient lands in [0, buckets-1]
+    val withB = base.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"CAST((gid - lo) * $buckets DIV (hi - lo) AS INT) + 1"))
+    val occ = withB.groupBy("bucket").agg(count(lit(1)).as("n_units"))
+    val nt = withB.groupBy("unit").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    occ.join(nt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_units", sum("n_units").over(w))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .select(col("bucket").cast("long").as("bucket"), col("n_units"),
+        col("cum_units"), col("new_types"), col("cum_types"))
+  }
 }

@@ -97,4 +97,54 @@ class ProfileSpec extends SparkSpec {
       Profile.describe(df, Seq("nope"))
     }
   }
+
+  private def growthRows(df: org.apache.spark.sql.DataFrame, buckets: Int)
+      : Map[Long, (Long, Long, Long, Long)] =
+    Profile.vocabGrowth(df, col("id"), col("units"), buckets)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("vocabGrowth: first-appearance buckets, zero-new-type buckets, " +
+      "and cumulative sums against a hand model") {
+    import spark.implicits._
+    // ids 0..9 at 2 buckets: bucket 1 = ids 0..4, bucket 2 = ids 5..9
+    val df = (0L to 9L).map { i =>
+      val units =
+        if (i < 5) Seq("a", "b") // bucket 1: types a, b; 10 occurrences
+        else Seq("a", "c")       // bucket 2: only c is NEW
+      (i, units)
+    }.toDF("id", "units").repartition(3)
+    val out = growthRows(df, 2)
+    assert(out(1L) == ((10L, 10L, 2L, 2L)))
+    assert(out(2L) == ((10L, 20L, 1L, 3L)))
+    // all types seen early: later bucket has occurrences, ZERO new types
+    val sat = (0L to 9L).map(i => (i, Seq("x"))).toDF("id", "units")
+    val satOut = growthRows(sat, 2)
+    assert(satOut(1L) == ((5L, 5L, 1L, 1L)))
+    assert(satOut(2L) == ((5L, 10L, 0L, 1L)))
+  }
+
+  test("vocabGrowth buckets are equal-WIDTH id windows (gap-invariant, " +
+      "no global sort of the units)") {
+    import spark.implicits._
+    // ids 0 and 100: lo=0, hi=101 — id 0 -> bucket 1, id 100 -> bucket 10
+    val gappy = Seq((0L, Seq("a")), (100L, Seq("b"))).toDF("id", "units")
+    val out = growthRows(gappy, 10)
+    assert(out.keySet == Set(1L, 10L))
+    assert(out(1L) == ((1L, 1L, 1L, 1L)))
+    assert(out(10L) == ((1L, 2L, 1L, 2L)))
+    // the executed plan never globally sorts the exploded unit stream:
+    // no range partitioning anywhere — the only single-partition
+    // exchange is the cumulative window's, which sees <= buckets
+    // aggregated rows
+    val big = spark.range(1000).select(col("id"),
+      array(concat(lit("u"), (col("id") % 37).cast("string"))).as("units"))
+    val vg = Profile.vocabGrowth(big, col("id"), col("units"), 10)
+    vg.collect() // finalize the adaptive plan
+    val plan = vg.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("SinglePartition"), plan)
+  }
 }
