@@ -6298,7 +6298,51 @@ object SparkEntry {
            AS BIGINT) AS cum_types
        FROM occ o LEFT JOIN nt ON o.bucket = nt.bucket"""
 
+  // ------------------------------------------------------------------
+  // q137 — per-source frequency cap (extension: Sampling.capPerGroup,
+  // the RefinedWeb/crawl host-capping stage): keep the 5 best-quality
+  // docs per source, rank and pre-cap size attached. The rank runs as
+  // the bounded topk_by aggregate + keeper join-back — never a
+  // row_number window over the corpus; the oracle replays the same
+  // (quality DESC, doc_id ASC) order with a window, equal because
+  // doc_ids are unique. Quality is the q21/q125 expression — ordering
+  // only, never output (the house float rule).
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("quality")),
+        col("source"), col("doc_id"), col("quality"), k = 5)
+      .select(col("source"), col("doc_id"), col("rank").as("kept_rank"),
+        col("n_group").as("n_source"))
+
+  private val q137Sql =
+    """WITH qtk AS (
+         SELECT doc_id, source,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk,
+           text
+         FROM documents),
+       qual AS (
+         SELECT doc_id, source,
+           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+             + greatest(1.0 - (CASE WHEN len(text) > 0 THEN
+                 CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+                 ELSE 0.0 END) * 4, 0.0) * 0.3
+             + least((CASE WHEN len(tk) > 0 THEN
+                 CAST(len(list_filter(tk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END) * 5, 1.0) * 0.3 AS q
+         FROM qtk),
+       ranked AS (
+         SELECT source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY q DESC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n_source
+         FROM qual)
+       SELECT source, doc_id, CAST(rn AS BIGINT) AS kept_rank,
+         CAST(n_source AS BIGINT) AS n_source
+       FROM ranked WHERE rn <= 5"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_source_cap" -> (q137 _),
     "q136_vocab_growth" -> (q136 _),
     "q135_c4_rules" -> (q135 _),
     "q134_ngram_diversity" -> (q134 _),
@@ -6525,6 +6569,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q137_source_cap" -> q137Sql,
     "q136_vocab_growth" -> q136Sql,
     "q135_c4_rules" -> q135Sql,
     "q134_ngram_diversity" -> q134Sql,

@@ -588,4 +588,49 @@ object Sampling {
       .filter(col("cum") <= budget)
       .select(col("id"), col("w"), col("cum"))
   }
+
+  /** Per-group frequency cap: keep at most `k` rows per group, best
+    * `scoreCol` first (ties by id ascending) — the host/source capping
+    * stage of web-corpus curation (RefinedWeb caps documents per
+    * domain; crawl pipelines cap per host so one boilerplate-heavy
+    * site cannot dominate a language's token budget).
+    *
+    * Scale shape: the rank never runs as a row_number window (that
+    * would shuffle EVERY row to its group's partition — the corpus is
+    * the job); instead the bounded `topk_by` aggregate folds map-side
+    * partials of ≤k entries per (partition, group), so the exchange
+    * carries k-row partials, and the resulting keeper set (≤ k·groups
+    * rows, the join key + rank only) joins back to fetch the full
+    * rows — broadcastable whenever k·groups is dimension-sized, which
+    * AQE decides from the aggregate's actual output size.
+    *
+    * Determinism: (score DESC, id ASC) is a total order when ids are
+    * unique; null scores are skipped by the aggregate (a null-quality
+    * row can never be a keeper). Rows whose group key is null form
+    * their own group, like SQL GROUP BY.
+    *
+    * @return the kept input rows + `rank` (1 = best) + `n_group`
+    *         (pre-cap group size)
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: Column,
+      idCol: Column,
+      scoreCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keepers = df
+      .select(groupCol.as("gk"), idCol.as("gid"),
+        scoreCol.cast("double").as("gs"))
+      .groupBy(col("gk"))
+      .agg(call_function("topk_by", col("gid"), col("gs"), lit(k))
+          .as("top"),
+        count(lit(1)).as("n_group"))
+      .select(col("gk"), col("n_group"), posexplode(col("top")))
+      .select(col("gk"), col("col.id").as("gid"),
+        (col("pos") + 1).cast("long").as("rank"), col("n_group"))
+    df.join(keepers,
+        groupCol <=> col("gk") && idCol === col("gid"))
+      .drop("gk", "gid")
+  }
 }

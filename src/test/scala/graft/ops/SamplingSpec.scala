@@ -228,6 +228,45 @@ class SamplingSpec extends SparkSpec {
     }.isEmpty, s"global sort should not appear:\n$plan")
   }
 
+  test("capPerGroup: brute-model equality, null score/group handling, " +
+      "partitioning invariance, and no rank window in the plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map { i =>
+      val g = if (i % 17 == 0) null else s"g${i % 7}"
+      val s: java.lang.Double =
+        if (i % 23 == 0) null else rnd.nextInt(40).toDouble
+      (i, g, s)
+    }
+    // brute model: per group, (score desc, id asc), null scores excluded
+    val expected = rows
+      .filter(_._3 != null)
+      .groupBy(_._2)
+      .flatMap { case (g, members) =>
+        members.sortBy(t => (-t._3.doubleValue, t._1)).take(3)
+          .zipWithIndex.map { case ((id, _, _), i) =>
+            (g, id, i + 1L, members.size.toLong) }
+      }.toSet
+    // n_group counts ALL rows of the group (incl. null-score ones)
+    val expectedN = rows.groupBy(_._2).map { case (g, m) => g -> m.size.toLong }
+    val adjusted = expected.map { case (g, id, r, _) => (g, id, r, expectedN(g)) }
+    for (parts <- Seq(1, 5)) {
+      val df = rows.toDF("id", "g", "s").repartition(parts)
+      val got = Sampling.capPerGroup(df, col("g"), col("id"), col("s"), 3)
+        .select(col("g"), col("id"), col("rank"), col("n_group"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+          r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == adjusted, s"parts=$parts")
+    }
+    // the plan ranks via the bounded aggregate, never a window
+    val plan = Sampling.capPerGroup(
+      rows.toDF("id", "g", "s"), col("g"), col("id"), col("s"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("topk_by"), plan)
+  }
+
   test("leakageSafeSplit lands every member of a dup cluster on one " +
       "side and leaves singletons on their own split") {
     import spark.implicits._
