@@ -6341,7 +6341,68 @@ object SparkEntry {
          CAST(n_source AS BIGINT) AS n_source
        FROM ranked WHERE rn <= 5"""
 
+  // ------------------------------------------------------------------
+  // q138 — cluster-balanced diversity sample (extension:
+  // Similarity.clusterBalancedSample, the D4/DataComp "cover every
+  // region of embedding space" selection): k-means cells (the q121
+  // training replay — same seeds, one Lloyd step, same fixed-point
+  // mean), then ≤40 vectors per cell in content-addressed unit-hash
+  // order. The oracle replays the q121 Lloyd chain and ranks by the
+  // integer 52-bit hash ascending — equal to the Spark side's negated
+  // double score because h < 2^52 is exact in a double and the
+  // negation is monotone.
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.clusterBalancedSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        perCell = 40, salt = "cbs", nlist = 8, trainIters = 1)
+      .withColumnRenamed("id", "vec_id")
+
+  private val q138Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       fx AS (SELECT vec_id, e, [CAST(round(x * 1048576.0) AS BIGINT) for x in e] AS f FROM v),
+       seed AS (
+         SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cent_id, e AS ce
+         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, f, cent_id FROM (
+           SELECT fx.vec_id, fx.f, s.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+               list_sum([fx.e[i] * s.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([fx.e[i] * fx.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([s.ce[i] * s.ce[i] for i in range(1, 65)]))) DESC,
+               s.cent_id ASC) AS r
+           FROM fx CROSS JOIN seed s) WHERE r = 1),
+       u1 AS (SELECT cent_id, unnest(f) AS xf, unnest(range(1, 65)) AS i FROM a1),
+       s1 AS (SELECT cent_id, i, SUM(xf) AS sf FROM u1 GROUP BY cent_id, i),
+       n1 AS (SELECT cent_id, COUNT(*) AS cnt FROM a1 GROUP BY cent_id),
+       m1 AS (SELECT s1.cent_id, list(CAST(sf AS DOUBLE) / cnt / 1048576.0 ORDER BY i) AS ce
+              FROM s1 JOIN n1 USING (cent_id) GROUP BY s1.cent_id),
+       c1 AS (SELECT sd.cent_id, COALESCE(m1.ce, sd.ce) AS ce FROM seed sd LEFT JOIN m1 USING (cent_id)),
+       asg AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT v.vec_id, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum([v.e[i] * c.ce[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([c.ce[i] * c.ce[i] for i in range(1, 65)]))) DESC,
+               c.cent_id ASC) AS r
+           FROM v CROSS JOIN c1 c) WHERE r = 1),
+       h AS (
+         SELECT vec_id, cent_id AS cell,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR) || ':cbs'), j, 1)) - 1) * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)]) AS BIGINT) AS hh
+         FROM asg),
+       r AS (
+         SELECT cell, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY cell
+             ORDER BY hh ASC, vec_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY cell) AS n_cell
+         FROM h)
+       SELECT cell, vec_id, CAST(rn AS BIGINT) AS samp_rank,
+         CAST(n_cell AS BIGINT) AS n_cell
+       FROM r WHERE rn <= 40"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_cluster_sample" -> (q138 _),
     "q137_source_cap" -> (q137 _),
     "q136_vocab_growth" -> (q136 _),
     "q135_c4_rules" -> (q135 _),
@@ -6569,6 +6630,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q138_cluster_sample" -> q138Sql,
     "q137_source_cap" -> q137Sql,
     "q136_vocab_growth" -> q136Sql,
     "q135_c4_rules" -> q135Sql,

@@ -2706,4 +2706,55 @@ object Similarity extends Serializable {
       .withColumn("n_cell", count(lit(1)).over(byCell))
       .filter(col("rank") > expr(s"n_cell * $dropNum div $dropDen"))
   }
+
+  /** Cluster-balanced subset selection (the D4/DataComp-style
+    * "diversity sample"): train k-means on the embeddings, assign every
+    * vector to its nearest cell, then keep at most `perCell` vectors
+    * PER CELL — so the sample covers every region of embedding space
+    * instead of letting the corpus's head clusters (boilerplate,
+    * near-dups, one dominant domain) fill a uniform sample. The
+    * complement of [[prototypicality]]'s within-cell pruning: this op
+    * equalizes ACROSS cells.
+    *
+    * Within a cell, membership is content-addressed — rank by
+    * `Sampling.unitHash(id)` ascending (ties impossible in practice,
+    * broken by id) — so the sample is a pure function of (ids, salt,
+    * centroids): stable across runs, partitionings, and engines, like
+    * every sampler in [[graft.ops.Sampling]].
+    *
+    * Scale shape: centroid training/assignment are the shared k-means
+    * kernels (bounded driver statistic + map-only pruned CentroidScan
+    * past the tier gates); the per-cell cap is
+    * [[graft.ops.Sampling.capPerGroup]]'s bounded `topk_by` fold —
+    * map-side ≤perCell partials per (partition, cell), never a
+    * row_number window over the corpus. Vectors never exchange: only
+    * (id, cell, hash) reaches the aggregation.
+    *
+    * @return (cell, id, samp_rank 1..perCell in hash order, n_cell
+    *         pre-cap cell population)
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame,
+      idCol: String, vecCol: String,
+      perCell: Int,
+      salt: String = "cbs",
+      nlist: Int = graft.ops.Sizing.Auto,
+      trainIters: Int = 1): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    require(nlist >= 1 || nlist == graft.ops.Sizing.Auto,
+      s"nlist must be >= 1 (or Sizing.Auto), got $nlist")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val nlistN =
+      if (nlist == graft.ops.Sizing.Auto)
+        graft.ops.Sizing.semDedupNlist(c.select(col("id")).count())
+      else nlist
+    val cents = trainKmeans(corpus, idCol, vecCol, nlistN, trainIters)
+    val assigned = assignNearest(c, cents, 1, 1)
+    graft.ops.Sampling.capPerGroup(
+        assigned.select(col("id"), col("cent_id").as("cell")),
+        col("cell"), col("id"),
+        -graft.ops.Sampling.unitHash(col("id"), salt), perCell)
+      .select(col("cell"), col("id"),
+        col("rank").as("samp_rank"), col("n_group").as("n_cell"))
+  }
 }

@@ -317,6 +317,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusterBalancedSample: hash-order membership matches a brute " +
+      "model at nlist=1, under-cap cells keep everything, and the " +
+      "sample is partitioning-invariant") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 97 + i * 13).toFloat)
+    val rows = (1 to 17).map(i => (i.toLong, vec(i)))
+    // model: one cell (nlist=1), keep the 6 smallest md5("id:cbs")
+    // 13-hex unit hashes, rank in (hash asc, id asc) order
+    def uh(id: Long): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$id:cbs".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      BigInt(hex.take(13), 16)
+    }
+    val expected = rows.map(_._1).sortBy(id => (uh(id), id)).take(6)
+      .zipWithIndex.map { case (id, i) => (0L, id, i + 1L, 17L) }.toSet
+    for (parts <- Seq(1, 4)) {
+      val got = Similarity.clusterBalancedSample(
+          rows.toDF("vec_id", "embedding").repartition(parts),
+          "vec_id", "embedding", perCell = 6, nlist = 1, trainIters = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // perCell >= n degenerates to the full corpus, every rank present
+    val all = Similarity.clusterBalancedSample(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        perCell = 100, nlist = 1, trainIters = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(all.map(_._1).toSet == rows.map(_._1).toSet)
+    assert(all.map(_._2).sorted.toSeq == (1L to 17L).toSeq)
+    // multi-cell: per-cell cap holds and under-cap cells keep all
+    val grouped = (1 to 20).map(i => (i.toLong, vec(i % 5)))
+    val out = Similarity.clusterBalancedSample(
+        grouped.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        perCell = 3, nlist = 4, trainIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (cell, members) =>
+      val nCell = members.head._3
+      assert(members.length == math.min(3L, nCell).toInt,
+        s"cell $cell kept ${members.length} of $nCell")
+    }
+  }
+
   test("semDedup keep rule is single-hop min-id, not transitive " +
       "(a chain removes every non-head link, each blaming its neighbor)") {
     import spark.implicits._
