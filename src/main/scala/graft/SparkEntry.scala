@@ -6401,7 +6401,183 @@ object SparkEntry {
          CAST(n_cell AS BIGINT) AS n_cell
        FROM r WHERE rn <= 40"""
 
+  // ------------------------------------------------------------------
+  // q139 — near-dup detector grading (extension: Dedup.gradePairs, the
+  // dedup counterpart of q114's recallAtK): q18's banded-MinHash pair
+  // set graded against q19's exact df-filtered n-gram Jaccard as
+  // ground truth — precision/recall/F1 in exact integer basis points.
+  // The two detectors legitimately differ (banding recall loss; q19's
+  // maxDf=100 shingle space vs q18's full hashed-shingle Jaccard), so
+  // the grade is a real measurement, not a tautology. tp is the
+  // pair-set intersection; bp scores are integer floors (positive
+  // operands: Spark div ≡ DuckDB //).
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.gradePairs(pred = q18(s, dir), truth = q19(s, dir))
+
+  private val q139Sql =
+    """WITH docsA AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8) for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       basedA AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docsA),
+       sigsA AS (
+         SELECT id, vms,
+           [list_min([(v * (i + 1) + 40503 * i) % 1000000007 for v in vms]) for i in range(0, 12)] AS sig
+         FROM basedA),
+       bandsA AS (
+         SELECT id, CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         FROM sigsA CROSS JOIN (VALUES (0),(1),(2)) AS t(b)),
+       okA AS (
+         SELECT bucket FROM bandsA GROUP BY bucket HAVING COUNT(*) <= 1000),
+       pairsA AS (
+         SELECT a.id AS id1, b.id AS id2
+         FROM bandsA a JOIN bandsA b ON a.bucket = b.bucket AND a.id < b.id
+         JOIN okA c ON a.bucket = c.bucket
+         UNION
+         SELECT min(id) AS id1, max(id) AS id2
+         FROM bandsA GROUP BY bucket HAVING COUNT(*) > 1000),
+       predp AS (
+         SELECT DISTINCT id1, id2 FROM (
+           SELECT id1, id2,
+             len(list_intersect(d1.vms, d2.vms)) AS common,
+             len(d1.vms) AS n1, len(d2.vms) AS n2
+           FROM pairsA JOIN sigsA d1 ON id1 = d1.id JOIN sigsA d2 ON id2 = d2.id)
+         WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.3),
+       postingB AS (SELECT id, unnest(vms) AS sh FROM basedA),
+       rareB AS (SELECT sh FROM postingB GROUP BY sh HAVING COUNT(*) <= 100),
+       fpB AS (SELECT id, p.sh FROM postingB p JOIN rareB r ON p.sh = r.sh),
+       sizesB AS (SELECT id, COUNT(*) AS nsh FROM fpB GROUP BY id),
+       commonB AS (
+         SELECT a.id AS id1, b.id AS id2, COUNT(*) AS common
+         FROM fpB a JOIN fpB b ON a.sh = b.sh AND a.id < b.id
+         GROUP BY a.id, b.id),
+       truthp AS (
+         SELECT DISTINCT id1, id2
+         FROM commonB JOIN sizesB s1 ON id1 = s1.id JOIN sizesB s2 ON id2 = s2.id
+         WHERE CAST(common AS DOUBLE) / (s1.nsh + s2.nsh - common) >= 0.3),
+       c AS (
+         SELECT
+           (SELECT COUNT(*) FROM (SELECT id1, id2 FROM predp INTERSECT SELECT id1, id2 FROM truthp)) AS tp,
+           (SELECT COUNT(*) FROM predp) AS n_pred,
+           (SELECT COUNT(*) FROM truthp) AS n_truth)
+       SELECT CAST(n_pred AS BIGINT) AS n_pred,
+         CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
+         CAST(n_pred - tp AS BIGINT) AS fp,
+         CAST(n_truth - tp AS BIGINT) AS fn,
+         CASE WHEN n_pred > 0 THEN CAST((tp * 10000) // n_pred AS BIGINT) END AS precision_bp,
+         CASE WHEN n_truth > 0 THEN CAST((tp * 10000) // n_truth AS BIGINT) END AS recall_bp,
+         CASE WHEN n_pred + n_truth > 0 THEN CAST((2 * tp * 10000) // (n_pred + n_truth) AS BIGINT) END AS f1_bp
+       FROM c"""
+
+  // ------------------------------------------------------------------
+  // q140 — MMR diversified re-rank (extension: Similarity.mmrRerank,
+  // Carbonell & Goldstein 1998): q26's brute-force top-10 re-ordered
+  // per query by λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s), λ = 4/8,
+  // 4 picks — the eval-set stage that keeps one near-dup cluster from
+  // filling every slot. Exact integer greedy (house 2^20 fixed point,
+  // λ in eighths), ties by id ascending — the oracle replays the
+  // selection as four unrolled argmax steps.
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.mmrRerank(
+      nn = q26(s, dir).select(col("query_id"), col("corpus_id"), col("sim")),
+      corpus = t(s, dir, "embeddings"),
+      idCol = "vec_id", vecCol = "embedding",
+      select = 4, lambdaEighths = 4)
+
+  private val q140Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       scored AS (
+         SELECT query_id, vec_id AS corpus_id,
+           list_sum([qe[i] * e[i] for i in range(1, len(e)+1)]) /
+             (sqrt(list_sum([qe[i] * qe[i] for i in range(1, len(qe)+1)])) *
+              sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)]))) AS sim
+         FROM q CROSS JOIN v WHERE query_id <> vec_id),
+       topk AS (
+         SELECT query_id, corpus_id, sim FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+           FROM scored) WHERE rank <= 10),
+       cand AS (
+         SELECT query_id, corpus_id,
+           CAST(round(sim * 1048576) AS BIGINT) AS sfx
+         FROM topk),
+       cv AS (
+         SELECT c.query_id, c.corpus_id, v.e
+         FROM cand c JOIN v ON v.vec_id = c.corpus_id),
+       pw AS (
+         SELECT a.query_id, a.corpus_id AS ai, b.corpus_id AS bi,
+           CAST(round(
+             list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e)+1)]) /
+               (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, len(a.e)+1)])) *
+                sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, len(b.e)+1)]))) * 1048576) AS BIGINT) AS pfx
+         FROM cv a JOIN cv b
+           ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id),
+       s1 AS (
+         SELECT query_id, corpus_id, sfx, 4 * sfx AS obj FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY 4 * sfx DESC, corpus_id ASC) AS rn
+           FROM cand) WHERE rn = 1),
+       c2 AS (
+         SELECT c.query_id, c.corpus_id, c.sfx, p.pfx AS md
+         FROM cand c
+         JOIN s1 ON c.query_id = s1.query_id AND c.corpus_id <> s1.corpus_id
+         JOIN pw p ON p.query_id = c.query_id AND p.ai = c.corpus_id
+           AND p.bi = s1.corpus_id),
+       s2 AS (
+         SELECT query_id, corpus_id, sfx, 4 * sfx - 4 * md AS obj FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY (4 * sfx - 4 * md) DESC, corpus_id ASC) AS rn
+           FROM c2) WHERE rn = 1),
+       c3 AS (
+         SELECT c.query_id, c.corpus_id, c.sfx, greatest(p1.pfx, p2.pfx) AS md
+         FROM cand c
+         JOIN s1 ON c.query_id = s1.query_id AND c.corpus_id <> s1.corpus_id
+         JOIN s2 ON c.query_id = s2.query_id AND c.corpus_id <> s2.corpus_id
+         JOIN pw p1 ON p1.query_id = c.query_id AND p1.ai = c.corpus_id
+           AND p1.bi = s1.corpus_id
+         JOIN pw p2 ON p2.query_id = c.query_id AND p2.ai = c.corpus_id
+           AND p2.bi = s2.corpus_id),
+       s3 AS (
+         SELECT query_id, corpus_id, sfx, 4 * sfx - 4 * md AS obj FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY (4 * sfx - 4 * md) DESC, corpus_id ASC) AS rn
+           FROM c3) WHERE rn = 1),
+       c4 AS (
+         SELECT c.query_id, c.corpus_id, c.sfx,
+           greatest(p1.pfx, p2.pfx, p3.pfx) AS md
+         FROM cand c
+         JOIN s1 ON c.query_id = s1.query_id AND c.corpus_id <> s1.corpus_id
+         JOIN s2 ON c.query_id = s2.query_id AND c.corpus_id <> s2.corpus_id
+         JOIN s3 ON c.query_id = s3.query_id AND c.corpus_id <> s3.corpus_id
+         JOIN pw p1 ON p1.query_id = c.query_id AND p1.ai = c.corpus_id
+           AND p1.bi = s1.corpus_id
+         JOIN pw p2 ON p2.query_id = c.query_id AND p2.ai = c.corpus_id
+           AND p2.bi = s2.corpus_id
+         JOIN pw p3 ON p3.query_id = c.query_id AND p3.ai = c.corpus_id
+           AND p3.bi = s3.corpus_id),
+       s4 AS (
+         SELECT query_id, corpus_id, sfx, 4 * sfx - 4 * md AS obj FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY (4 * sfx - 4 * md) DESC, corpus_id ASC) AS rn
+           FROM c4) WHERE rn = 1)
+       SELECT query_id, corpus_id, CAST(1 AS BIGINT) AS mmr_rank,
+         CAST(obj AS BIGINT) AS obj_fx, CAST(sfx AS BIGINT) AS sim_fx FROM s1
+       UNION ALL
+       SELECT query_id, corpus_id, CAST(2 AS BIGINT), CAST(obj AS BIGINT),
+         CAST(sfx AS BIGINT) FROM s2
+       UNION ALL
+       SELECT query_id, corpus_id, CAST(3 AS BIGINT), CAST(obj AS BIGINT),
+         CAST(sfx AS BIGINT) FROM s3
+       UNION ALL
+       SELECT query_id, corpus_id, CAST(4 AS BIGINT), CAST(obj AS BIGINT),
+         CAST(sfx AS BIGINT) FROM s4"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_mmr_rerank" -> (q140 _),
+    "q139_dedup_grade" -> (q139 _),
     "q138_cluster_sample" -> (q138 _),
     "q137_source_cap" -> (q137 _),
     "q136_vocab_growth" -> (q136 _),
@@ -6630,6 +6806,8 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q140_mmr_rerank" -> q140Sql,
+    "q139_dedup_grade" -> q139Sql,
     "q138_cluster_sample" -> q138Sql,
     "q137_source_cap" -> q137Sql,
     "q136_vocab_growth" -> q136Sql,

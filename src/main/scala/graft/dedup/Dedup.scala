@@ -1828,4 +1828,43 @@ object Dedup {
       .withColumn("contamination",
         col("n_matched").cast("double") / col("n_fp"))
   }
+
+  /** Grade a predicted near-dup pair set against a ground-truth pair
+    * set — precision/recall/F1 in exact integer basis points. The
+    * dedup counterpart of [[graft.similarity.Similarity.recallAtK]]:
+    * approximations (banded MinHash, SimHash radius, containment at a
+    * different threshold) become MEASURABLE as first-class relational
+    * results instead of anecdotes, so a pipeline can regression-gate
+    * its recall the same way it gates row counts.
+    *
+    * Both inputs are (id1, id2) with the house id1 < id2 convention
+    * (every pair emitter in this file guarantees it); rows are
+    * de-duplicated defensively. tp counts the pair-set intersection;
+    * fp/fn are set differences by subtraction. The bp scores are
+    * integer floors (positive operands, so Spark `div` ≡ DuckDB `//`);
+    * an empty prediction or truth set yields NULL for the undefined
+    * ratio rather than a fake zero.
+    *
+    * Scale shape: two distincts + one pair-keyed join — every exchange
+    * is pair-volume-bounded (the sets being graded, not the corpus);
+    * the three 1-row totals attach by broadcast cross join, the house
+    * totals pattern.
+    */
+  def gradePairs(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val p = pred.select(col("id1"), col("id2")).distinct()
+    val t = truth.select(col("id1"), col("id2")).distinct()
+    val tp = p.join(t, Seq("id1", "id2")).agg(count(lit(1)).as("tp"))
+    val np = p.agg(count(lit(1)).as("n_pred"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    tp.crossJoin(broadcast(np)).crossJoin(broadcast(nt))
+      .select(col("n_pred"), col("n_truth"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        expr("CASE WHEN n_pred > 0 THEN (tp * 10000) div n_pred END")
+          .as("precision_bp"),
+        expr("CASE WHEN n_truth > 0 THEN (tp * 10000) div n_truth END")
+          .as("recall_bp"),
+        expr("CASE WHEN n_pred + n_truth > 0 THEN (2 * tp * 10000) div (n_pred + n_truth) END")
+          .as("f1_bp"))
+  }
 }

@@ -2757,4 +2757,141 @@ object Similarity extends Serializable {
       .select(col("cell"), col("id"),
         col("rank").as("samp_rank"), col("n_group").as("n_cell"))
   }
+
+  /** Cosine of two float vectors at the house 2^20 fixed point —
+    * the [[withCosineKernel]] double arithmetic (index-ordered dot and
+    * norm folds, one IEEE division) followed by half-away-from-zero
+    * rounding, so a DuckDB replay of
+    * `round(list_sum(products)/(sqrt·sqrt) * 1048576)` reproduces the
+    * value bit-for-bit. */
+  private def cosineFx(a: Array[Float], b: Array[Float]): Long = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    i = 0
+    while (i < b.length) { val y = b(i).toDouble; nb += y * y; i += 1 }
+    val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+    val x = sim * FixedScale
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+  }
+
+  /** Maximal-marginal-relevance diversified re-rank (Carbonell &
+    * Goldstein 1998) — greedily pick `select` results per query that
+    * trade relevance against redundancy:
+    * `argmax  λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)`
+    * (first pick: pure relevance). The eval-set/retrieval stage that
+    * keeps a near-dup-heavy corpus from filling all k slots with one
+    * cluster.
+    *
+    * Backend-decoupled like [[recallAtK]]/[[marginScores]]: `nn` is ANY
+    * family's (query_id, corpus_id, sim) table; this op only re-orders
+    * within each query's candidate set (never searches), so its cost is
+    * queries × k', not the corpus.
+    *
+    * Exactness: λ is restricted to eighths (`lambdaEighths`/8) and sims
+    * enter at the house round(·2^20) fixed point, so the greedy
+    * objective `lNum·sim_fx − (8−lNum)·maxdiv_fx` is pure integer
+    * arithmetic — ties break by id ascending, and a DuckDB oracle
+    * replays the selection as unrolled argmax steps bit-for-bit.
+    * Candidate-to-candidate cosines use [[cosineFx]] (same double
+    * kernel as every cosine in this file, then the same rounding).
+    *
+    * Scale shape: the vector fetch joins only candidate rows (queries ×
+    * k', never the corpus); the per-query fold is the loud-capped
+    * `collect_list_capped` aggregate (group state ≤ `maxCandidates`
+    * vectors, a hard error beyond — never a silent truncation); the
+    * greedy is O(select · k') cosines inside one task. Queries are
+    * independent — embarrassingly parallel at any corpus size.
+    *
+    * @param nn     (query_id, corpus_id, sim) candidate table
+    * @param corpus (idCol, vecCol) — vectors for the candidate ids
+    * @param select number of results to keep per query (fewer if the
+    *               query has fewer candidates)
+    * @param lambdaEighths λ·8 ∈ [1, 8]; 8 = pure relevance
+    * @return (query_id, corpus_id, mmr_rank 1.., obj_fx, sim_fx) —
+    *         obj_fx is the picked objective at 8·2^20 scale
+    */
+  def mmrRerank(
+      nn: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      select: Int, lambdaEighths: Int,
+      maxCandidates: Int = 4096): DataFrame = {
+    require(select > 0, s"select must be positive, got $select")
+    require(lambdaEighths >= 1 && lambdaEighths <= 8,
+      s"lambdaEighths must be in [1, 8], got $lambdaEighths")
+    val idType = nn.schema("corpus_id").dataType
+    graft.dedup.Dedup.requireOrderableId(idType, "mmrRerank")
+    val lNum = lambdaEighths.toLong
+    val cand = nn.select(col("query_id"), col("corpus_id"),
+        round(col("sim") * FixedScale).cast("long").as("sim_fx"))
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+        Seq("corpus_id"))
+    val grouped = cand.groupBy("query_id")
+      .agg(call_function("collect_list_capped",
+        struct(col("corpus_id"), col("sim_fx"), col("cv")),
+        lit(maxCandidates)).as("cands"))
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      grouped.schema("query_id"),
+      StructField("corpus_id", idType, false),
+      StructField("mmr_rank", LongType, false),
+      StructField("obj_fx", LongType, false),
+      StructField("sim_fx", LongType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    grouped.mapPartitions { rows =>
+      rows.flatMap { gr =>
+        val qid = gr.get(0)
+        // id-ascending candidate order: collect order is
+        // partition-dependent, and the strict-> scan below relies on
+        // ascending ids to break objective ties toward the smaller id
+        implicit val anyOrd: Ordering[Any] =
+          (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+        val cands = gr.getSeq[org.apache.spark.sql.Row](1).sortBy(_.get(0))
+        val n = cands.length
+        val ids = Array.tabulate[Any](n)(i => cands(i).get(0))
+        val sfx = Array.tabulate(n)(i => cands(i).getLong(1))
+        val vecs = Array.tabulate(n)(i => cands(i).getSeq[Float](2).toArray)
+        val picked = new Array[Boolean](n)
+        val maxDiv = new Array[Long](n)
+        var havePick = false
+        val nOut = math.min(select, n)
+        val out = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row](nOut)
+        var rank = 1
+        while (rank <= nOut) {
+          var best = -1; var bestObj = 0L
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val obj =
+                if (!havePick) lNum * sfx(i)
+                else lNum * sfx(i) - (8L - lNum) * maxDiv(i)
+              if (best < 0 || obj > bestObj) { best = i; bestObj = obj }
+            }
+            i += 1
+          }
+          out += org.apache.spark.sql.Row(
+            qid, ids(best), rank.toLong, bestObj, sfx(best))
+          picked(best) = true
+          // fold the new pick into every survivor's redundancy term:
+          // true max over picked (negative pair sims stay negative)
+          i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val p = cosineFx(vecs(i), vecs(best))
+              if (!havePick || p > maxDiv(i)) maxDiv(i) = p
+            }
+            i += 1
+          }
+          havePick = true
+          rank += 1
+        }
+        out
+      }
+    }(enc)
+  }
 }

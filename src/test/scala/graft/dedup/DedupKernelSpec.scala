@@ -354,4 +354,36 @@ class DedupKernelSpec extends SparkSpec {
     assert(m.getAs[Long]("capped_buckets") == 0L)
     assert(m.getAs[Long]("active_buckets") > 0L)
   }
+
+  test("gradePairs: exact integer counts and bp floors, duplicate rows " +
+      "de-duplicated, empty sides yield NULL ratios not fake zeros") {
+    import spark.implicits._
+    def pairs(ps: (Long, Long)*) = ps.toDF("id1", "id2")
+    // pred {AB, AC, AD}, truth {AB, AC, AE, AF}: tp=2, fp=1, fn=2
+    val pred = pairs((1L, 2L), (1L, 3L), (1L, 4L), (1L, 2L)) // dup row
+    val truth = pairs((1L, 2L), (1L, 3L), (1L, 5L), (1L, 6L))
+    val r = Dedup.gradePairs(pred, truth).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_pred")) == 3L)
+    assert(row.getLong(row.fieldIndex("n_truth")) == 4L)
+    assert(row.getLong(row.fieldIndex("tp")) == 2L)
+    assert(row.getLong(row.fieldIndex("fp")) == 1L)
+    assert(row.getLong(row.fieldIndex("fn")) == 2L)
+    // floors: 2/3 → 6666 bp, 2/4 → 5000 bp, F1 = 4/7 → 5714 bp
+    assert(row.getLong(row.fieldIndex("precision_bp")) == 6666L)
+    assert(row.getLong(row.fieldIndex("recall_bp")) == 5000L)
+    assert(row.getLong(row.fieldIndex("f1_bp")) == 5714L)
+    // empty prediction: precision undefined (NULL), recall 0
+    val r2 = Dedup.gradePairs(pairs().limit(0), truth).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("precision_bp")))
+    assert(r2.getLong(r2.fieldIndex("recall_bp")) == 0L)
+    assert(r2.getLong(r2.fieldIndex("tp")) == 0L)
+    // both empty: every ratio NULL
+    val r3 = Dedup.gradePairs(pairs().limit(0), pairs().limit(0))
+      .collect().head
+    assert(r3.isNullAt(r3.fieldIndex("precision_bp")))
+    assert(r3.isNullAt(r3.fieldIndex("recall_bp")))
+    assert(r3.isNullAt(r3.fieldIndex("f1_bp")))
+  }
 }

@@ -973,6 +973,121 @@ class SimilaritySpec extends SparkSpec {
     assert(out2(1L) == 1L && out2(2L) == 1L)
   }
 
+  test("mmrRerank: λ=8 is pure relevance order, λ=4 flips a near-twin " +
+      "to the diverse candidate, short groups emit all, ties break by " +
+      "id, and a plain-Scala greedy model reproduces every row") {
+    import spark.implicits._
+    def unit(theta: Double): Array[Float] = {
+      val v = new Array[Float](64)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat
+      v
+    }
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def fx(s: Double): Long = {
+      val x = s * 1048576.0
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    }
+    // candidates: two near-twins at +0.30/+0.32 rad (pair angle 0.02 →
+    // redundancy ~1.0) and a diverse candidate at −0.35 (same relevance
+    // class: Δsim vs the twin ≈ 0.010, but Δredundancy ≈ 0.204 — at
+    // λ=4 the twin's tiny relevance edge loses to its redundancy), plus
+    // one far vector
+    val vecs = Map(
+      11L -> unit(0.30), 12L -> unit(0.32),
+      13L -> unit(-0.35), 14L -> unit(1.30))
+    val corpus = vecs.toSeq.toDF("vec_id", "embedding")
+    val qv = unit(0.0)
+    val nn = vecs.toSeq.map { case (id, v) => (1L, id, cosD(qv, v)) }
+      .toDF("query_id", "corpus_id", "sim")
+
+    // a plain-Scala replay of the documented greedy
+    def model(lNum: Long, select: Int): Seq[(Long, Long, Long, Long)] = {
+      val ids = vecs.keys.toArray.sorted
+      val sfx = ids.map(id => fx(cosD(qv, vecs(id))))
+      val n = ids.length
+      val picked = Array.fill(n)(false)
+      val maxDiv = new Array[Long](n)
+      var have = false
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      for (rank <- 1 to math.min(select, n)) {
+        var best = -1; var bestObj = 0L
+        for (i <- 0 until n if !picked(i)) {
+          val obj =
+            if (!have) lNum * sfx(i)
+            else lNum * sfx(i) - (8L - lNum) * maxDiv(i)
+          if (best < 0 || obj > bestObj) { best = i; bestObj = obj }
+        }
+        out += ((ids(best), rank.toLong, bestObj, sfx(best)))
+        picked(best) = true
+        for (i <- 0 until n if !picked(i)) {
+          val p = fx(cosD(vecs(ids(i)), vecs(ids(best))))
+          if (!have || p > maxDiv(i)) maxDiv(i) = p
+        }
+        have = true
+      }
+      out.result()
+    }
+    def run(lNum: Int, select: Int): Seq[(Long, Long, Long, Long)] =
+      Similarity.mmrRerank(nn, corpus, "vec_id", "embedding",
+          select = select, lambdaEighths = lNum)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._2).toSeq
+
+    // λ=8: pure relevance — picks in (sim desc, id asc) order
+    val rel = run(8, 3)
+    val bySim = vecs.keys.toSeq
+      .sortBy(id => (-fx(cosD(qv, vecs(id))), id)).take(3)
+    assert(rel.map(_._1) == bySim)
+    assert(rel == model(8, 3))
+    // λ=4: rank 1 is still the best (11), but rank 2 flips from the
+    // near-twin 12 (relevance order) to the diverse 13
+    val div = run(4, 3)
+    assert(div.head._1 == 11L)
+    assert(div(1)._1 == 13L, s"expected diversity flip, got $div")
+    assert(div == model(4, 3))
+    // short group: select past the candidate count emits everything
+    assert(run(4, 10).map(_._2) == (1L to 4L))
+    assert(run(4, 10) == model(4, 10))
+    // objective ties break toward the smaller id: identical vectors
+    val twinVecs = Seq((21L, unit(0.3)), (22L, unit(0.3)),
+      (23L, unit(0.9))).toDF("vec_id", "embedding")
+    val twinNn = Seq((1L, 21L, cosD(qv, unit(0.3))),
+      (1L, 22L, cosD(qv, unit(0.3))), (1L, 23L, cosD(qv, unit(0.9))))
+      .toDF("query_id", "corpus_id", "sim")
+    val twins = Similarity.mmrRerank(twinNn, twinVecs, "vec_id",
+        "embedding", select = 3, lambdaEighths = 8)
+      .collect().map(r => (r.getLong(2), r.getLong(1))).sorted.toSeq
+    assert(twins == Seq((1L, 21L), (2L, 22L), (3L, 23L)))
+  }
+
+  test("mmrRerank fails fast on non-orderable ids and bad λ") {
+    import spark.implicits._
+    val nn = Seq((1L, 2L, 0.5)).toDF("query_id", "corpus_id", "sim")
+    val corpus = Seq((2L, Array.fill(4)(0.1f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(nn, corpus, "vec_id", "embedding",
+        select = 1, lambdaEighths = 0)
+    }
+    intercept[IllegalArgumentException] {
+      val badNn = Seq((1L, Array(2L), 0.5)).toDF("query_id", "corpus_id", "sim")
+      val badCorpus = Seq((Array(2L), Array.fill(4)(0.1f)))
+        .toDF("vec_id", "embedding")
+      Similarity.mmrRerank(badNn, badCorpus, "vec_id", "embedding",
+        select = 1, lambdaEighths = 4)
+    }
+  }
+
   test("multimodal stub pipeline: features have the declared shape") {
     import spark.implicits._
     val df = Seq(
