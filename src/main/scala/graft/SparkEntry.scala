@@ -6575,7 +6575,91 @@ object SparkEntry {
        SELECT query_id, corpus_id, CAST(4 AS BIGINT), CAST(obj AS BIGINT),
          CAST(sfx AS BIGINT) FROM s4"""
 
+  // ------------------------------------------------------------------
+  // q141 — corpus drift report (extension: Profile.distributionDrift):
+  // the top-50 word bigrams most overrepresented in the English slice vs
+  // rest, scored by their exact-integer KL(P_en‖P_rest) contribution
+  // with add-one smoothing — the "did the mix change under me"
+  // diagnostic. No division anywhere (the contribution stays an
+  // UNdivided integer numerator, so negative values carry no
+  // truncate-vs-floor hazard); ilog2Fx is q94's 20-round exact binary
+  // log, replayed by the same recursive CTE.
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Profile.distributionDrift(
+      a = docs.filter(col("lang") === "en"),
+      b = docs.filter(col("lang") =!= "en"),
+      unitCol = Text.wordShingles(Text.tokens(col("text")), 2), k = 50)
+  }
+
+  private val q141Sql =
+    """WITH RECURSIVE tkA AS (
+         SELECT list_filter(regexp_split_to_array(text, '\s+'),
+           x -> x <> '') AS ws
+         FROM documents WHERE lang = 'en'),
+       tkB AS (
+         SELECT list_filter(regexp_split_to_array(text, '\s+'),
+           x -> x <> '') AS ws
+         FROM documents WHERE lang <> 'en'),
+       toksA AS (
+         SELECT unnest([ws[i] || ' ' || ws[i+1]
+                        for i in range(1, len(ws))]) AS unit
+         FROM tkA WHERE len(ws) >= 2),
+       toksB AS (
+         SELECT unnest([ws[i] || ' ' || ws[i+1]
+                        for i in range(1, len(ws))]) AS unit
+         FROM tkB WHERE len(ws) >= 2),
+       ac AS (SELECT unit, count(*) AS a_cnt FROM toksA GROUP BY 1),
+       bc AS (SELECT unit, count(*) AS b_cnt FROM toksB GROUP BY 1),
+       j AS (
+         SELECT COALESCE(ac.unit, bc.unit) AS unit,
+           COALESCE(a_cnt, 0) AS a_cnt, COALESCE(b_cnt, 0) AS b_cnt
+         FROM ac FULL OUTER JOIN bc ON ac.unit = bc.unit),
+       tot AS (
+         SELECT sum(a_cnt) AS na, sum(b_cnt) AS nb, count(*) AS v FROM j),
+       vals(v) AS (
+         SELECT DISTINCT a_cnt + 1 FROM j
+         UNION SELECT DISTINCT b_cnt + 1 FROM j
+         UNION SELECT na + v FROM tot
+         UNION SELECT nb + v FROM tot),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       scored AS (
+         SELECT j.unit, j.a_cnt, j.b_cnt,
+           (j.a_cnt + 1) * (la.fx - lda.fx - lb.fx + ldb.fx) AS contrib_fx
+         FROM j, tot
+         JOIN lgf la ON la.v = j.a_cnt + 1
+         JOIN lgf lb ON lb.v = j.b_cnt + 1
+         JOIN lgf lda ON lda.v = tot.na + tot.v
+         JOIN lgf ldb ON ldb.v = tot.nb + tot.v),
+       ranked AS (
+         SELECT unit, a_cnt, b_cnt, contrib_fx,
+           ROW_NUMBER() OVER (ORDER BY contrib_fx DESC, unit ASC)
+             AS drift_rank,
+           COUNT(*) OVER () AS n_vocab
+         FROM scored)
+       SELECT r.unit, CAST(r.a_cnt AS BIGINT) AS a_cnt,
+         CAST(r.b_cnt AS BIGINT) AS b_cnt,
+         CAST(r.contrib_fx AS BIGINT) AS contrib_fx,
+         CAST(r.drift_rank AS BIGINT) AS drift_rank,
+         CAST(r.n_vocab AS BIGINT) AS n_vocab,
+         CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b
+       FROM ranked r, tot WHERE r.drift_rank <= 50"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_token_drift" -> (q141 _),
     "q140_mmr_rerank" -> (q140 _),
     "q139_dedup_grade" -> (q139 _),
     "q138_cluster_sample" -> (q138 _),
@@ -6806,6 +6890,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q141_token_drift" -> q141Sql,
     "q140_mmr_rerank" -> q140Sql,
     "q139_dedup_grade" -> q139Sql,
     "q138_cluster_sample" -> q138Sql,

@@ -189,4 +189,79 @@ object Profile {
       .select(col("bucket").cast("long").as("bucket"), col("n_units"),
         col("cum_units"), col("new_types"), col("cum_types"))
   }
+
+  /** Cross-corpus unit-distribution drift — the top-k units most
+    * OVERREPRESENTED in corpus A relative to corpus B, scored by their
+    * exact-integer KL(P_A‖P_B) contribution. The "did this month's
+    * crawl change under me / does my train mix match my eval mix"
+    * diagnostic; run with (b, a) swapped for the other direction.
+    *
+    * With add-one smoothing over the union vocabulary V (so units
+    * absent on one side stay finite):
+    *   p_t = (a_t+1)/(n_A+V),  q_t = (b_t+1)/(n_B+V)
+    *   contrib_fx(t) = (a_t+1) · (ilog2Fx(a_t+1) − ilog2Fx(n_A+V)
+    *                             − ilog2Fx(b_t+1) + ilog2Fx(n_B+V))
+    * i.e. (n_A+V)·2^20 × p_t·log2(p_t/q_t), kept as the UNdivided
+    * integer numerator — no division anywhere, so there is no
+    * truncate-vs-floor cross-engine hazard on the negative
+    * contributions, and Σ contrib_fx / (n_A+V) recovers the total KL
+    * in fixed-point bits ([[graft.functions.Dsir.ilog2Fx]] — exact
+    * integer binary log, same kernel as q94's entropy).
+    *
+    * Scale shape: two map-side-combined unit counts (key space = the
+    * vocabulary, the n-gram-op exchange class), one vocab-keyed
+    * full-outer join persisted for its two consumers (a 3-scalar
+    * totals read — the bounded-collect idiom — and the scoring pass),
+    * a map-only ilog2 kernel, then [[Sampling.capPerGroup]]'s bounded
+    * topk_by fold for the rank — never a vocab-wide sort. Ranking
+    * compares contributions as doubles: exact while |contrib_fx| <
+    * 2^53 (n_A ≲ 8e9 tokens per 64 log-bits); past that, near-ties may
+    * swap — the rank dial, not the scores, which stay exact integers.
+    *
+    * @param a       corpus A rows (the direction being reported)
+    * @param b       corpus B rows (the baseline)
+    * @param unitCol ARRAY column of unit strings per row (same
+    *                expression must apply to both inputs)
+    * @param k       report size
+    * @return (unit, a_cnt, b_cnt, contrib_fx, drift_rank 1..k,
+    *         n_vocab, n_a, n_b)
+    */
+  def distributionDrift(
+      a: DataFrame, b: DataFrame,
+      unitCol: org.apache.spark.sql.Column,
+      k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val ac = a.select(explode(unitCol).as("unit"))
+      .groupBy("unit").agg(count(lit(1)).as("a_cnt"))
+    val bc = b.select(explode(unitCol).as("unit"))
+      .groupBy("unit").agg(count(lit(1)).as("b_cnt"))
+    val joined = ac.join(bc, Seq("unit"), "full_outer")
+      .select(col("unit"),
+        coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+        coalesce(col("b_cnt"), lit(0L)).as("b_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three bounded scalars (the runOnce idiom): corpus masses + vocab
+    val tot = joined.agg(sum("a_cnt").as("na"), sum("b_cnt").as("nb"),
+      count(lit(1)).as("v")).collect()(0)
+    val nA = tot.getLong(0); val nB = tot.getLong(1); val v = tot.getLong(2)
+    val logDenA = graft.functions.Dsir.ilog2Fx(nA + v)
+    val logDenB = graft.functions.Dsir.ilog2Fx(nB + v)
+    import org.apache.spark.sql.types._
+    val schema = joined.schema.add(StructField("contrib_fx", LongType, false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val scored = joined.mapPartitions { rows =>
+      rows.map { r =>
+        val ai = r.getLong(1); val bi = r.getLong(2)
+        val c = (ai + 1L) * (graft.functions.Dsir.ilog2Fx(ai + 1L) - logDenA
+          - graft.functions.Dsir.ilog2Fx(bi + 1L) + logDenB)
+        org.apache.spark.sql.Row(r.get(0), ai, bi, c)
+      }
+    }(enc)
+    Sampling.capPerGroup(scored, lit(0), col("unit"), col("contrib_fx"), k)
+      .select(col("unit"), col("a_cnt"), col("b_cnt"), col("contrib_fx"),
+        col("rank").as("drift_rank"),
+        col("n_group").as("n_vocab"),
+        lit(nA).as("n_a"), lit(nB).as("n_b"))
+  }
 }

@@ -147,4 +147,45 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan)
     assert(plan.contains("SinglePartition"), plan)
   }
+
+  test("distributionDrift matches a plain-Scala exact model: add-one " +
+      "smoothing on one-sided units, negative contributions for " +
+      "B-heavy units, (contrib desc, unit asc) rank, k cap") {
+    import spark.implicits._
+    import graft.functions.Dsir.ilog2Fx
+    // A: 'x' heavy, 'y' light, 'az' absent in B; B: 'y' heavy, 'bz' only here
+    val a = Seq(Seq("x", "x", "x", "x", "y", "az"),
+      Seq("x", "x", "y")).toDF("units")
+    val b = Seq(Seq("y", "y", "y", "x", "bz"),
+      Seq("y", "y", "bz")).toDF("units")
+    val aCnt = Map("x" -> 6L, "y" -> 2L, "az" -> 1L)
+    val bCnt = Map("x" -> 1L, "y" -> 5L, "bz" -> 2L)
+    val vocab = (aCnt.keySet ++ bCnt.keySet).toSeq.sorted
+    val nA = aCnt.values.sum; val nB = bCnt.values.sum
+    val v = vocab.size.toLong
+    def contrib(u: String): Long = {
+      val ai = aCnt.getOrElse(u, 0L); val bi = bCnt.getOrElse(u, 0L)
+      (ai + 1L) * (ilog2Fx(ai + 1L) - ilog2Fx(nA + v)
+        - ilog2Fx(bi + 1L) + ilog2Fx(nB + v))
+    }
+    val expected = vocab.sortBy(u => (-contrib(u), u)).zipWithIndex
+      .map { case (u, i) =>
+        (u, aCnt.getOrElse(u, 0L), bCnt.getOrElse(u, 0L), contrib(u),
+          i + 1L, v, nA, nB)
+      }
+    val got = Profile.distributionDrift(a, b, col("units"), k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._5).toSeq
+    assert(got == expected)
+    // direction: 'x' (A-heavy) ranks first with positive contribution,
+    // 'y'/'bz' (B-heavy) carry negative contributions
+    assert(got.head._1 == "x" && got.head._4 > 0)
+    assert(got.filter(r => r._1 == "y" || r._1 == "bz").forall(_._4 < 0))
+    // k caps the report
+    val capped = Profile.distributionDrift(a, b, col("units"), k = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == expected.take(2).map(_._1).toSet)
+  }
 }
