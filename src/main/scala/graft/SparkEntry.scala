@@ -6658,7 +6658,181 @@ object SparkEntry {
          CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b
        FROM ranked r, tot WHERE r.drift_rank <= 50"""
 
+  // ------------------------------------------------------------------
+  // q142 — signal-agreement screening (extension: Profile.spearman):
+  // exact Spearman rank correlation between document length and token
+  // entropy — the "are my two quality signals redundant?" check run
+  // before paying for a second filter stage. Ranks are global dense
+  // positions under the (score asc, id asc) TOTAL order, computed by
+  // runningTotal's two-pass range-exchange machinery (never a
+  // single-partition window); rho is one positive÷positive DECIMAL
+  // floor division, bit-identical to the HUGEINT oracle replay.
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ent = graft.functions.Entropy.tokenEntropy(
+      docs, col("doc_id"), col("text"))
+    val j = docs.select(col("doc_id"), col("n_chars"))
+      .join(ent.select(col("id"), col("entropy_fx")),
+        col("doc_id") === col("id"))
+    graft.ops.Profile.spearman(
+      j, col("doc_id"), col("n_chars"), col("entropy_fx"))
+  }
+
+  private val q142Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS t
+         FROM documents),
+       tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+       nd AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
+       vals(v) AS (
+         SELECT DISTINCT c FROM tc UNION SELECT DISTINCT n FROM nd),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       sc AS (SELECT tc.doc_id, sum(tc.c * lgf.fx) AS s
+              FROM tc JOIN lgf ON lgf.v = tc.c GROUP BY 1),
+       e AS (SELECT nd.doc_id, lgf.fx - (sc.s // nd.n) AS entropy_fx
+             FROM nd JOIN lgf ON lgf.v = nd.n JOIN sc USING (doc_id)),
+       scores AS (
+         SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x,
+           CAST(coalesce(e.entropy_fx, 0) AS BIGINT) AS y
+         FROM documents d LEFT JOIN e USING (doc_id)),
+       r AS (
+         SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY x ASC, doc_id ASC) AS rx,
+           ROW_NUMBER() OVER (ORDER BY y ASC, doc_id ASC) AS ry
+         FROM scores),
+       agg AS (
+         SELECT count(*) AS n, sum((rx - ry) * (rx - ry)) AS sum_d2
+         FROM r)
+       SELECT CAST(n AS BIGINT) AS n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+         CAST(1048576 - (6 * CAST(sum_d2 AS HUGEINT) * 1048576)
+           // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_fx
+       FROM agg"""
+
+  // ------------------------------------------------------------------
+  // q143 — consistent corpus sharding (extension:
+  // Sampling.rendezvousShard): every doc's rendezvous shard at N=10
+  // and N=11 plus the moved flag — the incremental-pipeline property
+  // made visible as data: docs that move when a shard is ADDED land
+  // ONLY in the new shard 10 (SamplingSpec pins it), ~1/11 of the
+  // corpus, instead of the mod-N full reshuffle. Map-only; exact
+  // integer md5 argmax both engines.
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.Sampling.rendezvousShard(col("doc_id"), 10, "rdv")
+          .as("shard_a"),
+        graft.ops.Sampling.rendezvousShard(col("doc_id"), 11, "rdv")
+          .as("shard_b"))
+      .withColumn("moved", col("shard_a") =!= col("shard_b"))
+
+  private val q143Sql =
+    """WITH sc AS (
+         SELECT doc_id, s.s AS s,
+           CAST(list_sum([(strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+               CAST(s.s AS VARCHAR) || ':rdv'), j, 1)) - 1)
+             * CAST(pow(16, 13 - j) AS BIGINT)
+             for j in range(1, 14)]) AS BIGINT) AS h
+         FROM documents CROSS JOIN (SELECT unnest(range(0, 11)) AS s) s),
+       a AS (
+         SELECT doc_id, s FROM (
+           SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY h DESC, s ASC) AS rn
+           FROM sc WHERE s < 10) WHERE rn = 1),
+       b AS (
+         SELECT doc_id, s FROM (
+           SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY h DESC, s ASC) AS rn
+           FROM sc) WHERE rn = 1)
+       SELECT a.doc_id, CAST(a.s AS BIGINT) AS shard_a,
+         CAST(b.s AS BIGINT) AS shard_b, a.s <> b.s AS moved
+       FROM a JOIN b USING (doc_id)"""
+
+  // ------------------------------------------------------------------
+  // q144 — filter-agreement screening (extension: Profile.cohenKappa):
+  // chance-corrected agreement between the "long document" judgment
+  // (n_chars ≥ 300, 256/500 pass) and the "high token entropy"
+  // judgment (q94's exact entropy ≥ 4.29 bits fx) — q142's rank
+  // correlation, re-read as the thresholded 2×2 a filter pipeline
+  // actually applies. kappa ships as an exact integer num/den pair
+  // (the signed numerator must not cross a div: Spark truncates,
+  // DuckDB floors).
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ent = graft.functions.Entropy.tokenEntropy(
+        docs, col("doc_id"), col("text"))
+      .select(col("id"), (col("entropy_fx") >= 4500000L).as("b"))
+    graft.ops.Profile.cohenKappa(
+      docs.select(col("doc_id"), (col("n_chars") >= 300L).as("a"))
+        .join(ent, col("doc_id") === col("id")),
+      col("a"), col("b"))
+  }
+
+  private val q144Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS t
+         FROM documents),
+       tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+       nd AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
+       vals(v) AS (
+         SELECT DISTINCT c FROM tc UNION SELECT DISTINCT n FROM nd),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       sc AS (SELECT tc.doc_id, sum(tc.c * lgf.fx) AS s
+              FROM tc JOIN lgf ON lgf.v = tc.c GROUP BY 1),
+       e AS (SELECT nd.doc_id, lgf.fx - (sc.s // nd.n) AS entropy_fx
+             FROM nd JOIN lgf ON lgf.v = nd.n JOIN sc USING (doc_id)),
+       jd AS (
+         SELECT (d.n_chars >= 300) AS a,
+           (coalesce(e.entropy_fx, 0) >= 4500000) AS b
+         FROM documents d LEFT JOIN e USING (doc_id)),
+       m AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(CASE WHEN a AND b THEN 1 END), 0) AS BIGINT) AS n_pp,
+           CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1 END), 0) AS BIGINT) AS n_pf,
+           CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1 END), 0) AS BIGINT) AS n_fp,
+           CAST(coalesce(sum(CASE WHEN NOT a AND NOT b THEN 1 END), 0) AS BIGINT) AS n_ff
+         FROM jd)
+       SELECT n, n_pp, n_pf, n_fp, n_ff,
+         n * (n_pp + n_ff) - ((n_pp + n_pf) * (n_pp + n_fp)
+           + (n_fp + n_ff) * (n_pf + n_ff)) AS kappa_num,
+         n * n - ((n_pp + n_pf) * (n_pp + n_fp)
+           + (n_fp + n_ff) * (n_pf + n_ff)) AS kappa_den
+       FROM m"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_cohen_kappa" -> (q144 _),
+    "q143_rendezvous" -> (q143 _),
+    "q142_spearman" -> (q142 _),
     "q141_token_drift" -> (q141 _),
     "q140_mmr_rerank" -> (q140 _),
     "q139_dedup_grade" -> (q139 _),
@@ -6890,6 +7064,9 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q144_cohen_kappa" -> q144Sql,
+    "q143_rendezvous" -> q143Sql,
+    "q142_spearman" -> q142Sql,
     "q141_token_drift" -> q141Sql,
     "q140_mmr_rerank" -> q140Sql,
     "q139_dedup_grade" -> q139Sql,

@@ -264,4 +264,122 @@ object Profile {
         col("n_group").as("n_vocab"),
         lit(nA).as("n_a"), lit(nB).as("n_b"))
   }
+
+  /** Exact Spearman rank correlation between two integer-valued scores
+    * — "are my two quality signals redundant or complementary?" (e.g.
+    * length vs token entropy before spending a second filter stage).
+    *
+    * Ranks are dense global positions under the TOTAL order
+    * (score asc, id asc) — ties are broken by id, never averaged, so
+    * the result is a pure function of the data (the house determinism
+    * rule; the oracle replays the same order as a window). With
+    * d_i = rank_x(i) − rank_y(i):
+    *   rho_fx = 2^20 − (6·Σd²·2^20) div (n·(n²−1))
+    * computed in DECIMAL(38,0), one positive÷positive floor division
+    * (truncate ≡ floor), so rho_fx ∈ [−2^20, 2^20] is bit-identical
+    * cross-engine. n must stay ≤ 3e6 so Σd² fits a long — past that a
+    * content-addressed sample upstream ([[Sampling]]) is the right
+    * tool anyway (the estimate saturates long before millions of
+    * rows); the guard is loud, never silent.
+    *
+    * Scale shape: each rank pass is [[Prefix.runningTotal]]'s
+    * two-linear-pass machinery over a range exchange (NEVER a
+    * single-partition window): the order key is an encoded
+    * fixed-width hex/decimal string so one range column carries the
+    * (score, id) total order. Then one id-keyed join and a 1-row
+    * aggregate.
+    *
+    * @param idCol non-negative long id (fixed-width-encodable)
+    * @param xCol,yCol long-valued scores > −2^62
+    * @return one row: (n, sum_d2, rho_fx)
+    */
+  def spearman(
+      df: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(idCol.cast("long").as("id"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // loud domain guards: encoding and Σd² bounds (3-scalar read)
+    val g = base.agg(min("id").as("mi"), max("x").as("mx"),
+      min("x").as("nx"), max("y").as("my"), min("y").as("ny"),
+      count(lit(1)).as("n")).collect()(0)
+    if (!g.isNullAt(0)) {
+      require(g.getLong(0) >= 0L, "spearman ids must be non-negative")
+      val bound = 1L << 62
+      Seq(g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4))
+        .foreach(v => require(math.abs(v) < bound,
+          s"spearman scores must be in (−2^62, 2^62), got $v"))
+      require(g.getLong(5) <= 3000000L,
+        s"spearman domain is n <= 3e6 (sum d^2 must fit a long), got " +
+        s"${g.getLong(5)} — sample upstream (Sampling.sampleByHash)")
+    }
+    val bias = 1L << 62
+    val one = base.withColumn("__one", lit(1L))
+    val rx = Prefix.runningTotal(
+        one.withColumn("__ord",
+          concat(format_string("%016x", col("x") + bias),
+            format_string("%019d", col("id")))),
+        orderCol = "__ord", valueCol = "__one", outCol = "rx")
+      .select(col("id"), col("rx"))
+    val ry = Prefix.runningTotal(
+        one.withColumn("__ord",
+          concat(format_string("%016x", col("y") + bias),
+            format_string("%019d", col("id")))),
+        orderCol = "__ord", valueCol = "__one", outCol = "ry")
+      .select(col("id"), col("ry"))
+    rx.join(ry, "id")
+      .agg(count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        expr("""CASE WHEN n >= 2 THEN CAST(
+                  1048576 - (6 * CAST(sum_d2 AS DECIMAL(38,0)) * 1048576)
+                    div (CAST(n AS DECIMAL(38,0)) * n * n - n)
+                AS BIGINT) END""").as("rho_fx"))
+  }
+
+  /** Cohen's kappa between two boolean judgments (Cohen 1960) —
+    * chance-corrected agreement between two FILTERS (rule sets,
+    * classifiers, detectors) over the same corpus: raw agreement is
+    * inflated whenever both filters pass (or fail) almost everything,
+    * and kappa is the standard correction.
+    *
+    * One map-side-combined conditional aggregation emits the full 2×2
+    * confusion matrix plus kappa as an exact integer
+    * numerator/denominator pair:
+    *   kappa_num = n·(n_pp + n_ff) − pe,  kappa_den = n² − pe,
+    *   pe = (n_pp+n_pf)·(n_pp+n_fp) + (n_fp+n_ff)·(n_pf+n_ff)
+    * kappa = num/den ∈ [−1, 1]. The division is deliberately NOT
+    * performed: the numerator is signed, and signed integer division
+    * is where Spark's `div` (truncate) and DuckDB's `//` (floor)
+    * diverge — consumers divide in their own engine's float space.
+    * Rows where either judgment is NULL are excluded from every count
+    * (an unjudged row is not a disagreement).
+    *
+    * Scale shape: map-only filter + one 1-row aggregation; n² needs
+    * n < 3e9 to fit the long products (loud on overflow by ANSI
+    * arithmetic, never silent).
+    */
+  def cohenKappa(
+      df: DataFrame,
+      aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame =
+    df.filter(aCol.isNotNull && bCol.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(aCol && bCol, 1L)), lit(0L)).as("n_pp"),
+        coalesce(sum(when(aCol && !bCol, 1L)), lit(0L)).as("n_pf"),
+        coalesce(sum(when(!aCol && bCol, 1L)), lit(0L)).as("n_fp"),
+        coalesce(sum(when(!aCol && !bCol, 1L)), lit(0L)).as("n_ff"))
+      .select(col("n"), col("n_pp"), col("n_pf"), col("n_fp"), col("n_ff"),
+        (col("n") * (col("n_pp") + col("n_ff")) -
+          ((col("n_pp") + col("n_pf")) * (col("n_pp") + col("n_fp")) +
+           (col("n_fp") + col("n_ff")) * (col("n_pf") + col("n_ff"))))
+          .as("kappa_num"),
+        (col("n") * col("n") -
+          ((col("n_pp") + col("n_pf")) * (col("n_pp") + col("n_fp")) +
+           (col("n_fp") + col("n_ff")) * (col("n_pf") + col("n_ff"))))
+          .as("kappa_den"))
 }

@@ -31,6 +31,34 @@ object Sampling {
     conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 13),
       16, 10).cast("double") / TwoPow52
 
+  /** Rendezvous (highest-random-weight) shard assignment: shard =
+    * argmax over s ∈ [0, nShards) of the 52-bit integer
+    * md5("id#s:salt") — Thaler & Ravishankar 1996, the consistent
+    * sharding rule for INCREMENTAL corpora: growing nShards → N+1
+    * moves only the ~1/(N+1) of ids whose new argmax IS the new shard
+    * (everything else keeps its winner — no mod-N full reshuffle), so
+    * downstream per-shard dedup/stats stay valid for N shards of N+1.
+    *
+    * Map-only expression (one md5 per candidate shard, fused into the
+    * scan); exact integer comparison with ties (astronomically rare)
+    * to the smaller shard index, so assignment is a pure function of
+    * (id, nShards, salt) — partitioning- and engine-invariant.
+    * nShards is bounded loud: the expression is O(nShards) per row —
+    * for thousands of shards compose two levels instead.
+    */
+  def rendezvousShard(id: Column, nShards: Int, salt: String): Column = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards must be in [1, 4096] (O(nShards) per row; compose two " +
+      s"levels past that), got $nShards")
+    val scores = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(
+        conv(substring(md5(concat(id.cast("string"), lit("#"),
+          s.cast("string"), lit(":" + salt))), 1, 13), 16, 10)
+          .cast("long").as("h"),
+        (-s).cast("long").as("ns")))
+    (-array_max(scores).getField("ns")).cast("long")
+  }
+
   /** Assign each row a split label by cumulative fraction. Fractions
     * must sum to <= 1; any remainder falls to the LAST label (so
     * (train 0.8, val 0.1, test 0.1) and (train 0.8, val 0.1, test

@@ -188,4 +188,71 @@ class ProfileSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(capped == expected.take(2).map(_._1).toSet)
   }
+
+  test("spearman: ±2^20 at perfect (anti-)correlation, exact hand model " +
+      "with id tie-breaks, partitioning-invariant, loud domain guards") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)], parts: Int = 1) = {
+      val r = Profile.spearman(
+          rows.toDF("id", "x", "y").repartition(parts),
+          col("id"), col("x"), col("y")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // monotone agreement: every d = 0, rho exactly 2^20
+    val mono = (1L to 7L).map(i => (i, i * 10L, i * 100L - 5L))
+    assert(run(mono) == ((7L, 0L, 1048576L)))
+    // perfect reversal: sum d2 = n(n^2-1)/3, rho exactly -2^20
+    val anti = (1L to 7L).map(i => (i, i, 8L - i))
+    assert(run(anti) == ((7L, 112L, -1048576L)))
+    // hand model incl. an x tie (ids 2 and 3 share x=5 — id breaks it)
+    val rows = Seq((1L, 1L, 9L), (2L, 5L, 3L), (3L, 5L, 7L), (4L, 2L, 1L))
+    // rx by (x, id): 1->1, 4->2, 2->3, 3->4 ; ry by (y, id): 4->1, 2->2, 3->3, 1->4
+    // d: id1 1-4=-3, id2 3-2=1, id3 4-3=1, id4 2-1=1 ; sum d2 = 12
+    val n = 4L; val sumD2 = 12L
+    val rho = 1048576L - (6L * sumD2 * 1048576L) / (n * n * n - n)
+    assert(run(rows) == ((n, sumD2, rho)))
+    assert(run(rows, parts = 4) == ((n, sumD2, rho)))
+    // guards fire loudly
+    intercept[IllegalArgumentException] {
+      run(Seq((-1L, 1L, 1L), (2L, 2L, 2L)))
+    }
+    intercept[IllegalArgumentException] {
+      run(Seq((1L, 1L << 62, 1L), (2L, 2L, 2L)))
+    }
+  }
+
+  test("cohenKappa: hand 2x2 model, zero at independence, num==den at " +
+      "perfect agreement, negative at systematic disagreement, NULL " +
+      "judgments excluded from every count") {
+    import spark.implicits._
+    def run(rows: Seq[(Option[Boolean], Option[Boolean])]) = {
+      val r = Profile.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    }
+    def s(b: Boolean) = Some(b)
+    // hand case: pp=3 pf=1 fp=2 ff=4, n=10
+    // po=7, pe=(4*5)+(6*5)=50, num=70-50=20, den=100-50=50 (kappa 0.4)
+    val hand = Seq.fill(3)((s(true), s(true))) ++ Seq((s(true), s(false))) ++
+      Seq.fill(2)((s(false), s(true))) ++ Seq.fill(4)((s(false), s(false)))
+    assert(run(hand) == ((10L, 3L, 1L, 2L, 4L, 20L, 50L)))
+    // independence: balanced 2x2 -> kappa numerator exactly 0
+    val indep = Seq((s(true), s(true)), (s(true), s(false)),
+      (s(false), s(true)), (s(false), s(false)))
+    assert(run(indep)._6 == 0L)
+    // perfect agreement: num == den (kappa exactly 1)
+    val perfect = Seq((s(true), s(true)), (s(false), s(false)),
+      (s(true), s(true)))
+    val p = run(perfect)
+    assert(p._6 == p._7 && p._7 > 0L)
+    // systematic disagreement: negative numerator
+    val dis = Seq((s(true), s(false)), (s(false), s(true)),
+      (s(true), s(false)), (s(false), s(true)))
+    assert(run(dis)._6 < 0L)
+    // nulls drop from n and every cell
+    val withNull = hand ++ Seq((None, s(true)), (s(true), None),
+      (None: Option[Boolean], None: Option[Boolean]))
+    assert(run(withNull) == ((10L, 3L, 1L, 2L, 4L, 20L, 50L)))
+  }
 }

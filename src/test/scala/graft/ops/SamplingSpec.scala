@@ -499,4 +499,38 @@ class SamplingSpec extends SparkSpec {
       Sampling.uniMax(withNull, col("doc_id"), "s", col("g"), 5,
         maxEpochs = 0))
   }
+
+  test("rendezvousShard matches a brute-force md5 argmax model, and " +
+      "growing N to N+1 moves ids ONLY into the new shard") {
+    import spark.implicits._
+    def model(id: Long, n: Int): Long = {
+      def h(s: Int): BigInt = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        val hex = d.digest(s"$id#$s:rdv".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        BigInt(hex.take(13), 16)
+      }
+      (0 until n).maxBy(s => (h(s), -s)).toLong
+    }
+    val ids = (0L until 200L).toSeq
+    val out = ids.toDF("id").repartition(5)
+      .select(col("id"),
+        Sampling.rendezvousShard(col("id"), 7, "rdv").as("s7"),
+        Sampling.rendezvousShard(col("id"), 8, "rdv").as("s8"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (id, s7, s8) =>
+      assert(s7 == model(id, 7), s"id=$id n=7")
+      assert(s8 == model(id, 8), s"id=$id n=8")
+      // the consistency property: a changed assignment lands in the
+      // NEW shard — nothing ever moves between surviving shards
+      if (s7 != s8) assert(s8 == 7L, s"id=$id moved to $s8, not the new shard")
+    }
+    val moved = out.count { case (_, s7, s8) => s7 != s8 }
+    // expectation 200/8 = 25; a generous band guards the distribution
+    assert(moved > 5 && moved < 60, s"moved=$moved")
+    assertThrows[IllegalArgumentException](
+      Sampling.rendezvousShard(col("id"), 0, "rdv"))
+    assertThrows[IllegalArgumentException](
+      Sampling.rendezvousShard(col("id"), 5000, "rdv"))
+  }
 }
