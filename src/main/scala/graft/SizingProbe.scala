@@ -555,10 +555,88 @@ object SizingProbe {
               s""""sec_strip_scoped":$tS,"sec_strip_global":$tG}""")
         }
 
+      case "r16ops" =>
+        // Ladders for the round-16 additions. Docs-rung arms: c4Rules
+        // (map-only struct — the scan-split-saturation control),
+        // vocabGrowth over trigrams (gram-exchange class), capPerGroup
+        // (bounded topk_by fold), distributionDrift (vocab-keyed join
+        // + log kernel), spearman (two range exchanges + id join),
+        // rendezvousShard at 32 shards (map-only, O(shards) md5/row).
+        // Emb-rung arms (GRAFT_R16_STAGE=embops): clusterBalancedSample
+        // (k-means assignment + bounded fold) and mmrRerank over a
+        // fixed 200-query brute-force top-10 (the bintopk fixed-query
+        // convention: query load constant, corpus scan grows).
+        // One arm per JVM on deep rungs (the r15dedup scratch lesson).
+        import graft.functions.Text
+        sys.env.get("GRAFT_R16_STAGE") match {
+          case Some("embops") =>
+            val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            val n = e.count()
+            def cbs() = graft.similarity.Similarity.clusterBalancedSample(
+              e, "vec_id", "embedding", perCell = 40)
+            val queries = e.filter(col("vec_id") % 25 === 0).limit(200)
+              .persist()
+            queries.count()
+            def nn() = graft.similarity.Similarity.bruteForceTopK(
+              e, queries, "vec_id", "embedding", k = 10)
+            def mmr() = graft.similarity.Similarity.mmrRerank(
+              nn(), e, "vec_id", "embedding",
+              select = 4, lambdaEighths = 4)
+            val (cbsW, _) = time(cbs())
+            val (cbsT, kept) = time(cbs())
+            val (nnT, _) = time(nn())
+            val (mmrT, picked) = time(mmr())
+            println(s"""{"metric":"r16ops_ladder","rows":$n,""" +
+              s""""sec_cbs":$cbsT,"cbs_warm":$cbsW,"cbs_kept":$kept,""" +
+              s""""sec_nn":$nnT,"sec_mmr":$mmrT,"mmr_rows":$picked}""")
+          case _ =>
+            val d = spark.read.parquet(s"$sfDir/documents.parquet")
+            val n = d.count()
+            def c4() = d.select(col("doc_id"),
+                Text.c4Rules(col("text"))("pass").as("p"))
+              .filter(col("p"))
+            def vg() = graft.ops.Profile.vocabGrowth(
+              d, col("doc_id"),
+              Text.wordShingles(Text.tokens(col("text")), 3), buckets = 10)
+            def cap() = graft.ops.Sampling.capPerGroup(
+              d.select(col("doc_id"), col("source"),
+                col("n_chars").cast("long").as("q")),
+              col("source"), col("doc_id"), col("q"), k = 5)
+            def drift() = graft.ops.Profile.distributionDrift(
+              a = d.filter(col("lang") === "en"),
+              b = d.filter(col("lang") =!= "en"),
+              unitCol = Text.wordShingles(Text.tokens(col("text")), 2),
+              k = 50)
+            def spear() = {
+              val ent = graft.functions.Entropy.tokenEntropy(
+                d, col("doc_id"), col("text"))
+              graft.ops.Profile.spearman(
+                d.select(col("doc_id"), col("n_chars"))
+                  .join(ent.select(col("id"), col("entropy_fx")),
+                    col("doc_id") === col("id")),
+                col("doc_id"), col("n_chars"), col("entropy_fx"))
+            }
+            def rdv() = d.select(col("doc_id"),
+                graft.ops.Sampling.rendezvousShard(col("doc_id"), 32, "r16")
+                  .as("s"))
+              .groupBy("s").count()
+            time(c4()) // JVM/codegen warm
+            val (c4T, c4N) = time(c4())
+            val (vgT, _) = time(vg())
+            val (capT, capN) = time(cap())
+            val (drT, _) = time(drift())
+            val (spT, _) = time(spear())
+            val (rdvT, _) = time(rdv())
+            println(s"""{"metric":"r16ops_ladder","rows":$n,""" +
+              s""""sec_c4":$c4T,"c4_pass":$c4N,"sec_vocab":$vgT,""" +
+              s""""sec_cap":$capT,"cap_kept":$capN,"sec_drift":$drT,""" +
+              s""""sec_spearman":$spT,"sec_rendezvous":$rdvT}""")
+        }
+
       case other =>
         sys.error(s"unknown SPARK_GRAFT_KIND '$other' " +
           "(valid: emb, embstages, ivf, docs, assign, semdedup, " +
-          "bintopk, tmix, pipeline, r15dedup, proto)")
+          "bintopk, tmix, pipeline, r15dedup, proto, r16ops)")
     }
     spark.stop()
   }

@@ -69,11 +69,23 @@ object Text {
       .otherwise(array().cast("array<string>"))
 
   /** Word n-grams over a token array. */
-  def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  def wordShingles(toks: Column, n: Int): Column = {
+    // chained zip_with, NOT transform+slice: zip_with's array arguments
+    // evaluate once per ROW, while a transform lambda re-evaluates the
+    // token array per ELEMENT under interpreted HOF evaluation — the
+    // measured q79 blowup (7.3 s -> sub-second at sf0.1; the r16ops
+    // ladder re-measured the same cliff on vocabGrowth/drift). Output
+    // strings are bit-identical to the old formulation (spec-pinned).
+    // Each slice has exactly `len` elements when len > 0 (remaining =
+    // size - i + 1 >= len for i <= n), so no null padding ever reaches
+    // the concat; size < n gives len 0 and an empty result like before.
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    var acc = slice(toks, lit(1), len)
+    for (i <- 2 to n)
+      acc = zip_with(acc, slice(toks, lit(i), len),
+        (a, b) => concat(a, lit(" "), b))
+    acc
+  }
 
   /** Ratio of punctuation characters to total characters. ASCII punct
     * class spelled as explicit ranges (not \p{Punct}) so the regex means

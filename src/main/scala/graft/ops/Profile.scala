@@ -150,11 +150,12 @@ object Profile {
     * FIRST appearance: `min(bucket)` per unit, exact because the
     * bucket is monotone in id.
     *
-    * Shape at scale: two map-side-combinable aggregations over the
-    * exploded units (the same exchange class as every n-gram op — the
-    * unit groupBy's key space is the type vocabulary, not the corpus),
-    * then a window over `buckets` rows. No sort of data-sized input,
-    * no driver state.
+    * Shape at scale: ONE map-side-combinable (bucket, unit)
+    * aggregation over the exploded units (the same exchange class as
+    * every n-gram op — the key space is vocabulary × buckets, not the
+    * corpus), persisted for its two bounded rollups, then a window
+    * over `buckets` rows. No sort of data-sized input, no driver
+    * state.
     *
     * @param idCol   numeric ingest id (bucket key)
     * @param unitCol ARRAY column of unit strings per row
@@ -177,8 +178,14 @@ object Profile {
     val withB = base.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         expr(s"CAST((gid - lo) * $buckets DIV (hi - lo) AS INT) + 1"))
-    val occ = withB.groupBy("bucket").agg(count(lit(1)).as("n_units"))
-    val nt = withB.groupBy("unit").agg(min("bucket").as("bucket"))
+    // ONE scan over the exploded grams: the (bucket, unit) partial
+    // aggregate is map-side combined down to ≤ vocab×buckets rows, and
+    // both reports derive from it — the old two-consumer shape paid the
+    // explode + gram build twice (A/B in the r16ops ladder, NOTES)
+    val g1 = withB.groupBy("bucket", "unit").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = g1.groupBy("bucket").agg(sum("c").as("n_units"))
+    val nt = g1.groupBy("unit").agg(min("bucket").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("new_types"))
     val w = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, 0)

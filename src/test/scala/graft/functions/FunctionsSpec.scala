@@ -26,6 +26,26 @@ class FunctionsSpec extends SparkSpec {
     assert(r.asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a b", "b c"))
   }
 
+  test("wordShingles zip_with form is bit-identical to the old " +
+      "transform+slice formulation (n = 1..4, short/exact/empty inputs)") {
+    // the per-ELEMENT re-evaluation formulation this replaced — kept
+    // here as the semantic reference
+    def oldForm(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val inputs = Seq("a b c d e", "a b", "a", "", "x  y   z", "one")
+    for (s <- inputs; n <- 1 to 4) {
+      val toks = Text.tokens(lit(s))
+      val neu = eval1(Text.wordShingles(toks, n))
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+      val old = eval1(oldForm(toks, n))
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+      assert(neu == old, s"input='$s' n=$n: $neu != $old")
+    }
+  }
+
   test("canonicalizeUrl: case/www/default-port/trailing-slash/tracking/" +
       "fragment variants collapse; meaningful differences survive") {
     def cu(s: String): String =
