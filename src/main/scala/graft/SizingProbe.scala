@@ -620,6 +620,11 @@ object SizingProbe {
                 graft.ops.Sampling.rendezvousShard(col("doc_id"), 32, "r16")
                   .as("s"))
               .groupBy("s").count()
+            // 32 segments = one per core: the per-segment sequential
+            // walk is the scaling term, so match the box parallelism
+            def ffd() = graft.ops.Prefix.packBinsFfd(
+              d, col("doc_id"), col("n_chars"),
+              budget = 2000L, segments = 32, salt = "r16")
             time(c4()) // JVM/codegen warm
             val (c4T, c4N) = time(c4())
             val (vgT, _) = time(vg())
@@ -627,10 +632,12 @@ object SizingProbe {
             val (drT, _) = time(drift())
             val (spT, _) = time(spear())
             val (rdvT, _) = time(rdv())
+            val (ffdT, _) = time(ffd())
             println(s"""{"metric":"r16ops_ladder","rows":$n,""" +
               s""""sec_c4":$c4T,"c4_pass":$c4N,"sec_vocab":$vgT,""" +
               s""""sec_cap":$capT,"cap_kept":$capN,"sec_drift":$drT,""" +
-              s""""sec_spearman":$spT,"sec_rendezvous":$rdvT}""")
+              s""""sec_spearman":$spT,"sec_rendezvous":$rdvT,""" +
+              s""""sec_ffd":$ffdT}""")
         }
 
       case other =>

@@ -6829,7 +6829,53 @@ object SparkEntry {
            + (n_fp + n_ff) * (n_pf + n_ff)) AS kappa_den
        FROM m"""
 
+  // ------------------------------------------------------------------
+  // q145 — FFD bin packing (extension: Prefix.packBinsFfd): first-fit-
+  // decreasing within 4 content-addressed hash segments at a
+  // 2000-token budget — the low-waste alternative to q109's
+  // running-total shard cut. The oracle replays the sequential FFD
+  // walk as a recursive CTE over each segment's (tok DESC, id ASC)
+  // order, the bins' remaining capacities carried as a list.
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Prefix.packBinsFfd(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+        budget = 2000L, segments = 4, salt = "ffd")
+      .withColumnRenamed("id", "doc_id")
+
+  private val q145Sql =
+    """WITH RECURSIVE d AS (
+         SELECT doc_id, CAST(coalesce(n_chars, 0) AS BIGINT) AS tok,
+           CAST(list_sum([(strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR) || ':ffd'), j, 1)) - 1)
+             * CAST(pow(16, 13 - j) AS BIGINT)
+             for j in range(1, 14)]) % 4 AS BIGINT) AS segment
+         FROM documents),
+       o AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY segment
+           ORDER BY tok DESC, doc_id ASC) AS rn
+         FROM d),
+       rec AS (
+         SELECT segment, CAST(0 AS BIGINT) AS rn,
+           CAST([] AS BIGINT[]) AS rem,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS tok,
+           CAST(NULL AS BIGINT) AS bin
+         FROM (SELECT DISTINCT segment FROM o)
+         UNION ALL
+         SELECT segment, rn,
+           CASE WHEN fit IS NULL THEN list_append(rem, 2000 - tok)
+                ELSE [CASE WHEN i = fit THEN rem[i] - tok ELSE rem[i] END
+                      for i in range(1, len(rem)+1)] END,
+           doc_id, tok, coalesce(fit, len(rem) + 1)
+         FROM (
+           SELECT o.segment, o.rn, r.rem, o.doc_id, o.tok,
+             ([i for i in range(1, len(r.rem)+1)
+               if r.rem[i] >= o.tok])[1] AS fit
+           FROM rec r JOIN o ON o.segment = r.segment AND o.rn = r.rn + 1))
+       SELECT segment, doc_id, tok, bin, rn AS rank
+       FROM rec WHERE rn > 0"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_ffd_packing" -> (q145 _),
     "q144_cohen_kappa" -> (q144 _),
     "q143_rendezvous" -> (q143 _),
     "q142_spearman" -> (q142 _),
@@ -7064,6 +7110,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q145_ffd_packing" -> q145Sql,
     "q144_cohen_kappa" -> q144Sql,
     "q143_rendezvous" -> q143Sql,
     "q142_spearman" -> q142Sql,

@@ -164,4 +164,90 @@ object Prefix {
         greatest(col("seq_id") * seqLen, col("__s")) - col("seq_id") * seqLen)
       .drop("__run", "__s")
   }
+
+  /** First-fit-decreasing bin packing within content-addressed
+    * segments — the low-waste alternative to [[packIntoShards]]'s
+    * running-total cut: FFD places each document (largest first) into
+    * the first bin that still fits it, padding waste ≤ ~22% of OPT
+    * worst-case and typically a few percent, where the running-total
+    * rule wastes whatever the budget boundary slices. The price is
+    * sequential placement — so the corpus is segmented by the id's
+    * 52-bit md5 hash (exact integer mod, engine-portable) and FFD runs
+    * independently per segment: bins never span segments, and at any
+    * corpus size the parallelism dial is `segments`, each segment's
+    * walk an in-task loop over its own rows.
+    *
+    * Determinism: placement order is (tokens DESC, id ASC) within a
+    * segment — a total order for unique orderable ids
+    * ([[graft.dedup.Dedup.requireOrderableId]] at plan time). A
+    * document larger than `budget` opens its own (overflowing) bin:
+    * its remaining capacity goes negative and never fits anything
+    * again — loud in the data (`fill > budget`), not an error, so one
+    * giant document cannot kill a corpus job. NULL token counts pack
+    * as 0.
+    *
+    * Scale shape: one hash exchange on the segment key + an in-task
+    * sorted walk (the GroupReduce secondary-sort idiom: repartition by
+    * segment, sortWithinPartitions, boundary-detecting pass — group
+    * state is the bins' remaining capacities, O(bins), never the
+    * rows). FFD's first-fit scan is O(bins) per row; size `segments`
+    * so a segment's bin count stays task-sized (the caller's explicit
+    * knob, like every cap in this repo).
+    *
+    * @return (segment, id, tok, bin 1.. within segment, rank 1.. =
+    *         placement order within segment)
+    */
+  def packBinsFfd(
+      df: DataFrame,
+      idCol: Column,
+      tokenCol: Column,
+      budget: Long,
+      segments: Int,
+      salt: String): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(segments >= 1, s"segments must be >= 1, got $segments")
+    import org.apache.spark.sql.types._
+    val base = df.select(idCol.as("id"),
+      coalesce(tokenCol.cast("long"), lit(0L)).as("tok"))
+    graft.dedup.Dedup.requireOrderableId(base.schema("id").dataType,
+      "packBinsFfd")
+    val seg = pmod(
+      conv(substring(md5(concat(col("id").cast("string"),
+        lit(":" + salt))), 1, 13), 16, 10).cast("long"),
+      lit(segments.toLong))
+    val ranged = base.withColumn("segment", seg)
+      .repartition(col("segment"))
+      .sortWithinPartitions(col("segment"), col("tok").desc, col("id").asc)
+    val schema = StructType(Seq(
+      StructField("segment", LongType, false),
+      ranged.schema("id"),
+      StructField("tok", LongType, false),
+      StructField("bin", LongType, false),
+      StructField("rank", LongType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ranged.mapPartitions { rows =>
+      var curSeg: Long = -1L
+      var started = false
+      val rem = new scala.collection.mutable.ArrayBuffer[Long]()
+      var rank = 0L
+      rows.map { r =>
+        val s = r.getLong(2)
+        if (!started || s != curSeg) {
+          curSeg = s; started = true; rem.clear(); rank = 0L
+        }
+        val tok = r.getLong(1)
+        var bin = -1
+        var i = 0
+        while (bin < 0 && i < rem.length) {
+          if (rem(i) >= tok) bin = i
+          i += 1
+        }
+        if (bin < 0) { rem += (budget - tok); bin = rem.length - 1 }
+        else rem(bin) -= tok
+        rank += 1L
+        org.apache.spark.sql.Row(s, r.get(0), tok, bin + 1L, rank)
+      }
+    }(enc)
+  }
 }

@@ -106,4 +106,73 @@ class PrefixSpec extends SparkSpec {
     assert(causes(e).exists(c => Option(c.getMessage)
       .exists(_.contains("must be integral"))))
   }
+
+  test("packBinsFfd matches a plain-Scala FFD model per segment, is " +
+      "partitioning-invariant, gives oversize docs their own bin, and " +
+      "packs null/zero tokens deterministically") {
+    import spark.implicits._
+    def hash52(id: Long, salt: String): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$id:$salt".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      BigInt(hex.take(13), 16)
+    }
+    // plain-Scala replay of the documented rule
+    def model(rows: Seq[(Long, Long)], budget: Long, segments: Int)
+        : Set[(Long, Long, Long, Long, Long)] = {
+      rows.groupBy { case (id, _) =>
+        (hash52(id, "ffd") % segments).toLong
+      }.flatMap { case (seg, members) =>
+        val ordered = members.sortBy { case (id, tok) => (-tok, id) }
+        val rem = scala.collection.mutable.ArrayBuffer[Long]()
+        ordered.zipWithIndex.map { case ((id, tok), i) =>
+          val fit = rem.indexWhere(_ >= tok)
+          val bin =
+            if (fit < 0) { rem += (budget - tok); rem.length - 1 }
+            else { rem(fit) -= tok; fit }
+          (seg, id, tok, bin + 1L, i + 1L)
+        }
+      }.toSet
+    }
+    val rows = Seq(
+      (1L, 900L), (2L, 800L), (3L, 700L), (4L, 600L), (5L, 500L),
+      (6L, 400L), (7L, 300L), (8L, 200L), (9L, 100L), (10L, 1000L),
+      (11L, 950L), (12L, 50L), (13L, 0L), (14L, 999L), (15L, 1L))
+    val expected = model(rows, budget = 1000L, segments = 2)
+    for (parts <- Seq(1, 7)) {
+      val got = graft.ops.Prefix.packBinsFfd(
+          rows.toDF("id", "tok").repartition(parts),
+          col("id"), col("tok"), budget = 1000L, segments = 2,
+          salt = "ffd")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // fill <= budget for every bin without an oversize member
+    expected.groupBy(t => (t._1, t._4)).foreach { case (k, members) =>
+      val fill = members.toSeq.map(_._3).sum
+      if (members.forall(_._3 <= 1000L))
+        assert(fill <= 1000L, s"bin $k overfilled: $fill")
+    }
+    // oversize doc: own bin, loud in the data (fill > budget), and the
+    // segment's other docs still pack
+    val over = Seq((1L, 5000L), (2L, 400L), (3L, 300L))
+    val seg0 = graft.ops.Prefix.packBinsFfd(
+        over.toDF("id", "tok"), col("id"), col("tok"),
+        budget = 1000L, segments = 1, salt = "ffd")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(seg0(1L) != seg0(2L)) // the giant is alone
+    assert(seg0(2L) == seg0(3L)) // 400+300 share a bin
+    // null token packs as 0
+    val withNull = Seq((1L, Some(500L)), (2L, None)).toDF("id", "tok")
+    val n = graft.ops.Prefix.packBinsFfd(withNull, col("id"), col("tok"),
+        budget = 1000L, segments = 1, salt = "ffd")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(n(2L) == 0L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Prefix.packBinsFfd(withNull, col("id"), col("tok"),
+        budget = 0L, segments = 1, salt = "ffd")
+    }
+  }
 }
