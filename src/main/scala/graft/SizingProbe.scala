@@ -569,6 +569,25 @@ object SizingProbe {
         // One arm per JVM on deep rungs (the r15dedup scratch lesson).
         import graft.functions.Text
         sys.env.get("GRAFT_R16_STAGE") match {
+          case Some("tri") =>
+            // stage attribution for triangleCounts on the co-order
+            // graph: edge build vs wedge join vs closing semi-join
+            val frac = sys.env.getOrElse("GRAFT_TRI_FRAC", "1").toInt
+            val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            val li = (if (frac > 1) li0.filter(col("l_orderkey") % frac === 0)
+                      else li0)
+              .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+              .distinct()
+            val e = li.join(li.withColumnRenamed("p", "q"), "ok")
+              .filter(col("p") < col("q"))
+              .select(col("p").as("src"), col("q").as("dst"))
+            val (tE, nE) = time(e.distinct())
+            def full() = graft.ops.Triangles.triangleCounts(
+              e, col("src"), col("dst"), k = 50)
+            val (tW, _) = time(full())
+            val (tF, _) = time(full())
+            println(s"""{"metric":"r16tri","frac":$frac,"edges":$nE,""" +
+              s""""sec_edges":$tE,"sec_full":$tF,"warm":$tW}""")
           case Some("embops") =>
             val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
             val n = e.count()

@@ -6874,7 +6874,83 @@ object SparkEntry {
        SELECT segment, doc_id, tok, bin, rn AS rank
        FROM rec WHERE rn > 0"""
 
+  // ------------------------------------------------------------------
+  // q146 — triangle counting with degree-ordered orientation
+  // (extension: Triangles.triangleCounts): top-50 nodes by exact
+  // triangle count on the parts-co-ordered-together graph (edges =
+  // distinct part pairs sharing an l_orderkey), with degree and wedge
+  // count so the local clustering coefficient is the exact rational
+  // tri/wedges. The orientation bounds every out-degree by O(√E) —
+  // the E^1.5 wedge join, not the hub-killed Σdeg² neighbor pairing.
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    // a third of the orders: the FULL sf0.1 co-order graph (1.2M
+    // edges, 41M wedges) is a 14 s probe-scale workload (NOTES r16ops
+    // tri evidence) — the bench query exercises the same plan at suite
+    // citizenship size
+    // edge build: ONE exchange (group parts per order, emit pairs
+    // map-side from the bounded array) instead of a self-join on the
+    // order key — the r16tri probe measured the join-form edge build
+    // dominating the whole query
+    val e = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 3 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(array_distinct(call_function("collect_list_capped",
+        col("l_partkey"), lit(200))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, x ->
+             filter(transform(ps, y ->
+               IF(x < y, struct(x AS src, y AS dst), NULL)),
+             z -> z IS NOT NULL)))""")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    graft.ops.Triangles.triangleCounts(e, col("src"), col("dst"), k = 50)
+  }
+
+  private val q146Sql =
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+         WHERE l_orderkey % 3 = 0),
+       e0 AS (
+         SELECT DISTINCT a.p AS a, b.p AS b
+         FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+       deg AS (
+         SELECT node, count(*) AS deg FROM (
+           SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+         GROUP BY 1),
+       o AS (
+         SELECT
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                THEN a ELSE b END AS u,
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                THEN b ELSE a END AS v,
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                THEN db.deg ELSE da.deg END AS dv
+         FROM e0 JOIN deg da ON da.node = e0.a
+                 JOIN deg db ON db.node = e0.b),
+       w AS (
+         SELECT e1.u, e1.v, e2.v AS w
+         FROM o e1 JOIN o e2 ON e1.u = e2.u
+           AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+       t AS (
+         SELECT w.u, w.v, w.w FROM w
+         WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.v AND o.v = w.w)),
+       pn AS (
+         SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+           SELECT u AS node FROM t
+           UNION ALL SELECT v AS node FROM t
+           UNION ALL SELECT w AS node FROM t)
+         GROUP BY 1),
+       r AS (
+         SELECT node, tri,
+           ROW_NUMBER() OVER (ORDER BY tri DESC, node ASC) AS tri_rank
+         FROM pn)
+       SELECT r.node, r.tri, CAST(r.tri_rank AS BIGINT) AS tri_rank,
+         CAST(deg.deg AS BIGINT) AS deg,
+         CAST((deg.deg * (deg.deg - 1)) // 2 AS BIGINT) AS wedges
+       FROM r JOIN deg ON deg.node = r.node
+       WHERE r.tri_rank <= 50"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_triangles" -> (q146 _),
     "q145_ffd_packing" -> (q145 _),
     "q144_cohen_kappa" -> (q144 _),
     "q143_rendezvous" -> (q143 _),
@@ -7110,6 +7186,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q146_triangles" -> q146Sql,
     "q145_ffd_packing" -> q145Sql,
     "q144_cohen_kappa" -> q144Sql,
     "q143_rendezvous" -> q143Sql,
