@@ -6949,7 +6949,72 @@ object SparkEntry {
        FROM r JOIN deg ON deg.node = r.node
        WHERE r.tri_rank <= 50"""
 
+  // ------------------------------------------------------------------
+  // q147 — TrustRank (extension: PageRank.trustRank, Gyöngyi et al.
+  // 2004): personalized PageRank whose teleport mass goes only to a
+  // trusted seed set (parts ≡ 0 mod 50) on q90's bidirectional
+  // part↔supplier graph, 3 rounds — the "propagate trust from vetted
+  // pages" crawl-curation stage. Same exact fixed-point discipline as
+  // q90; the oracle unrolls the rounds with the seed-conditional base.
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        (col("l_suppkey") + 10000000L).as("sp")).distinct()
+    val edges = pairs.select(explode(array(
+        struct(col("p").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("p").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val seeds = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("sid"))
+      .filter(col("sid") % 50 === 0).distinct()
+    graft.ops.PageRank.trustRank(edges, col("src"), col("dst"),
+        seeds, col("sid"), iters = 3)
+      .orderBy(col("trust_fp").desc, col("id").asc)
+      .limit(20)
+  }
+
+  private val q147Sql =
+    """WITH pairs AS (
+         SELECT DISTINCT l_partkey AS p, 10000000 + l_suppkey AS s
+         FROM lineitem),
+       e AS (SELECT p AS u, s AS v FROM pairs
+             UNION ALL SELECT s, p FROM pairs),
+       nodes AS (
+         SELECT id, (id % 50 = 0 AND id < 10000000) AS seed
+         FROM (SELECT DISTINCT u AS id FROM e)),
+       mm AS (SELECT count(*) AS m FROM nodes WHERE seed),
+       deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+       r0 AS (SELECT id, CASE WHEN seed THEN 1048576 // m ELSE 0 END AS r
+              FROM nodes, mm),
+       c1 AS (SELECT e.v AS id, sum(r0.r // deg.d) AS cs
+              FROM e JOIN r0 ON e.u = r0.id
+              JOIN deg ON deg.u = e.u GROUP BY 1),
+       r1 AS (SELECT nodes.id,
+                (CASE WHEN nodes.seed
+                      THEN 15 * 1048576 // (100 * mm.m) ELSE 0 END)
+                  + (85 * coalesce(c1.cs, 0)) // 100 AS r
+              FROM nodes LEFT JOIN c1 ON nodes.id = c1.id, mm),
+       c2 AS (SELECT e.v AS id, sum(r1.r // deg.d) AS cs
+              FROM e JOIN r1 ON e.u = r1.id
+              JOIN deg ON deg.u = e.u GROUP BY 1),
+       r2 AS (SELECT nodes.id,
+                (CASE WHEN nodes.seed
+                      THEN 15 * 1048576 // (100 * mm.m) ELSE 0 END)
+                  + (85 * coalesce(c2.cs, 0)) // 100 AS r
+              FROM nodes LEFT JOIN c2 ON nodes.id = c2.id, mm),
+       c3 AS (SELECT e.v AS id, sum(r2.r // deg.d) AS cs
+              FROM e JOIN r2 ON e.u = r2.id
+              JOIN deg ON deg.u = e.u GROUP BY 1),
+       r3 AS (SELECT nodes.id,
+                (CASE WHEN nodes.seed
+                      THEN 15 * 1048576 // (100 * mm.m) ELSE 0 END)
+                  + (85 * coalesce(c3.cs, 0)) // 100 AS r
+              FROM nodes LEFT JOIN c3 ON nodes.id = c3.id, mm)
+       SELECT id, CAST(r AS BIGINT) AS trust_fp FROM r3
+       ORDER BY r DESC, id ASC LIMIT 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_trustrank" -> (q147 _),
     "q146_triangles" -> (q146 _),
     "q145_ffd_packing" -> (q145 _),
     "q144_cohen_kappa" -> (q144 _),
@@ -7186,6 +7251,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q147_trustrank" -> q147Sql,
     "q146_triangles" -> q146Sql,
     "q145_ffd_packing" -> q145Sql,
     "q144_cohen_kappa" -> q144Sql,

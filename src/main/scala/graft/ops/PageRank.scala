@@ -134,4 +134,95 @@ object PageRank {
       if (eDeg != null) eDeg.unpersist()
     }
   }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — personalized
+    * PageRank whose teleport mass goes ONLY to a trusted seed set: the
+    * classic "propagate trust from hand-vetted pages, spam drifts to
+    * zero" crawl-curation stage. Same fixed-point, fixed-iteration
+    * discipline as [[pageRank]] (2^20-scaled longs, integer floors,
+    * exactly `iters` rounds — bit-identical across engines and runs):
+    *
+    *   r0(v)    = floor(S/m) if v ∈ seeds else 0
+    *   r_{t+1}(v) = [v ∈ seeds] · floor((den−num)·S/(den·m))
+    *                + floor(num · Σ_{u→v} floor(r_t(u)/outdeg(u)) / den)
+    *
+    * with m = |seeds ∩ graph nodes| (seed ids absent from the graph
+    * are ignored — they can neither receive nor forward trust; m = 0
+    * is a loud error). Unlike uniform PageRank, mass leaks at danglers
+    * AND at nodes unreachable from seeds (their trust is exactly 0) —
+    * scores are a trust ORDERING, not a distribution.
+    *
+    * Scale shape identical to [[pageRank]]: one degree join persisted
+    * for the run, per-iteration rank⋈edges join broadcast-gated by
+    * node count, map-side-combined contributions, lineage cut every
+    * [[LineageCutEvery]] rounds. The seed flag rides the persisted
+    * node table — no per-iteration seed join.
+    *
+    * @param seeds one column of trusted node ids (deduplicated here)
+    * @return (id, trust_fp long) for every node in the graph
+    */
+  def trustRank(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      seeds: DataFrame,
+      seedCol: Column,
+      iters: Int,
+      dampingNum: Int = 85,
+      dampingDen: Int = 100,
+      broadcastNodesUpTo: Long = DefaultBroadcastNodesUpTo,
+      lineageCutEvery: Int = LineageCutEvery): DataFrame = {
+    require(lineageCutEvery >= 1, "lineageCutEvery must be positive")
+    require(iters >= 1, "iters must be positive")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      s"damping must be a fraction in [0,1], got $dampingNum/$dampingDen")
+    val e = edges.select(srcCol.cast("long").as("u"),
+      dstCol.cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .persist()
+    val seedIds = seeds.select(seedCol.cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+    val nodes = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+      .join(seedIds.withColumn("__s", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(false)).as("seed"))
+      .persist()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+    var eDeg: DataFrame = null
+    try {
+      val n = nodes.count()
+      require(n > 0, "empty graph")
+      val m = nodes.filter(col("seed")).count()
+      require(m > 0,
+        "trustRank needs at least one seed id present in the graph")
+      val gate = n <= broadcastNodesUpTo
+      eDeg = e.join(if (gate) broadcast(deg) else deg, Seq("u")).persist()
+      val r0 = Scale / m
+      val seedBase = (dampingDen - dampingNum) * Scale / (dampingDen * m)
+      val baseCol = when(col("seed"), lit(seedBase)).otherwise(lit(0L))
+      var rank = nodes.withColumn("r",
+        when(col("seed"), lit(r0)).otherwise(lit(0L)))
+      for (i <- 1 to iters) {
+        val rankU = rank.select(col("id").as("u"), col("r"))
+        val contrib = eDeg
+          .join(if (gate) broadcast(rankU) else rankU.hint("shuffle_hash"),
+            Seq("u"))
+          .select(col("v").as("id"), expr("r div d").as("c"))
+          .groupBy("id").agg(sum("c").as("cs"))
+        rank = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"), col("seed"),
+            (baseCol + expr(
+              s"($dampingNum * coalesce(cs, 0L)) div $dampingDen"))
+              .as("r"))
+        if (i % lineageCutEvery == 0 && i < iters)
+          rank = rank.localCheckpoint()
+      }
+      rank = rank.select(col("id"), col("r").as("trust_fp"))
+        .localCheckpoint()
+      rank
+    } finally {
+      e.unpersist(); nodes.unpersist()
+      if (eDeg != null) eDeg.unpersist()
+    }
+  }
 }

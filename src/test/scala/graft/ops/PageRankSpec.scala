@@ -109,4 +109,57 @@ class PageRankSpec extends SparkSpec {
         Seq.empty[(Long, Long)].toDF("s", "d"), col("s"), col("d"), 1)
     }
   }
+
+  test("trustRank matches a plain-Scala fixed-point model; zero trust " +
+      "off the seeds' reach; seeds-everywhere degenerates to pageRank " +
+      "bit-for-bit; absent seeds are ignored and no-seed is loud") {
+    import spark.implicits._
+    // seeds {1}: 1 -> 2 -> 3, and an unreachable island 8 <-> 9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (8L, 9L), (9L, 8L))
+      .toDF("s", "d")
+    def seedsOf(ids: Long*) = ids.toDF("sid")
+    val out = PageRank.trustRank(edges, col("s"), col("d"),
+        seedsOf(1L), col("sid"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact model replay
+    val S = 1L << 20
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(1L),
+      8L -> Seq(9L), 9L -> Seq(8L))
+    val nodes = Seq(1L, 2L, 3L, 8L, 9L)
+    val seedSet = Set(1L)
+    val m = 1L
+    var r = nodes.map(v => v -> (if (seedSet(v)) S / m else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = nodes.map { v =>
+        v -> adj.toSeq.collect {
+          case (u, outs) if outs.contains(v) => r(u) / outs.length
+        }.sum
+      }.toMap
+      r = nodes.map { v =>
+        val base = if (seedSet(v)) 15L * S / (100L * m) else 0L
+        v -> (base + 85L * contrib(v) / 100L)
+      }.toMap
+    }
+    assert(out == r)
+    assert(out(8L) == 0L && out(9L) == 0L) // unreachable: exactly zero
+    assert(out(1L) > 0L && out(2L) > 0L && out(3L) > 0L)
+    // seeds = every node degenerates to pageRank exactly
+    val pr = PageRank.pageRank(edges, col("s"), col("d"), iters = 3)
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    val trAll = PageRank.trustRank(edges, col("s"), col("d"),
+        seedsOf(1L, 2L, 3L, 8L, 9L), col("sid"), iters = 3)
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(trAll == pr)
+    // seed ids not in the graph are ignored (99 contributes nothing,
+    // m stays 1 -> identical to the {1}-seed run)
+    val withGhost = PageRank.trustRank(edges, col("s"), col("d"),
+        seedsOf(1L, 99L), col("sid"), iters = 3)
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(withGhost == out)
+    // no seed present in the graph: loud
+    intercept[IllegalArgumentException] {
+      PageRank.trustRank(edges, col("s"), col("d"),
+        seedsOf(99L), col("sid"), iters = 1)
+    }
+  }
 }
