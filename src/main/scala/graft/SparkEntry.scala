@@ -7013,7 +7013,70 @@ object SparkEntry {
        SELECT id, CAST(r AS BIGINT) AS trust_fp FROM r3
        ORDER BY r DESC, id ASC LIMIT 20"""
 
+  // ------------------------------------------------------------------
+  // q148 — deterministic random walks (extension: RandomWalk.walks,
+  // the DeepWalk/node2vec walk-corpus precursor): 3-step walks from
+  // parts ≡ 0 mod 100 on the bidirectional part↔supplier graph, every
+  // hop the 52-bit md5 of (walk, step) mod out-degree — a pure
+  // function of (graph, start, salt), replayed hop-for-hop by the
+  // oracle's unrolled joins.
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        (col("l_suppkey") + 10000000L).as("sp")).distinct()
+    val edges = pairs.select(explode(array(
+        struct(col("p").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("p").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val starts = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("w"))
+      .filter(col("w") % 100 === 0).distinct()
+    graft.ops.RandomWalk.walks(edges, col("src"), col("dst"),
+      starts, col("w"), steps = 3, salt = "rw")
+  }
+
+  private val q148Sql =
+    """WITH pairs AS (
+         SELECT DISTINCT l_partkey AS p, 10000000 + l_suppkey AS s
+         FROM lineitem),
+       e AS (SELECT DISTINCT u, v FROM (
+         SELECT p AS u, s AS v FROM pairs
+         UNION ALL SELECT s AS u, p AS v FROM pairs)),
+       adj AS (
+         SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk,
+           COUNT(*) OVER (PARTITION BY u) AS d
+         FROM e),
+       s0 AS (
+         SELECT DISTINCT l_partkey AS walk_id FROM lineitem
+         WHERE l_partkey % 100 = 0),
+       w1 AS (
+         SELECT s0.walk_id, adj.v AS node
+         FROM s0 JOIN adj ON adj.u = s0.walk_id
+           AND adj.rk = 1 + (CAST(list_sum([(strpos('0123456789abcdef',
+             substr(md5(CAST(s0.walk_id AS VARCHAR) || '#1:rw'), j, 1)) - 1)
+             * CAST(pow(16, 13 - j) AS BIGINT)
+             for j in range(1, 14)]) AS BIGINT) % adj.d)),
+       w2 AS (
+         SELECT w1.walk_id, adj.v AS node
+         FROM w1 JOIN adj ON adj.u = w1.node
+           AND adj.rk = 1 + (CAST(list_sum([(strpos('0123456789abcdef',
+             substr(md5(CAST(w1.walk_id AS VARCHAR) || '#2:rw'), j, 1)) - 1)
+             * CAST(pow(16, 13 - j) AS BIGINT)
+             for j in range(1, 14)]) AS BIGINT) % adj.d)),
+       w3 AS (
+         SELECT w2.walk_id, adj.v AS node
+         FROM w2 JOIN adj ON adj.u = w2.node
+           AND adj.rk = 1 + (CAST(list_sum([(strpos('0123456789abcdef',
+             substr(md5(CAST(w2.walk_id AS VARCHAR) || '#3:rw'), j, 1)) - 1)
+             * CAST(pow(16, 13 - j) AS BIGINT)
+             for j in range(1, 14)]) AS BIGINT) % adj.d))
+       SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS node FROM s0
+       UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM w1
+       UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM w2
+       UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM w3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_random_walks" -> (q148 _),
     "q147_trustrank" -> (q147 _),
     "q146_triangles" -> (q146 _),
     "q145_ffd_packing" -> (q145 _),
@@ -7251,6 +7314,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q148_random_walks" -> q148Sql,
     "q147_trustrank" -> q147Sql,
     "q146_triangles" -> q146Sql,
     "q145_ffd_packing" -> q145Sql,
