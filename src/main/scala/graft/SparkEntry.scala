@@ -7075,7 +7075,53 @@ object SparkEntry {
        UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM w2
        UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM w3"""
 
+  // ------------------------------------------------------------------
+  // q149 — sentence spans with byte-faithful offsets (extension:
+  // Chunking.sentenceSpans): the RAG passage-extraction step. The
+  // fixture synthesizes sentence punctuation from word occurrences
+  // (plain replace) so spans straddle; the ORACLE hashes
+  // substr(text, start, len) — the reconstruction — while the Spark
+  // side hashes the extracted piece, so a hash match PROVES the
+  // offsets are exact.
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val synth = replace(replace(col("text"), lit(" data "), lit(". data ")),
+      lit(" index "), lit("! index "))
+    graft.ops.Chunking.sentenceSpans(
+        t(s, dir, "documents").select(col("doc_id"), synth.as("text")),
+        col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q149Sql =
+    """WITH s0 AS (
+         SELECT doc_id,
+           replace(replace(text, ' data ', '. data '),
+                   ' index ', '! index ') AS text
+         FROM documents),
+       p AS (
+         SELECT doc_id, text,
+           regexp_extract_all(text,
+             '[^.!?]*[.!?]+[ \t\n\r]*|[^.!?]+') AS ps
+         FROM s0),
+       u AS (
+         SELECT doc_id, text, generate_subscripts(ps, 1) AS i,
+           unnest(ps) AS piece
+         FROM p),
+       o AS (
+         SELECT doc_id, text, i, piece,
+           1 + coalesce(sum(len(piece)) OVER (PARTITION BY doc_id
+             ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS start
+         FROM u)
+       SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
+         CAST(start AS BIGINT) AS start,
+         CAST(len(piece) AS BIGINT) AS len,
+         md5(substr(text, CAST(start AS BIGINT),
+           len(piece))) AS span_md5
+       FROM o"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_sentence_spans" -> (q149 _),
     "q148_random_walks" -> (q148 _),
     "q147_trustrank" -> (q147 _),
     "q146_triangles" -> (q146 _),
@@ -7314,6 +7360,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q149_sentence_spans" -> q149Sql,
     "q148_random_walks" -> q148Sql,
     "q147_trustrank" -> q147Sql,
     "q146_triangles" -> q146Sql,

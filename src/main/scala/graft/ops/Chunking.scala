@@ -102,4 +102,44 @@ object Chunking {
   }
 
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** Sentence spans with exact character offsets — the RAG/eval
+    * passage-extraction step where BYTE-FAITHFUL provenance matters:
+    * each span is (start, len) into the ORIGINAL text, so
+    * `substr(text, start, len)` reconstructs the sentence exactly
+    * (the oracle proves it by hashing the reconstruction while the
+    * operator hashes the piece).
+    *
+    * Sentence rule (deliberately simple, fully specified): a sentence
+    * is a maximal run of non-terminator chars followed by one-or-more
+    * `[.!?]` and any trailing whitespace; a final terminator-less tail
+    * is its own span. One alternation regex in the shared Java/RE2
+    * leftmost-first subset — no lookarounds, no `\s` (Java's includes
+    * \x0B where RE2's differs), no `$` (Java's default `$` matches
+    * before a final newline, RE2's does not: a real divergence this
+    * pattern avoids by using an unanchored tail alternative, correct
+    * under leftmost-first because the terminator arm wins wherever a
+    * terminator remains).
+    *
+    * Shape: one codegen'd regexp_extract_all pass + a per-document
+    * prefix window (partitions are document-keyed, rows = that
+    * document's sentences — bounded, never corpus-wide).
+    *
+    * @return (id, sent_idx 1.., start 1-based char offset, len,
+    *         span_md5) — empty/NULL texts emit nothing
+    */
+  def sentenceSpans(df: DataFrame, idCol: Column, textCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pieces = regexp_extract_all(textCol,
+      lit("[^.!?]*[.!?]+[ \t\n\r]*|[^.!?]+"), lit(0))
+    val w = Window.partitionBy("id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(idCol.as("id"), posexplode(pieces).as(Seq("i", "piece")))
+      .select(col("id"), (col("i") + 1).cast("long").as("sent_idx"),
+        (lit(1L) + coalesce(sum(length(col("piece"))).over(w), lit(0L)))
+          .as("start"),
+        length(col("piece")).cast("long").as("len"),
+        md5(col("piece").cast("binary")).as("span_md5"))
+  }
 }

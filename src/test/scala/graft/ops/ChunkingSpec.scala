@@ -68,4 +68,51 @@ class ChunkingSpec extends SparkSpec {
       Chunking.chunkTokens(df, col("doc_id"), col("text"), 0, 0)
     }
   }
+
+  test("sentenceSpans: substr(text, start, len) reconstructs every " +
+      "span byte-for-byte; spans tile the text; edge cases (no " +
+      "terminator, terminator runs, trailing newline, empty/null)") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "One sentence. Two!  Three? tail without end",
+      2L -> "no terminator at all",
+      3L -> "...",
+      4L -> "ends with newline.\n",
+      5L -> "a.b.c",
+      6L -> "",
+      7L -> null)
+    val df = texts.toDF("doc_id", "text")
+    val spans = Chunking.sentenceSpans(df, col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val byDoc = spans.groupBy(_._1)
+    val textOf = texts.toMap
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    byDoc.foreach { case (id, ss) =>
+      val text = textOf(id)
+      val ordered = ss.sortBy(_._2)
+      // spans tile the text: contiguous from offset 1, total = length
+      assert(ordered.head._3 == 1L, s"doc $id starts at 1")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"doc $id gap")
+        case _ =>
+      }
+      assert(ordered.map(_._4).sum == text.length.toLong, s"doc $id total")
+      // reconstruction: the hash is of exactly the original slice
+      ordered.foreach { case (_, _, start, len, h) =>
+        val slice = text.substring((start - 1).toInt, (start - 1 + len).toInt)
+        assert(md5Hex(slice) == h, s"doc $id span at $start")
+      }
+    }
+    // shape expectations
+    assert(byDoc(1L).length == 4) // three terminated + the tail
+    assert(byDoc(2L).length == 1) // terminator-less tail is one span
+    assert(byDoc(3L).length == 1) // a pure terminator run is one span
+    assert(byDoc(4L).length == 1) // trailing newline folds into the span
+    assert(byDoc(5L).length == 3) // "a." "b." "c"
+    assert(!byDoc.contains(6L) && !byDoc.contains(7L))
+  }
 }
