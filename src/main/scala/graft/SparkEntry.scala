@@ -7120,7 +7120,78 @@ object SparkEntry {
            len(piece))) AS span_md5
        FROM o"""
 
+  // ------------------------------------------------------------------
+  // q150 — mixed-language detection (composition: Chunking.chunkTokens
+  // ∘ Text.langId ∘ per-doc majority): per-document chunk-level
+  // language disagreement — the quality signal a document-level langid
+  // misses (code-switched or template-injected pages score fluent at
+  // doc grain). 20-token chunks, majority via the bounded topk_by
+  // fold (ties → lang asc), mixed_bp an exact positive integer floor.
+  // The fixture appends a German tail to doc_id ≡ 1 mod 4 so the
+  // metric straddles.
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(coalesce(col("text"), lit("")),
+      when(col("doc_id") % 4 === 1,
+        lit(" der die das und ist nicht ein mit")).otherwise(lit("")))
+    val chunks = graft.ops.Chunking.chunkTokens(
+      t(s, dir, "documents").select(col("doc_id"), synth.as("text")),
+      col("doc_id"), col("text"), size = 20, overlap = 0)
+    chunks
+      .select(col("doc_id"), Text.langId(col("chunk_text")).as("cl"))
+      .groupBy("doc_id", "cl").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_chunks"),
+        call_function("topk_by", col("cl"), col("c").cast("double"),
+          lit(1)).as("top"))
+      .select(col("doc_id"), col("n_chunks"),
+        col("top")(0)("id").as("major_lang"),
+        col("top")(0)("score").cast("long").as("n_major"),
+        expr("((n_chunks - CAST(top[0].score AS BIGINT)) * 10000) div n_chunks")
+          .as("mixed_bp"))
+  }
+
+  private val q150Sql =
+    """WITH w AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(
+             coalesce(text, '') ||
+             (CASE WHEN doc_id % 4 = 1
+                   THEN ' der die das und ist nicht ein mit'
+                   ELSE '' END), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+       c AS (
+         SELECT doc_id, unnest(
+           [ws[(i-1)*20+1:(i-1)*20+20]
+            for i in range(1, (len(ws)+19)//20 + 1)]) AS ctk
+         FROM w WHERE len(ws) > 0),
+       sc AS (
+         SELECT doc_id,
+           len(list_filter(ctk, t -> list_contains(['the','of','and','to','in','a','is','that','it','for'], lower(t)))) AS en,
+           len(list_filter(ctk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], lower(t)))) AS de,
+           len(list_filter(ctk, t -> list_contains(['le','la','les','de','et','est','un','une','dans','que'], lower(t)))) AS fr
+         FROM c),
+       l AS (
+         SELECT doc_id,
+           CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+                WHEN en >= de AND en >= fr THEN 'en'
+                WHEN de >= fr THEN 'de'
+                ELSE 'fr' END AS pred
+         FROM sc),
+       g AS (SELECT doc_id, pred, count(*) AS c FROM l GROUP BY 1, 2),
+       m AS (SELECT doc_id, sum(c) AS n_chunks FROM g GROUP BY 1),
+       top AS (
+         SELECT doc_id, pred, c FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY c DESC, pred ASC) AS rn
+           FROM g) WHERE rn = 1)
+       SELECT m.doc_id, CAST(m.n_chunks AS BIGINT) AS n_chunks,
+         top.pred AS major_lang, CAST(top.c AS BIGINT) AS n_major,
+         CAST(((m.n_chunks - top.c) * 10000) // m.n_chunks AS BIGINT)
+           AS mixed_bp
+       FROM m JOIN top ON m.doc_id = top.doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_mixed_language" -> (q150 _),
     "q149_sentence_spans" -> (q149 _),
     "q148_random_walks" -> (q148 _),
     "q147_trustrank" -> (q147 _),
@@ -7360,6 +7431,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q150_mixed_language" -> q150Sql,
     "q149_sentence_spans" -> q149Sql,
     "q148_random_walks" -> q148Sql,
     "q147_trustrank" -> q147Sql,
