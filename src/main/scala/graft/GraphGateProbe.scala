@@ -129,6 +129,30 @@ object GraphGateProbe {
       e.unpersist(); spark.stop(); return
     }
 
+    if (sys.env.getOrElse("GRAFT_PROBE_KIND", "gate") == "trustwalk") {
+      // Round-16 graph additions at rung scale: trustRank (q147's
+      // shape — seeds = parts ≡ 0 mod 50) and RandomWalk (q148's —
+      // starts = parts ≡ 0 mod 100, 3 steps). trustRank shares
+      // pageRank's per-iteration kernel, so past the 2M-node gate the
+      // x100 rung exercises its SHUFFLE arm organically; walks ride
+      // one persisted ranked adjacency, so the expectation is
+      // adjacency-build-bounded cost, ~flat in walk count.
+      val seeds = pairs.select(col("p").as("sid"))
+        .filter(col("sid") % 50 === 0).distinct()
+      val starts = pairs.select(col("p").as("w"))
+        .filter(col("w") % 100 === 0).distinct()
+      val (secTr, sigTr) = medianSec(graft.ops.PageRank.trustRank(
+        bidir, col("src"), col("dst"), seeds, col("sid"), iters = 3))
+      val (secWk, sigWk) = medianSec(graft.ops.RandomWalk.walks(
+        bidir, col("src"), col("dst"), starts, col("w"),
+        steps = 3, salt = "rw"))
+      println(s"""{"metric":"trustwalk","sf":"$sfDir","nodes":$nodes,""" +
+        s""""arm":"$organicArm","sec_trustrank":$secTr,""" +
+        s""""trust_rows":${sigTr._1},"sec_walks":$secWk,""" +
+        s""""walk_rows":${sigWk._1}}""")
+      spark.stop(); return
+    }
+
     if (sys.env.getOrElse("GRAFT_PROBE_KIND", "gate") == "depth") {
       // PageRank depth ladder: per-iteration cost must stay flat with
       // the 5-round lineage cut and is expected superlinear without it
