@@ -7190,7 +7190,60 @@ object SparkEntry {
            AS mixed_bp
        FROM m JOIN top ON m.doc_id = top.doc_id"""
 
+  // ------------------------------------------------------------------
+  // q151 — host-mix report (composition: Text.canonicalizeUrl ∘ host
+  // extract ∘ counts): docs per canonical host with exact share and
+  // cumulative share in basis points, in (count desc, host asc) order
+  // — the first crawl-diagnostics read (is one host dominating the
+  // corpus?) and the input the q137 frequency cap is tuned from. Host
+  // extraction is one anchored RE2-safe regexp_extract over the
+  // canonical URL; shares are positive integer floors; the cumulative
+  // window runs over host-count rows, never the corpus.
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val url = synthUrl
+    val host = regexp_extract(
+      graft.functions.Text.canonicalizeUrl(url), "^[a-z]+://([^/]+)", 1)
+    val counts = t(s, dir, "documents")
+      .select(host.as("host"))
+      .groupBy("host").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("n_total"))
+    import org.apache.spark.sql.expressions.Window
+    counts.crossJoin(broadcast(total))
+      .withColumn("host_rank",
+        row_number().over(Window.orderBy(col("n_docs").desc,
+          col("host").asc)))
+      .withColumn("share_bp",
+        expr("(n_docs * 10000) div n_total"))
+      .withColumn("cum_share_bp",
+        expr("(sum(n_docs) OVER (ORDER BY n_docs DESC, host ASC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) " +
+          "div n_total"))
+      .select(col("host"), col("n_docs"), col("host_rank").cast("long"),
+        col("share_bp"), col("cum_share_bp"), col("n_total"))
+  }
+
+  private val q151Sql =
+    """WITH h AS (
+         -- the independently-derived expected host: if canonicalizeUrl
+         -- mishandled case/www./port on the synthesized URL, the Spark
+         -- side would disagree here and the compare would fail
+         SELECT lower(source) || '.example.com' AS host
+         FROM documents),
+       c AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+             FROM h GROUP BY 1),
+       tt AS (SELECT sum(n_docs) AS n_total FROM c)
+       SELECT c.host, c.n_docs,
+         CAST(ROW_NUMBER() OVER (ORDER BY c.n_docs DESC, c.host ASC)
+           AS BIGINT) AS host_rank,
+         CAST((c.n_docs * 10000) // tt.n_total AS BIGINT) AS share_bp,
+         CAST((SUM(c.n_docs) OVER (ORDER BY c.n_docs DESC, c.host ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000)
+           // tt.n_total AS BIGINT) AS cum_share_bp,
+         CAST(tt.n_total AS BIGINT) AS n_total
+       FROM c, tt"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_host_mix" -> (q151 _),
     "q150_mixed_language" -> (q150 _),
     "q149_sentence_spans" -> (q149 _),
     "q148_random_walks" -> (q148 _),
@@ -7431,6 +7484,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q151_host_mix" -> q151Sql,
     "q150_mixed_language" -> q150Sql,
     "q149_sentence_spans" -> q149Sql,
     "q148_random_walks" -> q148Sql,
