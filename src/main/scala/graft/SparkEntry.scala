@@ -7242,7 +7242,241 @@ object SparkEntry {
          CAST(tt.n_total AS BIGINT) AS n_total
        FROM c, tt"""
 
+  // ------------------------------------------------------------------
+  // q152 — k-core decomposition (extension: KCore.kCore, Seidman 1983):
+  // the 3-core of the co-order part graph THRESHOLDED to pairs sharing
+  // ≥2 orders (the unthresholded graph is so dense its 3-core is the
+  // whole graph — measured, not assumed). Peeling is fixed-round
+  // (maxRounds=12 ≥ the 11 rounds sf0.01 needs to converge; extra
+  // rounds are no-ops, so the oracle unrolls exactly 12 and matches
+  // the early-stopped run bit-for-bit). Output: surviving nodes with
+  // their in-core degree. Pair emission is q146's ONE-exchange form
+  // (group parts per order, emit pairs map-side from the bounded
+  // array — TPC-H orders hold ≤7 lines, far under the 200 cap).
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+      .groupBy("ok")
+      .agg(array_distinct(call_function("collect_list_capped",
+        col("p"), lit(200))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, x ->
+             filter(transform(ps, y ->
+               IF(x < y, struct(x AS a, y AS b), NULL)),
+             z -> z IS NOT NULL)))""")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    graft.ops.KCore.kCore(edges, col("a"), col("b"), k = 3, maxRounds = 12)
+  }
+
+  private val q152Sql: String = {
+    // every CTE MATERIALIZED: e_r references e_{r-1} three times (once
+    // directly, twice through k_r), so DuckDB's default inlining blows
+    // up 3^12-fold — first observed as "Too many open files" on the
+    // base scan
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       w AS MATERIALIZED (
+         SELECT a.p AS a, b.p AS b FROM li a
+         JOIN li b ON a.ok = b.ok AND a.p < b.p
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       e0 AS MATERIALIZED (
+         SELECT a AS u, b AS v FROM w UNION ALL SELECT b, a FROM w)""")
+    for (r <- 1 to 12) {
+      sb.append(s""",
+       k$r AS MATERIALIZED (
+         SELECT u FROM (SELECT u, count(*) AS d FROM e${r - 1}
+               GROUP BY 1) WHERE d >= 3),
+       e$r AS MATERIALIZED (
+         SELECT e.u, e.v FROM e${r - 1} e
+               JOIN k$r x ON e.u = x.u JOIN k$r y ON e.v = y.u)""")
+    }
+    sb.append("""
+       SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+       FROM e12 GROUP BY 1""")
+    sb.toString
+  }
+
+  // ------------------------------------------------------------------
+  // q153 — exact ROC AUC (extension: Profile.aucExact, the
+  // Mann-Whitney statistic with tie-averaging as an exact integer
+  // pair): does the event value rank purchases above non-purchases?
+  // Scores are cents via the house DECIMAL(18,4) float fix; the
+  // negatives-below prefix runs over DISTINCT SCORES through
+  // Prefix.runningTotal's range exchange, never a one-partition window.
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.aucExact(t(s, dir, "events"),
+      col("event_type") === "purchase",
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+
+  private val q153Sql =
+    """WITH b AS (
+         SELECT (event_type = 'purchase') AS y,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS s
+         FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       g AS (
+         SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+           sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+         FROM b GROUP BY 1),
+       c AS (
+         SELECT pos, neg,
+           sum(neg) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg
+             AS below
+         FROM g)
+       SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(neg) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS auc_num,
+         CAST(2 * sum(pos) * sum(neg) AS BIGINT) AS auc_den
+       FROM c"""
+
+  // ------------------------------------------------------------------
+  // q154 — multi-touch attribution (extension: Attribution.multiTouch):
+  // first/last/linear credit in exact basis points for click/view/
+  // signup touches within 24h before each purchase, rolled up per
+  // channel. The touch⋈conversion pairing is the (user, bucket)
+  // equi-join specialization of TemporalJoin.rangeJoin — shuffle ∝
+  // touches + 2·conversions, never the product.
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Attribution.multiTouch(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      convType = "purchase", touchTypes = Seq("click", "view", "signup"),
+      lookbackMicros = 86400L * 1000000L)
+
+  private val q154Sql =
+    """WITH conv AS (
+         SELECT user_id, event_id AS cid, epoch_us(ts) AS cts
+         FROM events WHERE event_type = 'purchase'),
+       tch AS (
+         SELECT user_id, event_id AS tid, epoch_us(ts) AS t,
+           event_type AS ch
+         FROM events WHERE event_type IN ('click', 'view', 'signup')),
+       j AS (
+         SELECT t.ch, c.cid, t.t, t.tid
+         FROM conv c JOIN tch t ON c.user_id = t.user_id
+           AND t.t < c.cts AND t.t >= c.cts - 86400000000),
+       r AS (
+         SELECT ch, cid,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY t ASC, tid ASC)
+             AS rn,
+           COUNT(*) OVER (PARTITION BY cid) AS n
+         FROM j),
+       cr AS (
+         SELECT ch, cid,
+           CASE WHEN rn = 1 THEN 10000 ELSE 0 END AS first_bp,
+           CASE WHEN rn = n THEN 10000 ELSE 0 END AS last_bp,
+           10000 // n + CASE WHEN rn = n THEN 10000 % n ELSE 0 END
+             AS linear_bp
+         FROM r)
+       SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+         CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+         CAST(sum(first_bp) AS BIGINT) AS first_bp,
+         CAST(sum(last_bp) AS BIGINT) AS last_bp,
+         CAST(sum(linear_bp) AS BIGINT) AS linear_bp
+       FROM cr GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q155 — first-order Markov transition table (extension:
+  // Sequences.transitionCounts): per-user consecutive event-type pairs
+  // with exact fixed-point transition probability and next-event rank.
+  // One lead-window per user, then vocabulary-sized (≤ |types|²) agg.
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sequences.transitionCounts(t(s, dir, "events"),
+      col("user_id"), col("event_type"), Seq(col("ts"), col("event_id")))
+
+  private val q155Sql =
+    """WITH s AS (
+         SELECT event_type AS prev,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS next
+         FROM events),
+       p AS (
+         SELECT prev, next, count(*) AS cnt FROM s
+         WHERE next IS NOT NULL GROUP BY 1, 2)
+       SELECT prev, next, CAST(cnt AS BIGINT) AS cnt,
+         CAST(sum(cnt) OVER (PARTITION BY prev) AS BIGINT) AS total,
+         CAST((cnt * 1048576) // sum(cnt) OVER (PARTITION BY prev)
+           AS BIGINT) AS p_fx,
+         CAST(ROW_NUMBER() OVER (PARTITION BY prev
+           ORDER BY cnt DESC, next ASC) AS BIGINT) AS nxt_rank
+       FROM p"""
+
+  // ------------------------------------------------------------------
+  // q156 — CUSUM changepoint alarms (extension: Anomaly.cusumAlarms,
+  // Page 1954): per-user upward-drift alarms over event values in
+  // cents, s_i = max(0, s_{i-1} + v - target - slack), alarm at
+  // s >= threshold then reset — a genuinely sequential recurrence run
+  // as the secondary-sorted streaming reducer. The oracle replays it
+  // with a recursive CTE advancing every user one row per step.
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Anomaly.cusumAlarms(t(s, dir, "events"),
+      col("user_id"), col("event_id"), Seq(col("ts"), col("event_id")),
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+      target = 2500L, slack = 1000L, threshold = 30000L)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("s_alarm"), col("alarm_seq"))
+
+  private val q156Sql =
+    """WITH RECURSIVE v AS (
+         SELECT user_id, event_id,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rn
+         FROM events),
+       rec AS (
+         SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS s,
+           CAST(0 AS BIGINT) AS alarm_seq, CAST(NULL AS BIGINT) AS event_id,
+           CAST(0 AS BIGINT) AS s_val, FALSE AS alarm
+         FROM (SELECT DISTINCT user_id FROM v)
+         UNION ALL
+         SELECT v.user_id, v.rn,
+           CASE WHEN greatest(0, r.s + v.v - 3500) >= 30000 THEN 0
+                ELSE greatest(0, r.s + v.v - 3500) END,
+           r.alarm_seq +
+             CASE WHEN greatest(0, r.s + v.v - 3500) >= 30000
+                  THEN 1 ELSE 0 END,
+           v.event_id,
+           greatest(0, r.s + v.v - 3500),
+           greatest(0, r.s + v.v - 3500) >= 30000
+         FROM rec r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1)
+       SELECT user_id, event_id, s_val AS s_alarm, alarm_seq
+       FROM rec WHERE alarm"""
+
+  // ------------------------------------------------------------------
+  // q157 — salted skew join (Partitioning.saltedJoin, until now only
+  // spec- and SkewBench-covered): per-nation supplied quantity through
+  // the salted lineitem⋈supplier join — inner-join semantics unchanged
+  // by construction, which is exactly what the oracle's PLAIN join
+  // checks. salt=32 matches the local[32] lane count; the hot key's
+  // rows land on 32 shuffle partitions instead of one.
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("k"), col("l_quantity"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("k"), col("s_nationkey"))
+    graft.ops.Partitioning.saltedJoin(li, sup, Seq("k"), salt = 32)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  private val q157Sql =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_salted_join" -> (q157 _),
+    "q156_cusum" -> (q156 _),
+    "q155_transitions" -> (q155 _),
+    "q154_attribution" -> (q154 _),
+    "q153_auc" -> (q153 _),
+    "q152_kcore" -> (q152 _),
     "q151_host_mix" -> (q151 _),
     "q150_mixed_language" -> (q150 _),
     "q149_sentence_spans" -> (q149 _),
@@ -7484,6 +7718,12 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q157_salted_join" -> q157Sql,
+    "q156_cusum" -> q156Sql,
+    "q155_transitions" -> q155Sql,
+    "q154_attribution" -> q154Sql,
+    "q153_auc" -> q153Sql,
+    "q152_kcore" -> q152Sql,
     "q151_host_mix" -> q151Sql,
     "q150_mixed_language" -> q150Sql,
     "q149_sentence_spans" -> q149Sql,

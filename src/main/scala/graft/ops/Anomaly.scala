@@ -52,4 +52,79 @@ object Anomaly {
             (dec("n") * dec("__q") - dec("__s") * dec("__s")))
       .drop("__v", "__s", "__q")
   }
+
+  /** CUSUM changepoint alarms per key (Page 1954) — the sequential
+    * drift detector z-scores can't replace: a level shift too small to
+    * flag any single point accumulates until the cumulative sum
+    * crosses the threshold. The ingest-monitoring classic ("this
+    * source's mean document quality drifted down over the last week"),
+    * exact in integers so alarms replay bit-identically.
+    *
+    * Recurrence per key, rows in (orderCols) order:
+    *   s₀ = 0;  sᵢ = max(0, sᵢ₋₁ + vᵢ − target − slack)
+    * an alarm fires where sᵢ ≥ threshold, and s resets to 0 after each
+    * alarm (restart detection — the standard practice so one long
+    * excursion is N independent alarms, not one smeared flag). This is
+    * a genuinely sequential recurrence (the max-with-zero reset breaks
+    * prefix-sum decomposition), so it runs as the hadron-style
+    * secondary-sorted streaming reducer — [[GroupReduce.secondarySort]]'s
+    * one repartition + in-partition sort, each group scanned once with
+    * O(1) state, never a per-key collect.
+    *
+    * One-sided (upward drift); detect downward by negating `value` and
+    * `target` at the call site. `orderCols` must pin a total order per
+    * key (house rule — ts alone ties, add the event id).
+    *
+    * @param value long-valued series (fix floats upstream — exactness
+    *   needs integers; e.g. cents, not dollars-as-double)
+    * @param target the in-control level subtracted each step
+    * @param slack the CUSUM allowance k (half the shift magnitude
+    *   worth detecting, in the same units)
+    * @param threshold alarm level h (same units)
+    * @return one row per alarm: (key, id at the alarm row, s_alarm =
+    *   the crossing value, alarm_seq = 1-based alarm index within key)
+    */
+  def cusumAlarms(
+      df: DataFrame,
+      key: Column,
+      idCol: Column,
+      orderCols: Seq[Column],
+      value: Column,
+      target: Long,
+      slack: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(slack >= 0, s"slack must be non-negative, got $slack")
+    require(orderCols.nonEmpty, "orderCols must pin a total order")
+    val base = df.select(
+      key.cast("long").as("key") +: idCol.cast("long").as("id") +:
+        value.cast("long").as("v") +:
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+      .filter(col("key").isNotNull && col("id").isNotNull &&
+        col("v").isNotNull)
+    val drop = target + slack
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val enc: Encoder[(Long, Long, Long, Long)] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+    GroupReduce.secondarySort[(Long, Long, Long, Long)](
+      base,
+      groupCols = Seq("key"),
+      sortCols = orderCols.indices.map(i => col(s"__o$i")))
+    { (groupKey, rows) =>
+      val k = groupKey.getLong(0)
+      var s = 0L
+      var alarmSeq = 0L
+      rows.flatMap { r =>
+        val v = r.getLong(2)
+        s = math.max(0L, s + v - drop)
+        if (s >= threshold) {
+          alarmSeq += 1
+          val out = (k, r.getLong(1), s, alarmSeq)
+          s = 0L
+          Iterator.single(out)
+        } else Iterator.empty
+      }
+    }.toDF("key", "id", "s_alarm", "alarm_seq")
+  }
 }

@@ -389,4 +389,69 @@ object Profile {
           ((col("n_pp") + col("n_pf")) * (col("n_pp") + col("n_fp")) +
            (col("n_fp") + col("n_ff")) * (col("n_pf") + col("n_ff"))))
           .as("kappa_den"))
+
+  /** Exact ROC AUC of an integer score against a boolean label — "is
+    * my quality/classifier score actually ranking the positives above
+    * the negatives?", the standard grading for every scorer in the
+    * curation stack ([[graft.functions.Classifier]], quality signals,
+    * perplexity filters) before its threshold is trusted.
+    *
+    * AUC here is the Mann-Whitney statistic with the standard
+    * tie-average convention, kept EXACT as an integer pair instead of
+    * a float: with the scores grouped (pos_s, neg_s counts per
+    * distinct score value, negBelow_s = negatives with strictly
+    * smaller score),
+    *   auc_num = Σ_s pos_s · (2·negBelow_s + neg_s)
+    *   auc_den = 2 · n_pos · n_neg
+    * auc = num/den ∈ [0,1]; ties contribute the usual ½. The division
+    * is deliberately not performed (same engine-neutrality rule as
+    * [[cohenKappa]]). Rows with a NULL label or score are excluded.
+    *
+    * Scale shape: one map-side-combined groupBy down to DISTINCT
+    * SCORES, then [[Prefix.runningTotal]]'s two-linear-pass range
+    * exchange over that (already reduced) table for the
+    * negatives-below prefix — never a single-partition window — and a
+    * 1-row aggregate. n must stay < 3·10⁹ so auc_num ≤ 2·n_pos·n_neg
+    * fits a long; the guard is loud, never silent.
+    *
+    * @param labelCol boolean (or castable) — true = positive
+    * @param scoreCol long-valued score (fix floats upstream, e.g.
+    *   `(value·100)::long` — exactness needs integer scores)
+    * @return one row: (n_pos, n_neg, auc_num, auc_den)
+    */
+  def aucExact(
+      df: DataFrame,
+      labelCol: org.apache.spark.sql.Column,
+      scoreCol: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(labelCol.cast("boolean").as("y"),
+        scoreCol.cast("long").as("s"))
+      .filter(col("y").isNotNull && col("s").isNotNull)
+    val g = base.groupBy("s").agg(
+      coalesce(sum(when(col("y"), 1L)), lit(0L)).as("pos"),
+      coalesce(sum(when(!col("y"), 1L)), lit(0L)).as("neg"))
+    // distinct scores under a total order: bias to unsigned, fixed-width
+    // hex so ONE string column carries the range-exchange order (the
+    // spearman encoding); uniqueness is free — the groupBy deduplicated.
+    val bias = 1L << 62
+    val guarded = g.withColumn("s",
+      when(abs(col("s")) < lit(bias), col("s")).otherwise(raise_error(
+        concat(lit("aucExact scores must be in (-2^62, 2^62), got "),
+          col("s")))))
+    val ranked = Prefix.runningTotal(
+      guarded.withColumn("__ord", format_string("%016x", col("s") + bias)),
+      orderCol = "__ord", valueCol = "neg", outCol = "negCum")
+    ranked
+      .select(col("pos"), col("neg"), (col("negCum") - col("neg")).as("below"))
+      .agg(
+        coalesce(sum("pos"), lit(0L)).as("n_pos"),
+        coalesce(sum("neg"), lit(0L)).as("n_neg"),
+        coalesce(sum(col("pos") * (lit(2L) * col("below") + col("neg"))),
+          lit(0L)).as("auc_num"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") + col("n_neg") <= 3000000000L, col("auc_num"))
+          .otherwise(raise_error(lit(
+            "aucExact domain is n <= 3e9 (auc_num must fit a long) — " +
+            "sample upstream (Sampling.sampleByHash)"))).as("auc_num"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
+  }
 }

@@ -50,4 +50,70 @@ class AnomalySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Anomaly.zScoreFlags(df, Seq("k"), col("v"), 0))
   }
+
+  // ---- cusumAlarms ---------------------------------------------------
+
+  /** Sequential scalar replay of the documented recurrence. */
+  private def cusumModel(vs: Seq[(Long, Long)], target: Long, slack: Long,
+      thresh: Long): Seq[(Long, Long, Long)] = {
+    var s = 0L
+    var seq = 0L
+    vs.flatMap { case (id, v) =>
+      s = math.max(0L, s + v - target - slack)
+      if (s >= thresh) {
+        seq += 1
+        val out = (id, s, seq)
+        s = 0L
+        Some(out)
+      } else None
+    }
+  }
+
+  private def runCusum(rows: Seq[(Long, Long, Long, Long)], target: Long,
+      slack: Long, thresh: Long): Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val df = rows.toDF("k", "id", "t", "v").repartition(4)
+    Anomaly.cusumAlarms(df, col("k"), col("id"), Seq(col("t"), col("id")),
+        col("v"), target, slack, thresh)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+  }
+
+  test("cusumAlarms replays the sequential recurrence exactly per key: " +
+      "sub-threshold drift accumulates across rows no single point " +
+      "would flag, s resets after each alarm, keys are independent, " +
+      "row order is (t, id) not input order") {
+    // key 1: drift of +6 per row over target+slack=10+2=12... values 20
+    // each: s climbs 8 per row, alarm at s>=30 on the 4th (s=32), then
+    // resets and alarms again on the 8th. key 2: one huge spike alarms
+    // alone. key 3: stays below threshold forever.
+    val k1 = (1L to 8L).map(i => (1L, i, i, 20L))
+    val k2 = Seq((2L, 100L, 1L, 50L), (2L, 101L, 2L, 1L))
+    val k3 = (1L to 20L).map(i => (3L, 100 + i, i, 12L)) // v == drop: s=0
+    val rows = scala.util.Random.shuffle(k1 ++ k2 ++ k3)
+    val got = runCusum(rows, target = 10L, slack = 2L, thresh = 30L)
+    val want =
+      (cusumModel(k1.map(r => (r._2, r._4)), 10, 2, 30).map {
+        case (id, s, q) => (1L, id, s, q) } ++
+       cusumModel(k2.map(r => (r._2, r._4)), 10, 2, 30).map {
+        case (id, s, q) => (2L, id, s, q) }).sorted
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(_._3 >= 30L))
+    assert(!got.exists(_._1 == 3L))
+    // the k1 cascade fired exactly twice, at rows 4 and 8
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq(4L, 8L))
+  }
+
+  test("cusumAlarms guards: positive threshold, non-negative slack, " +
+      "total order required") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L, 1L)).toDF("k", "id", "t", "v")
+    intercept[IllegalArgumentException](Anomaly.cusumAlarms(
+      df, col("k"), col("id"), Seq(col("t")), col("v"), 0L, 0L, 0L))
+    intercept[IllegalArgumentException](Anomaly.cusumAlarms(
+      df, col("k"), col("id"), Seq(col("t")), col("v"), 0L, -1L, 5L))
+    intercept[IllegalArgumentException](Anomaly.cusumAlarms(
+      df, col("k"), col("id"), Seq.empty, col("v"), 0L, 0L, 5L))
+  }
 }

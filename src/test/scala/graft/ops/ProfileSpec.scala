@@ -255,4 +255,49 @@ class ProfileSpec extends SparkSpec {
       (None: Option[Boolean], None: Option[Boolean]))
     assert(run(withNull) == ((10L, 3L, 1L, 2L, 4L, 20L, 50L)))
   }
+
+  test("aucExact: brute-force pairwise Mann-Whitney model (wins x2 + " +
+      "ties x1), endpoints 1 and 0 at perfect (anti-)separation, " +
+      "all-tied scores give exactly 1/2, NULLs excluded, " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(Option[Boolean], Option[Long])], parts: Int = 4) = {
+      val r = Profile.aucExact(
+        rows.toDF("y", "s").repartition(parts), col("y"), col("s"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def brute(rows: Seq[(Boolean, Long)]): (Long, Long) = {
+      val pos = rows.filter(_._1).map(_._2)
+      val neg = rows.filterNot(_._1).map(_._2)
+      val num = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      (num, 2L * pos.size * neg.size)
+    }
+    def s(b: Boolean, v: Long) = (Some(b), Some(v))
+    // mixed case with ties on both sides
+    val mixed = Seq(s(true, 5), s(true, 3), s(true, 3), s(false, 3),
+      s(false, 2), s(false, 5), s(true, 1), s(false, -7))
+    val (bn, bd) = brute(mixed.map(r => (r._1.get, r._2.get)))
+    val got = run(mixed)
+    assert((got._3, got._4) == ((bn, bd)))
+    assert(got._1 == 4L && got._2 == 4L)
+    // partitioning-invariant (range exchange, not partition order)
+    assert(run(mixed, parts = 1) == got && run(mixed, parts = 7) == got)
+    // perfect separation → num == den; reversed → num == 0
+    val sep = Seq(s(true, 10), s(true, 9), s(false, 1), s(false, 0))
+    val gs = run(sep); assert(gs._3 == gs._4 && gs._4 == 8L)
+    val rev = Seq(s(true, 0), s(false, 10))
+    assert(run(rev)._3 == 0L)
+    // every score tied → exactly half the denominator
+    val tied = Seq(s(true, 7), s(true, 7), s(false, 7), s(false, 7))
+    val gt = run(tied); assert(2L * gt._3 == gt._4)
+    // NULL label or score drops the row
+    val withNull = mixed ++ Seq((None, Some(99L)), (Some(true), None))
+    assert(run(withNull) == got)
+    // negative scores ride the biased encoding (covered in `mixed` via
+    // -7); a score at the guard boundary raises
+    val huge = Seq(s(true, 1L << 62), s(false, 0))
+    intercept[Exception](run(huge))
+  }
 }

@@ -198,13 +198,29 @@ def graph_arms(src, reps, offset=1000000):
     return " UNION ALL ".join(arms)
 
 
+def graphco_arms(src, reps, offset=10_000_000):
+    # (l_orderkey, l_partkey) projection for the CO-ORDER graph ops
+    # (q146 triangles, q152 k-core): replicas in disjoint id spaces on
+    # BOTH columns, so each replica forms its own co-order component —
+    # a bigger catalog's shape, not a denser graph. orderkey max at
+    # sf0.1 is ~6e5 and partkey ~2e4; the offsets keep x30 well inside
+    # INT32 (29*1e7 + 6e5 < 2^31).
+    arms = []
+    for r in range(reps):
+        arms.append(f"""
+          SELECT l_orderkey + {r}*{offset} AS l_orderkey,
+                 l_partkey + {r}*{offset // 10} AS l_partkey
+          FROM read_parquet('{src}/lineitem.parquet')""")
+    return " UNION ALL ".join(arms)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/graft_scale_root")
     ap.add_argument("--force", action="store_true",
                     help="regenerate rungs that already exist")
-    ap.add_argument("--families", default="docs,emb,events,graph",
+    ap.add_argument("--families", default="docs,emb,events,graph,graphco",
                     help="comma list of rung families to (re)generate "
                          "(docs, emb, events, graph) — deep-rung reruns "
                          "usually need one family, and the unrequested "
@@ -241,6 +257,11 @@ def main():
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{dst}: {n} rows")
+    # graphco x3/x10/x30: the co-order-graph rungs (orderkey+partkey —
+    # the plain graph family drops orderkey) for q146/q152-shaped ops
+    for name, reps in [("x3", 3), ("x10", 10), ("x30", 30)]:
+        copy(graphco_arms(args.src, reps),
+             os.path.join(args.out, "graphco", name), "lineitem")
     # x30/x100 are documents-only (the round-8 dedup deep-ladder rungs);
     # the affine permutations keep replica shingle spaces disjoint.
     for name, reps in [("x3", 3), ("x10", 10)]:
