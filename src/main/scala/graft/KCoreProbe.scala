@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** k-core scale ladder over the co-order part graph (q152's exact
-  * shape: parts sharing ≥ 2 orders, 3-core by default) on the
+  * shape: parts sharing ≥ 2 orders, 2-core by default) on the
   * `graphco` rungs — x1 = sf0.1, x3/x10/x30 replicas in DISJOINT id
   * spaces, so rungs scale the peel's breadth (more components), not
   * its depth. Expected cost split: the edge build (distinct + one
@@ -27,7 +27,7 @@ object KCoreProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/tmp/graft_scale_root/graphco/x3")
-    val k = sys.env.getOrElse("GRAFT_KCORE_K", "3").toInt
+    val k = sys.env.getOrElse("GRAFT_KCORE_K", "2").toInt
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

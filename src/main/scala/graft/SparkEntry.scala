@@ -7244,15 +7244,18 @@ object SparkEntry {
 
   // ------------------------------------------------------------------
   // q152 — k-core decomposition (extension: KCore.kCore, Seidman 1983):
-  // the 3-core of the co-order part graph THRESHOLDED to pairs sharing
-  // ≥2 orders (the unthresholded graph is so dense its 3-core is the
-  // whole graph — measured, not assumed). Peeling is fixed-round
-  // (maxRounds=12 ≥ the 11 rounds sf0.01 needs to converge; extra
-  // rounds are no-ops, so the oracle unrolls exactly 12 and matches
-  // the early-stopped run bit-for-bit). Output: surviving nodes with
-  // their in-core degree. Pair emission is q146's ONE-exchange form
-  // (group parts per order, emit pairs map-side from the bounded
-  // array — TPC-H orders hold ≤7 lines, far under the 200 cap).
+  // the 2-core of the co-order part graph THRESHOLDED to pairs sharing
+  // ≥2 orders (the unthresholded graph is so dense every small core is
+  // the whole graph, and the w≥2 graph THINS with scale — k=3 peels to
+  // empty at sf0.1; k=2 keeps a multi-round non-empty core at both
+  // verify and bench scale: 4 rounds/1535 nodes at sf0.01, 6 rounds/3
+  // at sf0.1 — all measured, not assumed). Peeling is fixed-round
+  // (maxRounds=12 ≥ both convergence depths; extra rounds are no-ops,
+  // so the oracle unrolls exactly 12 and matches the early-stopped run
+  // bit-for-bit). Output: surviving nodes with their in-core degree.
+  // Pair emission is q146's ONE-exchange form (group parts per order,
+  // emit pairs map-side from the bounded array — TPC-H orders hold ≤7
+  // lines, far under the 200 cap).
   private def q152(s: SparkSession, dir: String): DataFrame = {
     val edges = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -7268,7 +7271,7 @@ object SparkEntry {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
-    graft.ops.KCore.kCore(edges, col("a"), col("b"), k = 3, maxRounds = 12)
+    graft.ops.KCore.kCore(edges, col("a"), col("b"), k = 2, maxRounds = 12)
   }
 
   private val q152Sql: String = {
@@ -7290,7 +7293,7 @@ object SparkEntry {
       sb.append(s""",
        k$r AS MATERIALIZED (
          SELECT u FROM (SELECT u, count(*) AS d FROM e${r - 1}
-               GROUP BY 1) WHERE d >= 3),
+               GROUP BY 1) WHERE d >= 2),
        e$r AS MATERIALIZED (
          SELECT e.u, e.v FROM e${r - 1} e
                JOIN k$r x ON e.u = x.u JOIN k$r y ON e.v = y.u)""")
@@ -7470,7 +7473,118 @@ object SparkEntry {
        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q158 — dictionary tagging via broadcast Aho-Corasick (extension:
+  // Keywords.dictionaryTag): occurrence counts of a term lexicon per
+  // document in ONE text scan regardless of dictionary size — the
+  // blocklist/taxonomy/PII-lexicon primitive. The dictionary bakes in
+  // the adversarial cases: nested terms ("table" inside "table table",
+  // "fast" inside "fast table"), a single letter ("a" — matches inside
+  // words), a multi-word phrase, and a never-matching term (must be
+  // ABSENT, not zero). The oracle recounts every term by brute
+  // positional substring comparison — overlap semantics included.
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Keywords.dictionaryTag(t(s, dir, "documents"),
+      col("doc_id"), col("text"),
+      Seq("table", "table table", "fast", "fast table", "scan",
+        "agg row", "value part", "spark", "a", "zz_never_matches"))
+
+  private val q158Sql =
+    """WITH terms AS (
+         SELECT unnest(['table', 'table table', 'fast', 'fast table',
+           'scan', 'agg row', 'value part', 'spark', 'a',
+           'zz_never_matches']) AS term),
+       m AS (
+         SELECT d.doc_id AS id, t.term,
+           len([p for p in range(1, len(d.text) - len(t.term) + 2)
+                if substr(d.text, p, len(t.term)) = t.term]) AS n_matches
+         FROM documents d CROSS JOIN terms t
+         WHERE d.text IS NOT NULL)
+       SELECT id, term, CAST(n_matches AS BIGINT) AS n_matches
+       FROM m WHERE n_matches > 0"""
+
+  // ------------------------------------------------------------------
+  // q159 — calibration bins (extension: Profile.calibrationBins): the
+  // reliability-curve companion to q153's AUC — per fixed-width score
+  // bin, exact counts, positives, and fixed-point positive rate. One
+  // map-side-combined agg over ≤ (max_score/width) bins.
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.calibrationBins(t(s, dir, "events"),
+      col("event_type") === "purchase",
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+      binWidth = 5000L)
+
+  private val q159Sql =
+    """WITH b AS (
+         SELECT (event_type = 'purchase') AS y,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS s
+         FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL)
+       SELECT CAST(bin AS BIGINT) AS bin,
+         CAST(bin * 5000 AS BIGINT) AS bin_lo,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST((sum(CASE WHEN y THEN 1 ELSE 0 END) * 1048576) // count(*)
+           AS BIGINT) AS pos_fx,
+         CAST(sum(s) AS BIGINT) AS sum_score
+       FROM (SELECT y, s, s // 5000 AS bin FROM b) GROUP BY bin"""
+
+  // ------------------------------------------------------------------
+  // q160 — STREAMING CUSUM (extension: Streaming.cusumStream): q156's
+  // exact sequential recurrence running as flatMapGroupsWithState with
+  // two longs of state per key, fed the same events as four
+  // time-quartile file batches (day-of-month 1-8/9-16/17-24/25+ —
+  // batch boundaries respect event time, the operator's ordering
+  // contract; in-batch disorder is sorted inside the state function).
+  // The oracle is q156's batch recursive CTE VERBATIM — stream ≡ batch,
+  // alarm for alarm.
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = t(s, dir, "events")
+      .select(col("user_id").as("key"), col("event_id").as("id"),
+        col("ts"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)").as("v"))
+      .withColumn("b", least(expr("(day(ts) - 1) div 8"), lit(3))
+        .cast("int"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q160_")
+    val streamDir = base.resolve("stream"); val tmpDir = base.resolve("tmp")
+    java.nio.file.Files.createDirectories(streamDir)
+    staged.repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
+    (0 until 4).foreach { b =>
+      val dirF = new java.io.File(tmpDir.resolve(s"b=$b").toString)
+      if (dirF.isDirectory) { // a sliced fixture can miss a quartile
+        val part = dirF.listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = streamDir.resolve(f"batch_$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1500000000000L + b * 60000L)
+      }
+    }
+    val src = s.readStream
+      .schema("key BIGINT, id BIGINT, ts TIMESTAMP, v BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = "q160_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.Streaming.cusumStream(
+            src.as[graft.streaming.Streaming.CusumPoint],
+            target = 2500L, slack = 1000L, threshold = 30000L)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("key").as("user_id"),
+      col("id").as("event_id"), col("s_alarm"), col("alarm_seq"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_stream_cusum" -> (q160 _),
+    "q159_calibration" -> (q159 _),
+    "q158_dictionary_tag" -> (q158 _),
     "q157_salted_join" -> (q157 _),
     "q156_cusum" -> (q156 _),
     "q155_transitions" -> (q155 _),
@@ -7718,6 +7832,9 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q160_stream_cusum" -> q156Sql, // stream ≡ batch: same oracle
+    "q159_calibration" -> q159Sql,
+    "q158_dictionary_tag" -> q158Sql,
     "q157_salted_join" -> q157Sql,
     "q156_cusum" -> q156Sql,
     "q155_transitions" -> q155Sql,

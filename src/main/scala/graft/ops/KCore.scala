@@ -75,15 +75,22 @@ object KCore {
     while (round < maxRounds && !converged) {
       round += 1
       val deg = cur.groupBy("u").agg(count(lit(1)).as("d"))
+      // The keep set MUST become a plan LEAF (eager localCheckpoint of
+      // ≤N id rows), not a cached subtree: `next` references cur once
+      // directly and twice through keep, so a keep that still carries
+      // cur's logical plan makes the round-r plan hold 3^r copies of
+      // the edge build — the first 7-round peel OOM'd the driver in
+      // generateTreeString before any task ran. As a leaf, plan depth
+      // grows one join layer per round (and the every-lineageCutEvery
+      // edge checkpoint resets even that).
       val keep = deg.filter(col("d") >= k).select(col("u").as("id"))
-        .persist()
+        .localCheckpoint(true)
       val nKeep = keep.count()
       if (nKeep == prevKeep) {
         // keep ⊆ previous keep and |keep| = |previous keep| ⇒ the sets
         // are equal ⇒ this round's semi-joins would keep every edge —
         // fixed point, skip the no-op induce.
         converged = true
-        keep.unpersist()
       } else {
         prevKeep = nKeep
         val gate = nKeep <= broadcastNodesUpTo
@@ -102,10 +109,8 @@ object KCore {
         next = next.persist()
         next.count() // materialize before dropping the parent cache
         cur.unpersist()
-        // keep stays persisted until next round's count materializes;
-        // its storage is ≤ N longs and the session reclaims it — the
-        // loop-local unpersist discipline only tracks the E-sized table
-        keep.unpersist()
+        // keep's checkpoint blocks (≤ N longs per round) are released
+        // by the ContextCleaner when the round's plans go out of scope
         cur = next
       }
     }

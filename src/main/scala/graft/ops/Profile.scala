@@ -454,4 +454,41 @@ object Profile {
             "sample upstream (Sampling.sampleByHash)"))).as("auc_num"),
         (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
   }
+
+  /** Calibration (reliability) bins for a scorer against a boolean
+    * outcome — [[aucExact]] grades RANKING; this grades whether the
+    * score's MAGNITUDE means what it claims (a well-calibrated quality
+    * score's 0.8-bin should contain ~80% positives). Fixed-WIDTH score
+    * bins (`bin = score div binWidth` — a map-only integer, deliberately
+    * not quantile bins: quantile edges depend on the distribution, so
+    * two corpora's curves would not be comparable, and computing them
+    * needs an extra pass), one map-side-combined aggregation, output
+    * per non-empty bin: count, positives, exact score mass, and the
+    * fixed-point positive rate `pos_fx = n_pos·2^20 div n` (positive ÷
+    * positive — engine-neutral floor). Scores must be non-negative
+    * (truncating div ≡ floor only there; shift upstream) — loud, never
+    * silent. NULL label or score rows are excluded.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      labelCol: org.apache.spark.sql.Column,
+      scoreCol: org.apache.spark.sql.Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val base = df.select(labelCol.cast("boolean").as("y"),
+        scoreCol.cast("long").as("s"))
+      .filter(col("y").isNotNull && col("s").isNotNull)
+      .withColumn("s", when(col("s") >= 0, col("s"))
+        .otherwise(raise_error(concat(
+          lit("calibrationBins scores must be non-negative, got "),
+          col("s")))))
+    base.groupBy(expr(s"s div ${binWidth}L").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("y"), 1L)), lit(0L)).as("n_pos"),
+        sum(col("s")).as("sum_score"))
+      .select(col("bin"), (col("bin") * binWidth).as("bin_lo"),
+        col("n"), col("n_pos"),
+        expr("n_pos * 1048576L div n").as("pos_fx"),
+        col("sum_score"))
+  }
 }

@@ -37,6 +37,12 @@ object Streaming {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, total_value: Double)
 
+  final case class CusumPoint(
+      key: Long, id: Long, ts: Timestamp, v: Long)
+
+  final case class CusumAlarm(
+      key: Long, id: Long, s_alarm: Long, alarm_seq: Long)
+
   /** Tumbling-window counts with a watermark — the canonical windowed agg.
     * Works identically on a batch DataFrame (Spark unifies the APIs), which
     * is how the oracle checks it.
@@ -251,6 +257,60 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
+
+  /** Streaming CUSUM changepoint alarms —
+    * [[graft.ops.Anomaly.cusumAlarms]]' exact integer recurrence
+    * (s ← max(0, s + v − target − slack); alarm and reset at
+    * threshold) running forever on an unbounded stream: per-key state
+    * is TWO LONGS (running sum + alarm count), so the state store
+    * scales with key cardinality only — the drift monitor a pipeline
+    * leaves on, with the batch operator as its exact replay oracle.
+    *
+    * EXACTNESS CONTRACT: alarms are bit-identical to the batch
+    * operator iff each key's points arrive in (ts, id) order ACROSS
+    * micro-batches (within a batch this sorts — same per-key buffer
+    * bound and loud overflow as [[sessionize]]). Out-of-order
+    * cross-batch arrivals feed the recurrence out of order — CUSUM is
+    * order-sensitive by definition, and unlike the windowed operators
+    * there is no watermark that can repair a sequential recurrence.
+    * Feed it a per-key-ordered source (e.g. a time-partitioned ingest
+    * where batch boundaries respect event time, as q160 stages).
+    */
+  def cusumStream(
+      points: Dataset[CusumPoint],
+      target: Long,
+      slack: Long,
+      threshold: Long,
+      maxBufferedEvents: Int = DefaultMaxBufferedPerKey)
+      : Dataset[CusumAlarm] = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(slack >= 0, s"slack must be non-negative, got $slack")
+    import points.sparkSession.implicits._
+    val drop = target + slack
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, pts, state: GroupState[(Long, Long)]) =>
+          val buf = pts.take(maxBufferedEvents + 1).toSeq
+          require(buf.lengthCompare(maxBufferedEvents) <= 0,
+            s"key $key has > $maxBufferedEvents points in one batch; " +
+              "raise maxBufferedEvents or split the key upstream")
+          val sorted = buf.sortBy(p => (p.ts.getTime, p.id))
+          var (s, seq) = state.getOption.getOrElse((0L, 0L))
+          val alarms = scala.collection.mutable.ListBuffer.empty[CusumAlarm]
+          sorted.foreach { p =>
+            s = math.max(0L, s + p.v - drop)
+            if (s >= threshold) {
+              seq += 1
+              alarms += CusumAlarm(key, p.id, s, seq)
+              s = 0L
+            }
+          }
+          state.update((s, seq))
+          alarms.iterator
+      }
+  }
 
   final case class NearDupCandidate(id1: Long, id2: Long, est_jaccard: Double)
 

@@ -36,8 +36,11 @@ class ContractSpec extends AnyFunSuite {
   }
 
   private def extractCteNames(sql: String): Set[String] =
-    // WITH [RECURSIVE] name[(col, ...)] AS (   — and later ", name AS ("
-    "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+    // WITH [RECURSIVE] name[(col, ...)] AS [MATERIALIZED] (   — and
+    // later ", name AS ("; MATERIALIZED is DuckDB's inlining override
+    // (q152's 12-round unroll needs it)
+    ("(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_][a-z0-9_]*)\\s*" +
+      "(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(").r
       .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet ++
       // subquery aliases: ") alias" and ") AS alias(cols)"
       "(?i)\\)\\s+(?:AS\\s+)?([a-z_][a-z0-9_]*)".r

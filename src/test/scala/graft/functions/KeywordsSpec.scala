@@ -87,4 +87,65 @@ class KeywordsSpec extends SparkSpec {
       .toSet
     assert(run(true) == run(false))
   }
+
+  // ---- dictionaryTag -------------------------------------------------
+
+  /** Brute positional model: overlapping occurrences of term in text. */
+  private def bruteCount(text: String, term: String): Long =
+    (0 to text.length - term.length)
+      .count(p => text.regionMatches(p, term, 0, term.length)).toLong
+
+  private def runTag(rows: Seq[(Long, String)], dict: Seq[String])
+      : Set[(Long, String, Long)] = {
+    import spark.implicits._
+    Keywords.dictionaryTag(rows.toDF("doc_id", "text").repartition(3),
+        col("doc_id"), col("text"), dict)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  test("dictionaryTag equals the brute positional model: overlapping " +
+      "occurrences ('aa' in 'aaaa' = 3), nested terms each counted, " +
+      "substring-of-word matches, zero-match terms absent") {
+    val dict = Seq("aa", "aaaa", "ab", "b", "zz")
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "xyx"), (4L, "ba"))
+    val got = runTag(docs, dict)
+    val want = (for {
+      (id, text) <- docs; term <- dict
+      n = bruteCount(text, term) if n > 0
+    } yield (id, term, n)).toSet
+    assert(got == want)
+    // the specific adversarial counts, pinned by hand
+    assert(got((1L, "aa", 3L)) && got((1L, "aaaa", 1L)))
+    assert(got((2L, "ab", 2L)) && got((2L, "b", 2L)))
+    assert(!got.exists(_._2 == "zz") && !got.exists(_._1 == 3L))
+  }
+
+  test("dictionaryTag matches the model on realistic phrase " +
+      "dictionaries (q158's shape) and drops NULL text") {
+    val dict = Seq("table", "table table", "fast table", "a")
+    val docs = Seq(
+      (1L, "fast table table scan a fast"),
+      (2L, "a table"),
+      (3L, null.asInstanceOf[String]))
+    val got = runTag(docs, dict)
+    val want = (for {
+      (id, text) <- docs if text != null; term <- dict
+      n = bruteCount(text, term) if n > 0
+    } yield (id, term, n)).toSet
+    assert(got == want)
+    assert(got((1L, "table table", 1L))) // crosses the nested "table"s
+  }
+
+  test("dictionaryTag guards: empty dict, empty term, duplicate term") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Keywords.dictionaryTag(df, col("doc_id"), col("text"), Seq.empty))
+    intercept[IllegalArgumentException](
+      Keywords.dictionaryTag(df, col("doc_id"), col("text"), Seq("a", "")))
+    intercept[IllegalArgumentException](
+      Keywords.dictionaryTag(df, col("doc_id"), col("text"),
+        Seq("a", "a")))
+  }
 }

@@ -300,4 +300,28 @@ class ProfileSpec extends SparkSpec {
     val huge = Seq(s(true, 1L << 62), s(false, 0))
     intercept[Exception](run(huge))
   }
+
+  test("calibrationBins: hand-computed bins — counts, positives, floor " +
+      "pos_fx, exact score mass; empty bins absent; NULLs excluded; " +
+      "negative score raises; zero width rejected") {
+    import spark.implicits._
+    def run(rows: Seq[(Option[Boolean], Option[Long])], w: Long = 10L) =
+      Profile.calibrationBins(rows.toDF("y", "s").repartition(3),
+          col("y"), col("s"), binWidth = w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    def s(b: Boolean, v: Long) = (Some(b), Some(v))
+    // bin 0: scores 3,7 (1 pos) → pos_fx = 2^20 div 2; bin 2: 25 pos,
+    // 29 pos → pos_fx = 2^20; bin 9: 99 neg → 0. bin 1 empty → absent.
+    val rows = Seq(s(true, 3), s(false, 7), s(true, 25), s(true, 29),
+      s(false, 99), (None, Some(5L)), (Some(true), None))
+    val S = 1L << 20
+    assert(run(rows) == Set(
+      (0L, 0L, 2L, 1L, S / 2, 10L),
+      (2L, 20L, 2L, 2L, S, 54L),
+      (9L, 90L, 1L, 0L, 0L, 99L)))
+    intercept[Exception](run(Seq(s(true, -1))))
+    intercept[IllegalArgumentException](run(Seq(s(true, 1)), w = 0L))
+  }
 }

@@ -383,4 +383,73 @@ class StreamingSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(batch == Set((1L, 10L)))
   }
+
+  // ---- cusumStream ---------------------------------------------------
+
+  test("cusumStream carries the recurrence across micro-batches and " +
+      "matches the batch operator alarm-for-alarm: sub-threshold drift " +
+      "split over three batches still alarms, state resets after an " +
+      "alarm, in-batch disorder is sorted, keys are independent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{CusumAlarm, CusumPoint}
+    def p(key: Long, id: Long, sec: Int, v: Long) =
+      CusumPoint(key, id, ts(sec), v)
+    // target+slack = 12, threshold 30; key 1 gains +8 per point → the
+    // 4th point alarms (s=32), then again at the 8th. key 2 never.
+    val k1 = (1 to 8).map(i => p(1L, i, i, 20L))
+    val k2 = (1 to 8).map(i => p(2L, 100 + i, i, 12L))
+    val mem = MemoryStream[CusumPoint]
+    val q = Streaming.cusumStream(mem.toDS(), target = 10L, slack = 2L,
+        threshold = 30L)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: points 1-3 (one SHUFFLED — in-batch sort contract)
+      mem.addData(k1(2), k1(0), k1(1), k2(0), k2(1), k2(2))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cusum").count() == 0,
+        "s=24 < 30: no alarm mid-drift")
+      // batch 2: point 4 completes the drift → alarm at s=32, reset
+      mem.addData(k1(3), k2(3))
+      q.processAllAvailable()
+      // batch 3: points 5-8 → second alarm at the 8th point
+      mem.addData(k1(4), k1(5), k1(6), k1(7), k2(4), k2(5), k2(6), k2(7))
+      q.processAllAvailable()
+      val got = spark.table("cusum").as[CusumAlarm].collect().toSet
+      assert(got == Set(CusumAlarm(1L, 4L, 32L, 1L),
+        CusumAlarm(1L, 8L, 32L, 2L)))
+    } finally q.stop()
+    // the batch operator replays the identical alarms from the same rows
+    val rows = (k1 ++ k2).map(x => (x.key, x.id, x.ts, x.v))
+      .toDF("k", "id", "t", "v")
+    val batch = graft.ops.Anomaly.cusumAlarms(rows, col("k"), col("id"),
+        Seq(col("t"), col("id")), col("v"), 10L, 2L, 30L)
+      .collect().map(r => CusumAlarm(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(batch == Set(CusumAlarm(1L, 4L, 32L, 1L),
+      CusumAlarm(1L, 8L, 32L, 2L)))
+  }
+
+  test("cusumStream fails loudly on a pathological key exceeding the " +
+      "per-batch buffer bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.CusumPoint
+    val mem = MemoryStream[CusumPoint]
+    val q = Streaming.cusumStream(mem.toDS(), target = 0L, slack = 0L,
+        threshold = 1000000L, maxBufferedEvents = 4)
+      .writeStream.format("memory").queryName("cusum_cap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1 to 6).map(i =>
+        CusumPoint(7L, i, ts(i), 1L)): _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else s"${t.getMessage}|${chain(t.getCause)}"
+      assert(chain(e).contains("points in one batch"))
+    } finally q.stop()
+  }
 }
