@@ -31,20 +31,9 @@ object KCoreProbe {
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def edges(): DataFrame = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-      .groupBy("ok")
-      .agg(array_distinct(call_function("collect_list_capped",
-        col("p"), lit(200))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, x ->
-             filter(transform(ps, y ->
-               IF(x < y, struct(x AS a, y AS b), NULL)),
-             z -> z IS NOT NULL)))""")).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    def edges(): DataFrame = graft.ops.Graphs.coOccurrenceEdges(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        col("l_orderkey"), col("l_partkey"), minWeight = 2L)
       .select(col("a"), col("b"))
 
     // GraphGateProbe's content signature: per-row xxhash64 summed in

@@ -7257,20 +7257,9 @@ object SparkEntry {
   // emit pairs map-side from the bounded array — TPC-H orders hold ≤7
   // lines, far under the 200 cap).
   private def q152(s: SparkSession, dir: String): DataFrame = {
-    val edges = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-      .groupBy("ok")
-      .agg(array_distinct(call_function("collect_list_capped",
-        col("p"), lit(200))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, x ->
-             filter(transform(ps, y ->
-               IF(x < y, struct(x AS a, y AS b), NULL)),
-             z -> z IS NOT NULL)))""")).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val edges = graft.ops.Graphs.coOccurrenceEdges(
+      t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"),
+      minWeight = 2L)
     graft.ops.KCore.kCore(edges, col("a"), col("b"), k = 2, maxRounds = 12)
   }
 
@@ -7581,7 +7570,68 @@ object SparkEntry {
       col("id").as("event_id"), col("s_alarm"), col("alarm_seq"))
   }
 
+  // ------------------------------------------------------------------
+  // q161 — windowed skip-gram PMI (extension: Collocations.skipgramPmi,
+  // the word2vec/GloVe co-occurrence statistic): top-100 unordered
+  // token pairs within distance ≤ 3 by exact-integer PMI, ilog2Fx for
+  // every log (the q91/q94/q99 replay discipline). Pairs emit map-side
+  // from the token array — three zip_withs, no positional self-join.
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Collocations.skipgramPmi(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      window = 3, minCount = 20L, k = 100)
+
+  private val q161Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+           x -> x <> '') AS tk
+         FROM documents),
+       uni AS (SELECT u AS w, count(*) AS c FROM (
+                 SELECT unnest(tk) AS u FROM toks) GROUP BY 1),
+       pair_all AS (
+         SELECT b.w1, b.w2, count(*) AS n FROM (
+           SELECT unnest(flatten(
+             [[struct_pack(w1 := least(tk[j], tk[j+d]),
+                           w2 := greatest(tk[j], tk[j+d]))
+               for j in range(1, len(tk) - d + 1)]
+              for d in range(1, 4)])) AS b
+           FROM toks WHERE len(tk) >= 2) GROUP BY 1, 2),
+       tt AS (SELECT sum(c) AS t_tot FROM uni),
+       pt AS (SELECT sum(n) AS p_tot FROM pair_all),
+       pr AS (SELECT * FROM pair_all WHERE n >= 20),
+       vals(v) AS (
+         SELECT DISTINCT n FROM pr UNION SELECT DISTINCT c FROM uni
+         UNION SELECT t_tot FROM tt UNION SELECT p_tot FROM pt),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       scored AS (
+         SELECT pr.w1, pr.w2, pr.n,
+           ln.fx + 2 * lt.fx - lp.fx - lx.fx - ly.fx AS pmi_fx
+         FROM pr
+         JOIN uni ux ON ux.w = pr.w1
+         JOIN uni uy ON uy.w = pr.w2, tt, pt
+         JOIN lgf ln ON ln.v = pr.n
+         JOIN lgf lt ON lt.v = tt.t_tot
+         JOIN lgf lp ON lp.v = pt.p_tot
+         JOIN lgf lx ON lx.v = ux.c
+         JOIN lgf ly ON ly.v = uy.c)
+       SELECT w1, w2, CAST(n AS BIGINT) AS n, CAST(pmi_fx AS BIGINT) AS pmi_fx
+       FROM scored ORDER BY pmi_fx DESC, w1 ASC, w2 ASC LIMIT 100"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_skipgram_pmi" -> (q161 _),
     "q160_stream_cusum" -> (q160 _),
     "q159_calibration" -> (q159 _),
     "q158_dictionary_tag" -> (q158 _),
@@ -7832,6 +7882,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q161_skipgram_pmi" -> q161Sql,
     "q160_stream_cusum" -> q156Sql, // stream ≡ batch: same oracle
     "q159_calibration" -> q159Sql,
     "q158_dictionary_tag" -> q158Sql,

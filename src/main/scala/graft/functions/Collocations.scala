@@ -65,6 +65,68 @@ object Collocations extends Serializable {
       .crossJoin(tTot).crossJoin(bTot)
       .select(col("w1"), col("w2"), col("n"), col("cx"), col("cy"),
         col("t_tot"), col("b_tot"))
+    scorePmi(joined, k)
+  }
+
+  /** Windowed skip-gram PMI — [[topPmi]]'s association measure over
+    * UNORDERED pairs within token distance 1..`window` (the word2vec/
+    * GloVe co-occurrence statistic, window > 1 catching associations
+    * adjacency misses: "neural … network" across an adjective).
+    * Pairs are canonicalized (w1 ≤ w2 lexicographically) so "a b" and
+    * "b a" pool; a token pairs with each of its ≤ window right
+    * neighbors, so the pair stream is ≤ window·T rows — emitted
+    * MAP-SIDE from the per-document token array (window zip_withs,
+    * one per distance — no positional self-join), then the same
+    * vocab-sized count shuffle, unigram joins, and exact-integer
+    * [[Dsir.ilog2Fx]] kernel as topPmi, with P = total pair
+    * occurrences in the denominator's place of B.
+    */
+  def skipgramPmi(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      window: Int,
+      minCount: Long,
+      k: Int): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"window must be in [1, 16], got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be positive, got $k")
+    val tk = Text.tokens(text)
+    val toks = df.select(id.as("id"), tk.as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val emptyPairs =
+      "CAST(array() AS array<struct<w1:string,w2:string>>)"
+    val arms = (1 to window).map { d =>
+      when(size(col("tk")) > d, zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - d),
+        slice(col("tk"), lit(1 + d), size(col("tk")) - d),
+        (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2"))))
+        .otherwise(expr(emptyPairs))
+    }
+    val pairAll = toks
+      .select(explode(flatten(array(arms: _*))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    // P is the PRE-filter pair-occurrence total (topPmi's B rule)
+    val pTot = broadcast(pairAll.agg(sum(col("n")).as("p_tot")))
+    val pairs = pairAll.filter(col("n") >= minCount)
+    val tTot = broadcast(uni.agg(sum(col("c")).as("t_tot")))
+    val joined = pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), Seq("w2"))
+      .crossJoin(tTot).crossJoin(pTot)
+      .select(col("w1"), col("w2"), col("n"), col("cx"), col("cy"),
+        col("t_tot"), col("p_tot"))
+    scorePmi(joined, k)
+  }
+
+  /** Shared exact-PMI kernel over (w1, w2, n, cx, cy, t_tot, x_tot):
+    * pmi_fx = log2 n + 2·log2 T − log2 X − log2 cx − log2 cy, every
+    * log [[Dsir.ilog2Fx]]; (pmi desc, w1, w2) top-k.
+    */
+  private def scorePmi(joined: DataFrame, k: Int): DataFrame = {
     val schema = StructType(Seq(
       StructField("w1", StringType, true),
       StructField("w2", StringType, true),
