@@ -7630,7 +7630,106 @@ object SparkEntry {
        SELECT w1, w2, CAST(n AS BIGINT) AS n, CAST(pmi_fx AS BIGINT) AS pmi_fx
        FROM scored ORDER BY pmi_fx DESC, w1 ASC, w2 ASC LIMIT 100"""
 
+  // ------------------------------------------------------------------
+  // q162 — EWMA smoothing (extension: Anomaly.ewmaSmooth): per-user
+  // exact 2^8-scaled exponential smoothing of event values in cents,
+  // α = 4/16 — the sequential-recurrence sibling of q156 on the same
+  // secondary-sorted reducer, oracled by a recursive CTE replay.
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Anomaly.ewmaSmooth(t(s, dir, "events"),
+      col("user_id"), col("event_id"), Seq(col("ts"), col("event_id")),
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+      alpha = 4)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("v"), col("ewma_fx"))
+
+  private val q162Sql =
+    """WITH RECURSIVE v AS (
+         SELECT user_id, event_id,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rn
+         FROM events),
+       rec AS (
+         SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(-1 AS BIGINT) AS s,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS vv
+         FROM (SELECT DISTINCT user_id FROM v)
+         UNION ALL
+         SELECT v.user_id, v.rn,
+           CASE WHEN r.s < 0 THEN v.v * 256
+                ELSE (4 * (v.v * 256) + 12 * r.s) // 16 END,
+           v.event_id, v.v
+         FROM rec r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1)
+       SELECT user_id, event_id, vv AS v, s AS ewma_fx
+       FROM rec WHERE rn > 0"""
+
+  // ------------------------------------------------------------------
+  // q163 — rolling z-score flags (extension: Anomaly.rollingZFlags):
+  // each event judged against its user's PRECEDING 16 values (current
+  // row excluded, < 8 trailing points never flag) via the exact
+  // integer z-inequality — the level-drift-robust monitor next to
+  // q101's global form. One window shuffle, three sliding aggregates.
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Anomaly.rollingZFlags(t(s, dir, "events"),
+      col("user_id"), col("event_id"), Seq(col("ts"), col("event_id")),
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+      window = 16, z = 2, minPoints = 8)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("v"), col("n"), col("anomaly"))
+
+  private val q163Sql =
+    """WITH v AS (
+         SELECT user_id, event_id, ts,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events),
+       w AS (
+         SELECT user_id, event_id, v,
+           count(v) OVER win AS n, sum(v) OVER win AS s,
+           sum(v * v) OVER win AS q
+         FROM v
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING))
+       SELECT user_id, event_id, v, CAST(n AS BIGINT) AS n,
+         (n >= 8 AND (n*v - s)*(n*v - s) > 4*(n*q - s*s)) AS anomaly
+       FROM w"""
+
+  // ------------------------------------------------------------------
+  // q164 — per-group AUC (extension: Profile.aucExactByGroup): q153's
+  // exact Mann-Whitney pair per 6-hour daypart — the Simpson's-paradox
+  // check that a scorer ranks well within every segment, not just on
+  // average. Per-group window over distinct scores, no range exchange.
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.aucExactByGroup(t(s, dir, "events"),
+      expr("CAST(hour(ts) div 6 AS BIGINT)"),
+      col("event_type") === "purchase",
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+
+  private val q164Sql =
+    """WITH b AS (
+         SELECT CAST(hour(ts) // 6 AS BIGINT) AS g,
+           (event_type = 'purchase') AS y,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS s
+         FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       gr AS (
+         SELECT g, s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+           sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+         FROM b GROUP BY 1, 2),
+       c AS (
+         SELECT g, pos, neg,
+           coalesce(sum(neg) OVER (PARTITION BY g ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS below
+         FROM gr)
+       SELECT g, CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(neg) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS auc_num,
+         CAST(2 * sum(pos) * sum(neg) AS BIGINT) AS auc_den
+       FROM c GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_group_auc" -> (q164 _),
+    "q163_rolling_z" -> (q163 _),
+    "q162_ewma" -> (q162 _),
     "q161_skipgram_pmi" -> (q161 _),
     "q160_stream_cusum" -> (q160 _),
     "q159_calibration" -> (q159 _),
@@ -7882,6 +7981,9 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q164_group_auc" -> q164Sql,
+    "q163_rolling_z" -> q163Sql,
+    "q162_ewma" -> q162Sql,
     "q161_skipgram_pmi" -> q161Sql,
     "q160_stream_cusum" -> q156Sql, // stream ≡ batch: same oracle
     "q159_calibration" -> q159Sql,

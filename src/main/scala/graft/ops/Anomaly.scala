@@ -84,6 +84,118 @@ object Anomaly {
     * @return one row per alarm: (key, id at the alarm row, s_alarm =
     *   the crossing value, alarm_seq = 1-based alarm index within key)
     */
+  /** Per-key EWMA smoothing, exact — the denoised baseline a drift
+    * report plots against the raw series, and the third member of the
+    * monitoring family (global [[zScoreFlags]], sequential
+    * [[cusumAlarms]], now a smoother):
+    *
+    *   s₁ = v₁·2^8;  sᵢ = (α·vᵢ·2^8 + (2^4 − α)·sᵢ₋₁) >> 4
+    *
+    * with α ∈ [1, 16] the 16-denominated smoothing weight and values
+    * carried at 2^8 sub-unit precision so the per-step floor loses
+    * <1/256 of a unit. `>>` on non-negative values is a floor —
+    * engine-neutral — so outputs replay bit-for-bit (loud guard: v
+    * must be non-negative). Like CUSUM this is a genuinely sequential
+    * recurrence (the floor breaks the closed-form geometric sum), so
+    * it runs as the same secondary-sorted streaming reducer: one
+    * exchange, O(1) state per key.
+    *
+    * @param alpha numerator of α/16 (1 = heavy smoothing, 16 = copy)
+    * @return (key, id, v, ewma_fx) every input row, ewma_fx 2^8-scaled
+    */
+  def ewmaSmooth(
+      df: DataFrame,
+      key: Column,
+      idCol: Column,
+      orderCols: Seq[Column],
+      value: Column,
+      alpha: Int): DataFrame = {
+    require(alpha >= 1 && alpha <= 16, s"alpha must be in [1,16], got $alpha")
+    require(orderCols.nonEmpty, "orderCols must pin a total order")
+    val base = df.select(
+      key.cast("long").as("key") +: idCol.cast("long").as("id") +:
+        value.cast("long").as("v") +:
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+      .filter(col("key").isNotNull && col("id").isNotNull &&
+        col("v").isNotNull)
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val enc: Encoder[(Long, Long, Long, Long)] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+    GroupReduce.secondarySort[(Long, Long, Long, Long)](
+      base,
+      groupCols = Seq("key"),
+      sortCols = orderCols.indices.map(i => col(s"__o$i")))
+    { (groupKey, rows) =>
+      val k = groupKey.getLong(0)
+      var s = -1L
+      rows.map { r =>
+        val v = r.getLong(2)
+        require(v >= 0, s"ewmaSmooth values must be non-negative " +
+          s"(>> is floor only there), got $v for key $k")
+        s = if (s < 0) v << 8
+            else (alpha * (v << 8) + (16 - alpha) * s) >> 4
+        (k, r.getLong(1), v, s)
+      }
+    }.toDF("key", "id", "v", "ewma_fx")
+  }
+
+  /** Rolling (trailing-window) z-score flags — [[zScoreFlags]]'
+    * exact integer inequality against the PRECEDING `window` rows of
+    * the same key instead of the whole group: the "is this point off
+    * versus its own recent past" monitor, robust to slow level drift
+    * that poisons a global mean. The current row is excluded from its
+    * own baseline (else a spike inflates the variance that judges it).
+    * Rows with fewer than `minPoints` trailing points never flag
+    * (insufficient baseline ≠ anomaly). Same exact form, windowed:
+    *
+    *   (n·v − S)² > z²·(n·Q − S²),  S/Q = trailing sum / sum of squares
+    *
+    * all in DECIMAL(38,0) — no float, no sqrt. Scale shape: ONE window
+    * shuffle per key (three codegen'd sliding aggregates share the
+    * frame), map-only flag math; a hot key costs its sorted run.
+    *
+    * @return input key/id/v plus (n trailing count, anomaly boolean)
+    */
+  def rollingZFlags(
+      df: DataFrame,
+      key: Column,
+      idCol: Column,
+      orderCols: Seq[Column],
+      value: Column,
+      window: Int,
+      z: Int = 3,
+      minPoints: Int = 8): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(z >= 1, s"z must be positive, got $z")
+    require(minPoints >= 2 && minPoints <= window,
+      s"minPoints must be in [2, window], got $minPoints")
+    require(orderCols.nonEmpty, "orderCols must pin a total order")
+    val base = df.select(
+      key.cast("long").as("key") +: idCol.cast("long").as("id") +:
+        value.cast("long").as("v") +:
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+      .filter(col("key").isNotNull && col("id").isNotNull &&
+        col("v").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)
+      .rowsBetween(-window, -1)
+    def dec(s: String): Column = expr(s"cast($s as decimal(38,0))")
+    base
+      .withColumn("__n", count(col("v")).over(w))
+      .withColumn("__s", sum(col("v")).over(w))
+      .withColumn("__q", sum(col("v") * col("v")).over(w))
+      .withColumn("anomaly",
+        col("__n") >= minPoints &&
+          (dec("__n") * dec("v") - dec("__s")) *
+            (dec("__n") * dec("v") - dec("__s")) >
+          lit(z.toLong * z) *
+            (dec("__n") * dec("__q") - dec("__s") * dec("__s")))
+      .select(col("key"), col("id"), col("v"),
+        col("__n").as("n"), col("anomaly"))
+  }
+
   def cusumAlarms(
       df: DataFrame,
       key: Column,

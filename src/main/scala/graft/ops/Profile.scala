@@ -455,6 +455,47 @@ object Profile {
         (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
   }
 
+  /** Per-group [[aucExact]] — the same exact Mann-Whitney pair, one
+    * row per group ("does my quality score rank well within EVERY
+    * source/language, or only on average?" — Simpson's-paradox
+    * insurance for scorer rollouts). Identical arithmetic; the
+    * negatives-below prefix runs as a window PARTITIONED BY GROUP over
+    * the (group, distinct score) table — bounded by a group's distinct
+    * scores, so no range exchange is needed (the global form uses
+    * [[Prefix.runningTotal]] precisely because it has ONE partition's
+    * worth of order; here the grouping provides the parallelism).
+    * Groups need n_pos·n_neg > 0 for a defined AUC; degenerate groups
+    * still emit their counts with auc_den = 0 (consumers skip them —
+    * dropping them silently would hide single-class segments).
+    */
+  def aucExactByGroup(
+      df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column,
+      scoreCol: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(groupCol.as("g"),
+        labelCol.cast("boolean").as("y"), scoreCol.cast("long").as("s"))
+      .filter(col("y").isNotNull && col("s").isNotNull)
+    val grouped = base.groupBy("g", "s").agg(
+      coalesce(sum(when(col("y"), 1L)), lit(0L)).as("pos"),
+      coalesce(sum(when(!col("y"), 1L)), lit(0L)).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("s").asc)
+      .rowsBetween(Long.MinValue, -1)
+    grouped
+      .withColumn("below", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .groupBy("g")
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("below") + col("neg")))
+          .as("auc_num"))
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") + col("n_neg") <= 3000000000L, col("auc_num"))
+          .otherwise(raise_error(lit(
+            "aucExactByGroup domain is n <= 3e9 per group — sample " +
+            "upstream (Sampling.sampleByHash)"))).as("auc_num"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
+  }
+
   /** Calibration (reliability) bins for a scorer against a boolean
     * outcome — [[aucExact]] grades RANKING; this grades whether the
     * score's MAGNITUDE means what it claims (a well-calibrated quality

@@ -105,6 +105,69 @@ class AnomalySpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._2) == Seq(4L, 8L))
   }
 
+  // ---- ewmaSmooth ----------------------------------------------------
+
+  test("ewmaSmooth replays the scalar recurrence exactly per key — " +
+      "first value seeds, floor at every step, keys independent, " +
+      "(t, id) order — and rejects negative values loudly") {
+    import spark.implicits._
+    def model(vs: Seq[Long], alpha: Int): Seq[Long] =
+      vs.tail.scanLeft(vs.head << 8)((s, v) =>
+        (alpha * (v << 8) + (16 - alpha) * s) >> 4)
+    val k1 = Seq(100L, 0L, 37L, 999L, 1L)
+    val k2 = Seq(5L, 5L, 5L)
+    val rows = scala.util.Random.shuffle(
+      k1.zipWithIndex.map { case (v, i) => (1L, i.toLong, i.toLong, v) } ++
+      k2.zipWithIndex.map { case (v, i) => (2L, 10L + i, i.toLong, v) })
+    val got = Anomaly.ewmaSmooth(rows.toDF("k", "id", "t", "v")
+        .repartition(4), col("k"), col("id"), Seq(col("t"), col("id")),
+        col("v"), alpha = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSeq.sorted
+    val want = (model(k1, 3).zipWithIndex.map { case (s, i) =>
+        (1L, i.toLong, s) } ++
+      model(k2, 3).zipWithIndex.map { case (s, i) => (2L, 10L + i, s) })
+      .sorted
+    assert(got == want)
+    // a constant series stays exactly at v<<8 (no floor leak)
+    assert(got.filter(_._1 == 2L).forall(_._3 == (5L << 8)))
+    val neg = Seq((1L, 1L, 1L, -3L)).toDF("k", "id", "t", "v")
+    intercept[Exception](Anomaly.ewmaSmooth(neg, col("k"), col("id"),
+      Seq(col("t")), col("v"), alpha = 4).collect())
+    intercept[IllegalArgumentException](Anomaly.ewmaSmooth(neg, col("k"),
+      col("id"), Seq(col("t")), col("v"), alpha = 0))
+  }
+
+  // ---- rollingZFlags -------------------------------------------------
+
+  test("rollingZFlags: trailing-window exact z-inequality — a spike " +
+      "flags against its own recent past, the SAME spike is quiet " +
+      "with too little history, the current row never poisons its own " +
+      "baseline, and a level shift re-baselines within a window") {
+    import spark.implicits._
+    // key 1: 10 flat points then a spike — must flag (n=10 >= minPoints)
+    val k1 = (1 to 10).map(i => (1L, i.toLong, i.toLong, 50L)) :+
+      (1L, 11L, 11L, 500L)
+    // key 2: 4 flat points then the same spike — n=4 < minPoints: quiet
+    val k2 = (1 to 4).map(i => (2L, 20L + i, i.toLong, 50L)) :+
+      (2L, 25L, 5L, 500L)
+    val got = Anomaly.rollingZFlags(
+        (k1 ++ k2).toDF("k", "id", "t", "v").repartition(3),
+        col("k"), col("id"), Seq(col("t"), col("id")), col("v"),
+        window = 16, z = 3, minPoints = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    val flagged = got.filter(_._3).map(x => (x._1, x._2)).toSet
+    assert(flagged == Set((1L, 11L)))
+    // zero-variance baseline + equal value: dev = 0, both sides 0 — quiet
+    assert(got.filter(x => x._1 == 1L && x._2 <= 10L).forall(!_._3))
+    intercept[IllegalArgumentException](Anomaly.rollingZFlags(
+      k1.toDF("k", "id", "t", "v"), col("k"), col("id"), Seq(col("t")),
+      col("v"), window = 1))
+    intercept[IllegalArgumentException](Anomaly.rollingZFlags(
+      k1.toDF("k", "id", "t", "v"), col("k"), col("id"), Seq(col("t")),
+      col("v"), window = 4, minPoints = 5))
+  }
+
   test("cusumAlarms guards: positive threshold, non-negative slack, " +
       "total order required") {
     import spark.implicits._

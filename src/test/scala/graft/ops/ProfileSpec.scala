@@ -301,6 +301,37 @@ class ProfileSpec extends SparkSpec {
     intercept[Exception](run(huge))
   }
 
+  test("aucExactByGroup matches per-group brute Mann-Whitney, emits " +
+      "single-class groups with auc_den = 0, and agrees with the " +
+      "global form on a one-group input") {
+    import spark.implicits._
+    def brute(rows: Seq[(Boolean, Long)]): (Long, Long) = {
+      val pos = rows.filter(_._1).map(_._2)
+      val neg = rows.filterNot(_._1).map(_._2)
+      val num = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      (num, 2L * pos.size * neg.size)
+    }
+    val gA = Seq((true, 5L), (true, 3L), (false, 3L), (false, 1L))
+    val gB = Seq((true, 1L), (false, 9L), (false, 9L), (true, 2L))
+    val gC = Seq((true, 4L), (true, 7L)) // single-class
+    val df = (gA.map(("a", _)) ++ gB.map(("b", _)) ++ gC.map(("c", _)))
+      .map { case (g, (y, s)) => (g, y, s) }.toDF("g", "y", "s")
+      .repartition(4)
+    val got = Profile.aucExactByGroup(df, col("g"), col("y"), col("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((2L, 2L) match {
+      case (np, nn) => (np, nn, brute(gA)._1, brute(gA)._2) }))
+    assert(got("b") == ((2L, 2L, brute(gB)._1, brute(gB)._2)))
+    assert(got("c") == ((2L, 0L, 0L, 0L)))
+    // one-group input ≡ the global operator
+    val one = gA.map { case (y, s) => (y, s) }.toDF("y", "s")
+    val glob = Profile.aucExact(one, col("y"), col("s")).collect().head
+    assert((glob.getLong(0), glob.getLong(1), glob.getLong(2),
+      glob.getLong(3)) == got("a"))
+  }
+
   test("calibrationBins: hand-computed bins — counts, positives, floor " +
       "pos_fx, exact score mass; empty bins absent; NULLs excluded; " +
       "negative score raises; zero width rejected") {
