@@ -183,9 +183,14 @@ object Anomaly {
       .rowsBetween(-window, -1)
     def dec(s: String): Column = expr(s"cast($s as decimal(38,0))")
     base
+      // pre-project v² so all three sliding aggregates bind to existing
+      // columns — Spark otherwise splits them into two Window nodes
+      // (same sort, but two passes over every run; .explain-verified
+      // single Window after this)
+      .withColumn("__v2", col("v") * col("v"))
       .withColumn("__n", count(col("v")).over(w))
       .withColumn("__s", sum(col("v")).over(w))
-      .withColumn("__q", sum(col("v") * col("v")).over(w))
+      .withColumn("__q", sum(col("__v2")).over(w))
       .withColumn("anomaly",
         col("__n") >= minPoints &&
           (dec("__n") * dec("v") - dec("__s")) *
