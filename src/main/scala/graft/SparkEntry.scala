@@ -7726,7 +7726,108 @@ object SparkEntry {
          CAST(2 * sum(pos) * sum(neg) AS BIGINT) AS auc_den
        FROM c GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q165 — media near-dup via the feature path (extension:
+  // Multimodal.featureNearDup): q20/q51's simhash→hamming playbook
+  // over OPAQUE BINARY payloads — sign-bit signature blocking + exact
+  // integer L1 verify over the millesimal feature values. Payloads
+  // fabricated from each document's leading 40 chars (full texts are
+  // all-distinct in the fixture — measured; prefixes collide: 25
+  // dup pairs at sf0.01, 256 at sf0.1, the "same thumbnail from the
+  // same leading content" shape), so the md5 fake decoder keeps the
+  // whole pipeline hash-checked; identical payloads verify at l1 = 0.
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.featureNearDup(
+      t(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 40).cast("binary").as("content")),
+      col("doc_id"), threshold = 100L)
+
+  private val q165Sql =
+    """WITH m AS (
+         SELECT doc_id,
+           [CAST(list_sum([(strpos('0123456789abcdef',
+                substr(md5(coalesce(substr(text, 1, 40), '') || ':' || i),
+                  j, 1)) - 1)
+              * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)])
+              AS BIGINT) % 1000
+            for i in range(0, 8)] AS k
+         FROM documents),
+       s AS (
+         SELECT doc_id, k,
+           CAST(list_sum([CASE WHEN k[i + 1] >= 500
+                  THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END
+                for i in range(0, 8)]) AS BIGINT) AS sig
+         FROM m)
+       SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(list_sum([abs(a.k[i] - b.k[i]) for i in range(1, 9)])
+           AS BIGINT) AS l1
+       FROM s a JOIN s b ON a.sig = b.sig AND a.doc_id < b.doc_id
+       WHERE list_sum([abs(a.k[i] - b.k[i]) for i in range(1, 9)]) <= 100"""
+
+  // ------------------------------------------------------------------
+  // q166 — weighted PageRank (extension: PageRank.weightedPageRank):
+  // importance over the co-order part graph where each edge carries
+  // its shared-order count — strong ties forward proportionally more
+  // rank. 3 rounds, top-20; the oracle unrolls the rounds with the
+  // (r·w)//sw forward (q90/q147 discipline). Edge build =
+  // Graphs.coOccurrenceEdges over a fifth of the orders (full-corpus
+  // pair emission was measured 8.6 s at sf0.1 — the %5 slice keeps the
+  // same plan at suite-citizenship cost, q146's %3 rationale),
+  // bidirectionalized with the weight kept.
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val w = graft.ops.Graphs.coOccurrenceEdges(
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0),
+      col("l_orderkey"), col("l_partkey"))
+    val edges = w.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("w")),
+        struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w"))
+    graft.ops.PageRank.weightedPageRank(edges, col("src"), col("dst"),
+        col("w"), iters = 3)
+      .orderBy(col("rank_fp").desc, col("id").asc)
+      .limit(20)
+  }
+
+  private val q166Sql =
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+         WHERE l_orderkey % 5 = 0),
+       wt AS (
+         SELECT a.p AS a, b.p AS b, count(*) AS w FROM li a
+         JOIN li b ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+       e AS (SELECT a AS u, b AS v, w FROM wt
+             UNION ALL SELECT b, a, w FROM wt),
+       nodes AS (SELECT DISTINCT u AS id FROM e),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       sw AS (SELECT u, sum(w) AS s FROM e GROUP BY 1),
+       r0 AS (SELECT id, 1048576 // n AS r FROM nodes, nn),
+       c1 AS (SELECT e.v AS id, sum((r0.r * e.w) // sw.s) AS cs
+              FROM e JOIN r0 ON e.u = r0.id
+              JOIN sw ON sw.u = e.u GROUP BY 1),
+       r1 AS (SELECT nodes.id,
+                (15 * 1048576) // (100 * nn.n)
+                  + (85 * coalesce(c1.cs, 0)) // 100 AS r
+              FROM nodes LEFT JOIN c1 ON nodes.id = c1.id, nn),
+       c2 AS (SELECT e.v AS id, sum((r1.r * e.w) // sw.s) AS cs
+              FROM e JOIN r1 ON e.u = r1.id
+              JOIN sw ON sw.u = e.u GROUP BY 1),
+       r2 AS (SELECT nodes.id,
+                (15 * 1048576) // (100 * nn.n)
+                  + (85 * coalesce(c2.cs, 0)) // 100 AS r
+              FROM nodes LEFT JOIN c2 ON nodes.id = c2.id, nn),
+       c3 AS (SELECT e.v AS id, sum((r2.r * e.w) // sw.s) AS cs
+              FROM e JOIN r2 ON e.u = r2.id
+              JOIN sw ON sw.u = e.u GROUP BY 1),
+       r3 AS (SELECT nodes.id,
+                (15 * 1048576) // (100 * nn.n)
+                  + (85 * coalesce(c3.cs, 0)) // 100 AS r
+              FROM nodes LEFT JOIN c3 ON nodes.id = c3.id, nn)
+       SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3
+       ORDER BY r DESC, id ASC LIMIT 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_weighted_pagerank" -> (q166 _),
+    "q165_media_neardup" -> (q165 _),
     "q164_group_auc" -> (q164 _),
     "q163_rolling_z" -> (q163 _),
     "q162_ewma" -> (q162 _),
@@ -7981,6 +8082,8 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q166_weighted_pagerank" -> q166Sql,
+    "q165_media_neardup" -> q165Sql,
     "q164_group_auc" -> q164Sql,
     "q163_rolling_z" -> q163Sql,
     "q162_ewma" -> q162Sql,

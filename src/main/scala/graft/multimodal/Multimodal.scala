@@ -438,4 +438,80 @@ object Multimodal extends Serializable {
         explode(sequence(lit(0L),
           greatest(coalesce(col("meta.duration_ms"), lit(0L)) - 1, lit(0L)),
           lit(everyMs))))
+
+  /** Media near-duplicate pairs through the FEATURE path — the
+    * multimodal→dedup bridge: [[extractFeatures]]' per-payload vector
+    * becomes a sign-bit blocking signature (bit i set iff feature i ≥
+    * 0.5), candidate pairs form inside equal-signature buckets, and an
+    * exact integer L1 distance over the millesimal feature values
+    * (feature i is k/1000 by construction — real decoders are
+    * quantized the same way upstream) verifies them. The text-dedup
+    * playbook (q20/q51 simhash→hamming) replayed over OPAQUE BINARY
+    * payloads no tokenizer can touch.
+    *
+    * The signature is a BLOCKING key, not a guarantee: `dim` sign bits
+    * give 2^dim buckets, so expected bucket occupancy is n/2^dim and
+    * the bucket self-join costs Σ occupancy² — at corpus scale raise
+    * `dim` (16-24 bits) exactly as LSH bands scale, and the loud
+    * `maxBucketSize` turns a degenerate signature (all payloads equal
+    * — every row one bucket) into an error naming the bucket instead
+    * of an executor-killing join. Identical payloads always share a
+    * bucket and verify at distance 0, so exact binary dups are never
+    * lost; near-dups are caught iff no feature crosses the 0.5 sign
+    * boundary (the standard LSH recall trade — band the signature
+    * upstream if that matters).
+    *
+    * Scale shape: feature extraction is the map-only batched kernel;
+    * ONE shuffle on the signature; the verify L1 is computed in the
+    * join projection (no second pass). Payload bytes never ride the
+    * shuffle — only (id, k₀..k_{dim−1}, sig).
+    *
+    * @param threshold max L1 distance over the 0-999 integer feature
+    *   values (dim·999 max; identical payloads are 0)
+    * @return (id1, id2, l1) with id1 < id2, one row per verified pair
+    */
+  def featureNearDup(
+      df: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      contentCol: String = "content",
+      dim: Int = 8,
+      threshold: Long = 100L,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(dim >= 2 && dim <= 62, s"dim must be in [2, 62], got $dim")
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2")
+    val feats = extractFeatures(
+      df.select(idCol.cast("long").as("id"), col(contentCol)),
+      contentCol, dim)
+    // recover the exact 0-999 integers: float32(k/1000) is within
+    // ~1e-4 of k after the double widening, so round() is exact
+    val ks = (0 until dim).map(i =>
+      round(element_at(col("features"), i + 1).cast("double") * 1000)
+        .cast("long").as(s"k$i"))
+    val sig = (0 until dim).map(i =>
+      when(col(s"k$i") >= 500, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val m = feats.select((col("id") +: ks): _*).withColumn("sig", sig)
+    val guarded = m.withColumn("__bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sig"))))
+      .withColumn("sig", when(col("__bn") <= maxBucketSize, col("sig"))
+        .otherwise(raise_error(concat(
+          lit(s"featureNearDup: signature bucket exceeds " +
+            s"$maxBucketSize rows (sig="), col("sig"),
+          lit(") — raise dim or band the signature")))))
+      .drop("__bn")
+    val l = guarded
+    val r = (0 until dim).foldLeft(
+        guarded.withColumnRenamed("id", "id2")) { (d, i) =>
+      d.withColumnRenamed(s"k$i", s"j$i")
+    }
+    val l1 = (0 until dim).map(i =>
+      abs(col(s"k$i") - col(s"j$i"))).reduce(_ + _)
+    l.join(r, Seq("sig"))
+      .filter(col("id") < col("id2"))
+      .withColumn("l1", l1)
+      .filter(col("l1") <= threshold)
+      .select(col("id").as("id1"), col("id2"), col("l1"))
+  }
 }

@@ -135,6 +135,86 @@ object PageRank {
     }
   }
 
+  /** Weighted PageRank — [[pageRank]] with per-edge weights: node u
+    * forwards `floor(r_t(u)·w_e / sw_u)` along edge e instead of an
+    * equal split, with `sw_u = Σ w` over u's out-edges — importance
+    * propagation that respects tie strength (co-occurrence counts,
+    * link multiplicities, similarity scores quantized to longs). Same
+    * fixed-point/fixed-iteration discipline as the rest of the family:
+    * 2^20-scaled longs, integer floors, exactly `iters` rounds,
+    * bit-identical across engines; `weight = 1` everywhere reproduces
+    * pageRank's per-edge forward exactly when out-edges are distinct.
+    *
+    * Weights must be POSITIVE longs (loud per-row error otherwise —
+    * a zero/negative weight silently swallowing rank mass is a data
+    * bug); per-step products r·w stay inside a long for w < 2^42
+    * (ranks are ≤ 2^20-scaled mass; ANSI arithmetic makes an overflow
+    * loud, never silent). Duplicate (u,v) edges each carry their own
+    * weight — pre-aggregate if that is not intended.
+    *
+    * Scale shape identical to [[pageRank]]: the Σw join is done ONCE
+    * and persisted with the edges; each iteration is one
+    * broadcast-gated rank⋈edges join + map-side-combined contribution
+    * groupBy; lineage cut every [[LineageCutEvery]] rounds.
+    */
+  def weightedPageRank(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      weightCol: Column,
+      iters: Int,
+      dampingNum: Int = 85,
+      dampingDen: Int = 100,
+      broadcastNodesUpTo: Long = DefaultBroadcastNodesUpTo,
+      lineageCutEvery: Int = LineageCutEvery): DataFrame = {
+    require(lineageCutEvery >= 1, "lineageCutEvery must be positive")
+    require(iters >= 1, "iters must be positive")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      s"damping must be a fraction in [0,1], got $dampingNum/$dampingDen")
+    val e = edges.select(srcCol.cast("long").as("u"),
+        dstCol.cast("long").as("v"), weightCol.cast("long").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .withColumn("w", when(col("w") > 0, col("w"))
+        .otherwise(raise_error(concat(
+          lit("weightedPageRank weights must be positive, got "),
+          col("w")))))
+      .persist()
+    val nodes = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct().persist()
+    val sw = e.groupBy("u").agg(sum(col("w")).as("sw"))
+    var eW: DataFrame = null
+    try {
+      val n = nodes.count()
+      require(n > 0, "empty graph")
+      val gate = n <= broadcastNodesUpTo
+      // one Σw join for the whole run (pageRank's eDeg discipline)
+      eW = e.join(if (gate) broadcast(sw) else sw, Seq("u")).persist()
+      val r0 = Scale / n
+      val base = (dampingDen - dampingNum) * Scale / (dampingDen * n)
+      var rank = nodes.withColumn("r", lit(r0))
+      for (i <- 1 to iters) {
+        val rankU = rank.withColumnRenamed("id", "u")
+        val contrib = eW
+          .join(if (gate) broadcast(rankU) else rankU.hint("shuffle_hash"),
+            Seq("u"))
+          .select(col("v").as("id"), expr("(r * w) div sw").as("c"))
+          .groupBy("id").agg(sum("c").as("cs"))
+        rank = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr(
+              s"($dampingNum * coalesce(cs, 0L)) div $dampingDen"))
+              .as("r"))
+        if (i % lineageCutEvery == 0 && i < iters)
+          rank = rank.localCheckpoint()
+      }
+      rank = rank.select(col("id"), col("r").as("rank_fp")).localCheckpoint()
+      rank
+    } finally {
+      e.unpersist(); nodes.unpersist()
+      if (eW != null) eW.unpersist()
+    }
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — personalized
     * PageRank whose teleport mass goes ONLY to a trusted seed set: the
     * classic "propagate trust from hand-vetted pages, spam drifts to

@@ -250,4 +250,43 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_ms").collect().map(_.getLong(0)).toSeq
     assert(frames == Seq(0L, 1000L, 2000L))
   }
+
+  test("featureNearDup: identical payloads pair at l1 = 0 through the " +
+      "signature bucket; distinct random payloads stay unpaired; " +
+      "threshold bounds the verify; canonical id order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "same-bytes"), (2L, "same-bytes"), (7L, "same-bytes"),
+      (3L, "other"), (4L, "unrelated-payload"))
+      .toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("content"))
+    val got = Multimodal.featureNearDup(rows, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // the exact-dup triangle, nothing else (md5 features of distinct
+    // payloads are far apart at threshold 100 with overwhelming odds,
+    // and these fixtures were checked to be)
+    assert(got == Set((1L, 2L, 0L), (1L, 7L, 0L), (2L, 7L, 0L)))
+    // threshold 8000 admits everything bucket-collided; still only
+    // same-signature candidates can appear, ids canonical
+    val loose = Multimodal.featureNearDup(rows, col("doc_id"),
+        threshold = 8000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(loose.forall { case (a, b) => a < b })
+    intercept[IllegalArgumentException](
+      Multimodal.featureNearDup(rows, col("doc_id"), dim = 1))
+    intercept[IllegalArgumentException](
+      Multimodal.featureNearDup(rows, col("doc_id"), threshold = -1L))
+  }
+
+  test("featureNearDup fails loudly on a degenerate signature bucket " +
+      "past maxBucketSize") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, "all-equal")).toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("content"))
+    intercept[Exception] {
+      Multimodal.featureNearDup(rows, col("doc_id"), maxBucketSize = 5)
+        .collect()
+    }
+  }
 }

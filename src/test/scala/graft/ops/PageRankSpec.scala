@@ -162,4 +162,68 @@ class PageRankSpec extends SparkSpec {
         seedsOf(99L), col("sid"), iters = 1)
     }
   }
+
+  // ---- weightedPageRank ----------------------------------------------
+
+  /** Sequential weighted reference with the same floors. */
+  private def refW(
+      edges: Seq[(Long, Long, Long)], iters: Int,
+      num: Long = 85, den: Long = 100): Map[Long, Long] = {
+    val S = PageRank.Scale
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val sw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = (den - num) * S / (den * n)
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (u, v, w) => v -> r(u) * w / sw(u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(id => id -> (base + num * contrib.getOrElse(id, 0L) / den))
+        .toMap
+    }
+    r
+  }
+
+  test("weightedPageRank matches the sequential weighted reference; a " +
+      "heavy edge pulls rank toward its target vs the uniform split; " +
+      "weight=1 everywhere equals pageRank on a distinct-edge graph") {
+    import spark.implicits._
+    // node 1 splits 9:1 between 2 and 3; cycle keeps mass circulating
+    val wEdges = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 5L), (4L, 1L, 1L))
+    val got = PageRank.weightedPageRank(
+        wEdges.toDF("s", "d", "w").repartition(3),
+        col("s"), col("d"), col("w"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refW(wEdges, 4))
+    // the 9:1 split shows: 2 outranks 3's direct share from node 1
+    val uni = wEdges.map { case (u, v, _) => (u, v) }
+    val gotUni = PageRank.pageRank(uni.toDF("s", "d"), col("s"),
+        col("d"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) > gotUni(2L))
+    // weight 1 everywhere ≡ the uniform operator (distinct edges)
+    val ones = uni.map { case (u, v) => (u, v, 1L) }
+    val gotOnes = PageRank.weightedPageRank(ones.toDF("s", "d", "w"),
+        col("s"), col("d"), col("w"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotOnes == gotUni)
+  }
+
+  test("weightedPageRank arms are identical, and non-positive weights " +
+      "fail loudly") {
+    import spark.implicits._
+    val wEdges = Seq((1L, 2L, 3L), (2L, 1L, 1L), (2L, 3L, 2L))
+    val df = wEdges.toDF("s", "d", "w")
+    val a = PageRank.weightedPageRank(df, col("s"), col("d"), col("w"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.weightedPageRank(df, col("s"), col("d"), col("w"), 3,
+        broadcastNodesUpTo = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val bad = Seq((1L, 2L, 0L)).toDF("s", "d", "w")
+    intercept[Exception](PageRank.weightedPageRank(bad, col("s"),
+      col("d"), col("w"), 1).collect())
+  }
 }
