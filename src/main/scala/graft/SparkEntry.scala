@@ -7825,7 +7825,110 @@ object SparkEntry {
        SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3
        ORDER BY r DESC, id ASC LIMIT 20"""
 
+  // ------------------------------------------------------------------
+  // q167 — global percentile normalization (extension:
+  // Profile.percentileNormalize): every event's value mapped to its
+  // exact rank percentile in 2^20 fixed point — the cross-source score
+  // calibration step. Ranks ride Prefix.runningTotal's range exchange
+  // (the spearman machinery), never a one-partition window.
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.percentileNormalize(t(s, dir, "events"),
+      col("event_id"),
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+
+  private val q167Sql =
+    """WITH b AS (
+         SELECT event_id AS id,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS s
+         FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+       r AS (
+         SELECT id, s,
+           ROW_NUMBER() OVER (ORDER BY s ASC, id ASC) AS rk,
+           count(*) OVER () AS n
+         FROM b)
+       SELECT id, s, CAST(rk AS BIGINT) AS rank,
+         CAST(((rk - 1) * 1048576) // greatest(n - 1, 1) AS BIGINT)
+           AS pct_fx
+       FROM r"""
+
+  // ------------------------------------------------------------------
+  // q168 — STREAMING windowed KMV sketches (extension:
+  // Streaming.kmvWindowedDistinct): distinct users per day maintained
+  // as k=64 bounded sketches in Complete mode over four file batches —
+  // per-window state is 64 hashes no matter the cardinality. The
+  // oracle replays the md5 unit hashes, the (u asc, value asc) keep
+  // order, and the (k−1)/u_k estimator per day (q50's replay, grouped);
+  // batching needs no ordering contract — sketches merge.
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "events")
+      .select(col("ts"), col("user_id"))
+      .withColumn("b", least(expr("(day(ts) - 1) div 8"), lit(3))
+        .cast("int"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q168_")
+    val streamDir = base.resolve("stream"); val tmpDir = base.resolve("tmp")
+    java.nio.file.Files.createDirectories(streamDir)
+    staged.repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
+    (0 until 4).foreach { b =>
+      val dirF = new java.io.File(tmpDir.resolve(s"b=$b").toString)
+      if (dirF.isDirectory) {
+        val part = dirF.listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = streamDir.resolve(f"batch_$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1500000000000L + b * 60000L)
+      }
+    }
+    val src = s.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = "q168_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.Streaming.kmvWindowedDistinct(
+            src, tsCol = "ts", valueCol = col("user_id"),
+            windowLen = "1 day", k = 64)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
+  private val q168Sql =
+    """WITH vals AS (
+         SELECT DISTINCT date_trunc('day', ts) AS d,
+           CAST(user_id AS VARCHAR) AS v
+         FROM events WHERE user_id IS NOT NULL),
+       h AS (
+         SELECT d, v,
+           CAST(list_sum([(strpos('0123456789abcdef',
+                substr(md5(v || ':kmv'), j, 1)) - 1)
+              * CAST(pow(16, 13 - j) AS BIGINT) for j in range(1, 14)])
+              AS BIGINT) / 4503599627370496.0 AS u
+         FROM vals),
+       kept AS (
+         SELECT d, u,
+           ROW_NUMBER() OVER (PARTITION BY d ORDER BY u ASC, v ASC)
+             AS rk
+         FROM h),
+       agg AS (
+         SELECT d, count(*) AS nv,
+           max(CASE WHEN rk = 64 THEN u END) AS uk
+         FROM kept GROUP BY 1)
+       SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS window_start,
+         CAST(least(nv, 64) AS BIGINT) AS n_kept,
+         CASE WHEN nv < 64 THEN CAST(nv AS DOUBLE)
+              ELSE 63.0 / uk END AS estimate
+       FROM agg"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_stream_kmv" -> (q168 _),
+    "q167_percentile_norm" -> (q167 _),
     "q166_weighted_pagerank" -> (q166 _),
     "q165_media_neardup" -> (q165 _),
     "q164_group_auc" -> (q164 _),
@@ -8082,6 +8185,8 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q168_stream_kmv" -> q168Sql,
+    "q167_percentile_norm" -> q167Sql,
     "q166_weighted_pagerank" -> q166Sql,
     "q165_media_neardup" -> q165Sql,
     "q164_group_auc" -> q164Sql,

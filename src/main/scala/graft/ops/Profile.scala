@@ -496,6 +496,51 @@ object Profile {
         (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
   }
 
+  /** Global percentile (rank) normalization of an integer score —
+    * the cross-source calibration step before mixing corpora scored
+    * by different models: raw scores are incomparable, their ranks
+    * are. Every row gets its dense global position under the TOTAL
+    * order (score asc, id asc — the house tie rule; no averaging) and
+    * the exact fixed-point percentile `pct_fx = (rank−1)·2^20 div
+    * (n−1)` ∈ [0, 2^20] (single-row inputs emit 0).
+    *
+    * Scale shape: [[Prefix.runningTotal]]'s two-linear-pass range
+    * exchange over the (score, id)-encoded order — NEVER a
+    * one-partition window — plus one count and a map-only kernel.
+    * Same domain guards as `spearman` (non-negative ids, |score| <
+    * 2^62), loud.
+    *
+    * @return (id, s, rank 1-based, pct_fx)
+    */
+  def percentileNormalize(
+      df: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      scoreCol: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(idCol.cast("long").as("id"),
+        scoreCol.cast("long").as("s"))
+      .filter(col("id").isNotNull && col("s").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = base.agg(min("id").as("mi"), max(abs(col("s"))).as("ms"),
+      count(lit(1)).as("n")).collect()(0)
+    val n = if (g.isNullAt(2)) 0L else g.getLong(2)
+    if (n > 0) {
+      require(g.getLong(0) >= 0L, "percentileNormalize ids must be " +
+        "non-negative (fixed-width order encoding)")
+      require(g.getLong(1) < (1L << 62),
+        s"percentileNormalize scores must be in (−2^62, 2^62)")
+    }
+    val bias = 1L << 62
+    val one = base.withColumn("__one", lit(1L))
+      .withColumn("__ord",
+        concat(format_string("%016x", col("s") + bias),
+          format_string("%019d", col("id"))))
+    val den = math.max(n - 1, 1L)
+    Prefix.runningTotal(one, orderCol = "__ord", valueCol = "__one",
+        outCol = "rank")
+      .select(col("id"), col("s"), col("rank"),
+        expr(s"((rank - 1) * 1048576L) div ${den}L").as("pct_fx"))
+  }
+
   /** Calibration (reliability) bins for a scorer against a boolean
     * outcome — [[aucExact]] grades RANKING; this grades whether the
     * score's MAGNITUDE means what it claims (a well-calibrated quality

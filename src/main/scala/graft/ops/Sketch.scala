@@ -207,7 +207,7 @@ object Sketch {
   /** The (n_kept, estimate) tail shared by both sketch forms: exact
     * below k, else (k-1)/u_k with u_k the k-th smallest unit hash.
     */
-  private def kmvEstimate(k: Int): Seq[Column] = Seq(
+  private[graft] def kmvEstimate(k: Int): Seq[Column] = Seq(
     size(col("top")).cast("long").as("n_kept"),
     when(size(col("top")) < k, size(col("top")).cast("double"))
       .otherwise(lit((k - 1).toDouble) /

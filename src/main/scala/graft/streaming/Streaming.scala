@@ -258,6 +258,45 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /** Windowed KMV distinct-count sketches on a stream — "distinct
+    * users per window" maintained with BOUNDED state where streaming
+    * `approx_count_distinct`-style exactness would hold every value:
+    * per window the state is the k smallest unit hashes (the
+    * [[graft.ops.Sketch.kmvDistinct]] sketch — same md5 unit hash,
+    * same (u asc, value asc) total order, same (k−1)/u_k estimator),
+    * so a window over a million distinct users costs k slots. The
+    * aggregation is the SAME `topk_by` bounded aggregate the batch
+    * sketch uses — Spark's unified API means the batch operator IS the
+    * oracle (run this on a bounded DataFrame and it returns the batch
+    * answer; the streaming query merges sketch partials per
+    * micro-batch instead).
+    *
+    * Run in Complete output mode (the result table is windows ×
+    * 3 columns — tiny); no watermark needed, late data folds into its
+    * window's sketch whenever it arrives.
+    *
+    * @return (window_start string, n_kept, estimate) per window
+    */
+  def kmvWindowedDistinct(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: org.apache.spark.sql.Column,
+      windowLen: String,
+      k: Int = 1024,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    events
+      .select(window(col(tsCol), windowLen).as("w"),
+        valueCol.cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("score", -graft.ops.Sampling.unitHash(col("v"), salt))
+      .groupBy(col("w"))
+      .agg(call_function("topk_by", col("v"), col("score"), lit(k))
+        .as("top"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start") +: graft.ops.Sketch.kmvEstimate(k): _*)
+  }
+
   /** Streaming CUSUM changepoint alarms —
     * [[graft.ops.Anomaly.cusumAlarms]]' exact integer recurrence
     * (s ← max(0, s + v − target − slack); alarm and reset at

@@ -301,6 +301,27 @@ class ProfileSpec extends SparkSpec {
     intercept[Exception](run(huge))
   }
 
+  test("percentileNormalize: exact rank percentiles under the (score, " +
+      "id) total order — endpoints 0 and 2^20, ties ordered by id, " +
+      "partitioning-invariant, single row emits 0, guards loud") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)], parts: Int = 4) =
+      Profile.percentileNormalize(
+        rows.toDF("id", "s").repartition(parts), col("id"), col("s"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val rows = Seq((10L, 5L), (11L, -3L), (12L, 5L), (13L, 99L), (14L, 0L))
+    val got = run(rows)
+    val S = 1L << 20
+    // order: -3(11) < 0(14) < 5(10) < 5(12) < 99(13)
+    assert(got == Map(
+      11L -> ((1L, 0L)), 14L -> ((2L, S / 4)), 10L -> ((3L, 2 * S / 4)),
+      12L -> ((4L, 3 * S / 4)), 13L -> ((5L, S))))
+    assert(run(rows, parts = 1) == got && run(rows, parts = 7) == got)
+    assert(run(Seq((1L, 42L))) == Map(1L -> ((1L, 0L))))
+    intercept[IllegalArgumentException](run(Seq((-1L, 0L))))
+  }
+
   test("aucExactByGroup matches per-group brute Mann-Whitney, emits " +
       "single-class groups with auc_den = 0, and agrees with the " +
       "global form on a one-group input") {

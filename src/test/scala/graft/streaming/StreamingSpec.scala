@@ -431,6 +431,44 @@ class StreamingSpec extends SparkSpec {
       CusumAlarm(1L, 8L, 32L, 2L)))
   }
 
+  test("kmvWindowedDistinct: sketches merge across micro-batches to " +
+      "the batch answer — exact below k, estimator above, late rows " +
+      "fold into their window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def day(d: Int, u: Long) =
+      KmvPoint(Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), u)
+    // day 1: 3 distinct users (< k=4: exact). day 2: 6 distinct (> k:
+    // estimator engages). one day-1 row arrives LAST (late, no
+    // watermark — must still fold in).
+    val batch1 = Seq(day(1, 1), day(1, 2), day(2, 10), day(2, 11))
+    val batch2 = Seq(day(2, 12), day(2, 13), day(2, 14), day(2, 15),
+      day(1, 2)) // dup user same day: no effect
+    val batch3 = Seq(day(1, 3)) // late day-1 arrival
+    val all = batch1 ++ batch2 ++ batch3
+    val mem = MemoryStream[KmvPoint]
+    val q = Streaming.kmvWindowedDistinct(mem.toDF(), "ts",
+        col("user_id"), "1 day", k = 4)
+      .writeStream.format("memory").queryName("kmvw")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      mem.addData(batch3: _*); q.processAllAvailable()
+      val got = spark.table("kmvw").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Streaming.kmvWindowedDistinct(
+          all.toDF(), "ts", col("user_id"), "1 day", k = 4)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+      val byDay = got.map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(byDay("2024-01-01 00:00:00") == ((3L, 3.0))) // exact < k
+      val (nk2, est2) = byDay("2024-01-02 00:00:00")
+      assert(nk2 == 4L && est2 > 0.0 && est2 != 6.0) // estimator arm
+    } finally q.stop()
+  }
+
   test("cusumStream fails loudly on a pathological key exceeding the " +
       "per-batch buffer bound") {
     import spark.implicits._
@@ -453,3 +491,6 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+// top-level (not an inner class): MemoryStream needs an outer-free encoder
+final case class KmvPoint(ts: java.sql.Timestamp, user_id: Long)
