@@ -7926,7 +7926,61 @@ object SparkEntry {
               ELSE 63.0 / uk END AS estimate
        FROM agg"""
 
+  // ------------------------------------------------------------------
+  // q169 — ColBERT-style MaxSim late-interaction retrieval (extension:
+  // Similarity.maxSimTopK, Khattab & Zaharia 2020): embeddings grouped
+  // four-per-document (doc = vec_id div 4, pos = vec_id % 4), every
+  // 25th doc is a query bag; score = Σ over query positions of the max
+  // cosine against any doc vector, top-5 per query. Doubles match the
+  // oracle bit-for-bit via the sequential cosine kernel + unrolled
+  // left-associated position sum (the q26/q33 discipline).
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(expr("vec_id div 4").as("doc"),
+        expr("vec_id % 4").as("pos"), col("embedding"))
+    graft.similarity.Similarity.maxSimTopK(
+      corpus = emb, queries = emb.filter(col("doc") % 25 === 0),
+      docCol = "doc", posCol = "pos", vecCol = "embedding",
+      k = 5, positions = 4)
+  }
+
+  private val q169Sql =
+    """WITH v AS (
+         SELECT vec_id // 4 AS doc, vec_id % 4 AS pos,
+           [CAST(x AS DOUBLE) for x in embedding] AS e
+         FROM embeddings),
+       q AS (SELECT doc AS qd, pos AS qpos, e AS qe FROM v
+             WHERE doc % 25 = 0),
+       s AS (
+         SELECT q.qd, q.qpos, v.doc AS cd,
+           list_sum([q.qe[i] * v.e[i] for i in range(1, 65)]) /
+             (sqrt(list_sum([q.qe[i] * q.qe[i] for i in range(1, 65)])) *
+              sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])))
+             AS sim
+         FROM q CROSS JOIN v),
+       m AS (
+         SELECT qd, cd,
+           max(CASE WHEN qpos = 0 THEN sim END) AS m0,
+           max(CASE WHEN qpos = 1 THEN sim END) AS m1,
+           max(CASE WHEN qpos = 2 THEN sim END) AS m2,
+           max(CASE WHEN qpos = 3 THEN sim END) AS m3
+         FROM s GROUP BY 1, 2),
+       sc AS (
+         SELECT qd, cd,
+           ((coalesce(m0, 0) + coalesce(m1, 0)) + coalesce(m2, 0))
+             + coalesce(m3, 0) AS ms
+         FROM m),
+       r AS (
+         SELECT qd, cd, ms,
+           ROW_NUMBER() OVER (PARTITION BY qd ORDER BY ms DESC, cd ASC)
+             AS rk
+         FROM sc)
+       SELECT qd AS query_id, cd AS corpus_id, ms AS maxsim,
+         CAST(rk AS INT) AS rank
+       FROM r WHERE rk <= 5"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_maxsim" -> (q169 _),
     "q168_stream_kmv" -> (q168 _),
     "q167_percentile_norm" -> (q167 _),
     "q166_weighted_pagerank" -> (q166 _),
@@ -8185,6 +8239,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q169_maxsim" -> q169Sql,
     "q168_stream_kmv" -> q168Sql,
     "q167_percentile_norm" -> q167Sql,
     "q166_weighted_pagerank" -> q166Sql,

@@ -95,6 +95,68 @@ object Similarity extends Serializable {
     topKPerQuery(scored.select("query_id", "corpus_id", "sim"), k)
   }
 
+  /** ColBERT-style late-interaction (MaxSim) retrieval over
+    * MULTI-VECTOR documents (Khattab & Zaharia 2020): each document
+    * and each query is a bag of vectors (per-passage/per-token
+    * embeddings), and the score is Σ over query vectors of the MAX
+    * cosine against any document vector — the retrieval quality of
+    * fine-grained matching without giving up the "one score per
+    * (query, doc)" output shape.
+    *
+    * Determinism at double precision without decimals: the per-pair
+    * cosine is the sequential [[withCosineKernel]] loop (fixed
+    * evaluation order), `max` is order-free, and the final Σ over
+    * query positions is an UNROLLED left-associated add over the
+    * per-position max columns — ((m₀+m₁)+m₂)+… in both engines — so
+    * an oracle reproduces the doubles bit-for-bit (the q26/q33
+    * discipline, extended to the summed form). A query position with
+    * no vector contributes exactly 0 (coalesce, both engines).
+    *
+    * Scale shape: query vectors broadcast (queries × positions rows —
+    * the small side by construction); the corpus explodes only against
+    * that broadcast, so corpus vectors never shuffle for scoring; the
+    * per-position max and the final score are ONE map-side-combined
+    * aggregation over (query, doc) — group count bounded by
+    * queries × candidate docs; ranking reuses the bounded `topk_by`
+    * fold, never a corpus-wide window.
+    *
+    * @param corpus  (docCol, vecCol) — multiple rows per doc
+    * @param queries (docCol, posCol int in [0, positions), vecCol)
+    * @param positions query bag size (the unroll width; ≤ 64)
+    * @return (query_id, corpus_id, maxsim, rank 1..k) per query
+    */
+  def maxSimTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      docCol: String,
+      posCol: String,
+      vecCol: String,
+      k: Int,
+      positions: Int): DataFrame = {
+    require(positions >= 1 && positions <= 64,
+      s"positions must be in [1, 64], got $positions")
+    require(k >= 1, s"k must be positive, got $k")
+    val c = corpus.select(col(docCol).as("corpus_id"), col(vecCol).as("cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("corpus_id"))
+    val q = queries.select(col(docCol).as("query_id"),
+      col(posCol).cast("int").as("qpos"), col(vecCol).as("qv"))
+    val scored = withCosineKernel(
+      c.crossJoin(broadcast(q)), "qv", "cv", "sim")
+    val maxes = (0 until positions).map(i =>
+      max(when(col("qpos") === i, col("sim"))).as(s"m$i"))
+    val perPos = scored
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(maxes.head, maxes.tail: _*)
+    val score = (0 until positions)
+      .map(i => coalesce(col(s"m$i"), lit(0.0)))
+      .reduce(_ + _) // left-associated — the engine-neutral sum order
+    topKPerQuery(
+      perPos.select(col("query_id"), col("corpus_id"), score.as("sim")),
+      k)
+      .withColumnRenamed("sim", "maxsim")
+  }
+
   /** Int8 scalar quantization: per-vector max-abs scaling maps each
     * float to a code in [-127, 127]. A 64-dim float vector (256 B)
     * becomes 64 bytes — 4x more corpus per executor, integer dot

@@ -1102,4 +1102,56 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getSeq[Float](2))
     assert(feats.toSeq == again.toSeq)
   }
+
+  // ---- maxSimTopK ----------------------------------------------------
+
+  test("maxSimTopK matches a plain-Scala MaxSim model: per-position " +
+      "best doc vector, left-associated position sum, (score desc, " +
+      "doc asc) rank; a doc bag containing the query bag scores " +
+      "exactly `positions`; missing positions contribute 0") {
+    import spark.implicits._
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // 3 docs x 2 vectors, 2 queries (doc 0's own bag + a 1-position bag)
+    val vecs: Map[(Long, Int), Seq[Float]] = Map(
+      (0L, 0) -> Seq(1f, 0f, 0f), (0L, 1) -> Seq(0f, 1f, 0f),
+      (1L, 0) -> Seq(1f, 1f, 0f), (1L, 1) -> Seq(0f, 0f, 1f),
+      (2L, 0) -> Seq(-1f, 0f, 0f), (2L, 1) -> Seq(0f, -1f, 1f))
+    val corpus = vecs.toSeq.map { case ((d, p), v) => (d, p, v) }
+      .toDF("doc", "pos", "vec")
+    val queries = Seq(
+      (10L, 0, Seq(1f, 0f, 0f)), (10L, 1, Seq(0f, 1f, 0f)),
+      (11L, 0, Seq(0f, 0f, 1f)))
+      .toDF("doc", "pos", "vec")
+    val got = Similarity.maxSimTopK(corpus, queries.toDF("doc", "pos", "vec"),
+        "doc", "pos", "vec", k = 3, positions = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val qs = Map(
+      10L -> Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      11L -> Seq(Seq(0f, 0f, 1f)))
+    val want = (for {
+      (qid, qvs) <- qs.toSeq
+      doc <- Seq(0L, 1L, 2L)
+      dvs = vecs.collect { case ((d, _), v) if d == doc => v }.toSeq
+      score = qvs.map(qv => dvs.map(dv => cos(qv, dv)).max)
+        .foldLeft(0.0)(_ + _)
+    } yield (qid, doc, score))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).zipWithIndex
+          .map { case ((q, d, s), i) => (q, d, s, i + 1) }
+      }.toSet
+    assert(got.toSet == want)
+    // doc 0 contains query 10's exact bag: maxsim == positions == 2
+    assert(got.exists { case (q, d, s, r) =>
+      q == 10L && d == 0L && s == 2.0 && r == 1 })
+    intercept[IllegalArgumentException](Similarity.maxSimTopK(
+      corpus, queries, "doc", "pos", "vec", k = 1, positions = 0))
+  }
 }
