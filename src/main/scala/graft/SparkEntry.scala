@@ -7979,7 +7979,36 @@ object SparkEntry {
          CAST(rk AS INT) AS rank
        FROM r WHERE rk <= 5"""
 
+  // ------------------------------------------------------------------
+  // q170 — JSON property profiling (extension: Profile.jsonProfile):
+  // the first look at the events.props blob — per top-level key:
+  // presence, JSON nulls, numeric-looking values, exact distinct
+  // count, numeric min/max. Map-only decode (no inference pass), one
+  // key-vocabulary groupBy.
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.jsonProfile(t(s, dir, "events"), col("props"))
+
+  private val q170Sql =
+    """WITH kv AS (
+         SELECT key,
+           json_extract_string(props, '$."' || key || '"') AS val
+         FROM (SELECT props, unnest(json_keys(props)) AS key
+               FROM events WHERE props IS NOT NULL))
+       SELECT key, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(sum(CASE WHEN regexp_matches(val,
+             '^-?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_numeric,
+         CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+         CAST(min(CASE WHEN regexp_matches(val, '^-?[0-9]+(\.[0-9]+)?$')
+           THEN CAST(val AS DECIMAL(18,4)) END) AS DOUBLE) AS min_num,
+         CAST(max(CASE WHEN regexp_matches(val, '^-?[0-9]+(\.[0-9]+)?$')
+           THEN CAST(val AS DECIMAL(18,4)) END) AS DOUBLE) AS max_num
+       FROM kv GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_json_profile" -> (q170 _),
     "q169_maxsim" -> (q169 _),
     "q168_stream_kmv" -> (q168 _),
     "q167_percentile_norm" -> (q167 _),
@@ -8239,6 +8268,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q170_json_profile" -> q170Sql,
     "q169_maxsim" -> q169Sql,
     "q168_stream_kmv" -> q168Sql,
     "q167_percentile_norm" -> q167Sql,

@@ -496,6 +496,46 @@ object Profile {
         (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
   }
 
+  /** Profile a semi-structured JSON column — per top-level key: how
+    * often it appears, how often its value is JSON null, how many
+    * values look numeric, the exact distinct-value count, and the
+    * numeric min/max — the first look every pipeline takes at an
+    * event-properties / metadata blob before deciding what to promote
+    * to real columns. Values are compared as their JSON scalar string
+    * forms (engine-neutral: numbers print bare, strings unquoted).
+    *
+    * Scale shape: one map-only `from_json` to map<string,string> +
+    * explode (no schema inference pass over the corpus — the map
+    * decode is per-row), then ONE map-side-combined groupBy over the
+    * KEY VOCABULARY. The exact distinct count is the one
+    * corpus-sized term (count-distinct shuffles the distinct (key,
+    * value) stream); swap in [[graft.ops.Sketch.kmvDistinctByGroup]]
+    * upstream when values are high-cardinality at scale. Malformed
+    * JSON rows decode to null maps and profile as absent (Spark's
+    * PERMISSIVE read) — validate upstream if that must be loud.
+    *
+    * @return (key, n, n_null, n_numeric, n_distinct, min_num, max_num)
+    */
+  def jsonProfile(
+      df: DataFrame,
+      jsonCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val numRe = "^-?[0-9]+(\\.[0-9]+)?$"
+    df.filter(jsonCol.isNotNull)
+      .select(explode(from_json(jsonCol, MapType(StringType, StringType)))
+        .as(Seq("key", "val")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("val").isNull, 1L)), lit(0L)).as("n_null"),
+        coalesce(sum(when(col("val").rlike(numRe), 1L)), lit(0L))
+          .as("n_numeric"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(when(col("val").rlike(numRe),
+          col("val").cast("decimal(18,4)"))).cast("double").as("min_num"),
+        max(when(col("val").rlike(numRe),
+          col("val").cast("decimal(18,4)"))).cast("double").as("max_num"))
+  }
+
   /** Global percentile (rank) normalization of an integer score —
     * the cross-source calibration step before mixing corpora scored
     * by different models: raw scores are incomparable, their ranks

@@ -301,6 +301,29 @@ class ProfileSpec extends SparkSpec {
     intercept[Exception](run(huge))
   }
 
+  test("jsonProfile: per-key presence/null/numeric/distinct/min-max " +
+      "over heterogeneous JSON — string values unquoted, JSON nulls " +
+      "counted not typed, negatives and decimals numeric, malformed " +
+      "and NULL rows profile as absent") {
+    import spark.implicits._
+    val rows = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": -2.5, "b": "x", "c": null}""",
+      """{"a": 7}""",
+      """{"b": "1"}""", // numeric-LOOKING string: counts as numeric
+      "not json at all",
+      null.asInstanceOf[String])
+    val got = Profile.jsonProfile(rows.toDF("j"), col("j"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a") == ((3L, 0L, 3L, 3L, Some(-2.5), Some(7.0))))
+    assert(got("b") == ((3L, 0L, 1L, 2L, Some(1.0), Some(1.0))))
+    assert(got("c") == ((1L, 1L, 0L, 0L, None, None)))
+    assert(got.size == 3)
+  }
+
   test("percentileNormalize: exact rank percentiles under the (score, " +
       "id) total order — endpoints 0 and 2^20, ties ordered by id, " +
       "partitioning-invariant, single row emits 0, guards loud") {
