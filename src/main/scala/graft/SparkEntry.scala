@@ -8007,7 +8007,62 @@ object SparkEntry {
            THEN CAST(val AS DECIMAL(18,4)) END) AS DOUBLE) AS max_num
        FROM kv GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q171 — co-visitation lift (composition: Graphs.coOccurrenceEdges ∘
+  // JSON extract ∘ exact lift): "users who touched property-value X
+  // also touched Y" — the recsys/association-mining primitive. Items
+  // are the events.props "k" values; per unordered pair sharing ≥ 5
+  // users: exact fixed-point lift = n_ab·U·2^20 div (n_a·n_b) (> 2^20
+  // ⇒ positively associated). One pair-emission exchange (the capped
+  // co-occurrence builder), item-vocabulary-sized everything after.
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val ui = t(s, dir, "events")
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
+    val pairs = graft.ops.Graphs.coOccurrenceEdges(
+      ui, col("u"), col("item"), minWeight = 5L)
+    val itemUsers = ui.distinct()
+      .groupBy(col("item")).agg(count(lit(1)).as("nu"))
+    val users = ui.select(col("u")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(itemUsers.select(col("item").as("a"), col("nu").as("n_a")),
+        Seq("a"))
+      .join(itemUsers.select(col("item").as("b"), col("nu").as("n_b")),
+        Seq("b"))
+      .crossJoin(broadcast(users))
+      .select(col("a"), col("b"), col("w").as("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("n_ab * n_users * 1048576L div (n_a * n_b)").as("lift_fx"))
+      .orderBy(col("lift_fx").desc, col("a").asc, col("b").asc)
+      .limit(50)
+  }
+
+  private val q171Sql =
+    """WITH ui AS (
+         SELECT DISTINCT user_id AS u,
+           json_extract_string(props, '$."k"') AS item
+         FROM events
+         WHERE props IS NOT NULL
+           AND json_extract_string(props, '$."k"') IS NOT NULL),
+       pairs AS (
+         SELECT a.item AS a, b.item AS b, count(*) AS n_ab
+         FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+         GROUP BY 1, 2 HAVING count(*) >= 5),
+       iu AS (SELECT item, count(*) AS nu FROM ui GROUP BY 1),
+       uu AS (SELECT count(DISTINCT u) AS n_users FROM ui)
+       SELECT p.a, p.b, CAST(p.n_ab AS BIGINT) AS n_ab,
+         CAST(ia.nu AS BIGINT) AS n_a, CAST(ib.nu AS BIGINT) AS n_b,
+         CAST((p.n_ab * uu.n_users * 1048576) // (ia.nu * ib.nu)
+           AS BIGINT) AS lift_fx
+       FROM pairs p
+       JOIN iu ia ON ia.item = p.a
+       JOIN iu ib ON ib.item = p.b, uu
+       ORDER BY lift_fx DESC, a ASC, b ASC LIMIT 50"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_covisitation" -> (q171 _),
     "q170_json_profile" -> (q170 _),
     "q169_maxsim" -> (q169 _),
     "q168_stream_kmv" -> (q168 _),
@@ -8268,6 +8323,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q171_covisitation" -> q171Sql,
     "q170_json_profile" -> q170Sql,
     "q169_maxsim" -> q169Sql,
     "q168_stream_kmv" -> q168Sql,
