@@ -8061,7 +8061,45 @@ object SparkEntry {
        JOIN iu ib ON ib.item = p.b, uu
        ORDER BY lift_fx DESC, a ASC, b ASC LIMIT 50"""
 
+  // ------------------------------------------------------------------
+  // q172 — degree assortativity (extension: Graphs.degreeAssortativity,
+  // Newman 2002): do hubs co-occur with hubs on the w≥2 co-order
+  // graph? Exact integer moment pair (num, den_x, den_y) — r is the
+  // consumer's one float division; den_x = den_y doubles as a
+  // self-check. Long casts are safe here and loud by ANSI if not.
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.ops.Graphs.coOccurrenceEdges(
+      t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"),
+      minWeight = 2L)
+    graft.ops.Graphs.degreeAssortativity(edges, col("a"), col("b"))
+      .select(col("n_edges"), col("num").cast("long").as("num"),
+        col("den_x").cast("long").as("den_x"),
+        col("den_y").cast("long").as("den_y"))
+  }
+
+  private val q172Sql =
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       w AS (
+         SELECT a.p AS a, b.p AS b FROM li a
+         JOIN li b ON a.ok = b.ok AND a.p < b.p
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       e AS (SELECT DISTINCT u, v FROM (
+         SELECT a AS u, b AS v FROM w UNION ALL SELECT b, a FROM w)),
+       deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+       m AS (
+         SELECT count(*) AS n, sum(dx.d) AS sx, sum(dy.d) AS sy,
+           sum(dx.d * dy.d) AS sxy, sum(dx.d * dx.d) AS sxx,
+           sum(dy.d * dy.d) AS syy
+         FROM e JOIN deg dx ON dx.u = e.u JOIN deg dy ON dy.u = e.v)
+       SELECT CAST(n AS BIGINT) AS n_edges,
+         CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+         CAST(n * syy - sy * sy AS BIGINT) AS den_y
+       FROM m"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_assortativity" -> (q172 _),
     "q171_covisitation" -> (q171 _),
     "q170_json_profile" -> (q170 _),
     "q169_maxsim" -> (q169 _),
@@ -8323,6 +8361,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q172_assortativity" -> q172Sql,
     "q171_covisitation" -> q171Sql,
     "q170_json_profile" -> q170Sql,
     "q169_maxsim" -> q169Sql,

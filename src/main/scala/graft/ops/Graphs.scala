@@ -30,6 +30,59 @@ object Graphs {
     *
     * @return (a, b, w) with a < b, w = co-occurrence count ≥ minWeight
     */
+  /** Degree assortativity (Newman 2002) as an EXACT integer moment
+    * pair — "do hubs link to hubs?" (positive: social/co-occurrence
+    * structure; negative: hub-and-spoke/star structure — a crawl
+    * whose link graph flips sign changed its nature). Pearson
+    * correlation of (deg(u), deg(v)) over the DIRECTED edge list of
+    * the undirected graph (both orientations — the standard
+    * convention, making x and y exchangeable):
+    *
+    *   r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * emitted as the exact pair (num, den²-factors) rather than a
+    * float: num = n·Σxy − Σx·Σy, den_x = n·Σx² − (Σx)², den_y
+    * symmetric; r = num / sqrt(den_x·den_y), division left to the
+    * consumer's float space (the cohenKappa discipline — num is
+    * signed, and signed division is where engines diverge). By
+    * exchangeability den_x = den_y here; both are still emitted (the
+    * identity doubles as a self-check downstream).
+    *
+    * Scale shape: one degree groupBy, two broadcast-gated-by-AQE
+    * joins attaching deg(u)/deg(v) to the edge stream, one 1-row
+    * map-side-combined moment aggregation — moments in DECIMAL(38,0)
+    * (Σxy over E edges of deg ≤ 10⁶ passes 2^63 long before a long
+    * overflows the squares).
+    *
+    * @return one row: (n_edges, num, den_x, den_y)
+    */
+  def degreeAssortativity(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column): DataFrame = {
+    val e0 = edges.select(srcCol.cast("long").as("u"),
+        dstCol.cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val withDeg = sym
+      .join(deg.select(col("u"), col("d").as("x")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("y")), Seq("v"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    withDeg
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .select(col("n").as("n_edges"),
+        (dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("num"),
+        (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (dec(col("n")) * col("syy") - col("sy") * col("sy")).as("den_y"))
+  }
+
   def coOccurrenceEdges(
       df: DataFrame,
       groupCol: Column,

@@ -30,6 +30,44 @@ class GraphsSpec extends SparkSpec {
     assert(run(rows, minWeight = 2L) == Set((1L, 2L, 2L), (2L, 3L, 2L)))
   }
 
+  test("degreeAssortativity matches a brute moment model: star graph " +
+      "negative, regular graph degenerate (num = den = 0), den_x = " +
+      "den_y always, normalization and self-loops handled") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = Graphs.degreeAssortativity(
+        edges.toDF("s", "d").repartition(3), col("s"), col("d"))
+        .select(col("n_edges"), col("num").cast("long"),
+          col("den_x").cast("long"), col("den_y").cast("long"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def brute(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val sym = edges.flatMap { case (a, b) =>
+        if (a == b) Nil else Seq((a, b), (b, a)) }.distinct
+      val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val xs = sym.map { case (u, _) => deg(u) }
+      val ys = sym.map { case (_, v) => deg(v) }
+      val n = sym.size.toLong
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      (n, n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+    }
+    // star: hub degree 4, leaves degree 1 — hubs link to non-hubs
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val gs = run(star)
+    assert(gs == brute(star) && gs._2 < 0L && gs._3 == gs._4)
+    // triangle (2-regular): every degree equal — num and dens all 0
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(run(tri) == ((6L, 0L, 0L, 0L)))
+    // mixed graph with dup/reversed/self-loop noise
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (2L, 1L), (5L, 5L), (6L, 1L))
+    val gm = run(mixed)
+    assert(gm == brute(mixed) && gm._3 == gm._4)
+  }
+
   test("maxItemsPerGroup bounds the emission: a capped group " +
       "contributes pairs only among its kept items; guards") {
     // group 1 has 5 items, cap 3 → C(3,2)=3 pairs, not C(5,2)=10
