@@ -8098,7 +8098,72 @@ object SparkEntry {
          CAST(n * syy - sy * sy AS BIGINT) AS den_y
        FROM m"""
 
+  // ------------------------------------------------------------------
+  // q173 — referential-integrity report (composition: six left-anti
+  // probes over the star schema): per FK relation, child cardinality
+  // and orphan count — the data-quality gate an ingest runs before
+  // anything joins. Anti-joins are the exact form (the bloom-prefilter
+  // lever of q82 composes in front at corpus scale when the parent
+  // key set is large); a healthy snapshot reports zero orphans, and
+  // the ORACLE asserting those zeros is the point — a silently
+  // dropped parent partition would light this up.
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    def probe(rel: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphan"))))
+        .select(lit(rel).as("relation"), col("n_child"), col("n_orphan"))
+    }
+    val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+    val part = t(s, dir, "part"); val nat = t(s, dir, "nation")
+    Seq(
+      probe("lineitem.orderkey->orders", li, "l_orderkey", ord,
+        "o_orderkey"),
+      probe("lineitem.partkey->part", li, "l_partkey", part,
+        "p_partkey"),
+      probe("lineitem.suppkey->supplier", li, "l_suppkey", sup,
+        "s_suppkey"),
+      probe("orders.custkey->customer", ord, "o_custkey", cust,
+        "c_custkey"),
+      probe("customer.nationkey->nation", cust, "c_nationkey", nat,
+        "n_nationkey"),
+      probe("supplier.nationkey->nation", sup, "s_nationkey", nat,
+        "n_nationkey"))
+      .reduce(_ union _)
+  }
+
+  private val q173Sql =
+    """SELECT 'lineitem.orderkey->orders' AS relation,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+         CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS n_orphan
+       UNION ALL SELECT 'lineitem.partkey->part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+       UNION ALL SELECT 'lineitem.suppkey->supplier',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+       UNION ALL SELECT 'orders.custkey->customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+           (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+       UNION ALL SELECT 'customer.nationkey->nation',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c WHERE NOT EXISTS
+           (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+       UNION ALL SELECT 'supplier.nationkey->nation',
+         (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+           (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_integrity" -> (q173 _),
     "q172_assortativity" -> (q172 _),
     "q171_covisitation" -> (q171 _),
     "q170_json_profile" -> (q170 _),
@@ -8361,6 +8426,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q173_integrity" -> q173Sql,
     "q172_assortativity" -> q172Sql,
     "q171_covisitation" -> q171Sql,
     "q170_json_profile" -> q170Sql,
