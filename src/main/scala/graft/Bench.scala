@@ -146,6 +146,50 @@ object Bench {
     val controlFailed = (failed.toSet -- failedBeforeControl).nonEmpty ||
       controlRatio < 0
     failed.clear(); failed ++= failedBeforeControl
+
+    // FLOP-bound control (round 15, VERDICT r14): the shuffle control
+    // above catches exchange-path box degradation but is blind to CPU
+    // throttling — r14's driver box ran the kernel-bound queries 7–21×
+    // slower than the builder capture of the SAME tree while the
+    // shuffle control sat at 0.92. This is a FIXED synthetic workload
+    // (4000 LCG-derived 64-dim vectors, every 8th as a query, brute
+    // cosine top-10 through the production kernel — ~128M mul-adds,
+    // data-independent, ~0.5 s on a healthy 32-thread box), so its
+    // seconds compare across captures: a capture whose flop_control is
+    // several× another's was taken on a throttled/oversubscribed box,
+    // and its kernel-bound per-query numbers are box, not code.
+    val flopControl: Double =
+      if (contextDead) -1.0
+      else try {
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val dim = 64
+        val vecs = (0 until 4000).map { i =>
+          var s = i.toLong
+          val a = Array.fill(dim) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            ((s >>> 33) % 2000L - 1000L).toFloat / 1000f
+          }
+          (i.toLong, a)
+        }
+        val corpus = spark.createDataset(vecs)
+          .toDF("vec_id", "embedding")
+          .repartition(spark.sparkContext.defaultParallelism)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.similarity.Similarity.bruteForceTopK(
+              corpus = corpus,
+              queries = corpus.filter(col("vec_id") % 8 === 0),
+              idCol = "vec_id", vecCol = "embedding", k = 10)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // untimed warm — same protocol as every suite query
+        median(Seq.fill(iters)(once()).sorted)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] flop control failed: ${e.getMessage}")
+        -1.0
+      }
     val loadEnd = loadAvg
 
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
@@ -157,7 +201,7 @@ object Bench {
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def f2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val diag = s""""load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"warmup_sec":${f2(warmupSec)},"control":${f2(control)},"control_ratio":${f2(controlRatio)},"control_failed":$controlFailed,"context_dead":$contextDead,"skipped":$skippedJson"""
+    val diag = s""""load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"warmup_sec":${f2(warmupSec)},"control":${f2(control)},"control_ratio":${f2(controlRatio)},"control_failed":$controlFailed,"flop_control":${f2(flopControl)},"context_dead":$contextDead,"skipped":$skippedJson"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$cold,"iters":$iters,"failed":$failedJson,$diag,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     // Short trailing lines: the r7/r9 driver captures truncated the long
     // line (r9 lost the per-query HEAD). Everything below is re-printed in

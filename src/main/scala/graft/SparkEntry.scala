@@ -5111,15 +5111,17 @@ object SparkEntry {
 
   // ------------------------------------------------------------------
   // q116 — kNN label agreement (extension: Similarity.labelAgreement):
-  // label-noise screening — for every 5th vector, the fraction of its
-  // 10 nearest neighbors (exact cosine) sharing its label. The grading
+  // label-noise screening — for every 25th vector (q112's sampling
+  // rate; the exhaustive %5 arm was O(n²/5) cosine FLOPs and owned 9%
+  // of the suite for no extra coverage), the fraction of its 10
+  // nearest neighbors (exact cosine) sharing its label. The grading
   // is decoupled from the search (any ANN family member can supply the
   // neighbor table); the oracle replays the kNN and both label joins.
   private def q116(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val nbrs = graft.similarity.Similarity.bruteForceTopK(
       corpus = emb,
-      queries = emb.filter(col("vec_id") % 5 === 0),
+      queries = emb.filter(col("vec_id") % 25 === 0),
       idCol = "vec_id", vecCol = "embedding", k = 10)
     graft.similarity.Similarity.labelAgreement(
       nbrs, emb, idCol = "vec_id", labelCol = "label", k = 10)
@@ -5127,7 +5129,7 @@ object SparkEntry {
 
   private val q116Sql =
     """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 5 = 0),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
        scored AS (
          SELECT query_id, vec_id AS corpus_id,
            list_sum([qe[i] * e[i] for i in range(1, len(e)+1)]) /
@@ -7418,7 +7420,9 @@ object SparkEntry {
            CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v,
            ROW_NUMBER() OVER (PARTITION BY user_id
              ORDER BY ts, event_id) AS rn
-         FROM events),
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND value IS NOT NULL),
        rec AS (
          SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS s,
            CAST(0 AS BIGINT) AS alarm_seq, CAST(NULL AS BIGINT) AS event_id,
@@ -7649,7 +7653,9 @@ object SparkEntry {
            CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v,
            ROW_NUMBER() OVER (PARTITION BY user_id
              ORDER BY ts, event_id) AS rn
-         FROM events),
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND value IS NOT NULL),
        rec AS (
          SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(-1 AS BIGINT) AS s,
            CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS vv
@@ -7681,7 +7687,9 @@ object SparkEntry {
     """WITH v AS (
          SELECT user_id, event_id, ts,
            CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
-         FROM events),
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND value IS NOT NULL),
        w AS (
          SELECT user_id, event_id, v,
            count(v) OVER win AS n, sum(v) OVER win AS s,
@@ -8020,8 +8028,11 @@ object SparkEntry {
       .select(col("user_id").as("u"),
         get_json_object(col("props"), "$.k").as("item"))
       .filter(col("item").isNotNull)
+    // failOnOverCap: the oracle's pair self-join is uncapped, so a
+    // user with > 200 distinct items must be a loud error here, never
+    // a silent divergence from the oracle.
     val pairs = graft.ops.Graphs.coOccurrenceEdges(
-      ui, col("u"), col("item"), minWeight = 5L)
+      ui, col("u"), col("item"), minWeight = 5L, failOnOverCap = true)
     val itemUsers = ui.distinct()
       .groupBy(col("item")).agg(count(lit(1)).as("nu"))
     val users = ui.select(col("u")).distinct()
@@ -8162,7 +8173,97 @@ object SparkEntry {
          (SELECT count(*) FROM supplier s WHERE NOT EXISTS
            (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))"""
 
+  // ------------------------------------------------------------------
+  // q174 — per-FILE decoder dispatch in one mixed-format directory
+  // (Tap.concatByFile ≈ hadron's concatTaps filename-stem dispatch,
+  // Controller.hs:364-376), until now spec-only: nation is staged as a
+  // CSV file (keys < 13) and a JSON file (keys >= 13) INTERLEAVED in
+  // one directory; each glob-scoped tap must open ONLY its own files.
+  // The fmt tag comes from the file actually read (input_file_name),
+  // so a csv tap leaking into the json file (or vice versa) flips tags
+  // or duplicates rows — either hash-mismatches the oracle, which
+  // rebuilds both arms from the parquet table directly.
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-q174-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(root)
+    val csvBody = ("n_nationkey,n_name" +: nat.filter(_._1 < 13)
+      .map { case (k, n) => s"$k,$n" }.toSeq).mkString("", "\n", "\n")
+    val jsonBody = nat.filter(_._1 >= 13)
+      .map { case (k, n) => s"""{"n_nationkey":$k,"n_name":"$n"}""" }
+      .mkString("", "\n", "\n")
+    Files.write(root.resolve("low.csv"), csvBody.getBytes("UTF-8"))
+    Files.write(root.resolve("high.json"), jsonBody.getBytes("UTF-8"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("n_nationkey", org.apache.spark.sql.types.IntegerType)
+      .add("n_name", org.apache.spark.sql.types.StringType)
+    graft.tap.Tap.concatByFile(s, root.toString, Seq(
+      "*.csv" -> graft.tap.Tap(Seq(root.toString), "csv",
+        Map("header" -> "true"), Some(schema)),
+      "*.json" -> graft.tap.Tap(Seq(root.toString), "json",
+        Map.empty, Some(schema))))
+      .select(
+        regexp_extract(input_file_name(), "\\.([a-z]+)$", 1).as("fmt"),
+        col("n_nationkey"), col("n_name"))
+  }
+
+  private val q174Sql =
+    """SELECT 'csv' AS fmt, n_nationkey, n_name FROM nation
+       WHERE n_nationkey < 13
+       UNION ALL
+       SELECT 'json' AS fmt, n_nationkey, n_name FROM nation
+       WHERE n_nationkey >= 13"""
+
+  // ------------------------------------------------------------------
+  // q175 — binary-file taps under the oracle (Tap.fromFileList ≈
+  // hadron's fileListTap, Controller.hs:463-471; Tap.binaryDir ≈
+  // binaryDirTap, Controller.hs:701-707), until now spec-only: region
+  // names are staged as one small .bin file each plus a listing file
+  // of their paths; BOTH read paths (glob-dir and list-indirection)
+  // must surface identical (name, size, md5-of-bytes) rows — the
+  // oracle rebuilds them from the parquet table, so a short read,
+  // an extra file, or a path mix-up all hash-mismatch.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val reg = t(s, dir, "region").select("r_regionkey", "r_name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-q175-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(root)
+    val paths = reg.map { case (k, n) =>
+      val p = root.resolve(s"region_$k.bin")
+      Files.write(p, n.getBytes("UTF-8"))
+      p.toString
+    }
+    Files.write(root.resolve("files.txt"),
+      paths.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def arm(df: DataFrame, tag: String): DataFrame = df.select(
+      lit(tag).as("src"),
+      regexp_extract(col("path"), "[^/]+$", 0).as("fname"),
+      col("length"),
+      md5(col("content")).as("content_md5"))
+    arm(graft.tap.Tap.binaryDir(root.toString, "*.bin").read(s), "dir")
+      .unionByName(arm(graft.tap.Tap.fromFileList(s,
+        root.resolve("files.txt").toString), "list"))
+  }
+
+  private val q175Sql =
+    """WITH f AS (
+         SELECT 'region_' || CAST(r_regionkey AS VARCHAR) || '.bin'
+             AS fname,
+           CAST(octet_length(encode(r_name)) AS BIGINT) AS length,
+           md5(r_name) AS content_md5
+         FROM region)
+       SELECT 'dir' AS src, fname, length, content_md5 FROM f
+       UNION ALL
+       SELECT 'list' AS src, fname, length, content_md5 FROM f"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_binary_taps" -> (q175 _),
+    "q174_concat_by_file" -> (q174 _),
     "q173_integrity" -> (q173 _),
     "q172_assortativity" -> (q172 _),
     "q171_covisitation" -> (q171 _),
@@ -8426,6 +8527,8 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q175_binary_taps" -> q175Sql,
+    "q174_concat_by_file" -> q174Sql,
     "q173_integrity" -> q173Sql,
     "q172_assortativity" -> q172Sql,
     "q171_covisitation" -> q171Sql,

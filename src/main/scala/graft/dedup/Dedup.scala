@@ -550,18 +550,21 @@ object Dedup {
     * arm, `UNION SELECT min(id), max(id) ... HAVING COUNT(*) >
     * maxBucketSize` for the representative arm.
     *
-    * SIDE EFFECT (round 13, documented per round-13 ADVICE): unless
-    * `rowsHint >= 0`, calling this function eagerly runs ONE count()
-    * Spark job at plan-build time — the shuffle-sizing inputs
-    * (Sizing.groupingPartitions / jaccardBuildParts) need the corpus
-    * cardinality before the plan exists. Over a plain pruned scan the
-    * count is a metadata-cheap single-column pass; over an EXPENSIVE
-    * upstream plan (a prior join/agg/kernel) it re-executes that plan
-    * once. Such callers should either pass `rowsHint` (any upper
-    * bound of the right magnitude works — it only sizes partitions)
-    * or set `cacheSignatures = true`, which makes the count
-    * materialize the signature cache the banding pass then reuses, so
-    * the upstream plan still runs exactly once.
+    * SIZING (round 15, closing the round-14 ADVICE wart): the
+    * shuffle-sizing inputs (Sizing.groupingPartitions /
+    * jaccardBuildParts) need the corpus cardinality before the plan
+    * exists. Resolution order: `rowsHint >= 0` (authoritative) →
+    * cached-signature count (when `cacheSignatures`; materializes the
+    * cache the banding pass reuses, so upstream runs once) →
+    * [[graft.ops.Sizing.planRowsEstimate]] (NO Spark job — plan
+    * rowCount or sizeInBytes/256, magnitude-right which is all
+    * partition sizing needs) → a pruned count() job ONLY when the
+    * plan carries no usable statistic. The default path over a
+    * parquet scan therefore runs zero jobs at plan-build time
+    * (DedupSpec pins this with a job-counting listener). Callers with
+    * an EXPENSIVE upstream plan (a prior join/agg/kernel) whose plan
+    * stats are degenerate should still pass `rowsHint` or set
+    * `cacheSignatures = true`.
     *
     * @param rowsHint known (approximate) row count of `df`; `>= 0`
     *   skips the sizing count() job entirely. Default -1 = count.
@@ -599,13 +602,15 @@ object Dedup {
       .select(col("id"), col("vms"))
     val docs = if (cacheSignatures) docs0.cache() else docs0
     // Sizing cardinality: hint > cached-signature count (materializes
-    // the cache the banding pass reuses — upstream runs once) > pruned
-    // pre-kernel count (cheapest over a plain scan, but re-executes an
-    // expensive upstream plan; see the SIDE EFFECT note above).
+    // the cache the banding pass reuses — upstream runs once) > plan
+    // statistics (round 15: NO job — parquet scans know their bytes
+    // driver-side; sizing only needs the magnitude) > pruned count()
+    // as the last resort when the plan carries no usable size.
     val nRows =
       if (rowsHint >= 0) rowsHint
       else if (cacheSignatures) docs.count()
-      else df.select(idCol).count()
+      else graft.ops.Sizing.planRowsEstimate(df)
+        .getOrElse(df.select(idCol).count())
     if (verifyInGroup) {
       // IN-GROUP Jaccard verify (round 13, the default) — the same
       // rewrite the embedding family got in round 11, for the same

@@ -53,37 +53,6 @@ object Anomaly {
       .drop("__v", "__s", "__q")
   }
 
-  /** CUSUM changepoint alarms per key (Page 1954) — the sequential
-    * drift detector z-scores can't replace: a level shift too small to
-    * flag any single point accumulates until the cumulative sum
-    * crosses the threshold. The ingest-monitoring classic ("this
-    * source's mean document quality drifted down over the last week"),
-    * exact in integers so alarms replay bit-identically.
-    *
-    * Recurrence per key, rows in (orderCols) order:
-    *   s₀ = 0;  sᵢ = max(0, sᵢ₋₁ + vᵢ − target − slack)
-    * an alarm fires where sᵢ ≥ threshold, and s resets to 0 after each
-    * alarm (restart detection — the standard practice so one long
-    * excursion is N independent alarms, not one smeared flag). This is
-    * a genuinely sequential recurrence (the max-with-zero reset breaks
-    * prefix-sum decomposition), so it runs as the hadron-style
-    * secondary-sorted streaming reducer — [[GroupReduce.secondarySort]]'s
-    * one repartition + in-partition sort, each group scanned once with
-    * O(1) state, never a per-key collect.
-    *
-    * One-sided (upward drift); detect downward by negating `value` and
-    * `target` at the call site. `orderCols` must pin a total order per
-    * key (house rule — ts alone ties, add the event id).
-    *
-    * @param value long-valued series (fix floats upstream — exactness
-    *   needs integers; e.g. cents, not dollars-as-double)
-    * @param target the in-control level subtracted each step
-    * @param slack the CUSUM allowance k (half the shift magnitude
-    *   worth detecting, in the same units)
-    * @param threshold alarm level h (same units)
-    * @return one row per alarm: (key, id at the alarm row, s_alarm =
-    *   the crossing value, alarm_seq = 1-based alarm index within key)
-    */
   /** Per-key EWMA smoothing, exact — the denoised baseline a drift
     * report plots against the raw series, and the third member of the
     * monitoring family (global [[zScoreFlags]], sequential
@@ -133,8 +102,14 @@ object Anomaly {
         val v = r.getLong(2)
         require(v >= 0, s"ewmaSmooth values must be non-negative " +
           s"(>> is floor only there), got $v for key $k")
-        s = if (s < 0) v << 8
-            else (alpha * (v << 8) + (16 - alpha) * s) >> 4
+        // *Exact arithmetic: v near 2^51 would silently wrap the
+        // α·v·2^8 step under raw long ops — raise loudly instead,
+        // matching the SQL side's ANSI-overflow discipline.
+        val v256 = Math.multiplyExact(v, 256L)
+        s = if (s < 0) v256
+            else Math.addExact(
+              Math.multiplyExact(alpha.toLong, v256),
+              Math.multiplyExact((16 - alpha).toLong, s)) >> 4
         (k, r.getLong(1), v, s)
       }
     }.toDF("key", "id", "v", "ewma_fx")
@@ -201,6 +176,40 @@ object Anomaly {
         col("__n").as("n"), col("anomaly"))
   }
 
+  /** CUSUM changepoint alarms per key (Page 1954) — the sequential
+    * drift detector z-scores can't replace: a level shift too small to
+    * flag any single point accumulates until the cumulative sum
+    * crosses the threshold. The ingest-monitoring classic ("this
+    * source's mean document quality drifted down over the last week"),
+    * exact in integers so alarms replay bit-identically.
+    *
+    * Recurrence per key, rows in (orderCols) order:
+    *   s₀ = 0;  sᵢ = max(0, sᵢ₋₁ + vᵢ − target − slack)
+    * an alarm fires where sᵢ ≥ threshold, and s resets to 0 after each
+    * alarm (restart detection — the standard practice so one long
+    * excursion is N independent alarms, not one smeared flag). This is
+    * a genuinely sequential recurrence (the max-with-zero reset breaks
+    * prefix-sum decomposition), so it runs as the hadron-style
+    * secondary-sorted streaming reducer — [[GroupReduce.secondarySort]]'s
+    * one repartition + in-partition sort, each group scanned once with
+    * O(1) state, never a per-key collect.
+    *
+    * One-sided (upward drift); detect downward by negating `value` and
+    * `target` at the call site. `orderCols` must pin a total order per
+    * key (house rule — ts alone ties, add the event id). The reducer
+    * arithmetic is add/subtractExact — a series whose cumulative sum
+    * leaves long range raises instead of wrapping (the SQL-side
+    * ANSI-overflow discipline, carried into the JVM kernel).
+    *
+    * @param value long-valued series (fix floats upstream — exactness
+    *   needs integers; e.g. cents, not dollars-as-double)
+    * @param target the in-control level subtracted each step
+    * @param slack the CUSUM allowance k (half the shift magnitude
+    *   worth detecting, in the same units)
+    * @param threshold alarm level h (same units)
+    * @return one row per alarm: (key, id at the alarm row, s_alarm =
+    *   the crossing value, alarm_seq = 1-based alarm index within key)
+    */
   def cusumAlarms(
       df: DataFrame,
       key: Column,
@@ -234,7 +243,7 @@ object Anomaly {
       var alarmSeq = 0L
       rows.flatMap { r =>
         val v = r.getLong(2)
-        s = math.max(0L, s + v - drop)
+        s = math.max(0L, Math.subtractExact(Math.addExact(s, v), drop))
         if (s >= threshold) {
           alarmSeq += 1
           val out = (k, r.getLong(1), s, alarmSeq)

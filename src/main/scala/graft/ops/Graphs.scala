@@ -10,26 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Weighted co-occurrence edges from a (group, item) membership
-    * table: an undirected edge (a, b, w) per unordered item pair that
-    * shares ≥ `minWeight` groups (a < b canonically; items compare in
-    * their own type's ordering, cast upstream if that is not meant).
-    *
-    * Shape: ONE exchange — items are grouped per group and the ≤
-    * cap·(cap−1)/2 pairs are emitted MAP-SIDE from the bounded array,
-    * then one map-side-combined count. The tempting alternative, a
-    * self-join on the group key, shuffles the membership table twice
-    * and was measured dominating the whole triangle query before q146
-    * switched to this form (NOTES r16tri). `maxItemsPerGroup` bounds
-    * the per-group emission (a group of g items yields O(g²) pairs —
-    * a 10⁵-item group is a 10¹⁰-pair bomb): items past the cap are
-    * DROPPED with the capped-collect's deterministic keep rule, the
-    * same loud-by-scaladoc trade as [[graft.plans.CollectListCapped]];
-    * size the cap to the real "co-occurrence is meaningful" group
-    * width, not the biggest group.
-    *
-    * @return (a, b, w) with a < b, w = co-occurrence count ≥ minWeight
-    */
   /** Degree assortativity (Newman 2002) as an EXACT integer moment
     * pair — "do hubs link to hubs?" (positive: social/co-occurrence
     * structure; negative: hub-and-spoke/star structure — a crawl
@@ -83,19 +63,60 @@ object Graphs {
         (dec(col("n")) * col("syy") - col("sy") * col("sy")).as("den_y"))
   }
 
+  /** Weighted co-occurrence edges from a (group, item) membership
+    * table: an undirected edge (a, b, w) per unordered item pair that
+    * shares ≥ `minWeight` groups (a < b canonically; items compare in
+    * their own type's ordering, cast upstream if that is not meant).
+    *
+    * Shape: ONE exchange — items are grouped per group and the ≤
+    * cap·(cap−1)/2 pairs are emitted MAP-SIDE from the bounded array,
+    * then one map-side-combined count. The tempting alternative, a
+    * self-join on the group key, shuffles the membership table twice
+    * and was measured dominating the whole triangle query before q146
+    * switched to this form (NOTES r16tri). `maxItemsPerGroup` bounds
+    * the per-group emission (a group of g items yields O(g²) pairs —
+    * a 10⁵-item group is a 10¹⁰-pair bomb). Two over-cap policies:
+    * with `failOnOverCap = false` (default), items past the cap are
+    * DROPPED with the capped-collect's deterministic keep rule — the
+    * same loud-by-scaladoc trade as [[graft.plans.CollectListCapped]];
+    * with `failOnOverCap = true`, any group holding more than the cap
+    * raises at runtime (the right setting when the consumer's
+    * contract is exactness over every pair, e.g. a query verified
+    * against an uncapped oracle — q171). Size the cap to the real
+    * "co-occurrence is meaningful" group width, not the biggest group.
+    *
+    * @return (a, b, w) with a < b, w = co-occurrence count ≥ minWeight
+    */
   def coOccurrenceEdges(
       df: DataFrame,
       groupCol: Column,
       itemCol: Column,
       minWeight: Long = 1L,
-      maxItemsPerGroup: Int = 200): DataFrame = {
+      maxItemsPerGroup: Int = 200,
+      failOnOverCap: Boolean = false): DataFrame = {
     require(minWeight >= 1, s"minWeight must be >= 1, got $minWeight")
     require(maxItemsPerGroup >= 2,
       s"maxItemsPerGroup must be >= 2, got $maxItemsPerGroup")
-    df.select(groupCol.as("g"), itemCol.as("it")).distinct()
+    // In fail mode, collect ONE item past the cap: size > cap after
+    // the distinct collect proves the group genuinely exceeds it (the
+    // input stream to the collect is already (g, it)-distinct).
+    val collectCap =
+      if (failOnOverCap) maxItemsPerGroup + 1 else maxItemsPerGroup
+    val grouped = df.select(groupCol.as("g"), itemCol.as("it")).distinct()
       .groupBy("g")
       .agg(array_distinct(call_function("collect_list_capped",
-        col("it"), lit(maxItemsPerGroup))).as("ps"))
+        col("it"), lit(collectCap))).as("ps"))
+    val checked =
+      if (failOnOverCap)
+        grouped.withColumn("ps",
+          when(size(col("ps")) > maxItemsPerGroup,
+            raise_error(concat(
+              lit("coOccurrenceEdges: group "), col("g").cast("string"),
+              lit(s" exceeds maxItemsPerGroup=$maxItemsPerGroup; " +
+                "raise the cap or pre-filter the group"))))
+            .otherwise(col("ps")))
+      else grouped
+    checked
       .select(explode(expr(
         """flatten(transform(ps, x ->
              filter(transform(ps, y ->

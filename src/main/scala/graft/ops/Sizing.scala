@@ -27,6 +27,36 @@ object Sizing {
     * corpus"). Negative so no explicit legal value collides with it. */
   val Auto: Int = -1
 
+  /** Best-effort row-count estimate from Catalyst plan statistics —
+    * NO Spark job. Prefers the plan's own `rowCount` (present for
+    * cached relations and CBO-analyzed tables), else divides the
+    * plan's `sizeInBytes` (for a parquet scan: the compressed file
+    * bytes, known from the driver-side file listing) by
+    * `assumedBytesPerRow`. Returns None when the plan carries no
+    * usable size (e.g. a pure LocalRelation after pruning, or the
+    * unknown-size sentinel) — callers fall back to a count() job.
+    *
+    * For SIZING consumers only (partition counts, band widths): the
+    * bytes-derived arm is magnitude-accurate, not exact — a corpus of
+    * unusually large rows underestimates partition counts by the same
+    * factor, so pick `assumedBytesPerRow` at or BELOW the plausible
+    * per-row floor (over-estimating rows over-partitions, the safe
+    * direction for memory-bounded groupings). */
+  def planRowsEstimate(df: org.apache.spark.sql.DataFrame,
+      assumedBytesPerRow: Long = 256L): Option[Long] = {
+    require(assumedBytesPerRow >= 1,
+      s"assumedBytesPerRow $assumedBytesPerRow")
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).orElse {
+      val sz = stats.sizeInBytes
+      // sizeInBytes unknown ⇒ Spark plugs in defaultSizeInBytes
+      // (Long.MaxValue by default) — treat anything astronomically
+      // large as "unknown", not as a 2^53-row corpus.
+      if (sz <= 0 || sz >= BigInt(1L << 50)) None
+      else Some(math.max(1L, (sz / assumedBytesPerRow).toLong))
+    }
+  }
+
   /** ceil(log2(n)) for n >= 1; 0 for n <= 1. */
   def log2Ceil(n: Long): Int = {
     require(n >= 0, s"log2Ceil of negative $n")

@@ -301,7 +301,8 @@ object Streaming {
     * [[graft.ops.Anomaly.cusumAlarms]]' exact integer recurrence
     * (s ← max(0, s + v − target − slack); alarm and reset at
     * threshold) running forever on an unbounded stream: per-key state
-    * is TWO LONGS (running sum + alarm count), so the state store
+    * is FIVE SCALARS (running sum, alarm count, and the last-fed
+    * point's ts/id for the disorder guard below), so the state store
     * scales with key cardinality only — the drift monitor a pipeline
     * leaves on, with the batch operator as its exact replay oracle.
     *
@@ -314,13 +315,23 @@ object Streaming {
     * there is no watermark that can repair a sequential recurrence.
     * Feed it a per-key-ordered source (e.g. a time-partitioned ingest
     * where batch boundaries respect event time, as q160 stages).
+    *
+    * The contract is GUARDED, not just documented (round 15): the
+    * state carries the last-fed point's (ts, id), and a batch whose
+    * earliest point for a key sorts BEFORE it fails the query loudly
+    * under the default `failOnCrossBatchDisorder = true`
+    * (StreamingSpec "late batch" case pins both modes). Opting out
+    * accepts approximate alarms under disorder — the late points feed
+    * the recurrence at arrival position, which is the only sequential
+    * semantics an unbounded stream can offer.
     */
   def cusumStream(
       points: Dataset[CusumPoint],
       target: Long,
       slack: Long,
       threshold: Long,
-      maxBufferedEvents: Int = DefaultMaxBufferedPerKey)
+      maxBufferedEvents: Int = DefaultMaxBufferedPerKey,
+      failOnCrossBatchDisorder: Boolean = true)
       : Dataset[CusumAlarm] = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
     require(slack >= 0, s"slack must be non-negative, got $slack")
@@ -328,25 +339,49 @@ object Streaming {
     val drop = target + slack
     points
       .groupByKey(_.key)
-      .flatMapGroupsWithState[(Long, Long), CusumAlarm](
+      .flatMapGroupsWithState[(Long, Long, Long, Int, Long), CusumAlarm](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (key, pts, state: GroupState[(Long, Long)]) =>
+        case (key, pts, state: GroupState[(Long, Long, Long, Int, Long)]) =>
           val buf = pts.take(maxBufferedEvents + 1).toSeq
           require(buf.lengthCompare(maxBufferedEvents) <= 0,
             s"key $key has > $maxBufferedEvents points in one batch; " +
               "raise maxBufferedEvents or split the key upstream")
-          val sorted = buf.sortBy(p => (p.ts.getTime, p.id))
-          var (s, seq) = state.getOption.getOrElse((0L, 0L))
+          // Full-precision order: getTime alone is millisecond-truncated,
+          // but the batch operator (Anomaly.cusumAlarms) and the q156/q160
+          // oracles order by the full microsecond timestamp — two events
+          // inside one millisecond must feed the recurrence in (ts, id)
+          // order, not (ms, id) order. getNanos carries the sub-ms part.
+          val sorted = buf.sortBy(p => (p.ts.getTime, p.ts.getNanos, p.id))
+          var (s, seq, lastMs, lastNs, lastId) =
+            state.getOption.getOrElse((0L, 0L, Long.MinValue, 0, 0L))
+          if (failOnCrossBatchDisorder && state.exists)
+            sorted.headOption.foreach { h =>
+              val late = Ordering[(Long, Int, Long)].lt(
+                (h.ts.getTime, h.ts.getNanos, h.id), (lastMs, lastNs, lastId))
+              require(!late,
+                s"cusumStream: key $key received point (ts=${h.ts}, " +
+                  s"id=${h.id}) AFTER already feeding a later point — " +
+                  "cross-batch disorder breaks the sequential recurrence " +
+                  "(no watermark can repair it). Stage batches in event-" +
+                  "time order, or pass failOnCrossBatchDisorder = false " +
+                  "to accept arrival-order (approximate) alarms.")
+            }
           val alarms = scala.collection.mutable.ListBuffer.empty[CusumAlarm]
           sorted.foreach { p =>
-            s = math.max(0L, s + p.v - drop)
+            // same *Exact overflow discipline as the batch operator —
+            // bit-identical includes identical failure behavior
+            s = math.max(0L,
+              Math.subtractExact(Math.addExact(s, p.v), drop))
             if (s >= threshold) {
               seq += 1
               alarms += CusumAlarm(key, p.id, s, seq)
               s = 0L
             }
           }
-          state.update((s, seq))
+          sorted.lastOption.foreach { l =>
+            lastMs = l.ts.getTime; lastNs = l.ts.getNanos; lastId = l.id
+          }
+          state.update((s, seq, lastMs, lastNs, lastId))
           alarms.iterator
       }
   }

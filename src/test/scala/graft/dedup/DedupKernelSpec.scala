@@ -276,13 +276,45 @@ class DedupKernelSpec extends SparkSpec {
     val (d2, a2) = instrumented()
     val cached = run(d2, cache = true, hint = -1L)
     assert(a2.value == n.toLong, s"cached arm ran upstream ${a2.value / n}x")
-    // no hint, no cache: the sizing count is a second full execution
-    // of the (here expensive) upstream plan — the round-13 ADVICE case
-    // the two levers above exist for
+    // no hint, no cache (round 15): plan statistics carry the sizing
+    // cardinality (a LocalRelation-rooted plan knows its bytes), so
+    // upstream STILL runs exactly once — no sizing count() job
     val (d3, a3) = instrumented()
     val bare = run(d3, cache = false, hint = -1L)
-    assert(a3.value == 2L * n, s"bare arm ran upstream ${a3.value / n}x")
-    assert(hinted == cached && cached == bare && bare.nonEmpty)
+    assert(a3.value == n.toLong, s"bare arm ran upstream ${a3.value / n}x")
+    // an RDD-rooted plan reports the unknown-size sentinel — the
+    // sizing count() is the LAST resort and re-executes upstream once
+    // (the round-13 ADVICE case rowsHint/cacheSignatures exist for)
+    val accR = spark.sparkContext.longAccumulator("upstreamRdd")
+    val dfR = spark.createDataFrame(
+      spark.sparkContext.parallelize(base.toSeq, 2)
+        .map { t => accR.add(1); org.apache.spark.sql.Row(t._1, t._2) },
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType))
+    val bareRdd = run(dfR, cache = false, hint = -1L)
+    assert(accR.value == 2L * n,
+      s"rdd arm ran upstream ${accR.value / n}x, expected 2x")
+    assert(hinted == cached && cached == bare && bare == bareRdd &&
+      bare.nonEmpty)
+  }
+
+  test("minhashLsh over a parquet scan runs NO Spark job at " +
+      "plan-build time (sizing comes from plan statistics)") {
+    val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    df.schema // force any read-side inference OUTSIDE the probe group
+    val group = "graft-minhash-planbuild-probe"
+    spark.sparkContext.setJobGroup(group, "plan-build job probe")
+    try {
+      val out = Dedup.minhashLsh(df, col("doc_id"), col("text"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3)
+      val jobs =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+      assert(jobs.isEmpty,
+        s"plan build ran ${jobs.length} Spark job(s) on the default " +
+          "parquet path — the round-15 sizing contract is zero")
+      assert(out.count() >= 0) // the plan still executes fine
+    } finally spark.sparkContext.clearJobGroup()
   }
 
   test("ngramJaccard/ngramContainment charsHint skips the sizing scan " +

@@ -431,6 +431,66 @@ class StreamingSpec extends SparkSpec {
       CusumAlarm(1L, 8L, 32L, 2L)))
   }
 
+  test("cusumStream cross-batch DISORDER: a late batch fails loudly by " +
+      "default (naming the key and point), and with the guard off the " +
+      "late point feeds the recurrence at arrival position — the " +
+      "documented approximate semantics, pinned") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{CusumAlarm, CusumPoint}
+    def p(id: Long, sec: Int, v: Long) = CusumPoint(1L, id, ts(sec), v)
+    // guard ON (default): batch 2 delivers a point EARLIER than batch
+    // 1's latest → the query must die with the contract message
+    val memStrict = MemoryStream[CusumPoint]
+    val strict = Streaming.cusumStream(memStrict.toDS(), target = 10L,
+        slack = 2L, threshold = 30L)
+      .writeStream.format("memory").queryName("cusum_strict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memStrict.addData(p(1, 1, 20L), p(2, 2, 20L))
+      strict.processAllAvailable()
+      memStrict.addData(p(99, 1, 20L)) // sec 1 again: late vs sec 2
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        strict.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val all = msgs(e).mkString("\n")
+      assert(all.contains("cross-batch disorder") && all.contains("key 1"),
+        s"guard must name the contract and the key, got: $all")
+    } finally strict.stop()
+    // guard OFF: same disorder runs to completion, the late point
+    // feeding the recurrence at ARRIVAL position — and the values are
+    // chosen so stream and batch alarm at DIFFERENT ids, pinning the
+    // divergence the opt-out accepts rather than a coincidental match.
+    // Arrival order (v−12 each step): id1 +8 → 8, id2 +20 → 28 (no
+    // alarm), late id99 +4 → 32 → alarm AT id99. Event-time order:
+    // id1 +8 → 8, id99 +4 → 12, id2 +20 → 32 → alarm AT id2.
+    val memLoose = MemoryStream[CusumPoint]
+    val loose = Streaming.cusumStream(memLoose.toDS(), target = 10L,
+        slack = 2L, threshold = 30L, failOnCrossBatchDisorder = false)
+      .writeStream.format("memory").queryName("cusum_loose")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memLoose.addData(p(1, 1, 20L), p(2, 2, 32L))
+      loose.processAllAvailable()
+      memLoose.addData(p(99, 1, 16L)) // late — accepted, fed 3rd
+      loose.processAllAvailable()
+      val got = spark.table("cusum_loose").as[CusumAlarm].collect().toSet
+      assert(got == Set(CusumAlarm(1L, 99L, 32L, 1L)),
+        s"arrival-order semantics: alarm at the late point, got $got")
+      val rows = Seq(p(1, 1, 20L), p(2, 2, 32L), p(99, 1, 16L))
+        .map(x => (x.key, x.id, x.ts, x.v)).toDF("k", "id", "t", "v")
+      val batch = graft.ops.Anomaly.cusumAlarms(rows, col("k"),
+          col("id"), Seq(col("t"), col("id")), col("v"), 10L, 2L, 30L)
+        .collect().map(r => CusumAlarm(r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(batch == Set(CusumAlarm(1L, 2L, 32L, 1L)),
+        s"batch (event-time) alarms at id 2, got $batch")
+    } finally loose.stop()
+  }
+
   test("kmvWindowedDistinct: sketches merge across micro-batches to " +
       "the batch answer — exact below k, estimator above, late rows " +
       "fold into their window") {
