@@ -8261,7 +8261,247 @@ object SparkEntry {
        UNION ALL
        SELECT 'list' AS src, fname, length, content_md5 FROM f"""
 
+  // ------------------------------------------------------------------
+  // q176 — per-document n-gram novelty (extension: Dedup.ngramNovelty):
+  // the fraction of each doc's distinct 8-char shingles appearing in NO
+  // other document — the memorization-risk / boilerplate-assembly
+  // signal pairwise dedup misses (a doc stitched from many common
+  // fragments is below every pair threshold but has near-zero
+  // novelty). One df count over the q18 shingle-hash space + one
+  // narrow join back; the oracle replays the md5-mod shingle kernel.
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.ngramNovelty(
+      t(s, dir, "documents"), col("doc_id"), col("text"), shingleK = 8)
+
+  private val q176Sql =
+    """WITH docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8)
+             for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       grams AS (SELECT id, unnest(vms) AS g FROM based),
+       dfs AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+       SELECT gr.id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+         CAST((sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1048576)
+           // count(*) AS BIGINT) AS novelty_fx
+       FROM grams gr JOIN dfs d ON gr.g = d.g
+       GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q177 — functional-dependency profiling (extension:
+  // Profile.fdProfile): the within-table schema-contract half of the
+  // data-quality gate (q173 checks BETWEEN tables) — candidate-key
+  // claims (event_id → user_id, o_orderkey → o_custkey: zero
+  // violations IS the assertion) next to known-false dependencies
+  // whose violation rate is the profile (user_id → event_type,
+  // l_orderkey → l_suppkey).
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Profile.fdProfile
+    val ev = t(s, dir, "events")
+    fdProfile(ev, col("event_id"), col("user_id"),
+        "events.event_id->user_id")
+      .unionByName(fdProfile(ev, col("user_id"), col("event_type"),
+        "events.user_id->event_type"))
+      .unionByName(fdProfile(t(s, dir, "orders"),
+        col("o_orderkey"), col("o_custkey"),
+        "orders.o_orderkey->o_custkey"))
+      .unionByName(fdProfile(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_suppkey"),
+        "lineitem.l_orderkey->l_suppkey"))
+  }
+
+  private val q177Sql =
+    """WITH probe AS (
+         SELECT 'events.event_id->user_id' AS relation, k, nd FROM (
+           SELECT event_id AS k, count(DISTINCT user_id) AS nd
+           FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1)
+         UNION ALL
+         SELECT 'events.user_id->event_type', k, nd FROM (
+           SELECT user_id AS k, count(DISTINCT event_type) AS nd
+           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1)
+         UNION ALL
+         SELECT 'orders.o_orderkey->o_custkey', k, nd FROM (
+           SELECT o_orderkey AS k, count(DISTINCT o_custkey) AS nd
+           FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+           GROUP BY 1)
+         UNION ALL
+         SELECT 'lineitem.l_orderkey->l_suppkey', k, nd FROM (
+           SELECT l_orderkey AS k, count(DISTINCT l_suppkey) AS nd
+           FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+           GROUP BY 1))
+       SELECT relation, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         CAST(max(nd) AS BIGINT) AS max_distinct,
+         CAST((sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1048576)
+           // count(*) AS BIGINT) AS violation_fx
+       FROM probe GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q178 — per-group percentile normalization (extension:
+  // Profile.percentileNormalizeByGroup): q167's exact rank statistic
+  // WITHIN each event type — the cross-source score calibration a
+  // global percentile erases when sources score on different scales.
+  // One window shuffle on the group key; grouping supplies the
+  // parallelism (q164 discipline).
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.percentileNormalizeByGroup(t(s, dir, "events"),
+      col("event_type"), col("event_id"),
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+
+  private val q178Sql =
+    """WITH v AS (
+         SELECT event_type AS g, event_id AS id,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS s
+         FROM events
+         WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+           AND value IS NOT NULL),
+       r AS (
+         SELECT g, id, s,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY s, id) AS rank,
+           COUNT(*) OVER (PARTITION BY g) AS n
+         FROM v)
+       SELECT g, id, s, CAST(rank AS BIGINT) AS rank,
+         CAST(((rank - 1) * 1048576) // greatest(n - 1, 1) AS BIGINT)
+           AS pct_fx
+       FROM r"""
+
+  // ------------------------------------------------------------------
+  // q179 — retriever agreement via exact RBO (extension:
+  // RankFusion.rboExact): rank-biased overlap between the exact brute
+  // cosine top-10 and the 1-bit-code top-10 per query — the
+  // order-sensitive grading recall@k (q114) can't see. Emitted as the
+  // exact integer pair (num, den = 2.52e13 for p=9/10, D=10); the
+  // oracle replays both retrievers and the unrolled coefficient sum.
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    def ranked(df: DataFrame): DataFrame = df.select(
+      col("query_id").as("qid"), col("corpus_id").as("id"), col("rank"))
+    graft.ops.RankFusion.rboExact(
+      ranked(graft.similarity.Similarity.bruteForceTopK(
+        emb, q, "vec_id", "embedding", k = 10)),
+      ranked(graft.similarity.Similarity.binaryTopK(
+        emb, q, "vec_id", "embedding", k = 10, rerank = 40)),
+      depth = 10)
+  }
+
+  private val q179Sql =
+    """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+       bscored AS (
+         SELECT query_id, vec_id AS corpus_id,
+           list_sum([qe[i] * e[i] for i in range(1, len(e)+1)]) /
+             (sqrt(list_sum([qe[i] * qe[i] for i in range(1, len(qe)+1)])) *
+              sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)]))) AS sim
+         FROM q CROSS JOIN v WHERE query_id <> vec_id),
+       brute AS (
+         SELECT query_id, corpus_id, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+           FROM bscored) WHERE rank <= 10),
+       bits AS (SELECT vec_id, [CASE WHEN x >= 0 THEN 1 ELSE 0 END for x in e] AS bits FROM v),
+       qb AS (SELECT vec_id AS query_id, bits AS qbits FROM bits WHERE vec_id % 25 = 0),
+       ham AS (
+         SELECT query_id, vec_id AS corpus_id,
+           list_sum([CASE WHEN qbits[i] <> bits[i] THEN 1 ELSE 0 END
+                     for i in range(1, len(bits)+1)]) AS d
+         FROM qb CROSS JOIN bits WHERE query_id <> vec_id),
+       cand AS (
+         SELECT query_id, corpus_id FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY d ASC, corpus_id ASC) AS rn
+           FROM ham) WHERE rn <= 40),
+       cscored AS (
+         SELECT c.query_id, c.corpus_id,
+           list_sum([qv.e[i] * cv.e[i] for i in range(1, len(cv.e)+1)]) /
+             (sqrt(list_sum([qv.e[i] * qv.e[i] for i in range(1, len(qv.e)+1)])) *
+              sqrt(list_sum([cv.e[i] * cv.e[i] for i in range(1, len(cv.e)+1)]))) AS sim
+         FROM cand c
+         JOIN v cv ON c.corpus_id = cv.vec_id
+         JOIN v qv ON c.query_id = qv.vec_id),
+       bin AS (
+         SELECT query_id, corpus_id, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+           FROM cscored) WHERE rank <= 10),
+       alists AS (
+         SELECT query_id AS qid,
+           list(corpus_id ORDER BY rank) AS a_ids FROM brute GROUP BY 1),
+       blists AS (
+         SELECT query_id AS qid,
+           list(corpus_id ORDER BY rank) AS b_ids FROM bin GROUP BY 1),
+       joined AS (
+         SELECT coalesce(a.qid, b.qid) AS qid,
+           coalesce(a_ids, []) AS a_ids, coalesce(b_ids, []) AS b_ids
+         FROM alists a FULL OUTER JOIN blists b ON a.qid = b.qid),
+       coefs AS (SELECT [2520000000000, 1134000000000, 680400000000,
+         459270000000, 330674400000, 248005800000, 191318760000,
+         150663523500, 120530818800, 976299632280] AS c)
+       SELECT qid,
+         CAST(list_sum([c[d] * len(list_intersect(a_ids[1:d], b_ids[1:d]))
+           for d in range(1, 11)]) AS BIGINT) AS rbo_num,
+         CAST(25200000000000 AS BIGINT) AS rbo_den
+       FROM joined, coefs"""
+
+  // ------------------------------------------------------------------
+  // q180 — full Gopher n-gram repetition table (extension:
+  // Repetition.ngramStats): per doc and per n ∈ [2,10], the
+  // top-n-gram char coverage (Gopher's n=2..4 family) AND the
+  // duplicated-n-gram char coverage (n=5..10 family) — completing the
+  // q44 repetition signals to the whole published table. Map-only
+  // kernel; fractions are integer÷integer IEEE divisions. The oracle
+  // builds the same grams per n as UNION arms and replays both
+  // coverages relationally (unnest → count → max/sum).
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Repetition.ngramStats(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      minN = 2, maxN = 10)
+
+  private val q180Sql = {
+    val arms = (2 to 10).map { n =>
+      s"""SELECT id, $n AS n,
+           unnest([array_to_string(tk[i:i+${n - 1}], ' ')
+             for i in range(1, len(tk)-$n+2)]) AS gram
+         FROM toks WHERE len(tk) >= $n"""
+    }.mkString(" UNION ALL ")
+    s"""WITH d0 AS (
+         SELECT doc_id AS id, text, len(text) AS L FROM documents
+         WHERE text IS NOT NULL AND len(text) > 0),
+       toks AS (
+         SELECT id, L,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+             AS tk
+         FROM d0),
+       tg AS ($arms),
+       counts AS (
+         SELECT id, n, gram, count(*) AS c FROM tg GROUP BY 1, 2, 3),
+       agg AS (
+         SELECT id, n, CAST(sum(c) AS BIGINT) AS n_grams,
+           max(c * len(gram)) AS topc,
+           coalesce(sum(CASE WHEN c > 1 THEN c * len(gram) END), 0)
+             AS dupc
+         FROM counts GROUP BY 1, 2)
+       SELECT a.id, CAST(a.n AS BIGINT) AS n, a.n_grams,
+         CAST(a.topc AS DOUBLE) / d.L AS top_char_frac,
+         CAST(a.dupc AS DOUBLE) / d.L AS dup_char_frac
+       FROM agg a JOIN d0 d ON a.id = d.id"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_ngram_repetition" -> (q180 _),
+    "q179_rbo" -> (q179 _),
+    "q178_group_percentile" -> (q178 _),
+    "q177_fd_profile" -> (q177 _),
+    "q176_ngram_novelty" -> (q176 _),
     "q175_binary_taps" -> (q175 _),
     "q174_concat_by_file" -> (q174 _),
     "q173_integrity" -> (q173 _),
@@ -8527,6 +8767,11 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q180_ngram_repetition" -> q180Sql,
+    "q179_rbo" -> q179Sql,
+    "q178_group_percentile" -> q178Sql,
+    "q177_fd_profile" -> q177Sql,
+    "q176_ngram_novelty" -> q176Sql,
     "q175_binary_taps" -> q175Sql,
     "q174_concat_by_file" -> q174Sql,
     "q173_integrity" -> q173Sql,

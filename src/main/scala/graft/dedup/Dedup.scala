@@ -1855,6 +1855,50 @@ object Dedup {
     * the three 1-row totals attach by broadcast cross join, the house
     * totals pattern.
     */
+  /** Per-document n-gram NOVELTY — the memorization-risk / curation
+    * dual of the dedup family: for each document, the fraction of its
+    * distinct k-char shingles that appear in NO other document
+    * (corpus df = 1). A high-novelty document contributes genuinely
+    * new text; a low-novelty one is assembled from corpus-common
+    * fragments even when no single pair-wise near-dup exists — which
+    * is exactly the case Jaccard/containment miss (many sources, each
+    * below any pair threshold). The inverse signal prioritizes
+    * boilerplate for removal; the forward signal weights novel docs
+    * up in mixture sampling.
+    *
+    * Shape: the q18/q19 shingle kernel ([[shingleDocs]] — per-doc
+    * DISTINCT string shingles, then md5-mod hashes, so the DuckDB
+    * oracle replays bit-for-bit), explode to the (hash, id) incidence
+    * stream, ONE map-side-combined df count over hashes, one narrow
+    * join back, one per-doc aggregation. Every exchanged row is a
+    * (long, long) pair — shuffle is linear in total distinct grams,
+    * nothing buffers a posting list (no df cap needed: counts, not
+    * pair emission — df never multiplies volume here). Docs shorter
+    * than k have no shingles and are absent from the output
+    * (documented, matches the dedup family).
+    *
+    * @return (id, n_shingles, n_novel, novelty_fx) with novelty_fx =
+    *   n_novel·2^20 div n_shingles (exact fixed point, floor)
+    */
+  def ngramNovelty(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleK: Int = 8): DataFrame = {
+    require(shingleK >= 2, s"shingleK must be >= 2, got $shingleK")
+    val grams = shingleDocs(df, idCol, textCol, shingleK)
+      .select(col("id"), explode(col("vms")).as("g"))
+    // vms is per-doc distinct, so count(*) per hash IS the document
+    // frequency — no pre-distinct pass needed
+    val dfs = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfs, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1048576L) div n_shingles").as("novelty_fx"))
+  }
+
   def gradePairs(pred: DataFrame, truth: DataFrame): DataFrame = {
     val p = pred.select(col("id1"), col("id2")).distinct()
     val t = truth.select(col("id1"), col("id2")).distinct()

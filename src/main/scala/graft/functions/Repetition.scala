@@ -82,4 +82,88 @@ object Repetition extends Serializable {
       }
     }(enc)
   }
+
+  /** The FULL Gopher n-gram repetition table (Rae et al. 2021, table
+    * A1) — [[stats]] covers the line metrics and the top bigram; this
+    * emits, per document and per n ∈ [minN, maxN], BOTH remaining
+    * families as one long-format row:
+    *
+    *  - `top_char_frac`: characters covered by the single most
+    *    frequent word n-gram (count × gram chars, spaces included)
+    *    over total document chars — Gopher applies it at n = 2..4.
+    *  - `dup_char_frac`: characters covered by ALL occurrences of
+    *    n-grams appearing more than once, over total chars — Gopher's
+    *    n = 5..10 family. Overlapping occurrences each count (the
+    *    common reimplementation reading of the paper's definition),
+    *    so pathological repetition can exceed 1.0 — it is a screening
+    *    signal, monotone in repetition, not a probability.
+    *
+    * Docs with fewer than n tokens emit no row for that n (no gram
+    * exists — mirroring [[stats]]' degenerate-doc 0.0 convention would
+    * conflate "no signal" with "clean"). Fractions are integer÷integer
+    * IEEE divisions — bit-identical across engines, the q84 double
+    * discipline. One typed kernel pass per document (map-only, fuses
+    * into the scan); the (maxN − minN + 1) counting passes share the
+    * one tokenization.
+    *
+    * @return (id, n bigint, n_grams bigint, top_char_frac double,
+    *   dup_char_frac double)
+    */
+  def ngramStats(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      minN: Int = 2,
+      maxN: Int = 10): DataFrame = {
+    require(minN >= 2, s"minN must be >= 2, got $minN")
+    require(maxN >= minN && maxN <= 32,
+      s"maxN must be in [minN, 32], got $maxN")
+    import org.apache.spark.sql.types._
+    val base = df.select(idCol.as("id"), textCol.cast("string").as("__text"))
+    val schema = StructType(Seq(
+      base.schema("id"),
+      StructField("n", LongType, false),
+      StructField("n_grams", LongType, false),
+      StructField("top_char_frac", DoubleType, false),
+      StructField("dup_char_frac", DoubleType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val totChars = text.length.toLong
+        (minN to maxN).iterator.flatMap { n =>
+          if (toks.length < n || totChars == 0) Iterator.empty
+          else {
+            val counts = new java.util.HashMap[String, Int]()
+            val sb = new java.lang.StringBuilder()
+            var i = 0
+            while (i <= toks.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              counts.merge(sb.toString, 1, Integer.sum)
+              i += 1
+            }
+            var top = 0L; var dup = 0L
+            val it = counts.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val cover = e.getValue.toLong * e.getKey.length
+              if (cover > top) top = cover
+              if (e.getValue > 1) dup += cover
+            }
+            Iterator(org.apache.spark.sql.Row(r.get(0), n.toLong,
+              (toks.length - n + 1).toLong,
+              top.toDouble / totChars.toDouble,
+              dup.toDouble / totChars.toDouble))
+          }
+        }
+      }
+    }(enc)
+  }
 }

@@ -93,16 +93,35 @@ object Graphs {
       itemCol: Column,
       minWeight: Long = 1L,
       maxItemsPerGroup: Int = 200,
-      failOnOverCap: Boolean = false): DataFrame = {
+      failOnOverCap: Boolean = false,
+      numPartitions: Int = Sizing.Auto): DataFrame = {
     require(minWeight >= 1, s"minWeight must be >= 1, got $minWeight")
     require(maxItemsPerGroup >= 2,
       s"maxItemsPerGroup must be >= 2, got $maxItemsPerGroup")
+    require(numPartitions == Sizing.Auto || numPartitions >= 1,
+      s"numPartitions must be >= 1 or Sizing.Auto, got $numPartitions")
     // In fail mode, collect ONE item past the cap: size > cap after
     // the distinct collect proves the group genuinely exceeds it (the
     // input stream to the collect is already (g, it)-distinct).
     val collectCap =
       if (failOnOverCap) maxItemsPerGroup + 1 else maxItemsPerGroup
+    // The member-collect exchange holds OBJECT aggregation buffers
+    // (per-group arrays), the memory-hungry kind (the minhashLsh
+    // grouping lesson): with the session's 32 shuffle partitions its
+    // per-task state grows linearly with corpus size — the graphco
+    // x100 rung (60M memberships) ran 12g at the allocation-pressure
+    // edge and died at 8g. `numPartitions` sizes that exchange
+    // explicitly (same exchange COUNT either way — the groupBy's own
+    // shuffle is just made explicit and parameterized); Auto keeps the
+    // session parallelism, right for working-set-sized corpora. Size
+    // from Sizing.groupingPartitions(memberships, ~72 B, cores) at
+    // rung scale and beyond.
+    val parts =
+      if (numPartitions == Sizing.Auto)
+        df.sparkSession.sparkContext.defaultParallelism
+      else numPartitions
     val grouped = df.select(groupCol.as("g"), itemCol.as("it")).distinct()
+      .repartition(parts, col("g"))
       .groupBy("g")
       .agg(array_distinct(call_function("collect_list_capped",
         col("it"), lit(collectCap))).as("ps"))

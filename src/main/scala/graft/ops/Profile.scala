@@ -617,4 +617,76 @@ object Profile {
         expr("n_pos * 1048576L div n").as("pos_fx"),
         col("sum_score"))
   }
+
+  /** Functional-dependency check, lhs → rhs: per distinct lhs key, is
+    * the rhs single-valued? The schema-contract half of data-quality
+    * profiling (q173's referential integrity checks BETWEEN tables;
+    * this checks WITHIN one): "event_id determines user_id" is a
+    * candidate-key claim, "user_id determines event_type" is (usually)
+    * false — both are one row here, with the violating-key count and
+    * the worst key's distinct-value width. Rows with a NULL lhs or
+    * rhs are excluded (SQL FD semantics treat NULL as no claim;
+    * profile nulls with [[describe]]).
+    *
+    * Shape: one exact count-distinct aggregation keyed on lhs (Spark
+    * expands it to two map-side-combined hash aggregates over (lhs,
+    * rhs) pairs — linear shuffle, no buffering), then a 1-row rollup.
+    * At 100 TB both exchanges carry only the key columns.
+    *
+    * @return one row: (relation, n_keys, n_violating, max_distinct,
+    *   violation_fx = n_violating·2^20 div n_keys)
+    */
+  def fdProfile(
+      df: DataFrame,
+      lhs: org.apache.spark.sql.Column,
+      rhs: org.apache.spark.sql.Column,
+      relation: String): DataFrame =
+    df.select(lhs.as("k"), rhs.as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
+      .groupBy("k").agg(countDistinct(col("v")).as("nd"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("nd") > 1L, 1L)), lit(0L))
+          .as("n_violating"),
+        coalesce(max(col("nd")), lit(0L)).as("max_distinct"))
+      .select(lit(relation).as("relation"), col("n_keys"),
+        col("n_violating"), col("max_distinct"),
+        expr("CASE WHEN n_keys > 0 " +
+          "THEN (n_violating * 1048576L) div n_keys ELSE 0L END")
+          .as("violation_fx"))
+
+  /** Per-group percentile (rank) normalization —
+    * [[percentileNormalize]]'s exact (rank−1)·2^20 div (n−1) statistic
+    * computed WITHIN each group: the cross-source score calibration
+    * ("is this doc good *for its source*?") that a global percentile
+    * erases when sources have different score distributions. Grouping
+    * supplies the parallelism the global form gets from the range
+    * exchange (the aucExactByGroup discipline): ONE window shuffle on
+    * the group key, each group's sorted run scanned once for both the
+    * rank and the group size. A single hot group costs its sorted run
+    * — for a single giant group use the global form's range exchange.
+    * Single-member groups emit pct_fx = 0 (den floors at 1).
+    *
+    * @return (g, id, s, rank, pct_fx), rank 1-based within group under
+    *   the (s, id) total order
+    */
+  def percentileNormalizeByGroup(
+      df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      idCol: org.apache.spark.sql.Column,
+      scoreCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.as("g"), idCol.cast("long").as("id"),
+        scoreCol.cast("long").as("s"))
+      .filter(col("g").isNotNull && col("id").isNotNull &&
+        col("s").isNotNull)
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("s").asc, col("id").asc)
+    base
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select(col("g"), col("id"), col("s"), col("rank").cast("long")
+          .as("rank"),
+        expr("((rank - 1) * 1048576L) div greatest(__n - 1, 1L)")
+          .as("pct_fx"))
+  }
 }

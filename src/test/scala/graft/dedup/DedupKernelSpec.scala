@@ -299,6 +299,38 @@ class DedupKernelSpec extends SparkSpec {
       bare.nonEmpty)
   }
 
+  test("ngramNovelty == a plain-Scala df model over the (verified) " +
+      "shingle kernel; planted clones score 0, a unique doc scores 2^20, " +
+      "short docs are absent") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(40)
+      .as[(Long, String)].collect()
+    val planted = corpus ++ Seq(
+      (9000001L, corpus.head._2),            // exact clone of doc 0
+      (9000002L, "zq" * 50),                 // unique alphabet: all-novel
+      (9000003L, "short"))                   // < 8 chars: no shingles
+    val df = planted.toSeq.toDF("doc_id", "text").repartition(3)
+    val got = Dedup.ngramNovelty(df, col("doc_id"), col("text"), 8)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // model: df counts over the kernel's own (spec-verified) hashes
+    val sigs = Dedup.shingleDocs(df, col("doc_id"), col("text"), 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    val dfCount = sigs.flatMap(_._2).groupBy(identity).map {
+      case (g, occ) => g -> occ.length }
+    val model = sigs.map { case (id, vms) =>
+      val novel = vms.count(g => dfCount(g) == 1).toLong
+      id -> ((vms.size.toLong, novel, novel * 1048576L / vms.size))
+    }.toMap
+    assert(got == model)
+    assert(!got.contains(9000003L), "sub-k docs have no shingles")
+    assert(got(9000001L)._2 == 0L && got(corpus.head._1)._2 == 0L,
+      "clones share every shingle — zero novel grams on both sides")
+    assert(got(9000002L)._3 == 1048576L, "unique alphabet is all-novel")
+  }
+
   test("minhashLsh over a parquet scan runs NO Spark job at " +
       "plan-build time (sizing comes from plan statistics)") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")

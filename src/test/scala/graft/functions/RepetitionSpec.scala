@@ -78,4 +78,65 @@ class RepetitionSpec extends SparkSpec {
       .toMap
     assert(got == expected)
   }
+
+  // ---- ngramStats ------------------------------------------------------
+
+  private def runNgram(rows: Seq[(Long, String)], minN: Int = 2,
+      maxN: Int = 10) = {
+    import spark.implicits._
+    Repetition.ngramStats(rows.toDF("doc_id", "text").repartition(3),
+        col("doc_id"), col("text"), minN, maxN)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+  }
+
+  test("ngramStats == a plain-Scala model over fixture docs, every n") {
+    def model(id: Long, text: String, n: Int)
+        : Option[((Long, Long), (Long, Double, Double))] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n || text.isEmpty) None
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).map { case (g, o) =>
+          g -> o.length }
+        val top = counts.map { case (g, c) => c.toLong * g.length }.max
+        val dup = counts.collect { case (g, c) if c > 1 =>
+          c.toLong * g.length }.sum
+        Some((id, n.toLong) -> ((grams.length.toLong,
+          top.toDouble / text.length, dup.toDouble / text.length)))
+      }
+    }
+    val docs = Seq(
+      (1L, "the cat sat on the cat sat on the mat"),
+      (2L, "a b a b a b a b a b a b"),
+      (3L, "all distinct words here nothing repeats at all today"),
+      (4L, "one"),
+      (5L, ""))
+    val expected = (for {
+      (id, text) <- docs; n <- 2 to 10
+      kv <- model(id, text, n)
+    } yield kv).toMap
+    assert(runNgram(docs) == expected)
+  }
+
+  test("ngramStats: planted exact values — top covers the dominant " +
+      "bigram, dup picks up every repeated occurrence, clean docs " +
+      "score dup 0, sub-n docs emit no row") {
+    // "x y x y x y": bigrams = [x y, y x, x y, y x, x y] — "x y"(3) and
+    // "y x"(2), all dup. text chars = 11.
+    val got = runNgram(Seq((1L, "x y x y x y")), minN = 2, maxN = 3)
+    assert(got((1L, 2L)) == ((5L, 9.0 / 11, 15.0 / 11)),
+      s"got ${got((1L, 2L))}") // top = 3*3=9; dup = 3*3+2*3=15 (>1.0 ok)
+    // trigrams: [x y x, y x y, x y x, y x y] → top 2*5=10, dup 20
+    assert(got((1L, 3L)) == ((4L, 10.0 / 11, 20.0 / 11)))
+    val clean = runNgram(Seq((2L, "all fresh words")), minN = 2, maxN = 4)
+    assert(clean((2L, 2L))._3 == 0.0 && clean((2L, 3L))._3 == 0.0)
+    assert(!clean.contains((2L, 4L)), "3 tokens have no 4-gram")
+    intercept[IllegalArgumentException](
+      runNgram(Seq((1L, "a b")), minN = 1))
+    intercept[IllegalArgumentException](
+      runNgram(Seq((1L, "a b")), minN = 3, maxN = 2))
+  }
 }

@@ -399,4 +399,64 @@ class ProfileSpec extends SparkSpec {
     intercept[Exception](run(Seq(s(true, -1))))
     intercept[IllegalArgumentException](run(Seq(s(true, 1)), w = 0L))
   }
+
+  test("fdProfile: a holding FD reports zero violations, a violated one " +
+      "counts exactly the multi-valued keys and the widest key; NULL " +
+      "lhs or rhs rows are excluded; empty input emits a zero row") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")), // key 1: single-valued
+      (Some(2L), Some("a")), (Some(2L), Some("b")), (Some(2L), Some("c")),
+      (Some(3L), Some("x")), (Some(3L), Some("y")),
+      (Some(4L), None), (None, Some("z"))) // excluded rows
+      .toDF("k", "v").repartition(3)
+    val got = Profile.fdProfile(rows, col("k"), col("v"), "t.k->v")
+      .collect().head
+    // keys 1,2,3 survive the null filter (key 4's only row has NULL v)
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) ==
+      ("t.k->v", 3L, 2L, 3L, 2L * 1048576L / 3L))
+    val hold = Profile.fdProfile(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "v"),
+      col("k"), col("v"), "h").collect().head
+    assert((hold.getLong(1), hold.getLong(2), hold.getLong(3),
+      hold.getLong(4)) == (3L, 0L, 1L, 0L))
+    val empty = Profile.fdProfile(
+      Seq.empty[(Long, String)].toDF("k", "v"),
+      col("k"), col("v"), "e").collect().head
+    assert((empty.getLong(1), empty.getLong(2), empty.getLong(3),
+      empty.getLong(4)) == (0L, 0L, 0L, 0L))
+  }
+
+  test("percentileNormalizeByGroup: exact within-group ranks and pct_fx " +
+      "under the (s, id) total order; single-member group emits 0; " +
+      "groups are independent; NULLs excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 30L), ("a", 2L, 10L), ("a", 3L, 20L), ("a", 4L, 10L),
+      ("b", 9L, 5L),
+      (null.asInstanceOf[String], 7L, 1L))
+      .toDF("g", "id", "s").repartition(3)
+    val got = Profile.percentileNormalizeByGroup(rows,
+        col("g"), col("id"), col("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    val S = 1L << 20
+    // group a order: (10,2) (10,4) (20,3) (30,1) — ties broken by id
+    assert(got == Set(
+      ("a", 2L, 1L, 0L), ("a", 4L, 2L, S / 3),
+      ("a", 3L, 3L, 2L * S / 3), ("a", 1L, 4L, S),
+      ("b", 9L, 1L, 0L)))
+    // one group ≡ the global operator's statistic on the same rows
+    val grouped = Profile.percentileNormalizeByGroup(
+        Seq(("x", 1L, 7L), ("x", 2L, 3L), ("x", 3L, 9L)).toDF("g", "id", "s"),
+        col("g"), col("id"), col("s"))
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toSet
+    val global = Profile.percentileNormalize(
+        Seq((1L, 7L), (2L, 3L), (3L, 9L)).toDF("id", "s"),
+        col("id"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(grouped == global)
+  }
 }

@@ -37,4 +37,74 @@ class RankFusionSpec extends SparkSpec {
   test("guards") {
     intercept[IllegalArgumentException](RankFusion.rrfTopK(Seq.empty))
   }
+
+  // ---- rboExact ------------------------------------------------------
+
+  private def rk(rows: (String, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("qid", "id", "rank")
+  }
+
+  test("rboExact == a plain-Scala RBO_EXT model on mixed rankings, " +
+      "and identical rankings score num == den exactly") {
+    val a = rk(
+      (1 to 10).map(d => ("q1", 100L + d, d.toLong)) ++
+      (1 to 10).map(d => ("q2", 100L + d, d.toLong)): _*)
+    // q1: same set, two head items swapped; q2: identical to a
+    val b = rk(
+      (("q1", 102L, 1L) +: ("q1", 101L, 2L) +:
+        (3 to 10).map(d => ("q1", 100L + d, d.toLong))) ++
+      (1 to 10).map(d => ("q2", 100L + d, d.toLong)): _*)
+    val got = RankFusion.rboExact(a, b, depth = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // plain-Scala model: exact rational RBO_EXT via BigInt
+    def model(av: Seq[Long], bv: Seq[Long], depth: Int,
+        pN: Int, pD: Int): (BigInt, BigInt) = {
+      def lcm(x: BigInt, y: BigInt): BigInt = x / x.gcd(y) * y
+      val l = (1 to depth).map(BigInt(_)).reduce(lcm)
+      val den = BigInt(pD).pow(depth) * l
+      val num = (1 to depth).map { d =>
+        val over = av.take(d).toSet.intersect(bv.take(d).toSet).size
+        val base = BigInt(pD - pN) * BigInt(pN).pow(d - 1) *
+          BigInt(pD).pow(depth - d) * (l / d)
+        val c = if (d == depth) base + BigInt(pN).pow(depth) * (l / depth)
+                else base
+        c * over
+      }.sum
+      (num, den)
+    }
+    val aq1 = (1 to 10).map(100L + _)
+    val bq1 = Seq(102L, 101L) ++ (3 to 10).map(100L + _)
+    val (mn, md) = model(aq1, bq1, 10, 9, 10)
+    assert(got("q1") == ((mn.toLong, md.toLong)))
+    assert(mn < md, "a head swap must cost agreement")
+    assert(got("q2")._1 == got("q2")._2,
+      s"identical rankings must score exactly 1, got ${got("q2")}")
+  }
+
+  test("rboExact: disjoint rankings score 0; a query present in only " +
+      "one ranking still emits (overlap 0); rows past depth ignored") {
+    val a = rk((1 to 10).map(d => ("q1", 100L + d, d.toLong)) :+
+      ("only_a", 1L, 1L): _*)
+    val b = rk((1 to 12).map(d => ("q1", 200L + d, d.toLong)): _*)
+    val got = RankFusion.rboExact(a, b, depth = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("q1") == 0L, "disjoint id sets share nothing at any depth")
+    assert(got("only_a") == 0L, "one-sided query emits with overlap 0")
+    assert(got.size == 2)
+  }
+
+  test("rboExact guards: depth and persistence bounds are loud") {
+    val a = rk(("q", 1L, 1L))
+    intercept[IllegalArgumentException](
+      RankFusion.rboExact(a, a, depth = 0))
+    intercept[IllegalArgumentException](
+      RankFusion.rboExact(a, a, depth = 17))
+    intercept[IllegalArgumentException](
+      RankFusion.rboExact(a, a, pNum = 10, pDen = 10))
+    intercept[IllegalArgumentException](
+      RankFusion.rboExact(a, a, pNum = 0, pDen = 10))
+  }
 }

@@ -257,9 +257,11 @@ def main():
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{dst}: {n} rows")
-    # graphco x3/x10/x30: the co-order-graph rungs (orderkey+partkey —
-    # the plain graph family drops orderkey) for q146/q152-shaped ops
-    for name, reps in [("x3", 3), ("x10", 10), ("x30", 30)]:
+    # graphco x3/x10/x30/x100: the co-order-graph rungs (orderkey+
+    # partkey — the plain graph family drops orderkey) for q146/q152-
+    # shaped ops; x100 added round 15 for the q166/q172 ladders
+    # (99*1e7 + 6e5 < 2^31, so the INT32 columns hold)
+    for name, reps in [("x3", 3), ("x10", 10), ("x30", 30), ("x100", 100)]:
         copy(graphco_arms(args.src, reps),
              os.path.join(args.out, "graphco", name), "lineitem")
     # x30/x100 are documents-only (the round-8 dedup deep-ladder rungs);
