@@ -8496,7 +8496,135 @@ object SparkEntry {
        FROM agg a JOIN d0 d ON a.id = d.id"""
   }
 
+  // ------------------------------------------------------------------
+  // q181 — key-skew profile (extension: Profile.keySkew): the
+  // pre-join skew statistic — distinct keys, top key's exact share,
+  // and the exact Gini of the key-frequency distribution as an
+  // integer pair — for three join keys of the star schema. Ranks of
+  // the counts table go through the runningTotal range exchange
+  // (never a one-partition window); tie order provably cannot move
+  // the Gini sum, so the oracle's ROW_NUMBER tie-break is free.
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Profile.keySkew
+    keySkew(t(s, dir, "events"), col("user_id"), "events.user_id")
+      .unionByName(keySkew(t(s, dir, "lineitem"), col("l_partkey"),
+        "lineitem.l_partkey"))
+      .unionByName(keySkew(t(s, dir, "orders"), col("o_custkey"),
+        "orders.o_custkey"))
+  }
+
+  private val q181Sql = {
+    def arm(rel: String, table: String, key: String) =
+      s"""SELECT '$rel' AS relation, n_keys, total, top_share_fx,
+            gini_num, gini_den FROM (
+          WITH c AS (
+            SELECT $key AS k, count(*) AS c FROM $table
+            WHERE $key IS NOT NULL GROUP BY 1),
+          r AS (
+            SELECT c, ROW_NUMBER() OVER (
+              ORDER BY c, CAST(k AS VARCHAR)) AS i
+            FROM c)
+          SELECT CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(c) AS BIGINT) AS total,
+            CAST((max(c) * 1048576) // sum(c) AS BIGINT) AS top_share_fx,
+            CAST(2 * sum(CAST(i AS HUGEINT) * c)
+              - (count(*) + 1) * sum(c) AS BIGINT) AS gini_num,
+            CAST(count(*) * sum(c) AS BIGINT) AS gini_den
+          FROM r)"""
+    Seq(arm("events.user_id", "events", "user_id"),
+      arm("lineitem.l_partkey", "lineitem", "l_partkey"),
+      arm("orders.o_custkey", "orders", "o_custkey"))
+      .mkString(" UNION ALL ")
+  }
+
+  // ------------------------------------------------------------------
+  // q182 — half-life-decayed activity score (extension:
+  // Profile.halfLifeScore): per-user recency-weighted value sum,
+  // exact by construction — floor(v·2^20 >> (age div 7d)) per row then
+  // an integer sum (order-independent, map-side combinable, where a
+  // float exp-decay sum is neither). "Now" = corpus max ts, so the
+  // output replays deterministically.
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.halfLifeScore(t(s, dir, "events"),
+      col("user_id"), col("ts"),
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+      halfLifeDays = 7)
+      .select(col("key").as("user_id"), col("n_events"),
+        col("raw_sum"), col("score_fx"))
+
+  private val q182Sql =
+    """WITH v AS (
+         SELECT user_id, epoch_us(ts) AS us,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           AND value IS NOT NULL),
+       mx AS (SELECT max(us) AS m FROM v),
+       w AS (
+         SELECT user_id, v,
+           (m - us) // 604800000000 AS age
+         FROM v, mx)
+       SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(v) AS BIGINT) AS raw_sum,
+         CAST(sum(CASE WHEN age >= 63 THEN 0
+                       ELSE (v * 1048576) >> CAST(age AS INT) END)
+           AS BIGINT) AS score_fx
+       FROM w GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q183 — STREAMING EWMA (extension: Streaming.ewmaStream): q162's
+  // exact 2^8 fixed-point smoother running on the q160 staged
+  // time-quartile file batches — stream ≡ batch row-for-row, so the
+  // oracle is q162's recursive CTE VERBATIM. State per key = the
+  // running smooth + the disorder-guard (ts, id).
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = t(s, dir, "events")
+      .select(col("user_id").as("key"), col("event_id").as("id"),
+        col("ts"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)").as("v"))
+      .withColumn("b", least(expr("(day(ts) - 1) div 8"), lit(3))
+        .cast("int"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q183_")
+    val streamDir = base.resolve("stream"); val tmpDir = base.resolve("tmp")
+    java.nio.file.Files.createDirectories(streamDir)
+    staged.repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
+    (0 until 4).foreach { b =>
+      val dirF = new java.io.File(tmpDir.resolve(s"b=$b").toString)
+      if (dirF.isDirectory) {
+        val part = dirF.listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = streamDir.resolve(f"batch_$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1500000000000L + b * 60000L)
+      }
+    }
+    val src = s.readStream
+      .schema("key BIGINT, id BIGINT, ts TIMESTAMP, v BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = "q183_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.Streaming.ewmaStream(
+            src.as[graft.streaming.Streaming.EwmaPoint], alpha = 4)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("key").as("user_id"),
+      col("id").as("event_id"), col("v"), col("ewma_fx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_stream_ewma" -> (q183 _),
+    "q182_halflife_score" -> (q182 _),
+    "q181_key_skew" -> (q181 _),
     "q180_ngram_repetition" -> (q180 _),
     "q179_rbo" -> (q179 _),
     "q178_group_percentile" -> (q178 _),
@@ -8767,6 +8895,9 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q183_stream_ewma" -> q162Sql, // stream ≡ batch: same oracle
+    "q182_halflife_score" -> q182Sql,
+    "q181_key_skew" -> q181Sql,
     "q180_ngram_repetition" -> q180Sql,
     "q179_rbo" -> q179Sql,
     "q178_group_percentile" -> q178Sql,

@@ -654,6 +654,111 @@ object Profile {
           "THEN (n_violating * 1048576L) div n_keys ELSE 0L END")
           .as("violation_fx"))
 
+  /** Key-skew profile: the pre-join / pre-groupBy answer to "how hot
+    * is the hottest key, and how unequal is the whole distribution?"
+    * — the statistic that decides between a plain shuffle join,
+    * [[Partitioning.saltedJoin]], and AQE skew splitting BEFORE the
+    * job runs, not after it stalls. Per key-column: distinct keys,
+    * total rows, the top key's row share (exact 2^20 fixed point),
+    * and the exact Gini coefficient of the key-frequency distribution
+    * as the integer pair
+    *
+    *   gini_num = 2·Σ rankᵢ·cᵢ − (n+1)·Σc,   gini_den = n·Σc
+    *
+    * (ranks ascending by count; ties order-irrelevant — equal counts
+    * contribute the same Σ under any permutation of their ranks, so
+    * the statistic is deterministic without a tie-break). G = num/den
+    * ∈ [0, 1): 0 = perfectly uniform keys, →1 = one key owns the
+    * table. Division left to the consumer (the assortativity/
+    * cohenKappa discipline).
+    *
+    * Shape: one map-side-combined count per key, then the GLOBAL rank
+    * of the (much smaller) counts table through
+    * [[Prefix.runningTotal]]'s range exchange — never a one-partition
+    * window, so a billion-key profile ranks in parallel — and a 1-row
+    * moment aggregation in DECIMAL(38,0) (cast back to long, ANSI-loud
+    * past 2^63). NULL keys are excluded (profile them with
+    * [[describe]]).
+    *
+    * @return one row: (relation, n_keys, total, top_share_fx,
+    *   gini_num, gini_den)
+    */
+  def keySkew(
+      df: DataFrame,
+      keyCol: org.apache.spark.sql.Column,
+      relation: String): DataFrame = {
+    val counts = df.select(keyCol.as("k")).filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .withColumn("__one", lit(1L))
+      // fixed-width count prefix + key string: lexicographic order =
+      // (count, key) order; the key tail only pins determinism (ties
+      // in c cannot change the Gini sum)
+      .withColumn("__ord",
+        concat(format_string("%019d", col("c")), col("k").cast("string")))
+    val ranked = Prefix.runningTotal(counts, orderCol = "__ord",
+      valueCol = "__one", outCol = "rank")
+    def dec(s: String): org.apache.spark.sql.Column =
+      expr(s"cast($s as decimal(38,0))")
+    ranked
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("total"),
+        max(col("c")).as("max_c"),
+        sum(dec("rank") * dec("c")).as("src"))
+      .select(lit(relation).as("relation"),
+        col("n_keys"), col("total"),
+        expr("(max_c * 1048576L) div total").as("top_share_fx"),
+        (lit(2) * col("src") -
+          (dec("n_keys") + lit(1)) * dec("total")).cast("long")
+          .as("gini_num"),
+        (dec("n_keys") * dec("total")).cast("long").as("gini_den"))
+  }
+
+  /** Half-life-decayed activity score per key — "how active is this
+    * key RECENTLY", the recency-weighted aggregate a freshness-aware
+    * sampler or source-health dashboard wants where a plain sum
+    * counts five-year-old rows equally. EXACT by construction: each
+    * row contributes floor(v·2^20 / 2^(age/halfLife)) via a right
+    * shift — per-element floors then an integer SUM, so the result is
+    * order-independent and map-side combinable (contrast a float
+    * exp(−λ·age) sum, which is neither). "Now" is the corpus max
+    * timestamp (deterministic replay — wall clock would unfix the
+    * output); age buckets are whole half-lives, shifts ≥ 63 clamp to
+    * 0 (they are 0 mathematically; the clamp keeps JVM shift
+    * semantics, which wrap at 64, out of the result). Values must be
+    * non-negative (shift is floor only there) — loud, never silent.
+    *
+    * Shape: one 1-row max-ts aggregate broadcast back (the house
+    * totals pattern), then a single map-side-combined groupBy — two
+    * narrow exchanges at any scale.
+    *
+    * @return (key, n_events, raw_sum, score_fx) — score_fx 2^20-scaled
+    */
+  def halfLifeScore(
+      df: DataFrame,
+      keyCol: org.apache.spark.sql.Column,
+      tsCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    val base = df.select(keyCol.as("key"), tsCol.as("__ts"),
+        valueCol.cast("long").as("v"))
+      .filter(col("key").isNotNull && col("__ts").isNotNull &&
+        col("v").isNotNull)
+      .withColumn("v", when(col("v") >= 0, col("v"))
+        .otherwise(raise_error(concat(
+          lit("halfLifeScore values must be non-negative, got "),
+          col("v")))))
+      .withColumn("__us", expr("unix_micros(__ts)"))
+    val now = base.agg(max(col("__us")).as("__mx"))
+    base.crossJoin(broadcast(now))
+      .withColumn("__age",
+        expr(s"(__mx - __us) div ${86400000000L * halfLifeDays}L"))
+      .withColumn("__w", when(col("__age") >= 63, 0L)
+        .otherwise(expr("shiftright(v * 1048576L, cast(__age AS INT))")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("raw_sum"),
+        sum(col("__w")).as("score_fx"))
+  }
+
   /** Per-group percentile (rank) normalization —
     * [[percentileNormalize]]'s exact (rank−1)·2^20 div (n−1) statistic
     * computed WITHIN each group: the cross-source score calibration

@@ -386,6 +386,78 @@ object Streaming {
       }
   }
 
+  final case class EwmaPoint(key: Long, id: Long, ts: Timestamp, v: Long)
+  final case class EwmaOut(key: Long, id: Long, v: Long, ewma_fx: Long)
+
+  /** Streaming EWMA smoothing — [[graft.ops.Anomaly.ewmaSmooth]]'s
+    * exact 2^8-fixed-point recurrence (s ← (α·v·2^8 + (16−α)·s) >> 4)
+    * running forever on an unbounded stream: the denoised per-key
+    * baseline a live drift dashboard plots, with the batch operator
+    * as its exact replay oracle. Per-key state is the running smooth
+    * plus the last-fed (ts, id) for the disorder guard — the state
+    * store scales with key cardinality only, and every input row
+    * emits one output row.
+    *
+    * Same contracts as [[cusumStream]], because the recurrence is the
+    * same genuinely-sequential kind: in-batch points sort by the
+    * full-precision (ms, nanos, id) key under the shared loud buffer
+    * bound; cross-batch disorder fails loudly by default
+    * (`failOnCrossBatchDisorder`, StreamingSpec pins both modes);
+    * arithmetic is *Exact (no silent wrap); values must be
+    * non-negative (>> is a floor only there — the batch operator's
+    * guard, kept bit-identical).
+    */
+  def ewmaStream(
+      points: Dataset[EwmaPoint],
+      alpha: Int,
+      maxBufferedEvents: Int = DefaultMaxBufferedPerKey,
+      failOnCrossBatchDisorder: Boolean = true): Dataset[EwmaOut] = {
+    require(alpha >= 1 && alpha <= 16, s"alpha must be in [1,16], got $alpha")
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Int, Long), EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, pts, state: GroupState[(Long, Long, Int, Long)]) =>
+          val buf = pts.take(maxBufferedEvents + 1).toSeq
+          require(buf.lengthCompare(maxBufferedEvents) <= 0,
+            s"key $key has > $maxBufferedEvents points in one batch; " +
+              "raise maxBufferedEvents or split the key upstream")
+          val sorted = buf.sortBy(p => (p.ts.getTime, p.ts.getNanos, p.id))
+          // s < 0 = "no point fed yet" (the batch operator's sentinel —
+          // legal because values are guarded non-negative)
+          var (s, lastMs, lastNs, lastId) =
+            state.getOption.getOrElse((-1L, Long.MinValue, 0, 0L))
+          if (failOnCrossBatchDisorder && state.exists)
+            sorted.headOption.foreach { h =>
+              val late = Ordering[(Long, Int, Long)].lt(
+                (h.ts.getTime, h.ts.getNanos, h.id), (lastMs, lastNs, lastId))
+              require(!late,
+                s"ewmaStream: key $key received point (ts=${h.ts}, " +
+                  s"id=${h.id}) AFTER already feeding a later point — " +
+                  "cross-batch disorder breaks the sequential recurrence. " +
+                  "Stage batches in event-time order, or pass " +
+                  "failOnCrossBatchDisorder = false for arrival-order " +
+                  "(approximate) smoothing.")
+            }
+          val out = sorted.map { p =>
+            require(p.v >= 0, s"ewmaStream values must be non-negative " +
+              s"(>> is floor only there), got ${p.v} for key $key")
+            val v256 = Math.multiplyExact(p.v, 256L)
+            s = if (s < 0) v256
+                else Math.addExact(
+                  Math.multiplyExact(alpha.toLong, v256),
+                  Math.multiplyExact((16 - alpha).toLong, s)) >> 4
+            EwmaOut(key, p.id, p.v, s)
+          }
+          sorted.lastOption.foreach { l =>
+            lastMs = l.ts.getTime; lastNs = l.ts.getNanos; lastId = l.id
+          }
+          state.update((s, lastMs, lastNs, lastId))
+          out.iterator
+      }
+  }
+
   final case class NearDupCandidate(id1: Long, id2: Long, est_jaccard: Double)
 
   /** Streaming MinHash near-duplicate detection — `Dedup.minhashLsh`'s

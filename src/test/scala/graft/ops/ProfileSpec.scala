@@ -428,6 +428,65 @@ class ProfileSpec extends SparkSpec {
       empty.getLong(4)) == (0L, 0L, 0L, 0L))
   }
 
+  test("keySkew: uniform keys score gini_num 0, a one-hot table " +
+      "approaches den, and a mixed table matches the brute " +
+      "sorted-rank formula; top share exact; NULL keys excluded") {
+    import spark.implicits._
+    def run(keys: Seq[Option[Long]]) = {
+      val r = Profile.keySkew(keys.toDF("k").repartition(3), col("k"), "t")
+        .collect().head
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    }
+    def brute(keys: Seq[Long]): (Long, Long) = {
+      val cs = keys.groupBy(identity).values.map(_.length.toLong)
+        .toSeq.sorted
+      val n = cs.length.toLong; val t = cs.sum
+      val src = cs.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      (2 * src - (n + 1) * t, n * t)
+    }
+    // uniform: every key twice → gini 0
+    val u = run(Seq(1L, 1L, 2L, 2L, 3L, 3L).map(Some(_)))
+    assert(u == (3L, 6L, 2L * 1048576L / 6L, 0L, 18L))
+    // skewed: one key owns 8 of 11 rows (+ a NULL row, excluded)
+    val keys = Seq.fill(8)(7L) ++ Seq(1L, 2L, 3L)
+    val g = run(keys.map(Some(_)) :+ None)
+    val (bn, bd) = brute(keys)
+    assert(g == (4L, 11L, 8L * 1048576L / 11L, bn, bd))
+    assert(bn > 0 && bn < bd, "skew must land strictly inside (0, den)")
+  }
+
+  test("halfLifeScore: hand-computed decay — same-bucket rows undecayed, " +
+      "each half-life halves (floor), ancient rows clamp to 0; " +
+      "negative values raise; 'now' is the corpus max ts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(daysAgo: Int) = // relative to a fixed anchor
+      new Timestamp(1700000000000L - daysAgo * 86400000L)
+    val rows = Seq(
+      (1L, ts(0), 100L),    // age 0 half-lives → 100·2^20
+      (1L, ts(7), 100L),    // 1 half-life → 50·2^20
+      (1L, ts(15), 101L),   // 2 half-lives → floor(101·2^20/4)
+      (2L, ts(7 * 70), 5L)) // 70 half-lives ≥ 63 → clamps to 0
+      .toDF("k", "t", "v").repartition(3)
+    val got = Profile.halfLifeScore(rows, col("k"), col("t"), col("v"),
+        halfLifeDays = 7)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val S = 1L << 20
+    assert(got(1L) == ((3L, 301L, 100L * S + 50L * S + (101L * S) / 4)))
+    assert(got(2L) == ((1L, 5L, 0L)))
+    intercept[Exception] {
+      Profile.halfLifeScore(Seq((1L, ts(0), -1L)).toDF("k", "t", "v"),
+        col("k"), col("t"), col("v")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Profile.halfLifeScore(rows, col("k"), col("t"), col("v"),
+        halfLifeDays = 0)
+    }
+  }
+
   test("percentileNormalizeByGroup: exact within-group ranks and pct_fx " +
       "under the (s, id) total order; single-member group emits 0; " +
       "groups are independent; NULLs excluded") {

@@ -491,6 +491,72 @@ class StreamingSpec extends SparkSpec {
     } finally loose.stop()
   }
 
+  test("ewmaStream carries the smooth across micro-batches and matches " +
+      "the batch operator row-for-row; in-batch disorder sorted; " +
+      "cross-batch disorder fails loudly; negative value raises") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{EwmaOut, EwmaPoint}
+    def p(id: Long, sec: Int, v: Long) = EwmaPoint(1L, id, ts(sec), v)
+    val pts = Seq(p(1, 1, 100L), p(2, 2, 20L), p(3, 3, 40L), p(4, 4, 0L))
+    val mem = MemoryStream[EwmaPoint]
+    val q = Streaming.ewmaStream(mem.toDS(), alpha = 4)
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(pts(1), pts(0)) // shuffled within the batch
+      q.processAllAvailable()
+      mem.addData(pts(2)); q.processAllAvailable()
+      mem.addData(pts(3)); q.processAllAvailable()
+      val got = spark.table("ewma").as[EwmaOut].collect()
+        .map(o => o.id -> o.ewma_fx).toMap
+      // batch operator on the same rows is the ground truth
+      val batch = graft.ops.Anomaly.ewmaSmooth(
+          pts.map(x => (x.key, x.id, x.ts, x.v)).toDF("k", "id", "t", "v"),
+          col("k"), col("id"), Seq(col("t"), col("id")), col("v"),
+          alpha = 4)
+        .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+      assert(got == batch)
+      // and the recurrence actually decayed: s1 = 100·256 = 25600,
+      // s2 = (4·20·256 + 12·25600) >> 4 = (20480 + 307200) >> 4
+      assert(got(1L) == 25600L && got(2L) == (20480L + 307200L) >> 4)
+    } finally q.stop()
+    // cross-batch disorder: second batch delivers an EARLIER point
+    val memD = MemoryStream[EwmaPoint]
+    val qd = Streaming.ewmaStream(memD.toDS(), alpha = 4)
+      .writeStream.format("memory").queryName("ewma_disorder")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memD.addData(p(1, 5, 10L)); qd.processAllAvailable()
+      memD.addData(p(9, 1, 10L)) // sec 1 < sec 5: late
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qd.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).mkString("\n").contains("cross-batch disorder"))
+    } finally qd.stop()
+    // negative values refuse (>> floor contract, as in the batch op)
+    val memN = MemoryStream[EwmaPoint]
+    val qn = Streaming.ewmaStream(memN.toDS(), alpha = 4)
+      .writeStream.format("memory").queryName("ewma_neg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memN.addData(p(1, 1, -5L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qn.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).mkString("\n").contains("non-negative"))
+    } finally qn.stop()
+    intercept[IllegalArgumentException] {
+      Streaming.ewmaStream(MemoryStream[EwmaPoint].toDS(), alpha = 0)
+    }
+  }
+
   test("kmvWindowedDistinct: sketches merge across micro-batches to " +
       "the batch answer — exact below k, estimator above, late rows " +
       "fold into their window") {
