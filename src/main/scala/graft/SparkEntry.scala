@@ -8271,7 +8271,8 @@ object SparkEntry {
   // narrow join back; the oracle replays the md5-mod shingle kernel.
   private def q176(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.ngramNovelty(
-      t(s, dir, "documents"), col("doc_id"), col("text"), shingleK = 8)
+      t(s, dir, "documents"), col("doc_id"), col("text"), shingleK = 8,
+      charsHint = docChars(s, dir))
 
   private val q176Sql =
     """WITH docs AS (

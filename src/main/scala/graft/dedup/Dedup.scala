@@ -1869,13 +1869,20 @@ object Dedup {
     * Shape: the q18/q19 shingle kernel ([[shingleDocs]] — per-doc
     * DISTINCT string shingles, then md5-mod hashes, so the DuckDB
     * oracle replays bit-for-bit), explode to the (hash, id) incidence
-    * stream, ONE map-side-combined df count over hashes, one narrow
-    * join back, one per-doc aggregation. Every exchanged row is a
-    * (long, long) pair — shuffle is linear in total distinct grams,
-    * nothing buffers a posting list (no df cap needed: counts, not
-    * pair emission — df never multiplies volume here). Docs shorter
-    * than k have no shingles and are absent from the output
-    * (documented, matches the dedup family).
+    * stream, then ONE sized exchange on the gram hash that BOTH the
+    * df count and the join-back reuse (the count groups on the
+    * repartition's own partitioning and the join meets it
+    * exchange-free — .explain shows a single Exchange before the
+    * final per-doc agg). Every exchanged row is a (long, long) pair —
+    * volume linear in total distinct grams, nothing buffers a posting
+    * list (no df cap needed: counts, not pair emission — df never
+    * multiplies volume here). Sizing follows the ngramPairCounts
+    * contract: `charsHint` (any magnitude-right upper bound; the
+    * pruned n_chars metadata sum is the cheap source) skips the
+    * sizing scan; unset runs one pruned length-sum pass. The unsized
+    * 32-partition form measured DEGRADING run-over-run at the docs
+    * x100 rung (18 → 53 s across three iterations — per-task sort
+    * state at the heap edge); sized, it holds steady.
     *
     * @return (id, n_shingles, n_novel, novelty_fx) with novelty_fx =
     *   n_novel·2^20 div n_shingles (exact fixed point, floor)
@@ -1884,12 +1891,22 @@ object Dedup {
       df: DataFrame,
       idCol: Column,
       textCol: Column,
-      shingleK: Int = 8): DataFrame = {
+      shingleK: Int = 8,
+      charsHint: Long = -1L): DataFrame = {
     require(shingleK >= 2, s"shingleK must be >= 2, got $shingleK")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val totalChars =
+      if (charsHint >= 0) charsHint
+      else df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
+        .cast("long")).head.getLong(0)
+    val parts = graft.ops.Sizing.groupingPartitions(
+      totalChars, 24L, par, targetBytesPerTask = 64L << 20)
     val grams = shingleDocs(df, idCol, textCol, shingleK)
       .select(col("id"), explode(col("vms")).as("g"))
+      .repartition(parts, col("g"))
     // vms is per-doc distinct, so count(*) per hash IS the document
-    // frequency — no pre-distinct pass needed
+    // frequency — no pre-distinct pass needed; grouping on the
+    // repartition's partitioning adds no exchange
     val dfs = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(dfs, Seq("g"))
       .groupBy("id")
