@@ -8622,7 +8622,90 @@ object SparkEntry {
       col("id").as("event_id"), col("v"), col("ewma_fx"))
   }
 
+  // ------------------------------------------------------------------
+  // q184 — rolling 7-day active users (extension:
+  // Rolling.rollingDistinct): exact trailing-window distinct via the
+  // day-grid emission — windowDays × |distinct (user, day)| narrow
+  // rows, independent of raw event count, no per-frame buffers. The
+  // exact counterpart of q168's KMV sketch path.
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Rolling.rollingDistinct(t(s, dir, "events"),
+        col("user_id"), col("ts"), windowDays = 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_distinct"))
+
+  private val q184Sql =
+    """WITH ud AS (
+         SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       hi AS (SELECT max(d) AS hi FROM ud),
+       g AS (
+         SELECT DISTINCT k, d + CAST(i AS INTEGER) AS day
+         FROM ud, range(0, 7) t(i), hi
+         WHERE d + CAST(i AS INTEGER) <= hi)
+       SELECT strftime(day, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_distinct
+       FROM g GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q185 — SCD2 validity intervals (extension: Scd2.buildIntervals):
+  // each user's event_type change stream folded into
+  // (valid_from, valid_to, is_current) intervals with identical
+  // consecutive values collapsed — the warehouse dimension-history
+  // shape an as-of join consumes. One window shuffle; lag collapse
+  // and lead close share the sorted run.
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd2.buildIntervals(t(s, dir, "events"),
+      col("user_id"), col("ts"), Seq(col("ts"), col("event_id")),
+      attrs = Seq("event_type" -> col("event_type")))
+      .select(col("key").as("user_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+
+  private val q185Sql =
+    """WITH v AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           lag(event_type) OVER w AS prev,
+           count(*) OVER w AS rn
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       c AS (
+         SELECT user_id, event_id, event_type, us FROM v
+         WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+       SELECT user_id, event_type, us AS valid_from_us,
+         lead(us) OVER w2 AS valid_to_us,
+         lead(us) OVER w2 IS NULL AS is_current
+       FROM c
+       WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)"""
+
+  // ------------------------------------------------------------------
+  // q186 — exact equi-depth histogram (extension:
+  // Profile.equiDepthHistogram): 16 near-equal-count value bins of the
+  // cents distribution with exact per-bin ranges — the skew-proof
+  // complement of q84's fixed grid. Ranks via the runningTotal range
+  // exchange; tie permutations provably cannot move (count, min, max).
+  private def q186(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.equiDepthHistogram(t(s, dir, "events"),
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+      buckets = 16)
+
+  private val q186Sql =
+    """WITH v AS (
+         SELECT CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events WHERE value IS NOT NULL),
+       r AS (
+         SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rank,
+           count(*) OVER () AS n
+         FROM v)
+       SELECT CAST(((rank - 1) * 16) // n AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(min(v) AS BIGINT) AS min_v,
+         CAST(max(v) AS BIGINT) AS max_v
+       FROM r GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_equidepth_hist" -> (q186 _),
+    "q185_scd2" -> (q185 _),
+    "q184_rolling_dau" -> (q184 _),
     "q183_stream_ewma" -> (q183 _),
     "q182_halflife_score" -> (q182 _),
     "q181_key_skew" -> (q181 _),
@@ -8896,6 +8979,9 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q186_equidepth_hist" -> q186Sql,
+    "q185_scd2" -> q185Sql,
+    "q184_rolling_dau" -> q184Sql,
     "q183_stream_ewma" -> q162Sql, // stream ≡ batch: same oracle
     "q182_halflife_score" -> q182Sql,
     "q181_key_skew" -> q181Sql,

@@ -712,6 +712,49 @@ object Profile {
         (dec("n_keys") * dec("total")).cast("long").as("gini_den"))
   }
 
+  /** Exact equi-DEPTH histogram — `buckets` bins holding (as near as
+    * integer arithmetic allows) equal ROW counts, with each bin's
+    * exact [min, max] value range: the distribution summary
+    * [[histogramQuantiles]]' fixed value grid can't give on skewed
+    * data (one hot value range swallows every fixed-width bin; depth
+    * bins instead show WHERE the mass sits). Bin rule: a row of
+    * global rank r (1-based, (value, arbitrary-within-ties) order)
+    * lands in bin (r−1)·buckets div n — deterministic even though tie
+    * ranks are arbitrary, because tied rows are interchangeable: any
+    * permutation within a tie block puts the same VALUE multiset in
+    * every bin, and only (count, min, max) are emitted.
+    *
+    * Shape: global ranks through [[Prefix.runningTotal]]'s range
+    * exchange (never a one-partition window), the row count attached
+    * by broadcast (house totals pattern), one map-side-combined
+    * group-by-bin. NULL values excluded.
+    *
+    * @return (bucket, n, min_v, max_v) — bucket 0-based, ≤ `buckets`
+    *   rows
+    */
+  def equiDepthHistogram(
+      df: DataFrame,
+      valueCol: org.apache.spark.sql.Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 100000,
+      s"buckets must be in [1, 100000], got $buckets")
+    val base = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__one", lit(1L))
+      // fixed-width encode with a 2^62 bias so negative values sort
+      // correctly as strings (the percentileNormalize trick)
+      .withColumn("__ord",
+        format_string("%016x", col("v") + lit(1L << 62)))
+    val ranked = Prefix.runningTotal(base, orderCol = "__ord",
+      valueCol = "__one", outCol = "rank")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"((rank - 1) * ${buckets}L) div __n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+  }
+
   /** Half-life-decayed activity score per key — "how active is this
     * key RECENTLY", the recency-weighted aggregate a freshness-aware
     * sampler or source-health dashboard wants where a plain sum

@@ -487,6 +487,34 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("equiDepthHistogram: bins match the brute (rank-1)*B div n rule " +
+      "on a skewed distribution, counts sum to n, ranges chain " +
+      "non-overlapping, tie blocks straddle deterministically, " +
+      "negatives sort correctly") {
+    import spark.implicits._
+    val vals = Seq.fill(10)(5L) ++ Seq(-3L, -1L, 0L, 7L, 9L, 100L)
+    val got = Profile.equiDepthHistogram(
+        vals.map(Some(_)).toDF("v").repartition(3), col("v"), 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val sorted = vals.sorted
+    val n = sorted.length
+    val brute = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 4 / n }
+      .map { case (b, xs) =>
+        b -> ((xs.length.toLong, xs.map(_._1).min, xs.map(_._1).max)) }
+    assert(got == brute)
+    assert(got.values.map(_._1).sum == n.toLong)
+    val byBucket = got.toSeq.sortBy(_._1).map(_._2)
+    byBucket.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 <= b._2, s"ranges overlap: $a $b")
+      case _ =>
+    }
+    intercept[IllegalArgumentException](
+      Profile.equiDepthHistogram(vals.toDF("v"), col("v"), 0))
+  }
+
   test("percentileNormalizeByGroup: exact within-group ranks and pct_fx " +
       "under the (s, id) total order; single-member group emits 0; " +
       "groups are independent; NULLs excluded") {
