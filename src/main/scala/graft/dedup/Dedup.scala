@@ -1869,20 +1869,24 @@ object Dedup {
     * Shape: the q18/q19 shingle kernel ([[shingleDocs]] — per-doc
     * DISTINCT string shingles, then md5-mod hashes, so the DuckDB
     * oracle replays bit-for-bit), explode to the (hash, id) incidence
-    * stream, then ONE sized exchange on the gram hash that BOTH the
-    * df count and the join-back reuse (the count groups on the
-    * repartition's own partitioning and the join meets it
-    * exchange-free — .explain shows a single Exchange before the
-    * final per-doc agg). Every exchanged row is a (long, long) pair —
-    * volume linear in total distinct grams, nothing buffers a posting
-    * list (no df cap needed: counts, not pair emission — df never
-    * multiplies volume here). Sizing follows the ngramPairCounts
+    * stream through a SIZED exchange, one df count, one join back,
+    * one per-doc aggregation. Every exchanged row is a (long, long)
+    * pair — volume linear in total distinct grams, nothing buffers a
+    * posting list (no df cap needed: counts, not pair emission — df
+    * never multiplies volume here). Plan reality (.explain-audited,
+    * round 18): the planner broadcasts the aggregated df table back
+    * rather than meeting the gram exchange in a shuffle join, which
+    * re-runs the shingle kernel for the df branch — two kernel
+    * passes, the q18 `cacheSignatures` trade in different clothes
+    * (persisting the corpus-sized gram stream measured worse there;
+    * the same reasoning applies here and the x100 number below is
+    * WITH the double pass). Sizing follows the ngramPairCounts
     * contract: `charsHint` (any magnitude-right upper bound; the
     * pruned n_chars metadata sum is the cheap source) skips the
     * sizing scan; unset runs one pruned length-sum pass. The unsized
     * 32-partition form measured DEGRADING run-over-run at the docs
     * x100 rung (18 → 53 s across three iterations — per-task sort
-    * state at the heap edge); sized, it holds steady.
+    * state at the heap edge); sized, it holds steady at 17 s.
     *
     * @return (id, n_shingles, n_novel, novelty_fx) with novelty_fx =
     *   n_novel·2^20 div n_shingles (exact fixed point, floor)
