@@ -8702,7 +8702,74 @@ object SparkEntry {
          CAST(max(v) AS BIGINT) AS max_v
        FROM r GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q187 — idf-weighted n-gram Jaccard (extension:
+  // Dedup.ngramWeightedJaccard): q19's inverted index where every
+  // shingle counts by its rarity (w = ilog2Fx(N) − ilog2Fx(df), exact
+  // fixed point) — shared RARE content scores high even under
+  // differing boilerplate; ubiquitous fragments score ~0. The df→w
+  // dictionary is ≤ maxDf rows built driver-side from the pure
+  // ilog2Fx kernel; the oracle replays it with q94's recursive-CTE
+  // binary log.
+  private def q187(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.ngramWeightedJaccard(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      shingleK = 8, threshold = 0.3, maxDf = 100,
+      charsHint = docChars(s, dir))
+
+  private val q187Sql =
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id AS id,
+           list_distinct([substr(text, i, 8)
+             for i in range(1, len(text)-8+2)]) AS shingles
+         FROM documents WHERE len(text) >= 8),
+       based AS (
+         SELECT id,
+           list_distinct([CAST(list_sum([(strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) * CAST(pow(16, 15 - j) AS BIGINT) for j in range(1, 16)]) % 1000000007 AS BIGINT) for sh in shingles]) AS vms
+         FROM docs),
+       nq AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM based),
+       grams AS (SELECT id, unnest(vms) AS g FROM based),
+       gdf AS (
+         SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams
+         GROUP BY 1 HAVING count(*) <= 100),
+       vals(v) AS (
+         SELECT DISTINCT df FROM gdf UNION SELECT nn FROM nq),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       ln AS (SELECT fx AS lnfx FROM lgf JOIN nq ON lgf.v = nq.nn),
+       wt AS (SELECT g, ln.lnfx - lgf.fx AS w
+              FROM gdf JOIN lgf ON lgf.v = gdf.df, ln),
+       pw AS (
+         SELECT a.id AS id1, b.id AS id2, sum(wt.w) AS inter_w
+         FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+         JOIN wt ON wt.g = a.g
+         GROUP BY 1, 2),
+       dw AS (
+         SELECT grams.id, sum(wt.w) AS tw
+         FROM grams JOIN wt USING (g) GROUP BY 1)
+       SELECT id1, id2, CAST(inter_w AS BIGINT) AS inter_w,
+         CAST(d1.tw AS BIGINT) AS w1, CAST(d2.tw AS BIGINT) AS w2,
+         CAST(inter_w AS DOUBLE) /
+           CAST(d1.tw + d2.tw - inter_w AS DOUBLE) AS wjaccard
+       FROM pw JOIN dw d1 ON pw.id1 = d1.id JOIN dw d2 ON pw.id2 = d2.id
+       WHERE d1.tw + d2.tw - inter_w > 0
+         AND CAST(inter_w AS DOUBLE) /
+           CAST(d1.tw + d2.tw - inter_w AS DOUBLE) >= 0.3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_weighted_jaccard" -> (q187 _),
     "q186_equidepth_hist" -> (q186 _),
     "q185_scd2" -> (q185 _),
     "q184_rolling_dau" -> (q184 _),
@@ -8979,6 +9046,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q187_weighted_jaccard" -> q187Sql,
     "q186_equidepth_hist" -> q186Sql,
     "q185_scd2" -> q185Sql,
     "q184_rolling_dau" -> q184Sql,

@@ -1920,6 +1920,98 @@ object Dedup {
         expr("(n_novel * 1048576L) div n_shingles").as("novelty_fx"))
   }
 
+  /** IDF-WEIGHTED n-gram Jaccard near-dup pairs — [[ngramJaccard]]
+    * where every shingle counts by its rarity instead of 1:
+    *
+    *   J_w(A,B) = Σ_{g∈A∩B} w(g) / Σ_{g∈A∪B} w(g),
+    *   w(g) = ilog2Fx(N) − ilog2Fx(df(g))   (exact fixed-point
+    *   log2(N/df) up to two engine-identical floors)
+    *
+    * The plain Jaccard treats "the quick brown fox" and a shared rare
+    * passage as equal evidence; the weighted form makes two docs
+    * sharing RARE content score high even when their boilerplate
+    * differs, and two docs sharing only ubiquitous fragments score
+    * near zero (df = N ⇒ w = 0 exactly). The df > maxDf window drops
+    * ubiquitous grams entirely — the same recall trade as
+    * [[ngramJaccard]], and principled here: past the window the idf
+    * weight is near floor anyway. Weights and totals live in the
+    * df-FILTERED shingle space (mirror the HAVING in any oracle).
+    *
+    * Shape: the q19 grouped inverted index (sized exchange, capped
+    * collect, df window), then the ≤ df²/2 pair emission carries ONE
+    * weight long per pair — the df→w dictionary is ≤ maxDf rows
+    * computed DRIVER-SIDE from the pure [[graft.functions.Dsir.ilog2Fx]]
+    * kernel (no Spark job) and broadcast. Per-doc total weights come
+    * from the same grouped table (one more bounded pass). Pair and
+    * doc-total tables are candidate-volume-sized; the only corpus-wide
+    * exchange is the gram grouping.
+    *
+    * @return (id1, id2, inter_w, w1, w2, wjaccard) for pairs with
+    *   wjaccard ≥ threshold; inter_w/w1/w2 are exact 2^20 fixed point,
+    *   wjaccard is their engine-identical double division
+    */
+  def ngramWeightedJaccard(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleK: Int = 8,
+      threshold: Double = 0.3,
+      maxDf: Int = 100,
+      charsHint: Long = -1L): DataFrame = {
+    require(shingleK >= 2, s"shingleK must be >= 2, got $shingleK")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1], got $threshold")
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val totalChars =
+      if (charsHint >= 0) charsHint
+      else df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
+        .cast("long")).head.getLong(0)
+    val parts = graft.ops.Sizing.groupingPartitions(
+      totalChars, 24L, par, targetBytesPerTask = 64L << 20)
+    // N = docs that contribute shingles (the kernel's own domain) —
+    // a pruned scan, no kernel pass
+    val nDocs = df
+      .filter(textCol.isNotNull && length(textCol) >= shingleK)
+      .count()
+    require(nDocs >= 1,
+      s"ngramWeightedJaccard: no document reaches shingleK=$shingleK")
+    val lN = graft.functions.Dsir.ilog2Fx(nDocs)
+    import spark.implicits._
+    val wdf = (1 to maxDf)
+      .map(d => (d.toLong, lN - graft.functions.Dsir.ilog2Fx(d.toLong)))
+      .toDF("df", "w")
+    val grams = shingleDocs(df, idCol, textCol, shingleK)
+      .select(col("id"), explode(col("vms")).as("sh"))
+      .repartition(parts, col("sh"))
+    val groups = grams.groupBy("sh")
+      .agg(call_function("collect_list_capped",
+        col("id"), lit(maxDf)).as("ids"), count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf) // surviving lists are complete
+      .join(broadcast(wdf), Seq("df"))
+    val pairExpr = explode(expr(
+      """flatten(transform(ids, x ->
+           filter(transform(ids, y ->
+             IF(x < y, struct(x AS id1, y AS id2), NULL)),
+           z -> z IS NOT NULL)))""")).as("e")
+    val pairsW = groups
+      .select(pairExpr, col("w").as("__w"))
+      .select(col("e.id1").as("id1"), col("e.id2").as("id2"), col("__w"))
+      .groupBy("id1", "id2").agg(sum(col("__w")).as("inter_w"))
+    val docW = groups.select(explode(col("ids")).as("id"), col("w"))
+      .groupBy("id").agg(sum(col("w")).as("tw"))
+    pairsW
+      .join(docW.select(col("id").as("id1"), col("tw").as("w1")), Seq("id1"))
+      .join(docW.select(col("id").as("id2"), col("tw").as("w2")), Seq("id2"))
+      .withColumn("__den", col("w1") + col("w2") - col("inter_w"))
+      .filter(col("__den") > 0L)
+      .withColumn("wjaccard",
+        col("inter_w").cast("double") / col("__den").cast("double"))
+      .filter(col("wjaccard") >= threshold)
+      .select("id1", "id2", "inter_w", "w1", "w2", "wjaccard")
+  }
+
   def gradePairs(pred: DataFrame, truth: DataFrame): DataFrame = {
     val p = pred.select(col("id1"), col("id2")).distinct()
     val t = truth.select(col("id1"), col("id2")).distinct()

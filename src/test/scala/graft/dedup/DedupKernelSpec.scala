@@ -331,6 +331,56 @@ class DedupKernelSpec extends SparkSpec {
     assert(got(9000002L)._3 == 1048576L, "unique alphabet is all-novel")
   }
 
+  test("ngramWeightedJaccard == a plain-Scala idf model; planted clones " +
+      "score 1.0 exactly; docs sharing only ubiquitous content score " +
+      "below docs sharing rare content at equal raw overlap") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(30)
+      .as[(Long, String)].collect()
+    // ~300 distinct shared 8-grams (a periodic block would collapse to
+    // its period's worth of distinct shingles — measured the hard way)
+    val rnd = new scala.util.Random(42)
+    val rare = Seq.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
+    val planted = corpus ++ Seq(
+      (9000001L, corpus.head._2),          // exact clone of doc 0
+      (9000002L, rare + " alpha beta"),    // rare-sharing pair...
+      (9000003L, rare + " gamma delta"))   // ...different boilerplate
+    val df = planted.toSeq.toDF("doc_id", "text").repartition(3)
+    val got = Dedup.ngramWeightedJaccard(df, col("doc_id"), col("text"),
+        shingleK = 8, threshold = 0.0, maxDf = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // plain-Scala model over the kernel's own (spec-verified) hashes
+    val sigs = Dedup.shingleDocs(df, col("doc_id"), col("text"), 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    val n = sigs.length.toLong
+    val dfc = sigs.flatMap(_._2).groupBy(identity)
+      .map { case (g, o) => g -> o.length.toLong }
+    def w(g: Long): Long =
+      graft.functions.Dsir.ilog2Fx(n) - graft.functions.Dsir.ilog2Fx(dfc(g))
+    val kept = dfc.filter(_._2 <= 100).keySet
+    val model = (for {
+      (ia, va) <- sigs; (ib, vb) <- sigs if ia < ib
+      shared = (va intersect vb).filter(kept) if shared.nonEmpty
+      inter = shared.toSeq.map(w).sum
+      wa = va.filter(kept).toSeq.map(w).sum
+      wb = vb.filter(kept).toSeq.map(w).sum
+      den = wa + wb - inter if den > 0
+    } yield (ia, ib) -> ((inter, wa, wb, inter.toDouble / den.toDouble)))
+      .toMap
+    // threshold 0 keeps every pair co-occurring in a kept (df ≤ maxDf)
+    // group — exactly the model's shared.nonEmpty condition
+    assert(got == model)
+    val clone = got((corpus.head._1, 9000001L))
+    assert(clone._4 == 1.0, s"clone pair must score exactly 1, got $clone")
+    val rarePair = got((9000002L, 9000003L))
+    assert(rarePair._4 > 0.5,
+      s"rare-content pair must dominate its boilerplate, got $rarePair")
+  }
+
   test("minhashLsh over a parquet scan runs NO Spark job at " +
       "plan-build time (sizing comes from plan statistics)") {
     val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
