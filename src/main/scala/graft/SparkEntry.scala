@@ -7533,6 +7533,10 @@ object SparkEntry {
   private def q160(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val staged = t(s, dir, "events")
+      // same staging filters as q183 (see there): mirror cusum's batch
+      // base filter + the q156 oracle; ts for the ordering contract
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("value").isNotNull && col("ts").isNotNull)
       .select(col("user_id").as("key"), col("event_id").as("id"),
         col("ts"),
         expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)").as("v"))
@@ -8337,14 +8341,29 @@ object SparkEntry {
          SELECT 'lineitem.l_orderkey->l_suppkey', k, nd FROM (
            SELECT l_orderkey AS k, count(DISTINCT l_suppkey) AS nd
            FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
-           GROUP BY 1))
-       SELECT relation, CAST(count(*) AS BIGINT) AS n_keys,
-         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_violating,
-         CAST(max(nd) AS BIGINT) AS max_distinct,
-         CAST((sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1048576)
-           // count(*) AS BIGINT) AS violation_fx
-       FROM probe GROUP BY 1"""
+           GROUP BY 1)),
+       agg AS (
+         SELECT relation, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_distinct,
+           CAST((sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1048576)
+             // count(*) AS BIGINT) AS violation_fx
+         FROM probe GROUP BY 1),
+       -- relation-name spine: fdProfile emits one zero-summary row per
+       -- probed relation even when the (non-null-filtered) input is
+       -- empty; LEFT JOIN from the spine keeps the oracle aligned on
+       -- that degenerate shape.
+       spine(relation) AS (VALUES
+         ('events.event_id->user_id'), ('events.user_id->event_type'),
+         ('orders.o_orderkey->o_custkey'),
+         ('lineitem.l_orderkey->l_suppkey'))
+       SELECT s.relation,
+         COALESCE(a.n_keys, 0) AS n_keys,
+         COALESCE(a.n_violating, 0) AS n_violating,
+         COALESCE(a.max_distinct, 0) AS max_distinct,
+         COALESCE(a.violation_fx, 0) AS violation_fx
+       FROM spine s LEFT JOIN agg a ON s.relation = a.relation"""
 
   // ------------------------------------------------------------------
   // q178 — per-group percentile normalization (extension:
@@ -8582,6 +8601,14 @@ object SparkEntry {
   private def q183(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val staged = t(s, dir, "events")
+      // mirror ewmaSmooth's base filter (and the q162 oracle) on
+      // key/id/v; ts additionally, because the streaming ordering
+      // contract needs a non-null event time — without the filter a
+      // null ts lands in b=__HIVE_DEFAULT_PARTITION__ and silently
+      // drops from the stream, and a null key/id/v crashes EwmaPoint
+      // deserialization instead of being filtered like the batch op
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("value").isNotNull && col("ts").isNotNull)
       .select(col("user_id").as("key"), col("event_id").as("id"),
         col("ts"),
         expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)").as("v"))

@@ -48,8 +48,11 @@ object Repetition extends Serializable {
         val nLines = lines.length.toLong
         var dupLines = 0L; var dupChars = 0L; var totChars = 0L
         lines.foreach { l =>
-          totChars += l.length
-          if (lineCounts.get(l) > 1) { dupLines += 1; dupChars += l.length }
+          // code points, not UTF-16 units (DuckDB len() convention —
+          // same rationale as ngramStats below)
+          val lLen = l.codePointCount(0, l.length)
+          totChars += lLen
+          if (lineCounts.get(l) > 1) { dupLines += 1; dupChars += lLen }
         }
         val dupLineFrac =
           if (nLines > 0) dupLines.toDouble / nLines.toDouble else 0.0
@@ -68,13 +71,16 @@ object Repetition extends Serializable {
           val it = bgCounts.entrySet().iterator()
           while (it.hasNext) {
             val e = it.next()
-            val covered = e.getValue.toLong * e.getKey.length
+            val k = e.getKey
+            val covered =
+              e.getValue.toLong * k.codePointCount(0, k.length)
             if (covered > topBigramChars) topBigramChars = covered
           }
         }
         val topBigramCharFrac =
           if (text.nonEmpty && topBigramChars > 0)
-            topBigramChars.toDouble / text.length.toDouble
+            topBigramChars.toDouble /
+              text.codePointCount(0, text.length).toDouble
           else 0.0
 
         org.apache.spark.sql.Row(r.get(0), nLines,
@@ -132,7 +138,10 @@ object Repetition extends Serializable {
       rows.flatMap { r =>
         val text = if (r.isNullAt(1)) "" else r.getString(1)
         val toks = text.split("\\s+").filter(_.nonEmpty)
-        val totChars = text.length.toLong
+        // code points, not UTF-16 units: the oracle's DuckDB len()
+        // counts code points, so a non-BMP char (emoji, supplementary
+        // CJK) must weigh 1 here too
+        val totChars = text.codePointCount(0, text.length).toLong
         (minN to maxN).iterator.flatMap { n =>
           if (toks.length < n || totChars == 0) Iterator.empty
           else {
@@ -153,7 +162,9 @@ object Repetition extends Serializable {
             val it = counts.entrySet().iterator()
             while (it.hasNext) {
               val e = it.next()
-              val cover = e.getValue.toLong * e.getKey.length
+              val k = e.getKey
+              val cover =
+                e.getValue.toLong * k.codePointCount(0, k.length)
               if (cover > top) top = cover
               if (e.getValue > 1) dup += cover
             }

@@ -738,13 +738,20 @@ object Profile {
       buckets: Int): DataFrame = {
     require(buckets >= 1 && buckets <= 100000,
       s"buckets must be in [1, 100000], got $buckets")
+    val bias = 1L << 62
     val base = df.select(valueCol.cast("long").as("v"))
       .filter(col("v").isNotNull)
+      // same domain guard as aucExact/percentileNormalize: the biased
+      // hex encoding below mis-orders values outside (−2^62, 2^62)
+      .withColumn("v",
+        when(abs(col("v")) < lit(bias), col("v")).otherwise(raise_error(
+          concat(lit("equiDepthHistogram values must be in " +
+            "(-2^62, 2^62), got "), col("v")))))
       .withColumn("__one", lit(1L))
       // fixed-width encode with a 2^62 bias so negative values sort
       // correctly as strings (the percentileNormalize trick)
       .withColumn("__ord",
-        format_string("%016x", col("v") + lit(1L << 62)))
+        format_string("%016x", col("v") + lit(bias)))
     val ranked = Prefix.runningTotal(base, orderCol = "__ord",
       valueCol = "__one", outCol = "rank")
     val n = ranked.agg(count(lit(1)).as("__n"))

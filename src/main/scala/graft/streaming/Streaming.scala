@@ -324,6 +324,19 @@ object Streaming {
     * accepts approximate alarms under disorder — the late points feed
     * the recurrence at arrival position, which is the only sequential
     * semantics an unbounded stream can offer.
+    *
+    * CHECKPOINT COMPATIBILITY: adding the disorder guard widened the
+    * per-key GroupState encoder from `(Long, Long)` to the current
+    * 5-tuple `(Long, Long, Long, Int, Long)`. Spark's state store does
+    * not version user state schemas, so a query RESTARTED from a
+    * checkpoint written by the pre-guard build fails state
+    * deserialization at the first stateful task. Restarting across
+    * this upgrade needs a fresh checkpoint directory (replay the
+    * source from a save point, or seed from the batch operator's
+    * output). Future state widenings here must bump this note — or
+    * move to an explicitly versioned state case class. The same
+    * applies to [[ewmaStream]], whose state has carried the guard
+    * fields since its introduction.
     */
   def cusumStream(
       points: Dataset[CusumPoint],
