@@ -736,12 +736,13 @@ object Dedup {
     * [[minhashLshAgainstPrepared]]) — the plan here recomputes it,
     * which is the right default for a one-shot call.
     *
-    * SIDE EFFECT: unless `rowsHint >= 0`, this eagerly runs TWO
-    * count() jobs (one per side, both pruned single-column scans) at
-    * call time to size the verify-join build partitions — over
-    * expensive upstream plans pass `rowsHint` (an upper bound of
-    * max(|increment|, |corpus|); it only sizes partitions). Same
-    * contract as [[minhashLsh]]'s rowsHint.
+    * Sizing cascade (the [[minhashLsh]] rowsHint contract): `rowsHint
+    * >= 0` pins it; unset, plan statistics size both sides with NO
+    * Spark job ([[graft.ops.Sizing.planRowsEstimate]]); only a side
+    * whose plan carries no usable size falls back to one pruned
+    * count() job — over an expensive size-less upstream plan, pass
+    * the hint (an upper bound of max(|increment|, |corpus|); it only
+    * sizes partitions).
     *
     * @return (id1 = increment id, id2 = corpus id, jaccard) with
     *   jaccard >= threshold
@@ -770,9 +771,14 @@ object Dedup {
     crossSidePairs(inc, bandBuckets(corp, numHashes, bands), corp,
       numHashes, bands, threshold, maxBucketSide,
       jaccardBuildParts(
+        // same sizing cascade as minhashLsh (round 16): hint > plan
+        // statistics (no job) > pruned count() last resort, per side
         if (rowsHint >= 0) rowsHint
-        else math.max(increment.select(incId).count(),
-          corpus.select(corpId).count()),
+        else math.max(
+          graft.ops.Sizing.planRowsEstimate(increment)
+            .getOrElse(increment.select(incId).count()),
+          graft.ops.Sizing.planRowsEstimate(corpus)
+            .getOrElse(corpus.select(corpId).count())),
         increment.sparkSession))
   }
 
@@ -839,12 +845,15 @@ object Dedup {
       prepared.select(col("id"), col("vms")),
       numHashes, bands, threshold, maxBucketSide,
       jaccardBuildParts(
-        // prepared is normally a materialized tap read, so the sizing
-        // counts are metadata-cheap; rowsHint still skips both jobs
-        // (same SIDE EFFECT contract as minhashLshAgainst).
+        // same sizing cascade as minhashLshAgainst: hint > plan
+        // statistics (prepared is normally a materialized tap read,
+        // so its parquet scan knows its bytes) > pruned count()
         if (rowsHint >= 0) rowsHint
-        else math.max(increment.select(incId).count(),
-          prepared.select(col("id")).count()),
+        else math.max(
+          graft.ops.Sizing.planRowsEstimate(increment)
+            .getOrElse(increment.select(incId).count()),
+          graft.ops.Sizing.planRowsEstimate(prepared)
+            .getOrElse(prepared.select(col("id")).count())),
         increment.sparkSession))
   }
 
@@ -967,7 +976,10 @@ object Dedup {
     * exchange reuses the same width via a repartition the following
     * groupBy's requirement is satisfied by (no second exchange).
     * charsHint follows the duplicateSpans contract: pass an upper
-    * bound on total text chars to skip the sizing scan.
+    * bound on total text chars to pin the sizing; unset, plan
+    * statistics size it with NO Spark job ([[graft.ops.Sizing
+    * .charsEstimate]]), falling back to a pruned length-sum only when
+    * the plan carries no size.
     */
   private def ngramPairCounts(
       df: DataFrame,
@@ -979,8 +991,11 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val totalChars =
       if (charsHint >= 0) charsHint
-      else df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
-        .cast("long")).head.getLong(0)
+      // plan statistics first (no Spark job — the minhashLsh sizing
+      // contract); the pruned length-sum only as last resort
+      else graft.ops.Sizing.charsEstimate(df).getOrElse(
+        df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
+          .cast("long")).head.getLong(0))
     // ~24 B per posting row in exchange form (8-byte hashed shingle +
     // id + overhead); 64 MB/task keeps the capped posting-list buffers
     // in memory at any corpus size
@@ -1363,12 +1378,13 @@ object Dedup {
     *   carries it as payload instead of being a bare semi-join —
     *   same cardinality, same join shape.
     * @param charsHint known (approximate) total character count of
-    *   the corpus; `>= 0` skips the sizing scan. SIDE EFFECT (the
-    *   minhashLsh rowsHint contract): without a hint, one eager
-    *   sum(length(text)) job runs at call time to volume-size the
-    *   gram exchanges — a pruned single-column scan over a plain
-    *   table, a re-execution of an expensive upstream plan
-    *   otherwise. Sizing matters here MORE than in the shingle
+    *   the corpus; `>= 0` pins the sizing. Unset, plan statistics
+    *   volume-size the gram exchanges with NO Spark job
+    *   ([[graft.ops.Sizing.charsEstimate]] — parquet file bytes x3,
+    *   a magnitude-right over-estimate, the safe direction); only a
+    *   plan with no usable size falls back to one eager pruned
+    *   length-sum job — over an expensive size-less upstream plan,
+    *   pass the hint. Sizing matters here MORE than in the shingle
     *   family: the gram stream is O(total chars) rows, and at the
     *   docs x300 rung (411M grams) the session-default 32-partition
     *   exchanges put ~GB-scale agg/sort state on every task —
@@ -1393,8 +1409,11 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val totalChars =
       if (charsHint >= 0) charsHint
-      else df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
-        .cast("long")).head.getLong(0)
+      // plan statistics first (no Spark job — the minhashLsh sizing
+      // contract); the pruned length-sum only as last resort
+      else graft.ops.Sizing.charsEstimate(df).getOrElse(
+        df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
+          .cast("long")).head.getLong(0))
     // ~40 B per gram row in exchange form (32-hex h + id + pos);
     // 64 MB/task keeps the count aggregation's hash state and the
     // verify join's build in memory at any corpus size
@@ -1882,8 +1901,10 @@ object Dedup {
     * the same reasoning applies here and the x100 number below is
     * WITH the double pass). Sizing follows the ngramPairCounts
     * contract: `charsHint` (any magnitude-right upper bound; the
-    * pruned n_chars metadata sum is the cheap source) skips the
-    * sizing scan; unset runs one pruned length-sum pass. The unsized
+    * pruned n_chars metadata sum is the cheap source) pins the
+    * sizing; unset, plan statistics size it with NO Spark job
+    * ([[graft.ops.Sizing.charsEstimate]]), length-sum fallback only
+    * on a size-less plan. The unsized
     * 32-partition form measured DEGRADING run-over-run at the docs
     * x100 rung (18 → 53 s across three iterations — per-task sort
     * state at the heap edge); sized, it holds steady at 17 s.
@@ -1901,8 +1922,11 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val totalChars =
       if (charsHint >= 0) charsHint
-      else df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
-        .cast("long")).head.getLong(0)
+      // plan statistics first (no Spark job — the minhashLsh sizing
+      // contract); the pruned length-sum only as last resort
+      else graft.ops.Sizing.charsEstimate(df).getOrElse(
+        df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
+          .cast("long")).head.getLong(0))
     val parts = graft.ops.Sizing.groupingPartitions(
       totalChars, 24L, par, targetBytesPerTask = 64L << 20)
     val grams = shingleDocs(df, idCol, textCol, shingleK)
@@ -1939,12 +1963,16 @@ object Dedup {
     *
     * Shape: the q19 grouped inverted index (sized exchange, capped
     * collect, df window), then the ≤ df²/2 pair emission carries ONE
-    * weight long per pair — the df→w dictionary is ≤ maxDf rows
-    * computed DRIVER-SIDE from the pure [[graft.functions.Dsir.ilog2Fx]]
-    * kernel (no Spark job) and broadcast. Per-doc total weights come
-    * from the same grouped table (one more bounded pass). Pair and
-    * doc-total tables are candidate-volume-sized; the only corpus-wide
-    * exchange is the gram grouping.
+    * weight long per pair — the df→ilog2Fx(df) half of the dictionary
+    * is ≤ maxDf driver-side rows from the pure
+    * [[graft.functions.Dsir.ilog2Fx]] kernel (no data needed), and
+    * the ilog2Fx(N) term arrives as a 1-row broadcast from an IN-PLAN
+    * pruned count aggregate — NO Spark job runs at plan-build time
+    * (the minhashLsh sizing contract; the N ≥ 1 domain guard fires at
+    * execution). Per-doc total weights come from the same grouped
+    * table (one more bounded pass). Pair and doc-total tables are
+    * candidate-volume-sized; the only corpus-wide exchange is the
+    * gram grouping.
     *
     * @return (id1, id2, inter_w, w1, w2, wjaccard) for pairs with
     *   wjaccard ≥ threshold; inter_w/w1/w2 are exact 2^20 fixed point,
@@ -1966,22 +1994,35 @@ object Dedup {
     val par = spark.sparkContext.defaultParallelism
     val totalChars =
       if (charsHint >= 0) charsHint
-      else df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
-        .cast("long")).head.getLong(0)
+      // plan statistics first (no Spark job — the minhashLsh sizing
+      // contract); the pruned length-sum only as last resort
+      else graft.ops.Sizing.charsEstimate(df).getOrElse(
+        df.agg(coalesce(sum(length(coalesce(textCol, lit("")))), lit(0L))
+          .cast("long")).head.getLong(0))
     val parts = graft.ops.Sizing.groupingPartitions(
       totalChars, 24L, par, targetBytesPerTask = 64L << 20)
-    // N = docs that contribute shingles (the kernel's own domain) —
-    // a pruned scan, no kernel pass
-    val nDocs = df
-      .filter(textCol.isNotNull && length(textCol) >= shingleK)
-      .count()
-    require(nDocs >= 1,
-      s"ngramWeightedJaccard: no document reaches shingleK=$shingleK")
-    val lN = graft.functions.Dsir.ilog2Fx(nDocs)
+    // N = docs that contribute shingles (the kernel's own domain).
+    // IN-PLAN, not a driver count (the minhashLsh no-job-at-plan-build
+    // contract): a 1-row pruned aggregate carries ilog2Fx(N) through a
+    // typed map, and the <= maxDf df->weight dictionary (a pure
+    // driver-side table — ilog2Fx needs no data) picks it up via a
+    // 1-row broadcast cross join. The domain guard (N >= 1) moves to
+    // execution time — still loud, now a task failure with the same
+    // message instead of a plan-build require.
     import spark.implicits._
+    val lNDf = df
+      .filter(textCol.isNotNull && length(textCol) >= shingleK)
+      .agg(count(lit(1)).as("n")).as[Long]
+      .map { n =>
+        if (n < 1) throw new IllegalArgumentException(
+          s"ngramWeightedJaccard: no document reaches shingleK=$shingleK")
+        graft.functions.Dsir.ilog2Fx(n)
+      }.toDF("lN")
     val wdf = (1 to maxDf)
-      .map(d => (d.toLong, lN - graft.functions.Dsir.ilog2Fx(d.toLong)))
-      .toDF("df", "w")
+      .map(d => (d.toLong, graft.functions.Dsir.ilog2Fx(d.toLong)))
+      .toDF("df", "ldf")
+      .crossJoin(broadcast(lNDf))
+      .select(col("df"), (col("lN") - col("ldf")).as("w"))
     val grams = shingleDocs(df, idCol, textCol, shingleK)
       .select(col("id"), explode(col("vms")).as("sh"))
       .repartition(parts, col("sh"))

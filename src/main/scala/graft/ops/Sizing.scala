@@ -57,6 +57,31 @@ object Sizing {
     }
   }
 
+  /** Best-effort TOTAL-CHARACTER estimate for a text relation from
+    * Catalyst plan statistics — NO Spark job; [[planRowsEstimate]]'s
+    * sibling for char-volume sizing (the n-gram kernels' gram streams
+    * are O(total chars) rows, so their exchange widths size from
+    * chars, not rows). Uses the optimized plan's `sizeInBytes` (for a
+    * parquet scan: compressed file bytes from the driver-side file
+    * listing) times `charsPerByte`: parquet compresses natural text
+    * ~2-4x, so 3 is a magnitude-right UPPER bound for text-dominated
+    * relations — and over-estimating chars over-partitions, the safe
+    * direction for memory-bounded gram groupings (the
+    * assumedBytesPerRow reasoning, mirrored). Returns None when the
+    * plan carries no usable size (unknown-size sentinel, empty local
+    * relation) — callers fall back to the pruned length-sum job.
+    *
+    * For SIZING consumers only: a relation whose bytes are mostly
+    * NON-text columns over-estimates text chars — more partitions
+    * than needed, never fewer than the data could fill. */
+  def charsEstimate(df: org.apache.spark.sql.DataFrame,
+      charsPerByte: Long = 3L): Option[Long] = {
+    require(charsPerByte >= 1, s"charsPerByte $charsPerByte")
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sz <= 0 || sz >= BigInt(1L << 50)) None
+    else Some(math.max(1L, (sz * charsPerByte).toLong))
+  }
+
   /** ceil(log2(n)) for n >= 1; 0 for n <= 1. */
   def log2Ceil(n: Long): Int = {
     require(n >= 0, s"log2Ceil of negative $n")

@@ -399,8 +399,37 @@ class DedupKernelSpec extends SparkSpec {
     } finally spark.sparkContext.clearJobGroup()
   }
 
-  test("ngramJaccard/ngramContainment charsHint skips the sizing scan " +
-      "(upstream runs once) and any upper bound gives identical output") {
+  test("n-gram kernel family over parquet scans runs NO Spark job at " +
+      "plan-build time (chars/rows sizing from plan statistics, " +
+      "ilog2Fx(N) in-plan)") {
+    val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    df.schema // read-side inference outside the probe group
+    val group = "graft-ngram-planbuild-probe"
+    spark.sparkContext.setJobGroup(group, "plan-build job probe")
+    try {
+      val plans = Seq(
+        Dedup.ngramJaccard(df, col("doc_id"), col("text"),
+          shingleK = 8, threshold = 0.3, maxDf = 50),
+        Dedup.ngramContainment(df, col("doc_id"), col("text"),
+          shingleK = 8, threshold = 0.5, maxDf = 50),
+        Dedup.ngramNovelty(df, col("doc_id"), col("text"), shingleK = 8),
+        Dedup.ngramWeightedJaccard(df, col("doc_id"), col("text"),
+          shingleK = 8, threshold = 0.1, maxDf = 50),
+        Dedup.duplicateSpans(df, col("doc_id"), col("text"), k = 20),
+        Dedup.minhashLshAgainst(df.limit(20), col("doc_id"), col("text"),
+          df, col("doc_id"), col("text")))
+      val jobs =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+      assert(jobs.isEmpty,
+        s"plan build ran ${jobs.length} Spark job(s) on the default " +
+          "parquet path — the sizing contract is zero (round 16)")
+      plans.foreach(p => assert(p.count() >= 0)) // plans still execute
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
+  test("ngramJaccard/ngramContainment: hinted AND statistics-sized " +
+      "arms run upstream exactly once; any upper bound gives " +
+      "identical output") {
     import spark.implicits._
     val base = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
       .select(col("doc_id"), col("text")).limit(60).collect()
@@ -422,11 +451,12 @@ class DedupKernelSpec extends SparkSpec {
     val (d1, a1) = instrumented()
     val exact = run(d1, base.map(_._2.length.toLong).sum)
     assert(a1.value == n.toLong, s"hinted arm ran upstream ${a1.value / n}x")
-    // no hint: the Sigma-chars sizing aggregation is a second full
-    // execution (the minhashLsh rowsHint ADVICE case, same contract)
+    // no hint: round 16 — plan statistics size it (this local plan
+    // knows its bytes), so the bare arm ALSO runs upstream exactly
+    // once; the length-sum second pass only fires on size-less plans
     val (d2, a2) = instrumented()
     val bare = run(d2, -1L)
-    assert(a2.value == 2L * n, s"bare arm ran upstream ${a2.value / n}x")
+    assert(a2.value == n.toLong, s"bare arm ran upstream ${a2.value / n}x")
     // charsHint is an UPPER BOUND: a loose hint (1000x the corpus — a
     // few hundred partitions, not the 2^18 cap a TB-scale hint would
     // schedule) only widens the exchange, never changes rows

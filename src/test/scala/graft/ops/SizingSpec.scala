@@ -154,4 +154,31 @@ class SizingSpec extends SparkSpec {
       docs, col("doc_id"), col("text"), maxHamming = 3, bands = 4)
     assert(dAuto.collect().toSet == dExpl.collect().toSet)
   }
+
+  test("charsEstimate: magnitude-right upper bound from plan stats, " +
+      "no job") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df.schema
+    val group = "graft-chars-estimate-probe"
+    spark.sparkContext.setJobGroup(group, "charsEstimate job probe")
+    val est =
+      try {
+        val e = Sizing.charsEstimate(df)
+        assert(spark.sparkContext.statusTracker
+          .getJobIdsForGroup(group).isEmpty,
+          "charsEstimate ran a Spark job")
+        e
+      } finally spark.sparkContext.clearJobGroup()
+    assert(est.isDefined, "parquet scan must carry a usable size")
+    val actual = df.agg(
+      org.apache.spark.sql.functions.sum(length(col("text"))))
+      .head.getLong(0)
+    // sizing contract: at or above the true char count (the safe,
+    // over-partitioning direction for this text-dominated table) and
+    // within two orders of magnitude (it feeds a power-of-two width)
+    assert(est.get >= actual,
+      s"estimate ${est.get} below actual $actual — under-partitions")
+    assert(est.get <= 100L * actual,
+      s"estimate ${est.get} absurdly above actual $actual")
+  }
 }
