@@ -1888,26 +1888,26 @@ object Dedup {
     * Shape: the q18/q19 shingle kernel ([[shingleDocs]] — per-doc
     * DISTINCT string shingles, then md5-mod hashes, so the DuckDB
     * oracle replays bit-for-bit), explode to the (hash, id) incidence
-    * stream through a SIZED exchange, one df count, one join back,
-    * one per-doc aggregation. Every exchanged row is a (long, long)
-    * pair — volume linear in total distinct grams, nothing buffers a
-    * posting list (no df cap needed: counts, not pair emission — df
-    * never multiplies volume here). Plan reality (.explain-audited,
-    * round 18): the planner broadcasts the aggregated df table back
-    * rather than meeting the gram exchange in a shuffle join, which
-    * re-runs the shingle kernel for the df branch — two kernel
-    * passes, the q18 `cacheSignatures` trade in different clothes
-    * (persisting the corpus-sized gram stream measured worse there;
-    * the same reasoning applies here and the x100 number below is
-    * WITH the double pass). Sizing follows the ngramPairCounts
-    * contract: `charsHint` (any magnitude-right upper bound; the
-    * pruned n_chars metadata sum is the cheap source) pins the
-    * sizing; unset, plan statistics size it with NO Spark job
+    * stream through a SIZED exchange, then df attached as
+    * `count(*) OVER (PARTITION BY g)` ON that same exchange — ONE
+    * kernel pass, ONE corpus-wide exchange, NO join (round 16: the
+    * previous count-then-join-back form re-ran the kernel for the
+    * broadcast df branch; a sort-merge pin did NOT restore exchange
+    * reuse because the df branch column-prunes to bare `g` rows —
+    * GramReuseProbe measured the window form at x100: 13.1 s vs
+    * 17.7 s broadcast / 18.8 s merge, shuffle 1.40 vs 2.00 GB, sigs
+    * equal). Every exchanged row is a (long, long) pair — volume
+    * linear in total distinct grams; the window buffers one gram's
+    * occurrence list at a time (spills past memory, never collects
+    * corpus-wide). Sizing follows the ngramPairCounts contract:
+    * `charsHint` (any magnitude-right upper bound; the pruned
+    * n_chars metadata sum is the cheap source) pins the sizing;
+    * unset, plan statistics size it with NO Spark job
     * ([[graft.ops.Sizing.charsEstimate]]), length-sum fallback only
-    * on a size-less plan. The unsized
-    * 32-partition form measured DEGRADING run-over-run at the docs
-    * x100 rung (18 → 53 s across three iterations — per-task sort
-    * state at the heap edge); sized, it holds steady at 17 s.
+    * on a size-less plan. The unsized 32-partition form measured
+    * DEGRADING run-over-run at the docs x100 rung (18 → 53 s across
+    * three iterations — per-task sort state at the heap edge); sized,
+    * it holds steady.
     *
     * @return (id, n_shingles, n_novel, novelty_fx) with novelty_fx =
     *   n_novel·2^20 div n_shingles (exact fixed point, floor)
@@ -1917,7 +1917,35 @@ object Dedup {
       idCol: Column,
       textCol: Column,
       shingleK: Int = 8,
-      charsHint: Long = -1L): DataFrame = {
+      charsHint: Long = -1L): DataFrame =
+    ngramNoveltyImpl(df, idCol, textCol, shingleK, charsHint,
+      strategy = "window")
+
+  /** [[ngramNovelty]] with the df-attachment strategy exposed for the
+    * GramReuseProbe A/B (same rows under every strategy):
+    *
+    *  - `"window"` (the production default): df arrives as
+    *    `count(*) OVER (PARTITION BY g)` on the exchanged gram stream
+    *    — ONE exchange, ONE kernel pass, no join at all; the window's
+    *    per-group buffer is one gram's posting list (spills past
+    *    memory, never collects corpus-wide).
+    *  - `"merge"`: join-back hinted to sort-merge. NOTE (probe
+    *    finding): this does NOT buy exchange reuse — the df branch is
+    *    column-pruned to bare `g` rows while the gram side carries
+    *    `(id, g)`, so the two exchanges are not identical and the
+    *    kernel still runs twice, now behind an extra sort.
+    *  - `"broadcast"`: Catalyst's own choice for the join-back form
+    *    (the round-15 shape) — re-executes the kernel for the
+    *    broadcast branch (two map passes over the corpus). */
+  private[graft] def ngramNoveltyImpl(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleK: Int,
+      charsHint: Long,
+      strategy: String): DataFrame = {
+    require(Set("window", "merge", "broadcast").contains(strategy),
+      s"unknown df-attachment strategy $strategy")
     require(shingleK >= 2, s"shingleK must be >= 2, got $shingleK")
     val par = df.sparkSession.sparkContext.defaultParallelism
     val totalChars =
@@ -1933,10 +1961,18 @@ object Dedup {
       .select(col("id"), explode(col("vms")).as("g"))
       .repartition(parts, col("g"))
     // vms is per-doc distinct, so count(*) per hash IS the document
-    // frequency — no pre-distinct pass needed; grouping on the
-    // repartition's partitioning adds no exchange
-    val dfs = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    grams.join(dfs, Seq("g"))
+    // frequency — no pre-distinct pass needed; the window/grouping
+    // rides the repartition's partitioning (no second exchange)
+    val withDf = strategy match {
+      case "window" =>
+        grams.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      case pin =>
+        val dfs0 = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        val dfs = if (pin == "merge") dfs0.hint("merge") else dfs0
+        grams.join(dfs, Seq("g"))
+    }
+    withDf
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
@@ -1969,10 +2005,13 @@ object Dedup {
     * the ilog2Fx(N) term arrives as a 1-row broadcast from an IN-PLAN
     * pruned count aggregate — NO Spark job runs at plan-build time
     * (the minhashLsh sizing contract; the N ≥ 1 domain guard fires at
-    * execution). Per-doc total weights come from the same grouped
-    * table (one more bounded pass). Pair and doc-total tables are
-    * candidate-volume-sized; the only corpus-wide exchange is the
-    * gram grouping.
+    * execution). Pair rows and per-doc total rows emit in the SAME
+    * pass over the grouped table (doc totals ride as (id, NULL) — the
+    * ngramPairCounts unified-emission shape; round 16: the separate
+    * branches re-ran the kernel+grouping three times), land in one
+    * candidate-volume-sized aggregation, and the small unified result
+    * is cached for the pair/total split. The only corpus-wide
+    * exchange is the gram grouping.
     *
     * @return (id1, id2, inter_w, w1, w2, wjaccard) for pairs with
     *   wjaccard ≥ threshold; inter_w/w1/w2 are exact 2^20 fixed point,
@@ -2031,17 +2070,30 @@ object Dedup {
         col("id"), lit(maxDf)).as("ids"), count(lit(1)).as("df"))
       .filter(col("df") <= maxDf) // surviving lists are complete
       .join(broadcast(wdf), Seq("df"))
-    val pairExpr = explode(expr(
-      """flatten(transform(ids, x ->
-           filter(transform(ids, y ->
-             IF(x < y, struct(x AS id1, y AS id2), NULL)),
-           z -> z IS NOT NULL)))""")).as("e")
-    val pairsW = groups
-      .select(pairExpr, col("w").as("__w"))
+    // pairs AND per-doc totals from ONE pass over the grouped table
+    // (the ngramPairCounts unified-emission shape — round 16: the
+    // separate pairsW/docW branches re-ran the kernel+grouping three
+    // times, GramReuseProbe measured it): doc-total rows ride along
+    // as (id, NULL) — `IF(false, x, NULL)` types the NULL from the id
+    // element itself, so the emission stays generic over id types.
+    val emitExpr = explode(expr(
+      """concat(
+           flatten(transform(ids, x ->
+             filter(transform(ids, y ->
+               IF(x < y, struct(x AS id1, y AS id2), NULL)),
+             z -> z IS NOT NULL))),
+           transform(ids, x ->
+             struct(x AS id1, IF(false, x, NULL) AS id2)))""")).as("e")
+    val unified = groups
+      .select(emitExpr, col("w").as("__w"))
       .select(col("e.id1").as("id1"), col("e.id2").as("id2"), col("__w"))
-      .groupBy("id1", "id2").agg(sum(col("__w")).as("inter_w"))
-    val docW = groups.select(explode(col("ids")).as("id"), col("w"))
-      .groupBy("id").agg(sum(col("w")).as("tw"))
+      .repartition(parts, col("id1"), col("id2"))
+      .groupBy("id1", "id2").agg(sum(col("__w")).as("w"))
+      .cache() // small: one row per co-occurring pair + one per doc
+    val pairsW = unified.filter(col("id2").isNotNull)
+      .select(col("id1"), col("id2"), col("w").as("inter_w"))
+    val docW = unified.filter(col("id2").isNull)
+      .select(col("id1").as("id"), col("w").as("tw"))
     pairsW
       .join(docW.select(col("id").as("id1"), col("tw").as("w1")), Seq("id1"))
       .join(docW.select(col("id").as("id2"), col("tw").as("w2")), Seq("id2"))

@@ -94,7 +94,8 @@ object Graphs {
       minWeight: Long = 1L,
       maxItemsPerGroup: Int = 200,
       failOnOverCap: Boolean = false,
-      numPartitions: Int = Sizing.Auto): DataFrame = {
+      numPartitions: Int = Sizing.Auto,
+      membershipsHint: Long = -1L): DataFrame = {
     require(minWeight >= 1, s"minWeight must be >= 1, got $minWeight")
     require(maxItemsPerGroup >= 2,
       s"maxItemsPerGroup must be >= 2, got $maxItemsPerGroup")
@@ -110,16 +111,28 @@ object Graphs {
     // grouping lesson): with the session's 32 shuffle partitions its
     // per-task state grows linearly with corpus size — the graphco
     // x100 rung (60M memberships) ran 12g at the allocation-pressure
-    // edge and died at 8g. `numPartitions` sizes that exchange
-    // explicitly (same exchange COUNT either way — the groupBy's own
-    // shuffle is just made explicit and parameterized); Auto keeps the
-    // session parallelism, right for working-set-sized corpora. Size
-    // from Sizing.groupingPartitions(memberships, ~72 B, cores) at
-    // rung scale and beyond.
+    // edge and died at 8g. Auto (round 16) sizes it from the
+    // membership count — `membershipsHint` if given, else plan
+    // statistics (NO Spark job, the minhashLsh contract), else the
+    // session parallelism (the old default, right for
+    // working-set-sized corpora whose plans carry no size). The task
+    // budget is 32 MB of ESTIMATED state (~72 B/membership), a 4x
+    // margin under the usual 128 MB: object buffers carry GC
+    // amplification flat-byte shuffles don't — GraphPartsProbe
+    // measured the x100 rung at 46.8 s / 12 g-edge with 32 partitions
+    // vs 34.0 s with 128 (arms content-hash-equal), and this rule
+    // lands in that band. `numPartitions` pins it explicitly (same
+    // exchange COUNT either way — the groupBy's own shuffle is just
+    // made explicit and parameterized).
     val parts =
-      if (numPartitions == Sizing.Auto)
-        df.sparkSession.sparkContext.defaultParallelism
-      else numPartitions
+      if (numPartitions == Sizing.Auto) {
+        val par = df.sparkSession.sparkContext.defaultParallelism
+        val memberships =
+          if (membershipsHint >= 0) membershipsHint
+          else Sizing.planRowsEstimate(df).getOrElse(par.toLong)
+        Sizing.groupingPartitions(memberships, 72L, par,
+          targetBytesPerTask = 32L << 20)
+      } else numPartitions
     val grouped = df.select(groupCol.as("g"), itemCol.as("it")).distinct()
       .repartition(parts, col("g"))
       .groupBy("g")

@@ -51,11 +51,38 @@ object Partitioning {
     * a hot key's rows spread over `salt` shuffle partitions instead of
     * one. Inner-join semantics are unchanged.
     *
-    * Prefer AQE's skew-join handling (on by default here) for sort-merge
-    * joins it can split; reach for explicit salting when the hot key is
-    * known and the replicated side is small-ish (cost = |other| x salt
-    * shuffle rows), or when the join runs inside an operator AQE can't
-    * re-plan.
+    * WHICH SKEW LEVER — decision table (measure the skew FIRST with
+    * [[Profile.keySkew]]: top_share_fx and the Gini say whether any
+    * lever is needed before the job stalls, not after). Mechanics
+    * pinned by PartitioningSpec's AQE-vs-salting arm over the q157
+    * fixture:
+    *
+    *  1. Other side broadcastable (under
+    *     `spark.sql.autoBroadcastJoinThreshold`, or hinted):
+    *     BROADCAST. The fact side never shuffles on the key, so key
+    *     skew cannot materialize. Always the first choice.
+    *  2. Sort-merge / shuffled-hash join whose hot post-shuffle
+    *     partition exceeds BOTH AQE gates —
+    *     `skewedPartitionFactor` (default 5× the median partition)
+    *     AND `skewedPartitionThresholdInBytes` (default 256 MB):
+    *     AQE skew-join splits it at runtime, no code change. The
+    *     common case for 100 TB fact-to-fact joins, where hot keys
+    *     are multi-GB.
+    *  3. Hot partitions BELOW the 256 MB byte gate but still many×
+    *     the median (the straggler band a 32-core box feels long
+    *     before AQE's threshold — PartitioningSpec shows AQE leaving
+    *     such a join unsplit under default gates and splitting it
+    *     once the gates are lowered); OR the join sits where AQE
+    *     cannot re-plan (user-pinned repartitioning it must preserve,
+    *     streaming micro-batches); OR the skewed relation feeds a
+    *     non-join shuffle first: THIS helper. Pick
+    *     `salt ≈ hot-key rows / per-task row budget` (q157 uses the
+    *     lane count); cost = |other| × salt replicated rows, so keep
+    *     the replicated side dimension-sized.
+    *  4. Skew in a plain AGGREGATION (no join): AQE never splits one
+    *     hot GROUP — pre-aggregate on (key, salt) then re-aggregate
+    *     on key (two-stage fold), or lean on map-side combine when
+    *     the aggregate is algebraic. Not this helper.
     */
   def saltedJoin(
       skewed: DataFrame,

@@ -427,6 +427,52 @@ class DedupKernelSpec extends SparkSpec {
     } finally spark.sparkContext.clearJobGroup()
   }
 
+  test("ngramNovelty/ngramWeightedJaccard plan pin: ONE shingle-kernel " +
+      "pass (window df / unified emission — GramReuseProbe winners: " +
+      "x100 11.3 vs 14.3 s and 92.5 vs 143.6 s)") {
+    val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val nov = Dedup.ngramNovelty(df, col("doc_id"), col("text"),
+      shingleK = 8)
+    val novPlan = nov.queryExecution.executedPlan.toString
+    def c(plan: String, pat: String) = pat.r.findAllIn(plan).length
+    // window form: one corpus scan, one kernel pass, a Window node,
+    // no join-back
+    assert(c(novPlan, "Scan parquet") == 1,
+      s"novelty re-scans the corpus:\n$novPlan")
+    assert(c(novPlan, "MapPartitions") == 1,
+      s"novelty runs the kernel more than once:\n$novPlan")
+    assert(c(novPlan, "(?m)^\\s*\\S*\\s*\\+?-? ?Window ") >= 1 ||
+      novPlan.contains("Window"), "df window missing")
+    assert(c(novPlan, "Join") == 0,
+      s"novelty grew a join back:\n$novPlan")
+    val wj = Dedup.ngramWeightedJaccard(df, col("doc_id"), col("text"),
+      shingleK = 8, threshold = 0.3, maxDf = 100)
+    val wjPlan = wj.queryExecution.executedPlan.toString
+    // unified emission: ONE cached pair+total table serves all three
+    // consumers (pair arm + the two doc-total join sides). The cached
+    // lineage prints under each InMemoryTableScan, so kernel nodes in
+    // the STRING equal the scan count — runtime execution is pinned
+    // by the accumulator test below, not by string counting.
+    assert(c(wjPlan, "InMemoryTableScan") == 3,
+      s"weightedJaccard unified cache not serving 3 consumers:\n$wjPlan")
+
+    // runtime ground truth: upstream visits = kernel pass + the
+    // pruned ilog2Fx(N) aggregate = exactly 2n (the old three-branch
+    // form visited 4n)
+    import spark.implicits._
+    val rows = df.select(col("doc_id"), col("text")).limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val acc = spark.sparkContext.longAccumulator("wj-upstream")
+    val inst = spark.createDataset(rows)
+      .map { t => acc.add(1); t }.toDF("doc_id", "text")
+    spark.catalog.clearCache() // isolate this run's cache
+    Dedup.ngramWeightedJaccard(inst, col("doc_id"), col("text"),
+      shingleK = 8, threshold = 0.0, maxDf = 100).collect()
+    assert(acc.value == 2L * rows.length,
+      s"upstream visited ${acc.value}x for n=${rows.length} — kernel " +
+        "pass count drifted")
+  }
+
   test("ngramJaccard/ngramContainment: hinted AND statistics-sized " +
       "arms run upstream exactly once; any upper bound gives " +
       "identical output") {

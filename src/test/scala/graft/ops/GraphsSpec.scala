@@ -81,4 +81,43 @@ class GraphsSpec extends SparkSpec {
       Graphs.coOccurrenceEdges(df, col("g"), col("it"),
         maxItemsPerGroup = 1))
   }
+
+  test("coOccurrenceEdges Auto sizes the member-collect exchange from " +
+      "the membership count (hint > plan stats > parallelism), no job " +
+      "at plan build; sizing never changes the edge set") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.schema
+    val par = spark.sparkContext.defaultParallelism
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      val m = """hashpartitioning\(g#\d+L?, (\d+)\), REPARTITION_BY_NUM"""
+        .r.findFirstMatchIn(p)
+      assert(m.isDefined, s"no REPARTITION_BY_NUM exchange in plan:\n$p")
+      m.get.group(1).toInt
+    }
+    def edges(hint: Long) = Graphs.coOccurrenceEdges(li,
+      col("l_orderkey"), col("l_partkey"), minWeight = 2L,
+      membershipsHint = hint)
+    // a hint big enough to clear the parallelism floor must resolve
+    // to exactly groupingPartitions(hint, 72 B, par, 32 MB)
+    val bigHint = 100000000L
+    assert(partsOf(edges(bigHint)) == Sizing.groupingPartitions(
+      bigHint, 72L, par, targetBytesPerTask = 32L << 20))
+    // hint-less over parquet: plan statistics, zero Spark jobs
+    val group = "graft-cooccur-planbuild-probe"
+    spark.sparkContext.setJobGroup(group, "plan-build job probe")
+    val auto =
+      try {
+        val a = edges(-1L)
+        assert(spark.sparkContext.statusTracker
+          .getJobIdsForGroup(group).isEmpty,
+          "Auto sizing ran a Spark job at plan build")
+        a
+      } finally spark.sparkContext.clearJobGroup()
+    assert(partsOf(auto) == Sizing.groupingPartitions(
+      Sizing.planRowsEstimate(li).get, 72L, par,
+      targetBytesPerTask = 32L << 20))
+    // partitioning is a performance lever only
+    assert(auto.collect().toSet == edges(bigHint).collect().toSet)
+  }
 }
