@@ -52,7 +52,9 @@ object GraphPartsProbe {
 
     val (tAuto, sAuto) = medianSec(sig(edges(graft.ops.Sizing.Auto)))
     val (tSized, sSized) = medianSec(sig(edges(explicitParts)))
-    println(f"[graphparts] $sfDir auto(32): $tAuto%.2f s " +
+    // Auto is no longer the bare session parallelism: round 19 sizes
+    // it from plan-statistics memberships at 8 B/row, 32 MB/task
+    println(f"[graphparts] $sfDir auto: $tAuto%.2f s " +
       f"(n=${sAuto._1}, sig=${sAuto._2.take(12)}…)")
     println(f"[graphparts] $sfDir parts=$explicitParts: $tSized%.2f s " +
       f"(n=${sSized._1}, sig=${sSized._2.take(12)}…)")

@@ -129,7 +129,16 @@ object Graphs {
         val par = df.sparkSession.sparkContext.defaultParallelism
         val memberships =
           if (membershipsHint >= 0) membershipsHint
-          else Sizing.planRowsEstimate(df).getOrElse(par.toLong)
+          // estimate on the PRUNED 2-column projection (Catalyst
+          // scales sizeInBytes by default column widths, cancelling
+          // the caller's extra columns) at 8 B/row — the compressed
+          // floor of two dict/delta-encoded key columns (the graphco
+          // x100 rung measures 8.5 B/row); the 256 B default would
+          // under-count rows ~30x and land on the parallelism floor
+          else Sizing.planRowsEstimate(
+              df.select(groupCol.as("g"), itemCol.as("it")),
+              assumedBytesPerRow = 8L)
+            .getOrElse(par.toLong)
         Sizing.groupingPartitions(memberships, 72L, par,
           targetBytesPerTask = 32L << 20)
       } else numPartitions

@@ -115,7 +115,9 @@ class GraphsSpec extends SparkSpec {
         a
       } finally spark.sparkContext.clearJobGroup()
     assert(partsOf(auto) == Sizing.groupingPartitions(
-      Sizing.planRowsEstimate(li).get, 72L, par,
+      Sizing.planRowsEstimate(
+        li.select(col("l_orderkey").as("g"), col("l_partkey").as("it")),
+        assumedBytesPerRow = 8L).get, 72L, par,
       targetBytesPerTask = 32L << 20))
     // partitioning is a performance lever only
     assert(auto.collect().toSet == edges(bigHint).collect().toSet)
