@@ -8344,6 +8344,11 @@ object SparkEntry {
         "lineitem.l_orderkey->l_suppkey"))
   }
 
+  // The spine CTE: fdProfile emits one zero-summary row per probed
+  // relation even when the non-null-filtered input is empty; the LEFT
+  // JOIN off the relation-name spine keeps the oracle aligned on that
+  // degenerate shape. (Comment lives here, not in the SQL — the
+  // ContractSpec table-reference parser does not strip -- comments.)
   private val q177Sql =
     """WITH probe AS (
          SELECT 'events.event_id->user_id' AS relation, k, nd FROM (
@@ -8373,10 +8378,6 @@ object SparkEntry {
            CAST((sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1048576)
              // count(*) AS BIGINT) AS violation_fx
          FROM probe GROUP BY 1),
-       -- relation-name spine: fdProfile emits one zero-summary row per
-       -- probed relation even when the (non-null-filtered) input is
-       -- empty; LEFT JOIN from the spine keeps the oracle aligned on
-       -- that degenerate shape.
        spine(relation) AS (VALUES
          ('events.event_id->user_id'), ('events.user_id->event_type'),
          ('orders.o_orderkey->o_custkey'),
@@ -8825,7 +8826,212 @@ object SparkEntry {
          AND CAST(inter_w AS DOUBLE) /
            CAST(d1.tw + d2.tw - inter_w AS DOUBLE) >= 0.3"""
 
+  // ------------------------------------------------------------------
+  // q188 — exact nDCG@10 (extension: RankFusion.ndcgAtK): graded
+  // retrieval quality per user — events ranked by the system score
+  // (value), graded purchase=3 / signup=2 / click=1 / view,error=0.
+  // Discounts are 2^40 div ilog2Fx(rank+1), a driver-built <=k
+  // dictionary from the pure kernel (no job); the oracle replays the
+  // binary-log CTE (the q94/q187 pattern) and the same integer sums.
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankFusion.ndcgAtK(
+        t(s, dir, "events"),
+        col("user_id"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+        expr("CASE event_type WHEN 'purchase' THEN 3 " +
+          "WHEN 'signup' THEN 2 WHEN 'click' THEN 1 ELSE 0 END"),
+        k = 10)
+      .withColumnRenamed("qid", "user_id")
+
+  private val q188Sql =
+    """WITH RECURSIVE base AS (
+         SELECT user_id AS qid, event_id AS doc,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS s,
+           CAST(CASE event_type WHEN 'purchase' THEN 3
+             WHEN 'signup' THEN 2 WHEN 'click' THEN 1 ELSE 0 END
+             AS BIGINT) AS rel
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND value IS NOT NULL),
+       vals(v) AS (SELECT unnest(range(2, 12))),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       disc AS (SELECT v - 1 AS rnk,
+                  (CAST(1 AS BIGINT) << 40) // fx AS d FROM lgf),
+       ranked AS (
+         SELECT qid, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY s DESC, doc ASC) AS r,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY rel DESC, s DESC, doc ASC) AS ir
+         FROM base),
+       agg AS (
+         SELECT qid, count(*) AS n_docs,
+           COALESCE(sum(CASE WHEN r <= 10 THEN rel * dr.d END), 0)
+             AS dcg_fx,
+           COALESCE(sum(CASE WHEN ir <= 10 THEN rel * di.d END), 0)
+             AS idcg_fx
+         FROM ranked
+         LEFT JOIN disc dr ON dr.rnk = ranked.r
+         LEFT JOIN disc di ON di.rnk = ranked.ir
+         GROUP BY 1)
+       SELECT qid AS user_id, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(dcg_fx AS BIGINT) AS dcg_fx,
+         CAST(idcg_fx AS BIGINT) AS idcg_fx,
+         CAST(CASE WHEN idcg_fx > 0
+           THEN (dcg_fx * 1048576) // idcg_fx ELSE 0 END AS BIGINT)
+           AS ndcg_fx
+       FROM agg"""
+
+  // ------------------------------------------------------------------
+  // q189 — sorted-neighborhood near-dup candidates (extension:
+  // Dedup.sortedNeighborhoodPairs, Hernández & Stolfo's SNM): docs
+  // sorted by a normalized 24-char prefix key, each paired with its 5
+  // sort neighbors (candidate volume EXACTLY n·5, data-independent —
+  // no hot-bucket bombs), kept when the keys' edit distance ≤ 6. The
+  // blocking family's third shape next to LSH buckets and simhash
+  // bands: it catches near-misses OF THE KEY (typos, shifted
+  // prefixes) that equal-key blocking structurally cannot.
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("k", substring(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24))
+    graft.dedup.Dedup.sortedNeighborhoodPairs(
+        d, col("doc_id"), col("k"), window = 5)
+      .withColumn("lev", levenshtein(col("key1"), col("key2"))
+        .cast("long"))
+      .filter(col("lev") <= 6)
+      .select(col("id1"), col("id2"), col("gap"), col("lev"))
+  }
+
+  private val q189Sql =
+    """WITH d AS (
+         SELECT doc_id,
+           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+             1, 24) AS k
+         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       r AS (
+         SELECT doc_id, k,
+           ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk
+         FROM d),
+       p AS (
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           b.rnk - a.rnk AS gap, levenshtein(a.k, b.k) AS lev
+         FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5)
+       SELECT id1, id2, CAST(gap AS BIGINT) AS gap,
+         CAST(lev AS BIGINT) AS lev
+       FROM p WHERE lev <= 6"""
+
+  // ------------------------------------------------------------------
+  // q190 — Population Stability Index bins (extension:
+  // Profile.psiBins): did purchase-event values drift in SHAPE from
+  // click-event values? Exact base-2 PSI with add-one smoothing —
+  // per-bin smoothed-proportion delta and ilog2Fx log-ratio, floor
+  // products; the oracle replays the binary-log CTE over the
+  // smoothed cross products.
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sc = expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)")
+    graft.ops.Profile.psiBins(
+      ev.filter(col("event_type") === "click" && col("value").isNotNull),
+      sc,
+      ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull),
+      sc, binWidth = 1000L)
+  }
+
+  private val q190Sql =
+    """WITH RECURSIVE sa AS (
+         SELECT CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)
+           // 1000 AS bin, count(*) AS n_a
+         FROM events WHERE event_type = 'click' AND value IS NOT NULL
+         GROUP BY 1),
+       sb AS (
+         SELECT CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)
+           // 1000 AS bin, count(*) AS n_b
+         FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+         GROUP BY 1),
+       j AS (
+         SELECT COALESCE(sa.bin, sb.bin) AS bin,
+           COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+         FROM sa FULL OUTER JOIN sb ON sa.bin = sb.bin),
+       t AS (SELECT count(*) AS nbins, sum(n_a) AS ta, sum(n_b) AS tb
+             FROM j),
+       c AS (
+         SELECT bin, n_a, n_b,
+           (n_a + 1) * (tb + nbins) AS x, (n_b + 1) * (ta + nbins) AS y,
+           (ta + nbins) AS ta2, (tb + nbins) AS tb2
+         FROM j, t),
+       vals(v) AS (SELECT DISTINCT x FROM c UNION SELECT DISTINCT y
+                   FROM c),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20)
+       SELECT c.bin, CAST(c.bin * 1000 AS BIGINT) AS bin_lo,
+         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(c.x - c.y AS BIGINT) AS delta,
+         CAST(fx1.fx - fx2.fx AS BIGINT) AS lr_fx,
+         CAST(CAST(c.x - c.y AS HUGEINT) * (fx1.fx - fx2.fx)
+           // (CAST(c.ta2 AS HUGEINT) * c.tb2) AS BIGINT) AS contrib_fx
+       FROM c JOIN lgf fx1 ON fx1.v = c.x JOIN lgf fx2 ON fx2.v = c.y"""
+
+  // ------------------------------------------------------------------
+  // q191 — weekly cohort retention (extension: Cohort.retention): the
+  // comeback-curve triangle over event users — cohort = first active
+  // 7-day epoch block, retained at offset k when active in cohort+k.
+  // All exchanges carry (long, long) pairs; nothing scales with raw
+  // event volume past the first distinct.
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cohort.retention(t(s, dir, "events"),
+      col("user_id"), col("ts"), periodDays = 7)
+
+  private val q191Sql =
+    """WITH act AS (
+         SELECT DISTINCT user_id AS u,
+           (epoch_us(ts) // 86400000000) // 7 AS period
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       f AS (SELECT u, min(period) AS cohort FROM act GROUP BY 1),
+       sz AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY 1),
+       r AS (
+         SELECT f.cohort, act.period - f.cohort AS woff,
+           count(*) AS n_active
+         FROM act JOIN f USING (u) GROUP BY 1, 2)
+       SELECT r.cohort AS cohort_period,
+         CAST(woff AS BIGINT) AS week_offset,
+         CAST(n_active AS BIGINT) AS n_active,
+         CAST(n_cohort AS BIGINT) AS n_cohort,
+         CAST((n_active * 1048576) // n_cohort AS BIGINT) AS retention_fx
+       FROM r JOIN sz ON r.cohort = sz.cohort"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_cohort_retention" -> (q191 _),
+    "q190_psi" -> (q190 _),
+    "q189_sorted_neighborhood" -> (q189 _),
+    "q188_ndcg" -> (q188 _),
     "q187_weighted_jaccard" -> (q187 _),
     "q186_equidepth_hist" -> (q186 _),
     "q185_scd2" -> (q185 _),
@@ -9103,6 +9309,10 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q191_cohort_retention" -> q191Sql,
+    "q190_psi" -> q190Sql,
+    "q189_sorted_neighborhood" -> q189Sql,
+    "q188_ndcg" -> q188Sql,
     "q187_weighted_jaccard" -> q187Sql,
     "q186_equidepth_hist" -> q186Sql,
     "q185_scd2" -> q185Sql,

@@ -844,4 +844,90 @@ object Profile {
         expr("((rank - 1) * 1048576L) div greatest(__n - 1, 1L)")
           .as("pct_fx"))
   }
+
+  /** Population Stability Index between two score samples, per
+    * fixed-width bin — the distribution-shift monitor that answers
+    * "did this score's SHAPE move between snapshot A and snapshot B"
+    * where [[RankFusion]]-style rank metrics need labels and the
+    * unit-drift report ([[graft.ops.Sketch]] family) tracks token
+    * sets, not numeric shape. Classic gate: PSI < 0.1 stable, > 0.25
+    * shifted — computed here in base-2 (log2, not ln: exact via
+    * [[graft.functions.Dsir.ilog2Fx]]; multiply by ln 2 ≈ 0.693 to
+    * compare against the classic thresholds).
+    *
+    * EXACT integer form with add-one smoothing (the standard fix for
+    * empty-on-one-side bins, and deterministic where an epsilon is
+    * float-fragile). With B = number of occupied bins (either side),
+    * per-side smoothed counts nas = na+1, nbs = nb+1 and totals
+    * NA = Na+B, NB = Nb+B:
+    *
+    *   delta  = nas·NB − nbs·NA              (sign of pa − pb)
+    *   lr_fx  = ilog2Fx(nas·NB) − ilog2Fx(nbs·NA)   (2^20-scaled
+    *            log2(pa/pb); same sign as delta, so the product is
+    *            non-negative and floor division is exact floor)
+    *   contrib_fx = (delta · lr_fx) div (NA·NB)     (2^20-scaled
+    *            PSI₂ contribution; Σ over bins = PSI₂_fx)
+    *
+    * Scores must be non-negative (integer `div` binning truncates
+    * toward zero — the calibrationBins guard); ilog2Fx's 2^43 domain
+    * bounds each side at ~2^21 smoothed rows — sample upstream
+    * ([[Sampling.sampleByHash]]) past ~2M rows per side. Both guards
+    * loud.
+    *
+    * Shape: one map-side-combined bin count per side, a bin-keyed
+    * full outer join of two bin-sized tables, 1-row totals broadcast
+    * back (the house totals pattern), then a typed map over the
+    * BIN-SIZED result for the exact log kernel (post-aggregation, so
+    * codegen loss is irrelevant). Nothing scales with row count after
+    * the two counting passes.
+    *
+    * @return (bin, bin_lo, n_a, n_b, delta, lr_fx, contrib_fx) —
+    *   one row per bin occupied on either side
+    */
+  def psiBins(
+      a: DataFrame,
+      aScore: org.apache.spark.sql.Column,
+      b: DataFrame,
+      bScore: org.apache.spark.sql.Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def side(df: DataFrame, c: org.apache.spark.sql.Column,
+        out: String): DataFrame =
+      df.select(c.cast("long").as("s"))
+        .filter(col("s").isNotNull)
+        .withColumn("s", when(col("s") >= 0, col("s"))
+          .otherwise(raise_error(concat(
+            lit("psiBins scores must be non-negative, got "), col("s")))))
+        .groupBy(expr(s"s div ${binWidth}L").as("bin"))
+        .agg(count(lit(1)).as(out))
+    val joined = side(a, aScore, "n_a")
+      .join(side(b, bScore, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(count(lit(1)).as("nbins"),
+      sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val spark = a.sparkSession
+    import spark.implicits._
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        col("nbins"), col("ta"), col("tb"))
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .map { case (bin, na, nb, nbins, ta, tb) =>
+        import graft.functions.Dsir.ilog2Fx
+        val (nas, nbs) = (na + 1L, nb + 1L)
+        val (tA, tB) = (ta + nbins, tb + nbins)
+        val x = Math.multiplyExact(nas, tB)
+        val y = Math.multiplyExact(nbs, tA)
+        require(x < (1L << 43) && y < (1L << 43),
+          s"psiBins domain: smoothed count x total must stay under " +
+            s"2^43 (got $x, $y) — sample each side under ~2M rows")
+        val delta = Math.subtractExact(x, y)
+        val lr = ilog2Fx(x) - ilog2Fx(y)
+        val contrib = (BigInt(delta) * BigInt(lr) /
+          (BigInt(tA) * BigInt(tB))).toLong
+        (bin, bin * binWidth, na, nb, delta, lr, contrib)
+      }
+      .toDF("bin", "bin_lo", "n_a", "n_b", "delta", "lr_fx",
+        "contrib_fx")
+  }
 }

@@ -146,4 +146,82 @@ object RankFusion {
     }.reduce(_ + _)
     joined.select(col("qid"), num.as("rbo_num"), lit(den).as("rbo_den"))
   }
+
+  /** EXACT fixed-point nDCG@k per query — the graded-relevance
+    * retrieval metric (Järvelin & Kekäläinen 2002) the binary
+    * recall@k/RBO family can't express: a ranker that puts the
+    * 3-graded doc at rank 1 must beat one that buries it at rank 10
+    * under equal recall. Kept exact (the q84/q179 discipline) so the
+    * oracle replays bit-for-bit:
+    *
+    *   disc(i)  = 2^40 div ilog2Fx(i+1)      (2^20-scaled 1/log2(i+1);
+    *              disc(1) = 2^20 exactly)
+    *   dcg_fx   = Σ_{rank i ≤ k} rel_i · disc(i)
+    *   idcg_fx  = the same sum over the query's grades sorted desc
+    *   ndcg_fx  = dcg_fx·2^20 div idcg_fx    (0 when idcg = 0)
+    *
+    * Linear gains (not 2^rel−1): grades stay small integers and the
+    * sums exact; callers wanting exponential gain pre-map the grade
+    * column. System ranking = (score desc, doc asc) — a total order,
+    * so ties cannot flip ranks between engines; the ideal ranking's
+    * tie order is irrelevant (equal grades contribute equal sums
+    * under any permutation). Grades must be in [0, 2^13) — loud: it
+    * keeps dcg_fx ≤ grade·2^20·k < 2^43, so the final ·2^20 division
+    * stays inside a long with headroom (graded relevance in practice
+    * is 0-10).
+    *
+    * Shape: ONE exchange on the query key; both row_number windows
+    * (system + ideal) ride it as two in-partition sorts; the ≤ k
+    * discount dictionary is driver-built from the pure ilog2Fx kernel
+    * (no job) and broadcast twice; one map-side-combined final
+    * aggregation. Grouping supplies the parallelism (q164
+    * discipline) — no corpus-wide sort anywhere.
+    *
+    * @return (qid, n_docs, dcg_fx, idcg_fx, ndcg_fx)
+    */
+  def ndcgAtK(
+      df: DataFrame,
+      queryCol: org.apache.spark.sql.Column,
+      docCol: org.apache.spark.sql.Column,
+      scoreCol: org.apache.spark.sql.Column,
+      relCol: org.apache.spark.sql.Column,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val disc = (1 to k)
+      .map(i => (i.toLong,
+        (1L << 40) / graft.functions.Dsir.ilog2Fx(i + 1L)))
+      .toDF("__rank", "__disc")
+    val base = df.select(queryCol.as("qid"), docCol.as("doc"),
+        scoreCol.cast("long").as("s"), relCol.cast("long").as("rel"))
+      .filter(col("qid").isNotNull && col("doc").isNotNull &&
+        col("s").isNotNull && col("rel").isNotNull)
+      .withColumn("rel",
+        when(col("rel") >= 0 && col("rel") < lit(1L << 13), col("rel"))
+          .otherwise(raise_error(concat(
+            lit("ndcgAtK grades must be in [0, 2^13), got "),
+            col("rel")))))
+    val sys = Window.partitionBy("qid")
+      .orderBy(col("s").desc, col("doc").asc)
+    val ideal = Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("s").desc, col("doc").asc)
+    base
+      .withColumn("r", row_number().over(sys))
+      .withColumn("ir", row_number().over(ideal))
+      .join(broadcast(disc.withColumnRenamed("__rank", "r")
+        .withColumnRenamed("__disc", "__dr")), Seq("r"), "left")
+      .join(broadcast(disc.withColumnRenamed("__rank", "ir")
+        .withColumnRenamed("__disc", "__di")), Seq("ir"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("r") <= k, col("rel") * col("__dr"))),
+          lit(0L)).as("dcg_fx"),
+        coalesce(sum(when(col("ir") <= k, col("rel") * col("__di"))),
+          lit(0L)).as("idcg_fx"))
+      .select(col("qid"), col("n_docs"), col("dcg_fx"), col("idcg_fx"),
+        expr("CASE WHEN idcg_fx > 0 THEN (dcg_fx * 1048576L) div idcg_fx " +
+          "ELSE 0L END").as("ndcg_fx"))
+  }
 }

@@ -427,6 +427,38 @@ class DedupKernelSpec extends SparkSpec {
     } finally spark.sparkContext.clearJobGroup()
   }
 
+  test("sortedNeighborhoodPairs == brute (key, id)-sorted window model; " +
+      "volume exactly n*w bounded; guards loud") {
+    import spark.implicits._
+    val rows = Seq(
+      (3L, "apple"), (1L, "apple"), (7L, "applf"), (2L, "banana"),
+      (9L, ""), (5L, "apricot"), (8L, "banan"))
+    val df = rows.toDF("id", "k")
+    def brute(w: Int): Set[(Long, Long, String, String, Long)] = {
+      val sorted = rows.sortBy { case (id, k) => (k, id) }
+      (for {
+        i <- sorted.indices
+        j <- (i + 1) to math.min(i + w, sorted.length - 1)
+      } yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2,
+        (j - i).toLong)).toSet
+    }
+    for (w <- Seq(1, 2, 5)) {
+      val got = Dedup.sortedNeighborhoodPairs(df, col("id"), col("k"), w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
+      assert(got == brute(w), s"window=$w")
+      assert(got.size == (0 until rows.length)
+        .map(i => math.min(w, rows.length - 1 - i)).sum)
+    }
+    intercept[IllegalArgumentException](
+      Dedup.sortedNeighborhoodPairs(df, col("id"), col("k"), 0))
+    val negId = Seq((-1L, "x")).toDF("id", "k")
+    intercept[Exception](
+      Dedup.sortedNeighborhoodPairs(negId, col("id"), col("k"), 2)
+        .collect())
+  }
+
   test("ngramNovelty/ngramWeightedJaccard plan pin: ONE shingle-kernel " +
       "pass (window df / unified emission — GramReuseProbe winners: " +
       "x100 11.3 vs 14.3 s and 92.5 vs 143.6 s)") {

@@ -5,6 +5,50 @@ import org.apache.spark.sql.functions._
 
 class ProfileSpec extends SparkSpec {
 
+  test("psiBins: identical samples score 0 in every bin; a known shift " +
+      "matches the plain-Scala model; one-sided bins are smoothed; " +
+      "negative scores are loud") {
+    import spark.implicits._
+    val a = Seq(100L, 150L, 250L, 250L, 900L).toDF("s")
+    // identical distribution → every delta, lr, contrib exactly 0
+    Profile.psiBins(a, col("s"), a, col("s"), binWidth = 100L)
+      .collect().foreach { r =>
+        assert(r.getLong(4) == 0L && r.getLong(5) == 0L &&
+          r.getLong(6) == 0L, s"identical samples must score 0: $r")
+      }
+    // shifted: b has mass in bin 9 a lacks, and misses bin 2
+    val b = Seq(100L, 150L, 900L, 950L, 920L).toDF("s")
+    val got = Profile.psiBins(a, col("s"), b, col("s"), binWidth = 100L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    def model(na: Long, nb: Long, nbins: Long, ta: Long, tb: Long) = {
+      import graft.functions.Dsir.ilog2Fx
+      val x = (na + 1) * (tb + nbins); val y = (nb + 1) * (ta + nbins)
+      val delta = x - y
+      val lr = ilog2Fx(x) - ilog2Fx(y)
+      (delta, lr,
+        (BigInt(delta) * BigInt(lr) /
+          (BigInt(ta + nbins) * BigInt(tb + nbins))).toLong)
+    }
+    // bins: 1 (both 2), 2 (a only 2), 9 (a 1, b 3)
+    val (nbins, ta, tb) = (3L, 5L, 5L)
+    assert(got.keySet == Set(1L, 2L, 9L))
+    assert(got(1L) == ((2L, 2L) match { case (na, nb) =>
+      val m = model(na, nb, nbins, ta, tb); (na, nb, m._1, m._2, m._3) }))
+    assert(got(2L) == ((2L, 0L) match { case (na, nb) =>
+      val m = model(na, nb, nbins, ta, tb); (na, nb, m._1, m._2, m._3) }))
+    assert(got(9L) == ((1L, 3L) match { case (na, nb) =>
+      val m = model(na, nb, nbins, ta, tb); (na, nb, m._1, m._2, m._3) }))
+    // contributions are non-negative (sign of delta and lr agree)
+    assert(got.values.forall(_._5 >= 0L))
+    val neg = Seq(-1L).toDF("s")
+    intercept[Exception](
+      Profile.psiBins(neg, col("s"), a, col("s"), 100L).collect())
+    intercept[IllegalArgumentException](
+      Profile.psiBins(a, col("s"), a, col("s"), 0L))
+  }
+
   test("describe: nulls, distincts, min/max per column in one pass") {
     import spark.implicits._
     val df = Seq(

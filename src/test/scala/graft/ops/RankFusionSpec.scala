@@ -107,4 +107,52 @@ class RankFusionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       RankFusion.rboExact(a, a, pNum = 0, pDen = 10))
   }
+
+  test("ndcgAtK == a plain-Scala model; perfect ranking scores exactly " +
+      "2^20; all-zero grades score 0; k truncates") {
+    import spark.implicits._
+    def disc(i: Int): Long =
+      (1L << 40) / graft.functions.Dsir.ilog2Fx(i + 1L)
+    // (qid, doc, score, rel)
+    val rows = Seq(
+      // q1: system order by score desc = ideal order → ndcg = 1
+      (1L, 11L, 30L, 3L), (1L, 12L, 20L, 2L), (1L, 13L, 10L, 0L),
+      // q2: inverted — best doc ranked last
+      (2L, 21L, 30L, 0L), (2L, 22L, 20L, 1L), (2L, 23L, 10L, 3L),
+      // q3: all-zero grades
+      (3L, 31L, 5L, 0L), (3L, 32L, 4L, 0L),
+      // q4: score tie broken by doc asc; more docs than k
+      (4L, 41L, 9L, 1L), (4L, 42L, 9L, 2L), (4L, 43L, 1L, 3L),
+      (4L, 44L, 0L, 1L))
+    val df = rows.toDF("qid", "doc", "s", "rel")
+    def run(k: Int): Map[Long, (Long, Long, Long, Long)] =
+      RankFusion.ndcgAtK(df, col("qid"), col("doc"), col("s"),
+          col("rel"), k)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    def model(k: Int): Map[Long, (Long, Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (q, rs) =>
+        val sys = rs.sortBy(r => (-r._3, r._2)).take(k)
+        val dcg = sys.zipWithIndex.map { case (r, i) =>
+          r._4 * disc(i + 1) }.sum
+        val ideal = rs.map(_._4).sorted.reverse.take(k)
+        val idcg = ideal.zipWithIndex.map { case (g, i) =>
+          g * disc(i + 1) }.sum
+        val n = if (idcg > 0) dcg * 1048576L / idcg else 0L
+        q -> (rs.length.toLong, dcg, idcg, n)
+      }
+    for (k <- Seq(1, 2, 3, 10)) assert(run(k) == model(k), s"k=$k")
+    val at10 = run(10)
+    assert(at10(1L)._4 == 1048576L, "perfect ranking must score 2^20")
+    assert(at10(3L) == (2L, 0L, 0L, 0L))
+    assert(at10(2L)._4 < 1048576L)
+    // grade domain guard is loud
+    val bad = Seq((1L, 1L, 1L, 1L << 13)).toDF("qid", "doc", "s", "rel")
+    intercept[Exception] {
+      RankFusion.ndcgAtK(bad, col("qid"), col("doc"), col("s"),
+        col("rel"), 5).collect()
+    }
+  }
 }
