@@ -9027,7 +9027,73 @@ object SparkEntry {
          CAST((n_active * 1048576) // n_cohort AS BIGINT) AS retention_fx
        FROM r JOIN sz ON r.cohort = sz.cohort"""
 
+  // ------------------------------------------------------------------
+  // q192 — per-source distinguishing terms (extension:
+  // Collocations.logOddsTerms, Monroe et al.'s "fightin' words"):
+  // which terms does each source over-use vs the rest of the corpus —
+  // exact base-2 Dirichlet-smoothed log-odds through ilog2Fx, top-10
+  // per source via the bounded topk_by fold. The oracle replays the
+  // binary-log CTE over every smoothed argument and the (delta desc,
+  // term asc) rank window.
+  private def q192(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Collocations.logOddsTerms(
+      t(s, dir, "documents"), col("source"), col("text"),
+      minCount = 5L, k = 10)
+
+  private val q192Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT source AS src,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS w
+         FROM documents WHERE source IS NOT NULL),
+       sw AS (SELECT src, w, count(*) AS ysw FROM toks GROUP BY 1, 2),
+       wt AS (SELECT w, sum(ysw) AS yw FROM sw GROUP BY 1),
+       st AS (SELECT src, sum(ysw) AS ns FROM sw GROUP BY 1),
+       tot AS (SELECT count(*) AS v, sum(yw) AS nn FROM wt),
+       j AS (
+         SELECT sw.src, sw.w, sw.ysw, wt.yw, st.ns, tot.v, tot.nn,
+           sw.ysw + 1 AS a1, st.ns + tot.v - sw.ysw - 1 AS b1,
+           wt.yw - sw.ysw + 1 AS a2,
+           tot.nn - st.ns + tot.v - (wt.yw - sw.ysw) - 1 AS b2
+         FROM sw JOIN wt USING (w) JOIN st USING (src), tot
+         WHERE wt.yw >= 5),
+       vals(vv) AS (
+         SELECT DISTINCT a1 FROM j UNION SELECT DISTINCT b1 FROM j
+         UNION SELECT DISTINCT a2 FROM j UNION SELECT DISTINCT b2
+         FROM j),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT vv, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= vv
+                GROUP BY vv),
+       lg AS (
+         SELECT vv, ((vv << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT vv,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT vv, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.vv, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (vv) WHERE i = 20),
+       scored AS (
+         SELECT j.src, j.w AS term, j.ysw AS y_sw, j.yw AS y_w,
+           (f1.fx - f2.fx) - (f3.fx - f4.fx) AS delta_fx
+         FROM j JOIN lgf f1 ON f1.vv = j.a1 JOIN lgf f2 ON f2.vv = j.b1
+           JOIN lgf f3 ON f3.vv = j.a2 JOIN lgf f4 ON f4.vv = j.b2),
+       ranked AS (
+         SELECT src, term, y_sw, y_w, delta_fx,
+           ROW_NUMBER() OVER (PARTITION BY src
+             ORDER BY delta_fx DESC, term ASC) AS rnk
+         FROM scored)
+       SELECT src, term, CAST(y_sw AS BIGINT) AS y_sw,
+         CAST(y_w AS BIGINT) AS y_w,
+         CAST(delta_fx AS BIGINT) AS delta_fx,
+         CAST(rnk AS BIGINT) AS rank
+       FROM ranked WHERE rnk <= 10"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_log_odds_terms" -> (q192 _),
     "q191_cohort_retention" -> (q191 _),
     "q190_psi" -> (q190 _),
     "q189_sorted_neighborhood" -> (q189 _),
@@ -9309,6 +9375,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q192_log_odds_terms" -> q192Sql,
     "q191_cohort_retention" -> q191Sql,
     "q190_psi" -> q190Sql,
     "q189_sorted_neighborhood" -> q189Sql,

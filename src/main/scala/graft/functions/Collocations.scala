@@ -146,4 +146,89 @@ object Collocations extends Serializable {
       .orderBy(col("pmi_fx").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
+
+  /** Per-source DISTINGUISHING terms by Dirichlet-smoothed log-odds
+    * (Monroe, Colaresi & Quinn 2008's "fightin' words", the
+    * source-vs-rest form) — the source-fingerprinting complement of
+    * [[topPmi]]'s corpus-wide pairs: which terms does THIS source
+    * over-use relative to everything else? The statistic behind
+    * "this feed turned into SEO spam" alerts and per-source
+    * curation rules, robust where raw tf-idf rank is hijacked by
+    * hapax terms.
+    *
+    * Exact base-2, α = 1 smoothing over the PRE-filter vocabulary V
+    * (the topPmi B rule):
+    *
+    *   δ_fx(s, w) = [ilog2Fx(y_sw+1) − ilog2Fx(n_s+V−y_sw−1)]
+    *              − [ilog2Fx(y_rw+1) − ilog2Fx(n_r+V−y_rw−1)]
+    *
+    * with y = term counts, n = token totals, r = corpus minus s.
+    * Unstandardized (the paper's variance z-division is irrational;
+    * exactness is this engine's contract — consumers wanting the
+    * z-form can divide downstream). `minCount` drops corpus-rare
+    * terms (y_w < minCount) AFTER V and the totals are fixed.
+    *
+    * Shape: one map-side-combined (source, term) count, two bounded
+    * rollups (per-term, per-source), two 1-row broadcasts, the exact
+    * log kernel as a map over the vocab-sized joined table, then the
+    * bounded per-source top-k fold ([[graft.ops.Sampling
+    * .capPerGroup]] — map-side k-heaps, never a vocab-wide rank
+    * window).
+    *
+    * @return (src, term, y_sw, y_w, delta_fx, rank 1..k) — the k
+    *   most source-distinguishing terms per source, ties (delta
+    *   desc, term asc)
+    */
+  def logOddsTerms(
+      df: DataFrame,
+      sourceCol: Column,
+      textCol: Column,
+      minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be positive, got $k")
+    val sw = df.select(sourceCol.as("src"), Text.tokens(textCol).as("tk"))
+      .filter(col("src").isNotNull)
+      .select(col("src"), explode(col("tk")).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("ysw"))
+    val wTot = sw.groupBy("w").agg(sum(col("ysw")).as("yw"))
+    val sTot = sw.groupBy("src").agg(sum(col("ysw")).as("ns"))
+    val totals = broadcast(wTot.agg(count(lit(1)).as("v"),
+      sum(col("yw")).as("nn")))
+    val joined = sw
+      .join(wTot.filter(col("yw") >= minCount), Seq("w"))
+      .join(sTot, Seq("src"))
+      .crossJoin(totals)
+      .select(col("src"), col("w"), col("ysw"), col("yw"), col("ns"),
+        col("v"), col("nn"))
+    val schema = StructType(Seq(
+      StructField("src", joined.schema("src").dataType, true),
+      StructField("term", StringType, true),
+      StructField("y_sw", LongType, false),
+      StructField("y_w", LongType, false),
+      StructField("delta_fx", LongType, false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val scored = joined.mapPartitions { rows =>
+      rows.map { r =>
+        val (ysw, yw, ns) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        val (v, nn) = (r.getLong(5), r.getLong(6))
+        val yrw = yw - ysw
+        val nr = nn - ns
+        val args = Seq(ysw + 1, ns + v - ysw - 1, yrw + 1,
+          nr + v - yrw - 1)
+        args.foreach(a => require(a >= 1 && a < (1L << 43),
+          s"logOddsTerms ilog2Fx domain: smoothed arg $a out of " +
+            "[1, 2^43) — vocabulary must have >= 2 terms and the " +
+            "corpus under ~8e12 tokens"))
+        val delta = (Dsir.ilog2Fx(args(0)) - Dsir.ilog2Fx(args(1))) -
+          (Dsir.ilog2Fx(args(2)) - Dsir.ilog2Fx(args(3)))
+        org.apache.spark.sql.Row(r.get(0), r.getString(1), ysw, yw, delta)
+      }
+    }(enc)
+    graft.ops.Sampling.capPerGroup(scored, col("src"), col("term"),
+        col("delta_fx"), k)
+      .select(col("src"), col("term"), col("y_sw"), col("y_w"),
+        col("delta_fx"), col("rank"))
+  }
 }

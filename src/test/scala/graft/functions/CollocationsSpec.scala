@@ -104,4 +104,62 @@ class CollocationsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Collocations.skipgramPmi(
       docs, col("doc_id"), col("text"), window = 17, minCount = 1, k = 1))
   }
+
+  test("logOddsTerms == plain-Scala fightin'-words model; a term " +
+      "over-used by one source scores positive there and negative " +
+      "elsewhere; minCount drops corpus-rare terms AFTER V is fixed") {
+    import spark.implicits._
+    import graft.functions.Dsir.ilog2Fx
+    val docs = Seq(
+      ("a", "spam spam spam ham word word"),
+      ("a", "spam spam word"),
+      ("b", "ham ham ham word word spam"),
+      ("b", "ham word rare"))
+      .toDF("source", "text")
+    val rows = Seq(
+      ("a", Seq("spam", "spam", "spam", "ham", "word", "word")),
+      ("a", Seq("spam", "spam", "word")),
+      ("b", Seq("ham", "ham", "ham", "word", "word", "spam")),
+      ("b", Seq("ham", "word", "rare")))
+    def model(minCount: Long, k: Int)
+        : Set[(String, String, Long, Long, Long, Long)] = {
+      val sw = rows.flatMap { case (s, ts) => ts.map(s -> _) }
+        .groupBy(identity).map { case ((s, w), g) =>
+          (s, w, g.size.toLong) }.toSeq
+      val yw = sw.groupBy(_._2).map { case (w, g) =>
+        w -> g.map(_._3).sum }
+      val ns = sw.groupBy(_._1).map { case (s, g) =>
+        s -> g.map(_._3).sum }
+      val v = yw.size.toLong
+      val nn = yw.values.sum
+      val scored = sw.filter { case (_, w, _) => yw(w) >= minCount }
+        .map { case (s, w, ysw) =>
+          val yrw = yw(w) - ysw; val nr = nn - ns(s)
+          val d = (ilog2Fx(ysw + 1) - ilog2Fx(ns(s) + v - ysw - 1)) -
+            (ilog2Fx(yrw + 1) - ilog2Fx(nr + v - yrw - 1))
+          (s, w, ysw, yw(w), d)
+        }
+      scored.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(t => (-t._5, t._2)).take(k).zipWithIndex
+          .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5,
+            (i + 1).toLong) }
+      }.toSet
+    }
+    def run(minCount: Long, k: Int)
+        : Set[(String, String, Long, Long, Long, Long)] =
+      Collocations.logOddsTerms(docs, col("source"), col("text"),
+          minCount, k)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    for ((mc, k) <- Seq((1L, 10), (2L, 10), (1L, 2)))
+      assert(run(mc, k) == model(mc, k), s"minCount=$mc k=$k")
+    val all = run(1L, 10)
+    val spamA = all.find(t => t._1 == "a" && t._2 == "spam").get
+    val spamB = all.find(t => t._1 == "b" && t._2 == "spam").get
+    assert(spamA._5 > 0 && spamB._5 < 0,
+      s"spam must distinguish source a: $spamA vs $spamB")
+    // minCount = 2 drops "rare" (y_w = 1) but V/totals keep it
+    assert(run(2L, 10).forall(_._2 != "rare"))
+  }
 }
