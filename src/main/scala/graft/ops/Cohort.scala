@@ -47,6 +47,9 @@ object Cohort {
         expr(s"(unix_micros(__ts) div 86400000000L) div " +
           s"${periodDays.toLong}L").as("period"))
       .distinct()
+      // (user x period)-sized — cached so the cohort derivation and
+      // the retention join share ONE distinct pass over the events
+      .cache()
     val first = act.groupBy("u").agg(min(col("period")).as("cohort"))
     val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
     act.join(first, Seq("u"))

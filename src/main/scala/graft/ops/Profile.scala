@@ -904,6 +904,10 @@ object Profile {
       .join(side(b, bScore, "n_b"), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
+      // bin-sized — cached so the totals aggregate and the scored
+      // select share ONE counting pass per side (uncached, both
+      // corpus scans ran twice)
+      .cache()
     val totals = joined.agg(count(lit(1)).as("nbins"),
       sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
     val spark = a.sparkSession
