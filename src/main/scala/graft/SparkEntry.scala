@@ -9092,7 +9092,48 @@ object SparkEntry {
          CAST(rnk AS BIGINT) AS rank
        FROM ranked WHERE rnk <= 10"""
 
+  // ------------------------------------------------------------------
+  // q193 — exact per-group median + MAD (extension:
+  // Profile.robustStatsByGroup): the outlier-proof location/scale
+  // pair per event type — lower-median order statistics, so tie
+  // permutations can't move anything and the oracle is an exact
+  // window replay. One exchange on the group key; no join-back.
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.robustStatsByGroup(t(s, dir, "events"),
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+      .withColumnRenamed("g", "event_type")
+
+  private val q193Sql =
+    """WITH b AS (
+         SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       r AS (
+         SELECT g, v,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+         FROM b),
+       m AS (
+         SELECT g, max(n) AS n,
+           max(CASE WHEN rn <= (n + 1) // 2 THEN v END) AS med
+         FROM r GROUP BY 1),
+       d AS (
+         SELECT r.g, abs(r.v - m.med) AS dev, m.n, m.med
+         FROM r JOIN m USING (g)),
+       dr AS (
+         SELECT g, dev, med, n,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev) AS rnd
+         FROM d)
+       SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(med) AS BIGINT) AS median,
+         CAST(max(CASE WHEN rnd <= (n + 1) // 2 THEN dev END)
+           AS BIGINT) AS mad
+       FROM dr GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_robust_stats" -> (q193 _),
     "q192_log_odds_terms" -> (q192 _),
     "q191_cohort_retention" -> (q191 _),
     "q190_psi" -> (q190 _),
@@ -9375,6 +9416,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q193_robust_stats" -> q193Sql,
     "q192_log_odds_terms" -> q192Sql,
     "q191_cohort_retention" -> q191Sql,
     "q190_psi" -> q190Sql,

@@ -1899,7 +1899,12 @@ object Dedup {
     * equal). Every exchanged row is a (long, long) pair — volume
     * linear in total distinct grams; the window buffers one gram's
     * occurrence list at a time (spills past memory, never collects
-    * corpus-wide). Sizing follows the ngramPairCounts contract:
+    * corpus-wide). Known trade: a MEGA-df boilerplate gram (present
+    * in a large fraction of all docs) makes its window group one
+    * slow spilling task — the count-aggregate form never buffered,
+    * but paid the kernel twice; on corpora dominated by such grams,
+    * strip boilerplate first (lineLevelDedup / the C4 rules) — df=1
+    * novelty is meaningless under that skew anyway. Sizing follows the ngramPairCounts contract:
     * `charsHint` (any magnitude-right upper bound; the pruned
     * n_chars metadata sum is the cheap source) pins the sizing;
     * unset, plan statistics size it with NO Spark job

@@ -845,6 +845,54 @@ object Profile {
           .as("pct_fx"))
   }
 
+  /** EXACT robust location/scale per group — lower median and MAD
+    * (median absolute deviation), the outlier-proof complement of
+    * mean/stddev profiling: one fat-finger value moves a mean
+    * arbitrarily but moves the median at most one order statistic,
+    * and robust-z = (x − median)/MAD is the standard screen for
+    * sensor glitches and price-feed spikes. Exact by construction:
+    * "median" is the LOWER median — the element of rank
+    * (n+1) div 2 under the value order — a kth order statistic, so
+    * tie permutations cannot change it (no float interpolation, the
+    * equiDepthHistogram argument); MAD is the same statistic over
+    * |v − median|.
+    *
+    * Shape: ONE exchange on the group key; rank, group count, the
+    * conditional-max median, the deviation rank, and the MAD all
+    * ride it as in-partition sorts/window aggregates (no join-back,
+    * no second scan — the corpus-sized stream is consumed once).
+    * The unbounded window aggregates buffer one group's run (the
+    * percentileNormalizeByGroup caveat: a single giant group costs
+    * its sorted, spillable run).
+    *
+    * @return (g, n, median, mad) — all longs, exact
+    */
+  def robustStatsByGroup(
+      df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.as("g"),
+        valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val grp = Window.partitionBy(col("g"))
+    val byV = grp.orderBy(col("v").asc)
+    val ranked = base
+      .withColumn("__rn", row_number().over(byV))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .withColumn("__med", max(when(
+        col("__rn") <= expr("(__n + 1) div 2"), col("v"))).over(grp))
+    val byDev = grp.orderBy(abs(col("v") - col("__med")).asc)
+    ranked
+      .withColumn("__rnd", row_number().over(byDev))
+      .withColumn("__mad", max(when(
+        col("__rnd") <= expr("(__n + 1) div 2"),
+        abs(col("v") - col("__med")))).over(grp))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("__med")).as("median"),
+        max(col("__mad")).as("mad"))
+  }
+
   /** Population Stability Index between two score samples, per
     * fixed-width bin — the distribution-shift monitor that answers
     * "did this score's SHAPE move between snapshot A and snapshot B"

@@ -5,6 +5,36 @@ import org.apache.spark.sql.functions._
 
 class ProfileSpec extends SparkSpec {
 
+  test("robustStatsByGroup == plain-Scala lower-median/MAD model; an " +
+      "outlier moves the mean but not the median; ties are " +
+      "permutation-safe") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 1000000L),
+      ("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L),
+      ("c", 42L))
+    def model: Map[String, (Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2).sorted
+        val k = (vs.length + 1) / 2
+        val med = vs(k - 1)
+        val devs = vs.map(v => math.abs(v - med)).sorted
+        g -> (vs.length.toLong, med, devs(k - 1))
+      }
+    val got = Profile.robustStatsByGroup(
+        rows.toDF("g", "v"), col("g"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got == model)
+    // the outlier group: median 3, MAD 1 — a mean/stddev pair would
+    // read ~200k/~450k
+    assert(got("a") == (5L, 3L, 1L))
+    // all-tie group: median 5, MAD 0... with n=4 lower median rank 2
+    assert(got("b") == (4L, 5L, 0L))
+    assert(got("c") == (1L, 42L, 0L))
+  }
+
   test("psiBins: identical samples score 0 in every bin; a known shift " +
       "matches the plain-Scala model; one-sided bins are smoothed; " +
       "negative scores are loud") {
