@@ -9132,7 +9132,51 @@ object SparkEntry {
            AS BIGINT) AS mad
        FROM dr GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q194 — exact two-sample Kolmogorov–Smirnov (extension:
+  // Profile.ksStatistic): q190's unbinned companion — did the
+  // purchase-value CDF move away from the click-value CDF, as the
+  // exact integer fraction max|cum_a·Nb − cum_b·Na| / (Na·Nb). The
+  // oracle is a cumulative-window replay over the joint support.
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sc = expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)")
+    graft.ops.Profile.ksStatistic(
+      ev.filter(col("event_type") === "click" && col("value").isNotNull),
+      sc,
+      ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull),
+      sc)
+  }
+
+  private val q194Sql =
+    """WITH va AS (
+         SELECT CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v,
+           count(*) AS na
+         FROM events WHERE event_type = 'click' AND value IS NOT NULL
+         GROUP BY 1),
+       vb AS (
+         SELECT CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v,
+           count(*) AS nb
+         FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+         GROUP BY 1),
+       j AS (
+         SELECT COALESCE(va.v, vb.v) AS v, COALESCE(na, 0) AS na,
+           COALESCE(nb, 0) AS nb
+         FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+       t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j),
+       c AS (
+         SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+           sum(nb) OVER (ORDER BY v) AS cb
+         FROM j)
+       SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+         CAST(COALESCE(max(abs(ca * tb - cb * ta)), 0) AS BIGINT)
+           AS ks_num,
+         CAST(ta * tb AS BIGINT) AS ks_den
+       FROM c, t GROUP BY ta, tb"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_ks_statistic" -> (q194 _),
     "q193_robust_stats" -> (q193 _),
     "q192_log_odds_terms" -> (q192 _),
     "q191_cohort_retention" -> (q191 _),
@@ -9416,6 +9460,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q194_ks_statistic" -> q194Sql,
     "q193_robust_stats" -> q193Sql,
     "q192_log_odds_terms" -> q192Sql,
     "q191_cohort_retention" -> q191Sql,

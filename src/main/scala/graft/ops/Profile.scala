@@ -893,6 +893,72 @@ object Profile {
         max(col("__mad")).as("mad"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the UNBINNED
+    * companion of [[psiBins]]: D = max over the joint support of
+    * |F̂_a(v) − F̂_b(v)|, the CDF distance that needs no bin-width
+    * choice and catches shape shifts PSI's bins can wash out. Kept
+    * exact as the integer fraction
+    *
+    *   ks_num = max_v |cum_a(v)·N_b − cum_b(v)·N_a|,  ks_den = N_a·N_b
+    *
+    * (division left to the consumer — the assortativity/keySkew
+    * discipline). Values must be in (−2^62, 2^62) (the biased hex
+    * order encoding, loud) and N_a·N_b must fit a long — ~3e9 rows
+    * per side before sampling upstream, checked loudly at runtime.
+    *
+    * Shape: one map-side-combined distinct-value count per side, a
+    * value-keyed full outer join of the two (distinct-value-sized)
+    * tables, then BOTH cumulative sums through chained
+    * [[Prefix.runningTotal]] range exchanges — never a one-partition
+    * window — and a 1-row max. Nothing after the counting passes
+    * scales with row count, only with distinct values.
+    *
+    * @return one row: (n_a, n_b, ks_num, ks_den)
+    */
+  def ksStatistic(
+      a: DataFrame,
+      aScore: org.apache.spark.sql.Column,
+      b: DataFrame,
+      bScore: org.apache.spark.sql.Column): DataFrame = {
+    val bias = 1L << 62
+    def side(df: DataFrame, c: org.apache.spark.sql.Column,
+        out: String): DataFrame =
+      df.select(c.cast("long").as("v"))
+        .filter(col("v").isNotNull)
+        .withColumn("v",
+          when(abs(col("v")) < lit(bias), col("v"))
+            .otherwise(raise_error(concat(
+              lit("ksStatistic values must be in (-2^62, 2^62), got "),
+              col("v")))))
+        .groupBy("v").agg(count(lit(1)).as(out))
+    val joined = side(a, aScore, "na")
+      .join(side(b, bScore, "nb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .withColumn("__ord", format_string("%016x", col("v") + lit(bias)))
+    val c1 = Prefix.runningTotal(joined, orderCol = "__ord",
+      valueCol = "na", outCol = "cum_a")
+    val c2 = Prefix.runningTotal(c1, orderCol = "__ord",
+      valueCol = "nb", outCol = "cum_b")
+    val totals = c2.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    c2.crossJoin(broadcast(totals))
+      .select(col("cum_a"), col("cum_b"),
+        // loud domain guard: cum·total products must fit a long —
+        // 2^62/max(total) bounds the other side
+        when(col("ta") >= 1L && col("tb") >= 1L &&
+            col("ta").cast("decimal(38,0)") * col("tb") < lit(bias),
+          col("ta")).otherwise(raise_error(concat(
+            lit("ksStatistic domain: both sides non-empty and " +
+              "N_a*N_b < 2^62 required, got "),
+            col("ta"), lit(" x "), col("tb")))).as("ta"),
+        col("tb"))
+      .agg(coalesce(max(col("ta")), lit(0L)).as("n_a"),
+        coalesce(max(col("tb")), lit(0L)).as("n_b"),
+        coalesce(max(abs(col("cum_a") * col("tb") -
+          col("cum_b") * col("ta"))), lit(0L)).as("ks_num"),
+        coalesce(max(col("ta") * col("tb")), lit(0L)).as("ks_den"))
+  }
+
   /** Population Stability Index between two score samples, per
     * fixed-width bin — the distribution-shift monitor that answers
     * "did this score's SHAPE move between snapshot A and snapshot B"

@@ -35,6 +35,35 @@ class ProfileSpec extends SparkSpec {
     assert(got("c") == (1L, 42L, 0L))
   }
 
+  test("ksStatistic == plain-Scala max-CDF-distance model; identical " +
+      "samples score 0; disjoint supports score ks_num = ks_den; " +
+      "empty sides are loud") {
+    import spark.implicits._
+    def model(xa: Seq[Long], xb: Seq[Long]): (Long, Long, Long, Long) = {
+      val support = (xa ++ xb).distinct.sorted
+      val (na, nb) = (xa.length.toLong, xb.length.toLong)
+      val num = support.map { v =>
+        math.abs(xa.count(_ <= v) * nb - xb.count(_ <= v) * na)
+      }.max
+      (na, nb, num, na * nb)
+    }
+    def run(xa: Seq[Long], xb: Seq[Long]): (Long, Long, Long, Long) = {
+      val r = Profile.ksStatistic(xa.toDF("s"), col("s"),
+        xb.toDF("s"), col("s")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val xa = Seq(1L, 2L, 2L, 5L, 9L, -3L)
+    val xb = Seq(2L, 4L, 4L, 7L)
+    assert(run(xa, xb) == model(xa, xb))
+    assert(run(xa, xa)._3 == 0L, "identical samples must score 0")
+    // disjoint: at the boundary, F_a = 1 and F_b = 0 → D = 1 exactly
+    val lo = Seq(1L, 2L, 3L); val hi = Seq(10L, 11L)
+    val d = run(lo, hi)
+    assert(d._3 == d._4 && d._4 == 6L)
+    // one side empty → loud
+    intercept[Exception](run(xa, Seq.empty[Long]))
+  }
+
   test("psiBins: identical samples score 0 in every bin; a known shift " +
       "matches the plain-Scala model; one-sided bins are smoothed; " +
       "negative scores are loud") {
