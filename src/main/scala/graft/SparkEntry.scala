@@ -9175,7 +9175,48 @@ object SparkEntry {
          CAST(ta * tb AS BIGINT) AS ks_den
        FROM c, t GROUP BY ta, tb"""
 
+  // ------------------------------------------------------------------
+  // q195 — exact trimmed mean per group (extension:
+  // Profile.trimmedMeanByGroup): robust location with mean-like
+  // efficiency — drop n·5% order statistics off each end of the
+  // per-event-type value distribution, average the rest. Integer
+  // rank rule, decimal-exact sum; the oracle replays the window rank
+  // and the HUGEINT fixed-point division.
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.trimmedMeanByGroup(t(s, dir, "events"),
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+        trimBp = 500)
+      .withColumnRenamed("g", "event_type")
+
+  private val q195Sql =
+    """WITH b AS (
+         SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       r AS (
+         SELECT g, v,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+         FROM b),
+       k AS (SELECT g, v, rn, n, (n * 500) // 10000 AS lo FROM r),
+       a AS (
+         SELECT g, max(n) AS n,
+           COALESCE(sum(CASE WHEN rn > lo AND rn <= n - lo
+             THEN 1 END), 0) AS n_kept,
+           COALESCE(sum(CASE WHEN rn > lo AND rn <= n - lo
+             THEN CAST(v AS HUGEINT) END), 0) AS s
+         FROM k GROUP BY 1)
+       SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+         CAST(n_kept AS BIGINT) AS n_kept,
+         CAST(s AS BIGINT) AS sum_kept,
+         CAST(CASE WHEN n_kept > 0 THEN (s * 1048576) // n_kept
+           ELSE 0 END AS BIGINT) AS mean_fx
+       FROM a"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_trimmed_mean" -> (q195 _),
     "q194_ks_statistic" -> (q194 _),
     "q193_robust_stats" -> (q193 _),
     "q192_log_odds_terms" -> (q192 _),
@@ -9460,6 +9501,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q195_trimmed_mean" -> q195Sql,
     "q194_ks_statistic" -> q194Sql,
     "q193_robust_stats" -> q193Sql,
     "q192_log_odds_terms" -> q192Sql,

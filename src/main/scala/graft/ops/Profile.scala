@@ -959,6 +959,63 @@ object Profile {
         coalesce(max(col("ta") * col("tb")), lit(0L)).as("ks_den"))
   }
 
+  /** EXACT trimmed mean per group — [[robustStatsByGroup]]'s
+    * companion when a robust LOCATION with mean-like efficiency is
+    * wanted: drop the lowest and highest `trimBp` basis points by
+    * ORDER STATISTIC (lo = n·trimBp div 10⁴ rows off each end — an
+    * integer rank rule, so tie permutations cannot change the kept
+    * multiset) and average the rest. The metric-pipeline standard for
+    * latency/value dashboards where p50 is too crude and the raw
+    * mean follows one outlier.
+    *
+    * Exact: kept sum in DECIMAL(38,0), mean as the 2^20 fixed-point
+    * floor division (ANSI-loud past long range on the cast back).
+    * Groups where trimming would drop everything (n ≤ 2·lo) emit
+    * n_kept = 0 and mean_fx = 0 — visible, not silently untrimmed.
+    *
+    * Shape: ONE exchange on the group key (rank + count ride it as
+    * window work, the percentileNormalizeByGroup shape), then one
+    * map-side-combined aggregation. No join-back.
+    *
+    * @return (g, n, n_kept, sum_kept, mean_fx = sum_kept·2^20 div
+    *   n_kept)
+    */
+  def trimmedMeanByGroup(
+      df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      trimBp: Int = 500): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000,
+      s"trimBp must be in [0, 5000) basis points, got $trimBp")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.as("g"),
+        valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val grp = Window.partitionBy(col("g"))
+    val ranked = base
+      // ties in v get an arbitrary rank — harmless: the kept multiset
+      // is identical under any tie permutation (the rank rule keeps a
+      // count, and tied rows are interchangeable by value)
+      .withColumn("__rn", row_number().over(grp.orderBy(col("v").asc)))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .withColumn("__lo", expr(s"(__n * ${trimBp}L) div 10000L"))
+    ranked
+      .groupBy(col("g"))
+      .agg(max(col("__n")).as("n"),
+        coalesce(sum(when(col("__rn") > col("__lo") &&
+          col("__rn") <= col("__n") - col("__lo"), 1L)), lit(0L))
+          .as("n_kept"),
+        coalesce(sum(when(col("__rn") > col("__lo") &&
+          col("__rn") <= col("__n") - col("__lo"),
+          col("v").cast("decimal(38,0)"))), lit(0L).cast("decimal(38,0)"))
+          .as("__sum"))
+      .select(col("g"), col("n"), col("n_kept"),
+        col("__sum").cast("long").as("sum_kept"),
+        expr("CASE WHEN n_kept > 0 THEN " +
+          "CAST((__sum * 1048576) div n_kept AS BIGINT) ELSE 0L END")
+          .as("mean_fx"))
+  }
+
   /** Population Stability Index between two score samples, per
     * fixed-width bin — the distribution-shift monitor that answers
     * "did this score's SHAPE move between snapshot A and snapshot B"

@@ -35,6 +35,43 @@ class ProfileSpec extends SparkSpec {
     assert(got("c") == (1L, 42L, 0L))
   }
 
+  test("trimmedMeanByGroup == plain-Scala order-statistic model; " +
+      "trim 0 is the plain mean; over-trimmed groups emit 0 loud-ly " +
+      "visible; outlier immunity") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+      ("a", 6L), ("a", 7L), ("a", 8L), ("a", 9L), ("a", 1000000L),
+      ("b", 10L), ("b", 20L),
+      ("c", 7L))
+    def model(trimBp: Int): Map[String, (Long, Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2).sorted
+        val n = vs.length.toLong
+        val lo = (n * trimBp / 10000L).toInt
+        val kept = vs.slice(lo, vs.length - lo)
+        val sum = kept.sum
+        g -> (n, kept.length.toLong, sum,
+          if (kept.nonEmpty) sum * 1048576L / kept.length else 0L)
+      }
+    def run(trimBp: Int): Map[String, (Long, Long, Long, Long)] =
+      Profile.trimmedMeanByGroup(rows.toDF("g", "v"), col("g"),
+          col("v"), trimBp)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toMap
+    for (bp <- Seq(0, 500, 1000, 2500, 4999))
+      assert(run(bp) == model(bp), s"trimBp=$bp")
+    // 10% trim on group a drops the 1e6 outlier AND the 1 — mean of
+    // 2..9 = 5.5; untrimmed mean would be ~100k
+    assert(run(1000)("a") == (10L, 8L, 44L, 44L * 1048576L / 8L))
+    // c (n=1) at 4999 bp: lo=0, keeps itself
+    assert(run(4999)("c") == (1L, 1L, 7L, 7L * 1048576L))
+    intercept[IllegalArgumentException](
+      Profile.trimmedMeanByGroup(rows.toDF("g", "v"), col("g"),
+        col("v"), 5000))
+  }
+
   test("ksStatistic == plain-Scala max-CDF-distance model; identical " +
       "samples score 0; disjoint supports score ks_num = ks_den; " +
       "empty sides are loud") {
