@@ -47,9 +47,15 @@ object Cohort {
         expr(s"(unix_micros(__ts) div 86400000000L) div " +
           s"${periodDays.toLong}L").as("period"))
       .distinct()
-      // (user x period)-sized — cached so the cohort derivation and
-      // the retention join share ONE distinct pass over the events
-      .cache()
+      // (user x period)-sized — materialized eagerly so the cohort
+      // derivation and the retention join share ONE distinct pass
+      // over the events. localCheckpoint, not .cache(): the
+      // ContextCleaner frees the blocks once the result is dropped,
+      // where a .cache() entry pins the session cache until someone
+      // remembers to unpersist (the price: truncated lineage, so an
+      // executor loss mid-query recomputes the whole query, not just
+      // the lost blocks)
+      .localCheckpoint(true)
     val first = act.groupBy("u").agg(min(col("period")).as("cohort"))
     val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
     act.join(first, Seq("u"))

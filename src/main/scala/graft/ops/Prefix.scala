@@ -51,8 +51,25 @@ object Prefix {
       valueCol: String,
       outCol: String = "running_total",
       storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    runningTotals(df, orderCol, Seq(valueCol -> outCol), storageLevel)
+
+  /** [[runningTotal]] over SEVERAL value columns in ONE range exchange
+    * and one narrow pass — the shape for cumulative pairs (two-sample
+    * CDFs, paired counters): chaining single-column calls would pay
+    * one exchange + two passes PER column over the same ordered table.
+    * Each `(valueCol, outCol)` appends one running total; all share
+    * the single `orderCol` range partitioning and per-partition
+    * offset vectors (driver state O(partitions × columns) longs).
+    */
+  def runningTotals(
+      df: DataFrame,
+      orderCol: String,
+      valueCols: Seq[(String, String)],
+      storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     import org.apache.spark.sql.types._
+    require(valueCols.nonEmpty, "runningTotals needs >= 1 value column")
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
     val ranged = df
@@ -60,39 +77,159 @@ object Prefix {
       .sortWithinPartitions(orderCol)
       .persist(storageLevel) // both passes MUST read this same layout
 
-    val vIdx = ranged.schema.fieldIndex(valueCol)
-    def valueOf(r: org.apache.spark.sql.Row): Long = r.get(vIdx) match {
-      case l: Long => l
-      case i: Int => i.toLong
-      case null => 0L
-      case other => throw new IllegalArgumentException(
-        s"$valueCol must be integral, got $other")
-    }
+    val vIdxs = valueCols.map { case (v, _) => ranged.schema.fieldIndex(v) }
+    val names = valueCols.map(_._1)
+    def valueOf(r: org.apache.spark.sql.Row, j: Int): Long =
+      r.get(vIdxs(j)) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case null => 0L
+        case other => throw new IllegalArgumentException(
+          s"${names(j)} must be integral, got $other")
+      }
+    val k = vIdxs.length
 
     // pass 1: per-partition totals -> exclusive-scan offsets (driver,
-    // O(partitions) longs)
+    // O(partitions x columns) longs)
     val totals = ranged.rdd
       .mapPartitionsWithIndex { (pid, rows) =>
-        var s = 0L
-        rows.foreach(r => s += valueOf(r))
+        val s = new Array[Long](k)
+        rows.foreach { r =>
+          var j = 0
+          while (j < k) { s(j) += valueOf(r, j); j += 1 }
+        }
         Iterator((pid, s))
       }
       .collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
+    // offsets(pid)(j) = column j's sum over partitions before pid
+    val offsets = totals.scanLeft(new Array[Long](k)) { (acc, t) =>
+      Array.tabulate(k)(j => acc(j) + t(j))
+    }
 
     // pass 2: local prefix + partition offset, same partitioning
-    val schema = ranged.schema.add(StructField(outCol, LongType, false))
+    val schema = valueCols.foldLeft(ranged.schema) { case (sc, (_, out)) =>
+      sc.add(StructField(out, LongType, false))
+    }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     val out = ranged.rdd
       .mapPartitionsWithIndex { (pid, rows) =>
-        var run = offsets(pid)
+        val run = offsets(pid).clone()
         rows.map { r =>
-          run += valueOf(r)
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+          var j = 0
+          while (j < k) { run(j) += valueOf(r, j); j += 1 }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ run.toSeq)
         }
       }
     spark.createDataFrame(out, schema)
+  }
+
+  /** PER-GROUP ranks through a (group, order) RANGE exchange — the
+    * scale-correct form of `row_number() over (partition by g order by
+    * v)`, which sorts EACH GROUP'S ENTIRE RUN inside one task: with a
+    * handful of giant groups, parallelism = group count no matter how
+    * big the cluster. Here the corpus range-partitions on the
+    * composite (group, order) key instead — a group larger than one
+    * partition spans SEVERAL contiguous partitions, each ranked in
+    * parallel — and per-partition start offsets come from the same
+    * O(partitions) driver scan [[runningTotal]] uses: a partition's
+    * first group may continue from previous partitions, so its offset
+    * is that group's row count so far (every OTHER group in the
+    * partition starts inside it, offset 0 by construction).
+    *
+    * Rank is a per-group `row_number` ascending by `orderCol`, 1-based;
+    * ties take arbitrary rank order (same contract as the window form
+    * without a tiebreaker — callers needing tie determinism must make
+    * `orderCol` unique). Group values use object equality in the
+    * driver/boundary scans; NULL groups are the caller's to filter
+    * (they'd range-sort first and rank like any other group).
+    *
+    * Bracket shape: `use` receives the ranked table (input columns +
+    * `outCol`), its group-sized (or otherwise SMALL — it gets
+    * `localCheckpoint`ed eagerly) result is materialized, and the
+    * mandatory two-pass persist is dropped before returning — no
+    * session-cache debt survives the call.
+    */
+  def rankByGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      outCol: String = "rank",
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)(
+      use: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    val ranged = df
+      .repartitionByRange(n, col(groupCol), col(orderCol))
+      .sortWithinPartitions(groupCol, orderCol)
+      .persist(storageLevel) // both passes MUST read this same layout
+    try {
+      val gIdx = ranged.schema.fieldIndex(groupCol)
+
+      // pass 1: per-partition (first group, last group, last group's
+      // in-partition count) -> driver scan in partition order. Sorted
+      // by (g, ord), a group's rows occupy ONE contiguous run across
+      // partitions, so the only cross-partition rank state is "how
+      // many rows of the group straddling this boundary came before".
+      val summaries: Array[Option[(Any, Any, Long)]] = ranged.rdd
+        .mapPartitionsWithIndex { (pid, rows) =>
+          var firstG: Any = null
+          var lastG: Any = null
+          var lastCount = 0L
+          var any = false
+          rows.foreach { r =>
+            val g = r.get(gIdx)
+            if (!any) { firstG = g; lastG = g; lastCount = 0L; any = true }
+            if (java.util.Objects.equals(g, lastG)) lastCount += 1L
+            else { lastG = g; lastCount = 1L }
+          }
+          Iterator((pid,
+            if (any) Some((firstG, lastG, lastCount)) else None))
+        }
+        .collect().sortBy(_._1).map(_._2)
+
+      val offsets = new Array[Long](summaries.length)
+      var curG: Any = null
+      var curCount = 0L
+      var started = false
+      summaries.zipWithIndex.foreach {
+        case (Some((firstG, lastG, lastCount)), pid) =>
+          offsets(pid) =
+            if (started && java.util.Objects.equals(firstG, curG)) curCount
+            else 0L
+          if (started && java.util.Objects.equals(lastG, curG) &&
+              java.util.Objects.equals(firstG, lastG))
+            curCount += lastCount // whole partition continues the run
+          else { curG = lastG; curCount = lastCount }
+          started = true
+        case (None, pid) => offsets(pid) = 0L // empty: state flows past
+      }
+
+      // pass 2: local per-group counter, first group seeded with its
+      // cross-partition offset, every group change resets to 0
+      val schema = ranged.schema.add(StructField(outCol, LongType, false))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      val rankedRdd = ranged.rdd
+        .mapPartitionsWithIndex { (pid, rows) =>
+          var run = 0L
+          var prevG: Any = null
+          var first = true
+          rows.map { r =>
+            val g = r.get(gIdx)
+            if (first) { run = offsets(pid); first = false }
+            else if (!java.util.Objects.equals(g, prevG)) run = 0L
+            prevG = g
+            run += 1L
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+          }
+        }
+      val ranked = spark.createDataFrame(rankedRdd, schema)
+      // eager: the persist must outlive every job that reads it
+      use(ranked).localCheckpoint(true)
+    } finally ranged.unpersist(false)
   }
 
   /** Token-budget shard packing: documents in `orderCol` order are cut

@@ -857,13 +857,18 @@ object Profile {
     * equiDepthHistogram argument); MAD is the same statistic over
     * |v − median|.
     *
-    * Shape: ONE exchange on the group key; rank, group count, the
-    * conditional-max median, the deviation rank, and the MAD all
-    * ride it as in-partition sorts/window aggregates (no join-back,
-    * no second scan — the corpus-sized stream is consumed once).
-    * The unbounded window aggregates buffer one group's run (the
-    * percentileNormalizeByGroup caveat: a single giant group costs
-    * its sorted, spillable run).
+    * Shape: per-group ranks through [[Prefix.rankByGroup]]'s
+    * (group, value) RANGE exchange — NEVER a
+    * `partitionBy(g).orderBy(v)` window, whose per-group single-task
+    * sort caps parallelism at the group count (5 event types = 5
+    * tasks on a 1000-executor cluster). Two range exchanges (value
+    * order, then deviation order), group-sized broadcast joins for
+    * the target ranks, and the median/MAD read off as the rank-k row
+    * directly (rank is unique within a group, so `rn = k` selects
+    * exactly the k-th order statistic — tie permutations can move
+    * WHICH row carries rank k but not the value at it). The group
+    * table must broadcast — with millions of small groups use the
+    * window form instead (grouping then supplies the parallelism).
     *
     * @return (g, n, median, mad) — all longs, exact
     */
@@ -871,26 +876,30 @@ object Profile {
       df: DataFrame,
       groupCol: org.apache.spark.sql.Column,
       valueCol: org.apache.spark.sql.Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(groupCol.as("g"),
         valueCol.cast("long").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
-    val grp = Window.partitionBy(col("g"))
-    val byV = grp.orderBy(col("v").asc)
-    val ranked = base
-      .withColumn("__rn", row_number().over(byV))
-      .withColumn("__n", count(lit(1)).over(grp))
-      .withColumn("__med", max(when(
-        col("__rn") <= expr("(__n + 1) div 2"), col("v"))).over(grp))
-    val byDev = grp.orderBy(abs(col("v") - col("__med")).asc)
-    ranked
-      .withColumn("__rnd", row_number().over(byDev))
-      .withColumn("__mad", max(when(
-        col("__rnd") <= expr("(__n + 1) div 2"),
-        abs(col("v") - col("__med")))).over(grp))
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), max(col("__med")).as("median"),
-        max(col("__mad")).as("mad"))
+    Prefix.rankByGroup(base, "g", "v", "__rn") { r1 =>
+      // group-sized (eager, so the corpus-sized ranked table is
+      // scanned once per derived table, not once per plan reference)
+      val cnt = r1.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .withColumn("__k", expr("(n + 1) div 2"))
+        .localCheckpoint(true)
+      val med = r1.join(broadcast(cnt), Seq("g"))
+        .filter(col("__rn") === col("__k"))
+        .select(col("g"), col("v").as("median"))
+        .localCheckpoint(true)
+      val dev = r1.join(broadcast(med), Seq("g"))
+        .select(col("g"), abs(col("v") - col("median")).as("d"))
+      Prefix.rankByGroup(dev, "g", "d", "__rnd") { r2 =>
+        val mad = r2.join(broadcast(cnt), Seq("g"))
+          .filter(col("__rnd") === col("__k"))
+          .select(col("g"), col("d").as("mad"))
+        cnt.select(col("g"), col("n"))
+          .join(med, Seq("g")).join(mad, Seq("g"))
+          .select(col("g"), col("n"), col("median"), col("mad"))
+      }
+    }
   }
 
   /** EXACT two-sample Kolmogorov–Smirnov statistic — the UNBINNED
@@ -906,14 +915,22 @@ object Profile {
     * order encoding, loud) and N_a·N_b must fit a long — ~3e9 rows
     * per side before sampling upstream, checked loudly at runtime.
     *
+    * Degenerate shapes match the SQL replay exactly: both sides
+    * empty → ZERO rows (the oracle's `FROM c, t` over an empty
+    * support); one side empty → one (n_a, n_b, 0, 0) row — ks_den =
+    * 0 is the in-data signal that D is undefined, loud to any
+    * consumer that divides.
+    *
     * Shape: one map-side-combined distinct-value count per side, a
     * value-keyed full outer join of the two (distinct-value-sized)
-    * tables, then BOTH cumulative sums through chained
-    * [[Prefix.runningTotal]] range exchanges — never a one-partition
-    * window — and a 1-row max. Nothing after the counting passes
-    * scales with row count, only with distinct values.
+    * tables, then BOTH cumulative sums riding ONE
+    * [[Prefix.runningTotals]] range exchange — never a one-partition
+    * window, never a second pass — and a 1-row max. Nothing after
+    * the counting passes scales with row count, only with distinct
+    * values.
     *
-    * @return one row: (n_a, n_b, ks_num, ks_den)
+    * @return one row (n_a, n_b, ks_num, ks_den); zero rows when both
+    *   sides are empty
     */
   def ksStatistic(
       a: DataFrame,
@@ -936,20 +953,19 @@ object Profile {
       .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
       .withColumn("__ord", format_string("%016x", col("v") + lit(bias)))
-    val c1 = Prefix.runningTotal(joined, orderCol = "__ord",
-      valueCol = "na", outCol = "cum_a")
-    val c2 = Prefix.runningTotal(c1, orderCol = "__ord",
-      valueCol = "nb", outCol = "cum_b")
+    val c2 = Prefix.runningTotals(joined, orderCol = "__ord",
+      valueCols = Seq("na" -> "cum_a", "nb" -> "cum_b"))
     val totals = c2.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     c2.crossJoin(broadcast(totals))
       .select(col("cum_a"), col("cum_b"),
         // loud domain guard: cum·total products must fit a long —
-        // 2^62/max(total) bounds the other side
-        when(col("ta") >= 1L && col("tb") >= 1L &&
+        // 2^62/max(total) bounds the other side. An EMPTY side is
+        // not an error (cum_empty = 0, so ks_num = ks_den = 0 falls
+        // out, matching the SQL replay); only an overflowing pair is.
+        when(col("ta") < 1L || col("tb") < 1L ||
             col("ta").cast("decimal(38,0)") * col("tb") < lit(bias),
           col("ta")).otherwise(raise_error(concat(
-            lit("ksStatistic domain: both sides non-empty and " +
-              "N_a*N_b < 2^62 required, got "),
+            lit("ksStatistic domain: N_a*N_b < 2^62 required, got "),
             col("ta"), lit(" x "), col("tb")))).as("ta"),
         col("tb"))
       .agg(coalesce(max(col("ta")), lit(0L)).as("n_a"),
@@ -957,6 +973,10 @@ object Profile {
         coalesce(max(abs(col("cum_a") * col("tb") -
           col("cum_b") * col("ta"))), lit(0L)).as("ks_num"),
         coalesce(max(col("ta") * col("tb")), lit(0L)).as("ks_den"))
+      // both-sides-empty: the joint support is empty, so the oracle's
+      // cumulative CTE emits no rows — mirror that, don't fabricate
+      // an all-zero row out of the aggregate-over-nothing
+      .filter(col("n_a") + col("n_b") > 0L)
   }
 
   /** EXACT trimmed mean per group — [[robustStatsByGroup]]'s
@@ -969,16 +989,24 @@ object Profile {
     * mean follows one outlier.
     *
     * Exact: kept sum in DECIMAL(38,0), mean as the 2^20 fixed-point
-    * floor division (ANSI-loud past long range on the cast back).
-    * Groups where trimming would drop everything (n ≤ 2·lo) emit
-    * n_kept = 0 and mean_fx = 0 — visible, not silently untrimmed.
+    * TRUE FLOOR division — quotient minus one when the product is
+    * negative with a remainder, so negative trimmed sums replay
+    * bit-identically against engines whose `//` floors (Spark's
+    * `div` alone truncates toward zero). Groups where trimming would
+    * drop everything (n ≤ 2·lo) emit n_kept = 0 and mean_fx = 0 —
+    * visible, not silently untrimmed.
     *
-    * Shape: ONE exchange on the group key (rank + count ride it as
-    * window work, the percentileNormalizeByGroup shape), then one
-    * map-side-combined aggregation. No join-back.
+    * Shape: per-group ranks through [[Prefix.rankByGroup]]'s
+    * (group, value) RANGE exchange — NEVER a
+    * `partitionBy(g).orderBy(v)` window, whose single-task group
+    * sort caps parallelism at the group count — then one group-sized
+    * broadcast join for the cut ranks and one map-side-combined
+    * aggregation. The group table must broadcast — with millions of
+    * small groups use a window form instead (grouping then supplies
+    * the parallelism).
     *
-    * @return (g, n, n_kept, sum_kept, mean_fx = sum_kept·2^20 div
-    *   n_kept)
+    * @return (g, n, n_kept, sum_kept, mean_fx = floor(sum_kept·2^20
+    *   / n_kept))
     */
   def trimmedMeanByGroup(
       df: DataFrame,
@@ -987,33 +1015,39 @@ object Profile {
       trimBp: Int = 500): DataFrame = {
     require(trimBp >= 0 && trimBp < 5000,
       s"trimBp must be in [0, 5000) basis points, got $trimBp")
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(groupCol.as("g"),
         valueCol.cast("long").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
-    val grp = Window.partitionBy(col("g"))
-    val ranked = base
-      // ties in v get an arbitrary rank — harmless: the kept multiset
-      // is identical under any tie permutation (the rank rule keeps a
-      // count, and tied rows are interchangeable by value)
-      .withColumn("__rn", row_number().over(grp.orderBy(col("v").asc)))
-      .withColumn("__n", count(lit(1)).over(grp))
-      .withColumn("__lo", expr(s"(__n * ${trimBp}L) div 10000L"))
-    ranked
-      .groupBy(col("g"))
-      .agg(max(col("__n")).as("n"),
-        coalesce(sum(when(col("__rn") > col("__lo") &&
-          col("__rn") <= col("__n") - col("__lo"), 1L)), lit(0L))
-          .as("n_kept"),
-        coalesce(sum(when(col("__rn") > col("__lo") &&
-          col("__rn") <= col("__n") - col("__lo"),
-          col("v").cast("decimal(38,0)"))), lit(0L).cast("decimal(38,0)"))
-          .as("__sum"))
-      .select(col("g"), col("n"), col("n_kept"),
-        col("__sum").cast("long").as("sum_kept"),
-        expr("CASE WHEN n_kept > 0 THEN " +
-          "CAST((__sum * 1048576) div n_kept AS BIGINT) ELSE 0L END")
-          .as("mean_fx"))
+    // ties in v get an arbitrary rank — harmless: the kept multiset
+    // is identical under any tie permutation (the rank rule keeps a
+    // count, and tied rows are interchangeable by value)
+    Prefix.rankByGroup(base, "g", "v", "__rn") { r1 =>
+      val cnt = r1.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .withColumn("__lo", expr(s"(n * ${trimBp}L) div 10000L"))
+        .localCheckpoint(true)
+      r1.join(broadcast(cnt), Seq("g"))
+        .groupBy(col("g"))
+        .agg(max(col("n")).as("n"),
+          coalesce(sum(when(col("__rn") > col("__lo") &&
+            col("__rn") <= col("n") - col("__lo"), 1L)), lit(0L))
+            .as("n_kept"),
+          coalesce(sum(when(col("__rn") > col("__lo") &&
+            col("__rn") <= col("n") - col("__lo"),
+            col("v").cast("decimal(38,0)"))),
+            lit(0L).cast("decimal(38,0)"))
+            .as("__sum"))
+        .select(col("g"), col("n"), col("n_kept"),
+          col("__sum").cast("long").as("sum_kept"),
+          // floor, not truncate: negative product with remainder
+          // rounds one further down (n_kept > 0, so the product's
+          // sign is __sum's sign)
+          expr("CASE WHEN n_kept > 0 THEN " +
+            "CAST((__sum * 1048576) div n_kept - " +
+            "(CASE WHEN __sum < 0 AND " +
+            "(__sum * 1048576) % n_kept != 0 THEN 1 ELSE 0 END) " +
+            "AS BIGINT) ELSE 0L END")
+            .as("mean_fx"))
+    }
   }
 
   /** Population Stability Index between two score samples, per
@@ -1075,10 +1109,13 @@ object Profile {
       .join(side(b, bScore, "n_b"), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-      // bin-sized — cached so the totals aggregate and the scored
-      // select share ONE counting pass per side (uncached, both
-      // corpus scans ran twice)
-      .cache()
+      // bin-sized — materialized eagerly so the totals aggregate and
+      // the scored select share ONE counting pass per side (lazy,
+      // both corpus scans ran twice). localCheckpoint, not .cache():
+      // the ContextCleaner frees the blocks once the result is
+      // dropped, where a .cache() entry pins the session cache until
+      // someone remembers to unpersist
+      .localCheckpoint(true)
     val totals = joined.agg(count(lit(1)).as("nbins"),
       sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
     val spark = a.sparkSession

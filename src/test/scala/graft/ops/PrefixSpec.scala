@@ -38,6 +38,90 @@ class PrefixSpec extends SparkSpec {
     assert(disk(300L) == (1L to 300L).map(i => (i % 5) + 1).sum)
   }
 
+  test("runningTotals: two cumulative columns on ONE range exchange == " +
+      "two chained runningTotal calls") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = rng.shuffle((1L to 400L).toList)
+      .map(i => (i, (i % 5) + 1, (i % 3)))
+    val df = rows.toDF("id", "x", "y").repartition(11)
+    val onePass = Prefix.runningTotals(df, "id",
+        Seq("x" -> "cx", "y" -> "cy"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    val chained = Prefix.runningTotal(
+        Prefix.runningTotal(df, "id", "x", "cx"), "id", "y", "cy")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(onePass == chained)
+    assert(onePass(400L) == (rows.map(_._2).sum, rows.map(_._3).sum))
+  }
+
+  test("rankByGroup == per-group window row_number on unique values, " +
+      "including a giant group spanning many range partitions") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    // 2 giant groups + 1 singleton: on local[4] each giant group spans
+    // several range partitions, exercising the cross-partition offsets
+    val rows = rng.shuffle(
+      (1L to 3000L).map(i => ("big_a", i * 7L)) ++
+      (1L to 2500L).map(i => ("big_b", i * 3L + 1L)) ++
+      Seq(("solo", 99L)))
+    val df = rows.toDF("g", "v").repartition(17)
+    val got = Prefix.rankByGroup(df, "g", "v", "rk")(identity)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val want = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy("v")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)
+        .toLong).toMap
+    assert(got == want)
+    assert(got(("solo", 99L)) == 1L)
+  }
+
+  test("rankByGroup under ties: ranks are a permutation of 1..n per " +
+      "group and value order is respected (tied values interchangeable)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = rng.shuffle(
+      (1L to 800L).map(i => ("a", i % 10)) ++ // heavy ties
+      (1L to 500L).map(i => ("b", i % 3)))
+    val out = Prefix.rankByGroup(rows.toDF("g", "v"), "g", "v", "rk")(
+        identity)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.length
+      assert(rs.map(_._3).sorted.toSeq == (1L to n.toLong),
+        s"group $g ranks must be a permutation of 1..$n")
+      // sorted by rank, values must be non-decreasing
+      val byRank = rs.sortBy(_._3).map(_._2)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y },
+        s"group $g values out of order along ranks")
+    }
+  }
+
+  test("rankByGroup bracket drops its persist (no session-cache debt) " +
+      "and an empty input yields an empty result") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Prefix.rankByGroup(
+        Seq(("a", 1L)).toDF("g", "v").filter(col("v") < 0L),
+        "g", "v", "rk")(identity)
+      .count()
+    assert(out == 0L)
+    val nonEmpty = Prefix.rankByGroup(
+        Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v"),
+        "g", "v", "rk")(df => df.groupBy("g").agg(max("rk").as("m")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nonEmpty == Map("a" -> 2L, "b" -> 1L))
+    // each bracket pins ONLY its localCheckpoint'd (small) result —
+    // the corpus-sized ranged table must be gone. 2 calls above = at
+    // most 2 pinned results; a leaked ranged persist would add 2 more.
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"rankByGroup leaked ranged persists: $before -> $after")
+  }
+
   test("packIntoShards cuts contiguous shards at budget multiples, " +
       "overflowing by at most the boundary document") {
     import spark.implicits._

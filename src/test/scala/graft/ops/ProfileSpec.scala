@@ -74,7 +74,7 @@ class ProfileSpec extends SparkSpec {
 
   test("ksStatistic == plain-Scala max-CDF-distance model; identical " +
       "samples score 0; disjoint supports score ks_num = ks_den; " +
-      "empty sides are loud") {
+      "degenerate shapes mirror the SQL replay") {
     import spark.implicits._
     def model(xa: Seq[Long], xb: Seq[Long]): (Long, Long, Long, Long) = {
       val support = (xa ++ xb).distinct.sorted
@@ -97,8 +97,46 @@ class ProfileSpec extends SparkSpec {
     val lo = Seq(1L, 2L, 3L); val hi = Seq(10L, 11L)
     val d = run(lo, hi)
     assert(d._3 == d._4 && d._4 == 6L)
-    // one side empty → loud
-    intercept[Exception](run(xa, Seq.empty[Long]))
+    // one side empty → the oracle's shape: one row, ks_den = 0 (the
+    // in-data "D undefined" signal), not an exception
+    assert(run(xa, Seq.empty[Long]) == (6L, 0L, 0L, 0L))
+    assert(run(Seq.empty[Long], xb) == (0L, 4L, 0L, 0L))
+    // both sides empty → empty joint support → ZERO rows (the
+    // oracle's FROM c, t over an empty c)
+    assert(Profile.ksStatistic(Seq.empty[Long].toDF("s"), col("s"),
+      Seq.empty[Long].toDF("s"), col("s")).count() == 0L)
+  }
+
+  test("ksStatistic builds through ONE runningTotals pass: exactly one " +
+      "ranged persist appears at plan build (the chained form pinned " +
+      "two)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Profile.ksStatistic(
+      Seq(1L, 2L, 5L).toDF("s"), col("s"),
+      Seq(2L, 4L).toDF("s"), col("s"))
+    // every runningTotal(s) pass pins its mandatory two-pass
+    // materialization; both cumulative columns riding one exchange
+    // means exactly ONE new pinned table
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before == 1,
+      s"expected exactly 1 new ranged persist, got ${after - before}")
+  }
+
+  test("trimmedMeanByGroup mean_fx is TRUE floor division — negative " +
+      "trimmed sums round toward -inf, matching a floor-dividing " +
+      "oracle bit-for-bit") {
+    import spark.implicits._
+    // group n: kept sum = -5 over 3 kept values -> -5*2^20/3 =
+    // -1747626.67 -> floor = -1747627 (truncation would say -1747626)
+    val rows = Seq(("n", -1L), ("n", -2L), ("n", -2L))
+    val got = Profile.trimmedMeanByGroup(rows.toDF("g", "v"), col("g"),
+        col("v"), trimBp = 0)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).head
+    assert(got == (3L, 3L, -5L,
+      Math.floorDiv(-5L * 1048576L, 3L)))
+    assert(got._4 == -1747627L)
   }
 
   test("psiBins: identical samples score 0 in every bin; a known shift " +
