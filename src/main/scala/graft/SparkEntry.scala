@@ -7271,15 +7271,20 @@ object SparkEntry {
     * real cross-query dependency). Bump the `-v` suffix whenever the
     * edge-build SEMANTICS change (Stage.auto cannot see the op
     * closure); both consumers' DuckDB oracles replay the full build,
-    * so a stale tap cannot silently pass the correctness gate.
+    * so a stale tap cannot silently pass the correctness gate. The
+    * input's file-listing signature (sizes + mtimes,
+    * Pipeline.contentFingerprint) rides in the stage name, so
+    * regenerating lineitem.parquet IN PLACE allocates a fresh tap
+    * instead of serving stale edges to a bench-only (oracle-less) run.
     */
   private def coOrderEdgesStaged(s: SparkSession, dir: String)
       : DataFrame = {
     val tmpRoot =
       "/tmp/graft_coorder/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val liTap = graft.tap.Tap.parquet(s"$dir/lineitem.parquet")
+    val sig = graft.pipeline.Pipeline.contentFingerprint(s, Seq(liTap))
     val st = graft.pipeline.Stage.auto(
-        "coorder-mw2-v1", Seq(liTap), tmpRoot) {
+        s"coorder-mw2-v1-$sig", Seq(liTap), tmpRoot) {
       case Seq(li) =>
         graft.ops.Graphs.coOccurrenceEdges(li, col("l_orderkey"),
           col("l_partkey"), minWeight = 2L)
@@ -7431,7 +7436,13 @@ object SparkEntry {
   // as the secondary-sorted streaming reducer. The oracle replays it
   // with a recursive CTE advancing every user one row per step.
   private def q156(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Anomaly.cusumAlarms(t(s, dir, "events"),
+    // ts IS NOT NULL: the ordering contract must not depend on engine
+    // NULL placement (Spark sorts NULL ts first, DuckDB last) — the
+    // streaming twins q160/q183 drop null ts at staging, so the batch
+    // side and the shared oracle drop them too (engine-independent
+    // stream ≡ batch, not fixture-dependent)
+    graft.ops.Anomaly.cusumAlarms(
+      t(s, dir, "events").filter(col("ts").isNotNull),
       col("user_id"), col("event_id"), Seq(col("ts"), col("event_id")),
       expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
       target = 2500L, slack = 1000L, threshold = 30000L)
@@ -7446,7 +7457,7 @@ object SparkEntry {
              ORDER BY ts, event_id) AS rn
          FROM events
          WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND value IS NOT NULL),
+           AND value IS NOT NULL AND ts IS NOT NULL),
        rec AS (
          SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS s,
            CAST(0 AS BIGINT) AS alarm_seq, CAST(NULL AS BIGINT) AS event_id,
@@ -7668,7 +7679,9 @@ object SparkEntry {
   // α = 4/16 — the sequential-recurrence sibling of q156 on the same
   // secondary-sorted reducer, oracled by a recursive CTE replay.
   private def q162(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Anomaly.ewmaSmooth(t(s, dir, "events"),
+    // ts IS NOT NULL for engine-independent ordering — see q156
+    graft.ops.Anomaly.ewmaSmooth(
+      t(s, dir, "events").filter(col("ts").isNotNull),
       col("user_id"), col("event_id"), Seq(col("ts"), col("event_id")),
       expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
       alpha = 4)
@@ -7683,7 +7696,7 @@ object SparkEntry {
              ORDER BY ts, event_id) AS rn
          FROM events
          WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND value IS NOT NULL),
+           AND value IS NOT NULL AND ts IS NOT NULL),
        rec AS (
          SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(-1 AS BIGINT) AS s,
            CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS vv
@@ -7704,7 +7717,9 @@ object SparkEntry {
   // integer z-inequality — the level-drift-robust monitor next to
   // q101's global form. One window shuffle, three sliding aggregates.
   private def q163(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Anomaly.rollingZFlags(t(s, dir, "events"),
+    // ts IS NOT NULL for engine-independent ordering — see q156
+    graft.ops.Anomaly.rollingZFlags(
+      t(s, dir, "events").filter(col("ts").isNotNull),
       col("user_id"), col("event_id"), Seq(col("ts"), col("event_id")),
       expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
       window = 16, z = 2, minPoints = 8)
@@ -7717,7 +7732,7 @@ object SparkEntry {
            CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
          FROM events
          WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND value IS NOT NULL),
+           AND value IS NOT NULL AND ts IS NOT NULL),
        w AS (
          SELECT user_id, event_id, v,
            count(v) OVER win AS n, sum(v) OVER win AS s,

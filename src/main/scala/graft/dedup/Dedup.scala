@@ -2140,7 +2140,8 @@ object Dedup {
     *
     * Total order = (key, id) — ties cannot reorder between engines
     * (an oracle replays it as ORDER BY key, id; keys must not
-    * contain U+0000, the internal order-encoding separator). Verification is the
+    * contain U+0000, the internal order-encoding separator —
+    * enforced with raise_error, never a silent reorder). Verification is the
     * caller's: this emits the candidate pairs with both keys and the
     * rank gap; compose with a similarity predicate (levenshtein,
     * shingle Jaccard) for the near-dup decision.
@@ -2170,6 +2171,13 @@ object Dedup {
         .otherwise(raise_error(concat(
           lit("sortedNeighborhoodPairs ids must be non-negative, got "),
           col("id")))))
+      // loud, not silent: a key containing the order-encoding
+      // separator would sort differently in the encoded order than
+      // under the oracle's plain ORDER BY key, id
+      .withColumn("k", when(!col("k").contains("\u0000"), col("k"))
+        .otherwise(raise_error(concat(
+          lit("sortedNeighborhoodPairs keys must not contain U+0000 " +
+            "(the order-encoding separator), got "), col("k")))))
       .withColumn("__one", lit(1L))
       // (key, id) lexicographic total order: NUL separates so a key
       // that is a strict prefix of another sorts first, and the

@@ -186,6 +186,45 @@ object Pipeline {
     * input's cached output for another (see the invalidation caveat on
     * `Stage.auto`).
     */
+  /** File-LISTING signature of tap inputs — (path, length,
+    * modificationTime) of every file under each tap path, recursive.
+    * [[fingerprint]] covers only the BINDINGS (paths/format/options/
+    * schema), so regenerating an input IN PLACE — same path, new
+    * bytes — keeps the same memoization key and `RSSkip` serves stale
+    * output; folding this signature into the `Stage.auto` name makes
+    * the key track the data's identity too. Listing only (O(files)
+    * namenode calls, no data read); hidden files (`_SUCCESS`, `.crc`)
+    * are skipped so a re-commit of identical data stays memoized.
+    */
+  def contentFingerprint(spark: SparkSession, inputs: Seq[Tap]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def put(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    inputs.foreach { t =>
+      t.paths.foreach { p =>
+        val f = new Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(new Path(p))) {
+          val it = f.listFiles(new Path(p), true)
+          val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val st = it.next()
+            val name = st.getPath.getName
+            if (!name.startsWith("_") && !name.startsWith("."))
+              entries += s"${st.getPath}|${st.getLen}|" +
+                s"${st.getModificationTime}"
+          }
+          entries.sorted.foreach(put)
+        } else put(s"ABSENT:$p")
+      }
+      md.update(0.toByte) // tap boundary
+    }
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
   private[pipeline] def fingerprint(inputs: Seq[Tap]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     // length-prefix every component so the encoding is injective — a

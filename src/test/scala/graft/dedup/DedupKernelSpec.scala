@@ -457,6 +457,14 @@ class DedupKernelSpec extends SparkSpec {
     intercept[Exception](
       Dedup.sortedNeighborhoodPairs(negId, col("id"), col("k"), 2)
         .collect())
+    // a key embedding U+0000 would silently reorder vs the oracle's
+    // ORDER BY key, id (a NUL-bearing key encodes before its own
+    // prefix but sorts after it in plain key order) — must raise,
+    // not diverge
+    val nulKey = Seq((1L, "a\u0000b"), (2L, "a")).toDF("id", "k")
+    intercept[Exception](
+      Dedup.sortedNeighborhoodPairs(nulKey, col("id"), col("k"), 2)
+        .collect())
   }
 
   test("ngramNovelty/ngramWeightedJaccard plan pin: ONE shingle-kernel " +

@@ -146,6 +146,34 @@ class PipelineSpec extends SparkSpec {
     assert(!a.output.sameLocation(b.output))
   }
 
+  test("contentFingerprint tracks the DATA's identity: stable across " +
+      "calls, changes when a file is regenerated in place, ignores " +
+      "hidden committer files") {
+    import java.nio.file.{Files, Paths}
+    val root = tmp()
+    val d = s"$root/in"
+    Files.createDirectories(Paths.get(d))
+    Files.write(Paths.get(s"$d/part-0.csv"), "a,b\n1,2\n".getBytes)
+    val tap = Tap(Seq(d), "csv")
+    val s1 = Pipeline.contentFingerprint(spark, Seq(tap))
+    assert(s1 == Pipeline.contentFingerprint(spark, Seq(tap)),
+      "same listing must give the same signature")
+    // committer noise must not churn the key
+    Files.write(Paths.get(s"$d/_SUCCESS"), Array.empty[Byte])
+    assert(s1 == Pipeline.contentFingerprint(spark, Seq(tap)))
+    // regenerate IN PLACE (same path, different bytes/size)
+    Files.write(Paths.get(s"$d/part-0.csv"), "a,b\n1,2\n3,4\n".getBytes)
+    val s2 = Pipeline.contentFingerprint(spark, Seq(tap))
+    assert(s1 != s2,
+      "an in-place regeneration must change the memoization key")
+    // an absent path is a distinct, stable state — not an error
+    val s3 = Pipeline.contentFingerprint(spark,
+      Seq(Tap(Seq(s"$root/nope"), "csv")))
+    assert(s3 == Pipeline.contentFingerprint(spark,
+      Seq(Tap(Seq(s"$root/nope"), "csv"))))
+    assert(s3 != s1)
+  }
+
   test("DOCUMENTED HAZARD: a changed op with unchanged (name, inputs, " +
       "tmpRoot) is served the stale memoized output under RSSkip") {
     // The fingerprint covers input bindings, not the op closure — this is
