@@ -127,17 +127,24 @@ object Graphs {
     val parts =
       if (numPartitions == Sizing.Auto) {
         val par = df.sparkSession.sparkContext.defaultParallelism
+        val pruned = df.select(groupCol.as("g"), itemCol.as("it"))
         val memberships =
           if (membershipsHint >= 0) membershipsHint
-          // estimate on the PRUNED 2-column projection (Catalyst
-          // scales sizeInBytes by default column widths, cancelling
-          // the caller's extra columns) at 8 B/row — the compressed
-          // floor of two dict/delta-encoded key columns (the graphco
-          // x100 rung measures 8.5 B/row); the 256 B default would
-          // under-count rows ~30x and land on the parallelism floor
-          else Sizing.planRowsEstimate(
-              df.select(groupCol.as("g"), itemCol.as("it")),
-              assumedBytesPerRow = 8L)
+          // prefer parquet footer ROW counts (exact for the scan, a
+          // driver metadata read, no job): the bytes arm below keeps
+          // the SOURCE's width, so a narrow projection derived from
+          // a wide json-blob column overshoots rows ~50x and the
+          // partition count with it (q171, round 16)
+          else Sizing.parquetRowsUpperBound(pruned)
+            // else: PRUNED 2-column projection (Catalyst scales
+            // sizeInBytes by default column widths, cancelling the
+            // caller's extra columns) at 8 B/row — the compressed
+            // floor of two dict/delta-encoded key columns (the
+            // graphco x100 rung measures 8.5 B/row); the 256 B
+            // default would under-count rows ~30x and land on the
+            // parallelism floor
+            .orElse(Sizing.planRowsEstimate(pruned,
+              assumedBytesPerRow = 8L))
             .getOrElse(par.toLong)
         Sizing.groupingPartitions(memberships, 72L, par,
           targetBytesPerTask = 32L << 20)

@@ -57,6 +57,65 @@ object Sizing {
     }
   }
 
+  /** EXACT row-count UPPER BOUND from parquet FOOTERS — still a
+    * driver-side metadata read, NO Spark job: when every leaf of the
+    * optimized plan is a parquet V1 relation and every node above the
+    * leaves is row-preserving or row-reducing (project/filter/union/
+    * aggregate/limit/sort/repartition), the sum of footer record
+    * counts bounds the plan's rows from above.
+    *
+    * Why next to [[planRowsEstimate]]: the bytes arm divides the
+    * SOURCE's sizeInBytes by an assumed row width, and Catalyst's
+    * default-width column scaling cannot see that a narrow projection
+    * DERIVES from a wide column — a 2-column `get_json_object`
+    * projection over a json-blob table keeps the blob's bytes, so
+    * bytes/8 overshoots rows ~50x and the derived partition count
+    * with it (the q171 regression, round 16). Footers count ROWS —
+    * immune to row width, exact for the scan, an over-count only by
+    * the filters above it (the safe direction for memory sizing).
+    *
+    * Returns None — callers fall back to the bytes arm — when a leaf
+    * is not parquet V1, any node could EXPAND rows (join, generate/
+    * explode), or the listing exceeds `maxFooterFiles` (each footer
+    * is one driver IO round-trip; past a few hundred files the bytes
+    * arm is cheaper than the metadata sweep).
+    */
+  def parquetRowsUpperBound(df: org.apache.spark.sql.DataFrame,
+      maxFooterFiles: Int = 256): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.
+      ParquetFileFormat
+    require(maxFooterFiles >= 1, s"maxFooterFiles $maxFooterFiles")
+    val plan = df.queryExecution.optimizedPlan
+    val safe = plan.collect {
+      case p @ (_: Project | _: Filter | _: SubqueryAlias | _: Union |
+          _: Distinct | _: Aggregate | _: GlobalLimit | _: LocalLimit |
+          _: Sort | _: RepartitionOperation | _: LogicalRelation) => p
+    }.size == plan.collect { case p => p }.size
+    if (!safe) return None
+    val leaves = plan.collectLeaves()
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val perLeaf: Seq[Option[Long]] = leaves.map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+            if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          val files = fs.location.inputFiles
+          if (files.length > maxFooterFiles) None
+          else Some(files.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (perLeaf.forall(_.isDefined)) Some(perLeaf.flatten.sum) else None
+  }
+
   /** Best-effort TOTAL-CHARACTER estimate for a text relation from
     * Catalyst plan statistics — NO Spark job; [[planRowsEstimate]]'s
     * sibling for char-volume sizing (the n-gram kernels' gram streams

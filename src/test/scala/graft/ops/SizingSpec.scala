@@ -155,6 +155,38 @@ class SizingSpec extends SparkSpec {
     assert(dAuto.collect().toSet == dExpl.collect().toSet)
   }
 
+  test("parquetRowsUpperBound: exact file rows through projections/" +
+      "filters, immune to the wide-blob trap that overshoots the " +
+      "bytes arm; None on expanding or non-parquet plans") {
+    import spark.implicits._
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val exact = ev.count()
+    assert(Sizing.parquetRowsUpperBound(ev).contains(exact))
+    // the q171 shape: narrow projection DERIVED from the wide props
+    // blob — footer bound stays exact while the 8 B/row bytes arm
+    // overshoots (it keeps the blob's bytes)
+    val pruned = ev.select(col("user_id").as("g"),
+      get_json_object(col("props"), "$.k").as("it"))
+    assert(Sizing.parquetRowsUpperBound(pruned).contains(exact))
+    val bytesArm = Sizing.planRowsEstimate(pruned, assumedBytesPerRow = 8L)
+    assert(bytesArm.exists(_ > exact),
+      s"expected the bytes arm to overshoot (got $bytesArm vs $exact) — " +
+        "if this stopped overshooting, the footer arm may be redundant")
+    // filters above the scan: still the file bound (upper, not exact)
+    assert(Sizing.parquetRowsUpperBound(
+      ev.filter(col("value") > 1e18)).contains(exact))
+    // expanding nodes and non-parquet leaves refuse loudly-by-None
+    assert(Sizing.parquetRowsUpperBound(
+      ev.select(explode(split(col("event_type"), "")).as("c"))).isEmpty)
+    assert(Sizing.parquetRowsUpperBound(
+      ev.as("a").join(ev.as("b"), Seq("event_id"))).isEmpty)
+    assert(Sizing.parquetRowsUpperBound(
+      Seq((1L, "x")).toDF("id", "s")).isEmpty)
+    // a union of two parquet scans sums the bounds
+    assert(Sizing.parquetRowsUpperBound(ev.union(ev))
+      .contains(exact * 2))
+  }
+
   test("charsEstimate: magnitude-right upper bound from plan stats, " +
       "no job") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
