@@ -9230,7 +9230,198 @@ object SparkEntry {
            ELSE 0 END AS BIGINT) AS mean_fx
        FROM a"""
 
+  // ------------------------------------------------------------------
+  // q196 — exact per-group quantile vector (extension:
+  // RankStats.quantilesByGroup): value at rank ceil(n·q/10⁴) per
+  // event type for q ∈ {25%, 50%, 75%, 99%} — order statistics, no
+  // float interpolation, ranks through the (g, v) range exchange
+  // (never a per-group window sort). Oracle replays the rank rule.
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankStats.quantilesByGroup(t(s, dir, "events"),
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+        Seq(2500, 5000, 7500, 9900))
+      .withColumnRenamed("g", "event_type")
+
+  private val q196Sql =
+    """WITH b AS (
+         SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       r AS (
+         SELECT g, v,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+         FROM b),
+       q(q_bp) AS (VALUES (2500), (5000), (7500), (9900))
+       SELECT g AS event_type, CAST(q_bp AS BIGINT) AS q_bp,
+         CAST(n AS BIGINT) AS n, CAST(v AS BIGINT) AS value
+       FROM r JOIN q ON rn = greatest(1, (n * q_bp + 9999) // 10000)"""
+
+  // ------------------------------------------------------------------
+  // q197 — exact winsorized mean per group (extension:
+  // RankStats.winsorizedMeanByGroup): q195's clamping sibling — the
+  // lowest/highest 5% of rows take the fence values instead of
+  // dropping, so n is preserved. Integer rank rules, HUGEINT sum,
+  // floor-division fixed point — bit-exact replay.
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankStats.winsorizedMeanByGroup(t(s, dir, "events"),
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+        trimBp = 500)
+      .withColumnRenamed("g", "event_type")
+
+  private val q197Sql =
+    """WITH b AS (
+         SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       r AS (
+         SELECT g, v,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+         FROM b),
+       k AS (SELECT g, v, rn, n, (n * 500) // 10000 AS lo FROM r),
+       f AS (
+         SELECT g, max(n) AS n, max(lo) AS lo,
+           max(CASE WHEN rn = lo + 1 THEN v END) AS v_lo,
+           max(CASE WHEN rn = n - lo THEN v END) AS v_hi
+         FROM k GROUP BY 1),
+       w AS (
+         SELECT k.g, f.n, f.lo, f.v_lo, f.v_hi,
+           least(greatest(k.v, f.v_lo), f.v_hi) AS cv
+         FROM k JOIN f ON k.g = f.g)
+       SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(lo) AS BIGINT) AS lo,
+         CAST(max(v_lo) AS BIGINT) AS v_lo,
+         CAST(max(v_hi) AS BIGINT) AS v_hi,
+         CAST(sum(CAST(cv AS HUGEINT)) AS BIGINT) AS sum_w,
+         CAST((sum(CAST(cv AS HUGEINT)) * 1048576) // max(n)
+           AS BIGINT) AS mean_fx
+       FROM w GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q198 — exact Mann–Whitney U (extension: RankStats.mannWhitneyU):
+  // q194's rank-based companion on the same click-vs-purchase split —
+  // stochastic dominance instead of CDF distance, midrank ties kept
+  // exact by doubling (u2 = 2U). The oracle replays the doubled
+  // midranks off cumulative window sums over the joint support.
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sc = expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)")
+    graft.ops.RankStats.mannWhitneyU(
+      ev.filter(col("event_type") === "click" && col("value").isNotNull),
+      sc,
+      ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull),
+      sc)
+  }
+
+  private val q198Sql =
+    """WITH va AS (
+         SELECT CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v,
+           count(*) AS na
+         FROM events WHERE event_type = 'click' AND value IS NOT NULL
+         GROUP BY 1),
+       vb AS (
+         SELECT CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v,
+           count(*) AS nb
+         FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+         GROUP BY 1),
+       j AS (
+         SELECT COALESCE(va.v, vb.v) AS v, COALESCE(na, 0) AS na,
+           COALESCE(nb, 0) AS nb
+         FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+       t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j),
+       c AS (
+         SELECT v, na, nb,
+           sum(na) OVER (ORDER BY v) - na
+             + sum(nb) OVER (ORDER BY v) - nb AS cb
+         FROM j)
+       SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+         CAST(COALESCE(sum(na * (2 * cb + na + nb + 1)), 0)
+           - ta * (ta + 1) AS BIGINT) AS u2_a,
+         CAST(COALESCE(sum(nb * (2 * cb + na + nb + 1)), 0)
+           - tb * (tb + 1) AS BIGINT) AS u2_b
+       FROM c, t GROUP BY ta, tb"""
+
+  // ------------------------------------------------------------------
+  // q199 — exact Gini concentration per group (extension:
+  // RankStats.giniByGroup): value-concentration per event type as the
+  // integer fraction (2·Σ rank·v − (n+1)·Σv, n·Σv) — the q181
+  // key-skew Gini generalized from counts to arbitrary non-negative
+  // values, ranks through the range exchange.
+  private def q199(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankStats.giniByGroup(t(s, dir, "events"),
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+      .withColumnRenamed("g", "event_type")
+
+  private val q199Sql =
+    """WITH b AS (
+         SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       r AS (
+         SELECT g, v,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn
+         FROM b)
+       SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT)) AS BIGINT) AS sum_v,
+         CAST(2 * sum(CAST(rn AS HUGEINT) * v)
+           - (count(*) + 1) * sum(CAST(v AS HUGEINT)) AS BIGINT)
+           AS gini_num,
+         CAST(count(*) * sum(CAST(v AS HUGEINT)) AS BIGINT) AS gini_den
+       FROM r GROUP BY 1"""
+
+  // ------------------------------------------------------------------
+  // q200 — Tukey-fence outlier counts per group (extension:
+  // RankStats.tukeyOutliersByGroup): the box-plot rule run exactly —
+  // q1/q3 at ceil-ranks, outliers beyond 1.5·IQR counted with the
+  // comparison DOUBLED so no engine disagrees on a .5 boundary.
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankStats.tukeyOutliersByGroup(t(s, dir, "events"),
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+      .withColumnRenamed("g", "event_type")
+
+  private val q200Sql =
+    """WITH b AS (
+         SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       r AS (
+         SELECT g, v,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+         FROM b),
+       f AS (
+         SELECT g, max(n) AS n,
+           max(CASE WHEN rn = greatest(1, (n * 2500 + 9999) // 10000)
+             THEN v END) AS q1,
+           max(CASE WHEN rn = greatest(1, (n * 7500 + 9999) // 10000)
+             THEN v END) AS q3
+         FROM r GROUP BY 1)
+       SELECT b.g AS event_type, CAST(f.n AS BIGINT) AS n,
+         CAST(f.q1 AS BIGINT) AS q1, CAST(f.q3 AS BIGINT) AS q3,
+         CAST(COALESCE(sum(CASE WHEN 2 * b.v <
+           2 * f.q1 - 3 * (f.q3 - f.q1) THEN 1 END), 0) AS BIGINT)
+           AS n_low,
+         CAST(COALESCE(sum(CASE WHEN 2 * b.v >
+           2 * f.q3 + 3 * (f.q3 - f.q1) THEN 1 END), 0) AS BIGINT)
+           AS n_high
+       FROM b JOIN f ON b.g = f.g GROUP BY 1, 2, 3, 4"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_tukey_outliers" -> (q200 _),
+    "q199_gini" -> (q199 _),
+    "q198_mann_whitney" -> (q198 _),
+    "q197_winsorized_mean" -> (q197 _),
+    "q196_quantiles" -> (q196 _),
     "q195_trimmed_mean" -> (q195 _),
     "q194_ks_statistic" -> (q194 _),
     "q193_robust_stats" -> (q193 _),
@@ -9516,6 +9707,11 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q200_tukey_outliers" -> q200Sql,
+    "q199_gini" -> q199Sql,
+    "q198_mann_whitney" -> q198Sql,
+    "q197_winsorized_mean" -> q197Sql,
+    "q196_quantiles" -> q196Sql,
     "q195_trimmed_mean" -> q195Sql,
     "q194_ks_statistic" -> q194Sql,
     "q193_robust_stats" -> q193Sql,

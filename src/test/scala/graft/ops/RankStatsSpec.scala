@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Grouped order statistics vs plain-Scala models — every operator
+  * exact-integer, so equality is bitwise, not approximate.
+  */
+class RankStatsSpec extends SparkSpec {
+
+  private val rows = Seq(
+    ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 1000000L),
+    ("b", 5L), ("b", 5L), ("b", 7L), ("b", 9L),
+    ("c", 42L))
+
+  test("quantilesByGroup == ceil-rank model at every requested q; " +
+      "q=5000 is the lower median, 0/10000 are min/max") {
+    import spark.implicits._
+    val qs = Seq(0, 2500, 5000, 7500, 10000)
+    def model: Map[(String, Long), (Long, Long)] =
+      rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val vs = rs.map(_._2).sorted
+        val n = vs.length.toLong
+        qs.map { q =>
+          val k = math.max(1L, (n * q + 9999L) / 10000L)
+          (g, q.toLong) -> (n, vs((k - 1).toInt))
+        }
+      }
+    val got = RankStats.quantilesByGroup(rows.toDF("g", "v"),
+        col("g"), col("v"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == model)
+    assert(got(("a", 5000L)) == (5L, 3L)) // lower median
+    assert(got(("a", 0L)) == (5L, 1L))
+    assert(got(("a", 10000L)) == (5L, 1000000L))
+    intercept[IllegalArgumentException](RankStats.quantilesByGroup(
+      rows.toDF("g", "v"), col("g"), col("v"), Seq(10001)))
+    intercept[IllegalArgumentException](RankStats.quantilesByGroup(
+      rows.toDF("g", "v"), col("g"), col("v"), Seq(5000, 5000)))
+  }
+
+  test("winsorizedMeanByGroup == clamp model; keeps n; true floor on " +
+      "negative sums; trim 0 is the plain mean") {
+    import spark.implicits._
+    def model(trimBp: Int): Map[String, (Long, Long, Long, Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2).sorted
+        val n = vs.length.toLong
+        val lo = n * trimBp / 10000L
+        val vLo = vs(lo.toInt)
+        val vHi = vs((n - lo - 1).toInt)
+        val sum = vs.map(v => math.min(math.max(v, vLo), vHi)).sum
+        g -> (n, lo, vLo, vHi, sum,
+          Math.floorDiv(sum * 1048576L, n))
+      }
+    def run(trimBp: Int) =
+      RankStats.winsorizedMeanByGroup(rows.toDF("g", "v"), col("g"),
+          col("v"), trimBp)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+    for (bp <- Seq(0, 500, 2000, 4999))
+      assert(run(bp) == model(bp), s"trimBp=$bp")
+    // 20% of 5 rows = 1 row clamped each end: the 1e6 outlier becomes
+    // 4, the 1 becomes 2 -> sum 2+2+3+4+4 = 15, mean 3
+    assert(run(2000)("a") == (5L, 1L, 2L, 4L, 15L, 15L * 1048576L / 5L))
+    // negative sums floor toward -inf (DuckDB // parity)
+    val neg = Seq(("n", -1L), ("n", -2L), ("n", -2L)).toDF("g", "v")
+    val gotNeg = RankStats.winsorizedMeanByGroup(neg, col("g"),
+      col("v"), 0).collect().head
+    assert(gotNeg.getLong(5) == -5L)
+    assert(gotNeg.getLong(6) == Math.floorDiv(-5L * 1048576L, 3L))
+    intercept[IllegalArgumentException](RankStats.winsorizedMeanByGroup(
+      neg, col("g"), col("v"), 5000))
+  }
+
+  test("mannWhitneyU == midrank model under heavy ties; the 2*Ua+2*Ub " +
+      "= 2*na*nb identity holds; degenerate shapes mirror the SQL " +
+      "replay") {
+    import spark.implicits._
+    def model(xa: Seq[Long], xb: Seq[Long]): (Long, Long, Long, Long) = {
+      val pooled = (xa ++ xb).sorted
+      // doubled midrank of value v: 2*(#less) + (#equal) + 1
+      def mr2(v: Long): Long =
+        2L * pooled.count(_ < v) + pooled.count(_ == v) + 1L
+      val (na, nb) = (xa.length.toLong, xb.length.toLong)
+      val r2a = xa.map(mr2).sum
+      val r2b = xb.map(mr2).sum
+      (na, nb, r2a - na * (na + 1), r2b - nb * (nb + 1))
+    }
+    def run(xa: Seq[Long], xb: Seq[Long]) = {
+      val out = RankStats.mannWhitneyU(xa.toDF("s"), col("s"),
+        xb.toDF("s"), col("s")).collect()
+      assert(out.length == 1)
+      val r = out.head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val xa = Seq(1L, 2L, 2L, 2L, 5L, 9L, -3L)
+    val xb = Seq(2L, 2L, 4L, 7L, 9L)
+    val got = run(xa, xb)
+    assert(got == model(xa, xb))
+    assert(got._3 + got._4 == 2L * got._1 * got._2, "2Ua+2Ub identity")
+    // identical samples: stochastic tie -> u2_a == u2_b == na*nb
+    val same = run(xa, xa)
+    assert(same._3 == same._4 && same._3 == same._1 * same._2)
+    // complete separation: dominated side scores 0
+    val sep = run(Seq(1L, 2L), Seq(10L, 11L, 12L))
+    assert(sep._3 == 0L && sep._4 == 2L * 2L * 3L)
+    // one side empty -> one row, u2 = 0 both; both empty -> zero rows
+    assert(run(xa, Seq.empty[Long]) == (7L, 0L, 0L, 0L))
+    assert(RankStats.mannWhitneyU(Seq.empty[Long].toDF("s"), col("s"),
+      Seq.empty[Long].toDF("s"), col("s")).count() == 0L)
+  }
+
+  test("giniByGroup == rank model; uniform group scores 0; all-zero " +
+      "group emits den 0; negative values loud") {
+    import spark.implicits._
+    val g = Seq(
+      ("u", 5L), ("u", 5L), ("u", 5L), // uniform -> G = 0
+      ("k", 0L), ("k", 0L), ("k", 10L), // concentrated
+      ("z", 0L), ("z", 0L)) // all zero -> den 0
+    def model: Map[String, (Long, Long, Long, Long)] =
+      g.groupBy(_._1).map { case (grp, rs) =>
+        val vs = rs.map(_._2).sorted
+        val n = vs.length.toLong
+        val s = vs.sum
+        val t = vs.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+        grp -> (n, s, 2 * t - (n + 1) * s, n * s)
+      }
+    val got = RankStats.giniByGroup(g.toDF("g", "v"), col("g"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == model)
+    assert(got("u")._3 == 0L, "uniform group must score num 0")
+    assert(got("z")._4 == 0L, "all-zero group signals den 0")
+    // k: sorted (0,0,10), num = 2*30 - 4*10 = 20, den = 30 -> G = 2/3
+    assert(got("k") == (3L, 10L, 20L, 30L))
+    intercept[Exception](RankStats.giniByGroup(
+      Seq(("x", -1L)).toDF("g", "v"), col("g"), col("v")).collect())
+  }
+
+  test("tukeyOutliersByGroup == fence model; a far outlier is counted " +
+      "high, a tight cluster counts none") {
+    import spark.implicits._
+    def model: Map[String, (Long, Long, Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2).sorted
+        val n = vs.length.toLong
+        def at(qbp: Long) =
+          vs((math.max(1L, (n * qbp + 9999L) / 10000L) - 1L).toInt)
+        val (q1, q3) = (at(2500), at(7500))
+        val iqr = q3 - q1
+        val nl = vs.count(v => 2 * v < 2 * q1 - 3 * iqr).toLong
+        val nh = vs.count(v => 2 * v > 2 * q3 + 3 * iqr).toLong
+        g -> (n, q1, q3, nl, nh)
+      }
+    val got = RankStats.tukeyOutliersByGroup(rows.toDF("g", "v"),
+        col("g"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == model)
+    // a: q1=2, q3=4, IQR=2 -> high fence 7 -> the 1e6 row is the one
+    // high outlier, nothing low
+    assert(got("a") == (5L, 2L, 4L, 0L, 1L))
+    assert(got("b") == (4L, 5L, 7L, 0L, 0L))
+  }
+
+  test("rank-stats operators drop their range-exchange persists (the " +
+      "bracket contract) — only small checkpointed results remain") {
+    import spark.implicits._
+    val df = rows.toDF("g", "v")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    RankStats.quantilesByGroup(df, col("g"), col("v"), Seq(5000)).count()
+    RankStats.giniByGroup(df, col("g"), col("v")).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // each call pins <= 2 small localCheckpoints (group tables +
+    // result); a leaked corpus-sized ranged persist would add more
+    assert(after - before <= 5,
+      s"rank-stats leaked ranged persists: $before -> $after")
+  }
+}
