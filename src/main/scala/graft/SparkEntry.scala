@@ -9238,6 +9238,8 @@ object SparkEntry {
          CAST(n_kept AS BIGINT) AS n_kept,
          CAST(s AS BIGINT) AS sum_kept,
          CAST(CASE WHEN n_kept > 0 THEN (s * 1048576) // n_kept
+           - (CASE WHEN s < 0 AND (s * 1048576) % n_kept != 0
+             THEN 1 ELSE 0 END)
            ELSE 0 END AS BIGINT) AS mean_fx
        FROM a"""
 
@@ -9310,7 +9312,9 @@ object SparkEntry {
          CAST(max(v_hi) AS BIGINT) AS v_hi,
          CAST(sum(CAST(cv AS HUGEINT)) AS BIGINT) AS sum_w,
          CAST((sum(CAST(cv AS HUGEINT)) * 1048576) // max(n)
-           AS BIGINT) AS mean_fx
+           - (CASE WHEN sum(CAST(cv AS HUGEINT)) < 0 AND
+             (sum(CAST(cv AS HUGEINT)) * 1048576) % max(n) != 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS mean_fx
        FROM w GROUP BY 1"""
 
   // ------------------------------------------------------------------
@@ -9427,7 +9431,123 @@ object SparkEntry {
            AS n_high
        FROM b JOIN f ON b.g = f.g GROUP BY 1, 2, 3, 4"""
 
+  // ------------------------------------------------------------------
+  // q201 — exact WEIGHTED quantiles per group (extension:
+  // RankStats.weightedQuantilesByGroup): the price below which 25/50/
+  // 75/99% of SHIPPED QUANTITY sits, per return flag — the statistic
+  // unweighted quantiles misstate whenever rows carry unequal mass.
+  // Crossing row of the per-group cumulative weight through the
+  // runningTotalsByGroup range exchange; the crossing VALUE is
+  // tie-order-proof, so the oracle replays it over the distinct-value
+  // cumulative (no per-row tiebreak needed on either side).
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankStats.weightedQuantilesByGroup(t(s, dir, "lineitem"),
+        col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 " +
+          "AS BIGINT)"),
+        expr("CAST(l_quantity AS BIGINT)"),
+        Seq(2500, 5000, 7500, 9900))
+      .withColumnRenamed("g", "l_returnflag")
+
+  private val q201Sql =
+    """WITH b AS (
+         SELECT l_returnflag AS g,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+             AS BIGINT) AS v,
+           CAST(l_quantity AS BIGINT) AS w
+         FROM lineitem
+         WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+           AND l_quantity IS NOT NULL),
+       d AS (SELECT g, v, sum(w) AS wv, count(*) AS nv
+             FROM b GROUP BY 1, 2),
+       c AS (
+         SELECT g, v, wv,
+           sum(wv) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM d),
+       tot AS (SELECT g, sum(wv) AS w_total, sum(nv) AS n
+               FROM d GROUP BY 1),
+       q(q_bp) AS (VALUES (2500), (5000), (7500), (9900)),
+       th AS (
+         SELECT g, q_bp, n, w_total,
+           greatest(1, (w_total * q_bp + 9999) // 10000) AS thresh
+         FROM tot, q)
+       SELECT th.g AS l_returnflag, CAST(q_bp AS BIGINT) AS q_bp,
+         CAST(n AS BIGINT) AS n, CAST(w_total AS BIGINT) AS w_total,
+         CAST(c.v AS BIGINT) AS value
+       FROM th JOIN c ON c.g = th.g AND c.cum >= th.thresh
+         AND c.cum - c.wv < th.thresh"""
+
+  // ------------------------------------------------------------------
+  // q202 — Zipf slope per source (extension:
+  // Collocations.zipfSlopeBySource): the log-log frequency-rank
+  // least-squares slope per documents source — the one-number "is
+  // this natural text" diagnostic. Per-source ranks through the
+  // rankByGroup range exchange, 2^10-coarsened ilog2Fx grid, exact
+  // HUGEINT regression sums, TRUE-FLOOR 2^20 slope. The oracle
+  // replays the binary-log CTE over the distinct rank/freq values and
+  // the same regression arithmetic (// floors, matching the
+  // operator's explicit floor correction on negative numerators).
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Collocations.zipfSlopeBySource(
+        t(s, dir, "documents"), col("source"), col("text"),
+        minCount = 2L)
+      .withColumnRenamed("src", "source")
+
+  private val q202Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT source AS src,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS w
+         FROM documents WHERE source IS NOT NULL),
+       sw AS (SELECT src, w, count(*) AS freq FROM toks GROUP BY 1, 2
+              HAVING count(*) >= 2),
+       r AS (
+         SELECT src, freq,
+           ROW_NUMBER() OVER (PARTITION BY src
+             ORDER BY freq DESC, w ASC) AS rk
+         FROM sw),
+       vals(vv) AS (
+         SELECT DISTINCT rk FROM r UNION SELECT DISTINCT freq FROM r),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT vv, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= vv
+                GROUP BY vv),
+       lg AS (
+         SELECT vv, ((vv << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT vv,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT vv, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.vv, (init.ipart * 1048576 + lg.acc) >> 10 AS fx
+               FROM lg JOIN init USING (vv) WHERE i = 20),
+       xy AS (
+         SELECT r.src, fx1.fx AS x, fx2.fx AS y
+         FROM r JOIN lgf fx1 ON fx1.vv = r.rk
+           JOIN lgf fx2 ON fx2.vv = r.freq),
+       s AS (
+         SELECT src, count(*) AS n_terms,
+           sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx
+         FROM xy GROUP BY 1),
+       nd AS (
+         SELECT src, n_terms,
+           (n_terms * sxy - sx * sy) * 1048576 AS num,
+           n_terms * sxx - sx * sx AS den
+         FROM s)
+       SELECT src AS source, CAST(n_terms AS BIGINT) AS n_terms,
+         CAST(CASE WHEN den = 0 THEN 0
+           ELSE num // den - (CASE WHEN num < 0 AND num % den != 0
+             THEN 1 ELSE 0 END) END AS BIGINT) AS slope_fx
+       FROM nd"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_zipf_slope" -> (q202 _),
+    "q201_weighted_quantiles" -> (q201 _),
     "q200_tukey_outliers" -> (q200 _),
     "q199_gini" -> (q199 _),
     "q198_mann_whitney" -> (q198 _),
@@ -9718,6 +9838,8 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q202_zipf_slope" -> q202Sql,
+    "q201_weighted_quantiles" -> q201Sql,
     "q200_tukey_outliers" -> q200Sql,
     "q199_gini" -> q199Sql,
     "q198_mann_whitney" -> q198Sql,

@@ -237,4 +237,94 @@ object Collocations extends Serializable {
       .select(col("src"), col("term"), col("y_sw"), col("y_w"),
         col("delta_fx"), col("rank"))
   }
+
+  /** EXACT Zipf slope per source — the log-log least-squares slope of
+    * the term frequency-rank curve, the one-number "is this corpus
+    * natural text" diagnostic (clean prose sits near −1; boilerplate
+    * and template farms flatten the head, OCR noise fattens the
+    * tail) and the companion of [[graft.ops.Profile.vocabGrowth]]'s
+    * Heaps curve. With per-source ranks r (by freq DESC, term ASC —
+    * a total order) and x = ilog2Fx(r) >> 10, y = ilog2Fx(freq) >> 10
+    * (2^10-scaled base-2 logs — the coarser grid keeps every
+    * regression sum inside DECIMAL(38,0) at any realistic
+    * vocabulary; the scales cancel in the slope ratio):
+    *
+    *   slope_fx = floor( (n·Σxy − Σx·Σy) · 2^20 / (n·Σx² − (Σx)²) )
+    *
+    * TRUE floor (slopes are negative — replayable in any engine via
+    * an explicit floor correction; DuckDB's // truncates like
+    * Spark's div). Single-term sources have fit denominator 0 and
+    * emit
+    * slope_fx = 0 with n_terms = 1, the visible "undefined" signal.
+    *
+    * Shape: one tokenize + (source, term) count (map-side combined),
+    * per-source ranks through [[graft.ops.Prefix.rankByGroup]]'s
+    * range exchange (an open vocabulary can dwarf any fixed group
+    * count — never a per-source window sort), the exact log kernel
+    * as a typed map over the vocab-sized ranked table, one
+    * aggregation. Parallelism source: the range exchange.
+    *
+    * @param minCount drop terms rarer than this before ranking (the
+    *   tail below minCount is frequency-quantized noise that biases
+    *   the fit; 1 keeps everything)
+    * @return (src, n_terms, slope_fx)
+    */
+  def zipfSlopeBySource(
+      df: DataFrame,
+      sourceCol: Column,
+      textCol: Column,
+      minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val bias = 1L << 62
+    val sw = df.select(sourceCol.as("src"), Text.tokens(textCol).as("tk"))
+      .filter(col("src").isNotNull)
+      .select(col("src"), explode(col("tk")).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      // (freq DESC, term ASC) as ONE order string: fixed-width hex of
+      // (2^62 − freq) then the term — the constant-width prefix makes
+      // the concatenation's order exactly the composite order, and
+      // (src, term) uniqueness makes ranks deterministic
+      .withColumn("__ord", concat(
+        format_string("%016x", lit(bias) - col("freq")), col("w")))
+    graft.ops.Prefix.rankByGroup(sw, "src", "__ord", "__rk") { ranked =>
+      val spark = df.sparkSession
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        ranked.schema("src"),
+        StructField("x", LongType, false),
+        StructField("y", LongType, false)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      val rkIdx = ranked.schema.fieldIndex("__rk")
+      val fIdx = ranked.schema.fieldIndex("freq")
+      val srcIdx = ranked.schema.fieldIndex("src")
+      val xy = ranked.mapPartitions { rows =>
+        rows.map { r =>
+          val rk = r.getLong(rkIdx)
+          val f = r.getLong(fIdx)
+          require(f < (1L << 43),
+            s"zipfSlopeBySource ilog2Fx domain: freq $f >= 2^43")
+          org.apache.spark.sql.Row(r.get(srcIdx),
+            Dsir.ilog2Fx(rk) >> 10, Dsir.ilog2Fx(f) >> 10)
+        }
+      }(enc)
+      xy.groupBy(col("src"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x").cast("decimal(38,0)")).as("__sx"),
+          sum(col("y").cast("decimal(38,0)")).as("__sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("__sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("__sxx"))
+        .withColumn("__num",
+          col("n_terms") * col("__sxy") - col("__sx") * col("__sy"))
+        .withColumn("__den",
+          col("n_terms") * col("__sxx") - col("__sx") * col("__sx"))
+        .select(col("src"), col("n_terms"),
+          // TRUE floor on the (negative-num, positive-den) ratio
+          expr("CASE WHEN __den = 0 THEN 0L ELSE " +
+            "CAST((__num * 1048576) div __den - " +
+            "(CASE WHEN __num < 0 AND (__num * 1048576) % __den != 0 " +
+            "THEN 1 ELSE 0 END) AS BIGINT) END").as("slope_fx"))
+    }
+  }
 }

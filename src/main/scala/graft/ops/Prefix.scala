@@ -157,8 +157,44 @@ object Prefix {
       outCol: String = "rank",
       storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)(
+      use: DataFrame => DataFrame): DataFrame =
+    runningTotalsByGroup(df.withColumn("__rbg_one", lit(1L)),
+      groupCol, orderCol, Seq("__rbg_one" -> outCol), storageLevel)(
+      ranked => use(ranked.drop("__rbg_one")))
+
+  /** PER-GROUP running totals through a (group, order) RANGE
+    * exchange — [[rankByGroup]]'s general form (rank = the running
+    * total of 1), and the grouped counterpart of [[runningTotals]]:
+    * each `(valueCol, outCol)` appends that column's running sum in
+    * ascending `orderCol` order WITHIN its group, resetting at every
+    * group boundary. The scale shape is rankByGroup's: a group larger
+    * than one partition spans several contiguous partitions, each
+    * summed in parallel, with per-(partition, column) start offsets
+    * from one O(partitions × columns) driver boundary scan — never a
+    * `partitionBy(g).orderBy(v)` window, whose single-task group runs
+    * cap parallelism at the group count.
+    *
+    * Ties in `orderCol` accumulate in arbitrary order (the window
+    * form without a tiebreaker); consumers selecting a CROSSING row
+    * (first row where the running total passes a threshold) are
+    * tie-safe when the selected OUTPUT is the order value itself —
+    * the crossing lands somewhere in the tie run, and every row of
+    * the run carries the same order value.
+    *
+    * Bracket contract as [[rankByGroup]]: `use`'s (small) result is
+    * localCheckpoint'ed eagerly and the mandatory two-pass persist is
+    * dropped before returning.
+    */
+  def runningTotalsByGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      valueCols: Seq[(String, String)],
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)(
       use: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
+    require(valueCols.nonEmpty, "runningTotalsByGroup needs >= 1 column")
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
     val ranged = df
@@ -167,68 +203,90 @@ object Prefix {
       .persist(storageLevel) // both passes MUST read this same layout
     try {
       val gIdx = ranged.schema.fieldIndex(groupCol)
+      val vIdxs = valueCols.map { case (v, _) =>
+        ranged.schema.fieldIndex(v) }.toArray
+      val names = valueCols.map(_._1)
+      val k = vIdxs.length
+      def valueOf(r: org.apache.spark.sql.Row, j: Int): Long =
+        r.get(vIdxs(j)) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case null => 0L
+          case other => throw new IllegalArgumentException(
+            s"${names(j)} must be integral, got $other")
+        }
 
       // pass 1: per-partition (first group, last group, last group's
-      // in-partition count) -> driver scan in partition order. Sorted
+      // in-partition sums) -> driver scan in partition order. Sorted
       // by (g, ord), a group's rows occupy ONE contiguous run across
-      // partitions, so the only cross-partition rank state is "how
-      // many rows of the group straddling this boundary came before".
-      val summaries: Array[Option[(Any, Any, Long)]] = ranged.rdd
+      // partitions, so the only cross-partition state is "the sums of
+      // the group straddling this boundary so far".
+      val summaries: Array[Option[(Any, Any, Array[Long])]] = ranged.rdd
         .mapPartitionsWithIndex { (pid, rows) =>
           var firstG: Any = null
           var lastG: Any = null
-          var lastCount = 0L
+          var lastSums = new Array[Long](k)
           var any = false
           rows.foreach { r =>
             val g = r.get(gIdx)
-            if (!any) { firstG = g; lastG = g; lastCount = 0L; any = true }
-            if (java.util.Objects.equals(g, lastG)) lastCount += 1L
-            else { lastG = g; lastCount = 1L }
+            if (!any) { firstG = g; lastG = g; any = true }
+            if (!java.util.Objects.equals(g, lastG)) {
+              lastG = g; lastSums = new Array[Long](k)
+            }
+            var j = 0
+            while (j < k) { lastSums(j) += valueOf(r, j); j += 1 }
           }
           Iterator((pid,
-            if (any) Some((firstG, lastG, lastCount)) else None))
+            if (any) Some((firstG, lastG, lastSums)) else None))
         }
         .collect().sortBy(_._1).map(_._2)
 
-      val offsets = new Array[Long](summaries.length)
+      val offsets = Array.fill(summaries.length)(new Array[Long](k))
       var curG: Any = null
-      var curCount = 0L
+      var curSums = new Array[Long](k)
       var started = false
       summaries.zipWithIndex.foreach {
-        case (Some((firstG, lastG, lastCount)), pid) =>
+        case (Some((firstG, lastG, lastSums)), pid) =>
           offsets(pid) =
-            if (started && java.util.Objects.equals(firstG, curG)) curCount
-            else 0L
+            if (started && java.util.Objects.equals(firstG, curG))
+              curSums.clone()
+            else new Array[Long](k)
           if (started && java.util.Objects.equals(lastG, curG) &&
-              java.util.Objects.equals(firstG, lastG))
-            curCount += lastCount // whole partition continues the run
-          else { curG = lastG; curCount = lastCount }
+              java.util.Objects.equals(firstG, lastG)) {
+            var j = 0 // whole partition continues the run
+            while (j < k) { curSums(j) += lastSums(j); j += 1 }
+          } else { curG = lastG; curSums = lastSums.clone() }
           started = true
-        case (None, pid) => offsets(pid) = 0L // empty: state flows past
+        case (None, pid) => // empty: state flows past
+          offsets(pid) = new Array[Long](k)
       }
 
-      // pass 2: local per-group counter, first group seeded with its
-      // cross-partition offset, every group change resets to 0
-      val schema = ranged.schema.add(StructField(outCol, LongType, false))
+      // pass 2: local per-group accumulators, first group seeded with
+      // its cross-partition offsets, every group change resets to 0
+      val schema = valueCols.foldLeft(ranged.schema) {
+        case (sc, (_, out)) => sc.add(StructField(out, LongType, false))
+      }
       val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
         .encoderFor(schema)
-      val rankedRdd = ranged.rdd
+      val outRdd = ranged.rdd
         .mapPartitionsWithIndex { (pid, rows) =>
-          var run = 0L
+          var run: Array[Long] = null
           var prevG: Any = null
           var first = true
           rows.map { r =>
             val g = r.get(gIdx)
-            if (first) { run = offsets(pid); first = false }
-            else if (!java.util.Objects.equals(g, prevG)) run = 0L
+            if (first) { run = offsets(pid).clone(); first = false }
+            else if (!java.util.Objects.equals(g, prevG))
+              run = new Array[Long](k)
             prevG = g
-            run += 1L
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+            var j = 0
+            while (j < k) { run(j) += valueOf(r, j); j += 1 }
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ run.toSeq)
           }
         }
-      val ranked = spark.createDataFrame(rankedRdd, schema)
+      val out = spark.createDataFrame(outRdd, schema)
       // eager: the persist must outlive every job that reads it
-      use(ranked).localCheckpoint(true)
+      use(out).localCheckpoint(true)
     } finally ranged.unpersist(false)
   }
 

@@ -360,8 +360,10 @@ object Profile {
     *   pe = (n_pp+n_pf)·(n_pp+n_fp) + (n_fp+n_ff)·(n_pf+n_ff)
     * kappa = num/den ∈ [−1, 1]. The division is deliberately NOT
     * performed: the numerator is signed, and signed integer division
-    * is where Spark's `div` (truncate) and DuckDB's `//` (floor)
-    * diverge — consumers divide in their own engine's float space.
+    * is a cross-engine hazard (floor vs truncate conventions differ
+    * by engine and version; DuckDB's `//` truncates like Spark's
+    * `div`, Python's `//` floors) — consumers divide in their own
+    * engine's float space.
     * Rows where either judgment is NULL are excluded from every count
     * (an unjudged row is not a disagreement).
     *

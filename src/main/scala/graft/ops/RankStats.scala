@@ -118,7 +118,8 @@ object RankStats {
         .select(col("g"), col("n"), col("lo"), col("v_lo"), col("v_hi"),
           col("__sum").cast("long").as("sum_w"),
           // TRUE floor (n > 0 by construction): negative sums round
-          // toward -inf like the oracle's //
+          // toward -inf; the oracle replays the same floor correction
+          // explicitly (DuckDB's // truncates like Spark's div)
           expr("CAST((__sum * 1048576) div n - " +
             "(CASE WHEN __sum < 0 AND (__sum * 1048576) % n != 0 " +
             "THEN 1 ELSE 0 END) AS BIGINT)").as("mean_fx"))
@@ -200,6 +201,74 @@ object RankStats {
       // both-sides-empty: empty joint support → zero rows, like the
       // oracle's FROM c, t over an empty c
       .filter(col("n_a") + col("n_b") > 0L)
+  }
+
+  /** EXACT WEIGHTED quantiles per group — the value where the
+    * group's cumulative WEIGHT first reaches q of the total, for
+    * each requested q (basis points): "the p50 document length
+    * weighted by tokens", "the latency below which half the traffic
+    * volume sits" — the statistic unweighted quantiles misstate
+    * whenever rows carry unequal mass. Threshold = ceil(W·q/10⁴)
+    * (floored at 1 weight unit), and the answer is the value of the
+    * CROSSING row (cum ≥ thresh, cum − w < thresh): weights are
+    * required positive, so exactly one row crosses each threshold,
+    * and because ties in v share a value, the crossing VALUE is
+    * deterministic whatever order ties accumulate in — the oracle
+    * replays it with any per-row cumulative order.
+    *
+    * Loud domains: w > 0 (zero-weight rows could never be selected
+    * and would make "the" crossing row ambiguous); group total
+    * W < 2^49 so W·10⁴ stays inside a long (aggregate upstream or
+    * scale weights down past that).
+    *
+    * Shape: per-group running weights through
+    * [[Prefix.runningTotalsByGroup]]'s (group, value) range
+    * exchange; the (group × quantile)-sized threshold table
+    * broadcasts back; the crossing filter selects one row per cell.
+    * Parallelism source: the range exchange.
+    *
+    * @return (g, q_bp, n, w_total, value)
+    */
+  def weightedQuantilesByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      weightCol: Column,
+      qsBp: Seq[Int]): DataFrame = {
+    require(qsBp.nonEmpty, "weightedQuantilesByGroup needs >= 1 quantile")
+    require(qsBp.forall(q => q >= 0 && q <= 10000),
+      s"quantiles are basis points in [0, 10000], got $qsBp")
+    require(qsBp.distinct.size == qsBp.size, s"duplicate quantiles: $qsBp")
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"),
+        weightCol.cast("long").as("w"))
+      .filter(col("g").isNotNull && col("v").isNotNull &&
+        col("w").isNotNull)
+      .withColumn("w", when(col("w") > 0L, col("w"))
+        .otherwise(raise_error(concat(
+          lit("weightedQuantilesByGroup weights must be positive, got "),
+          col("w")))))
+    Prefix.runningTotalsByGroup(base, "g", "v",
+        Seq("w" -> "__cumw")) { r1 =>
+      val ks = r1.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("w_total"))
+        .withColumn("w_total",
+          when(col("w_total") < lit(1L << 49), col("w_total"))
+            .otherwise(raise_error(concat(
+              lit("weightedQuantilesByGroup group weight must stay " +
+                "under 2^49, got "), col("w_total")))))
+        .withColumn("q_bp",
+          explode(array(qsBp.map(q => lit(q.toLong)): _*)))
+        .withColumn("__thresh", expr(
+          "greatest(1L, (w_total * q_bp + 9999L) div 10000L)"))
+        .select(col("g").as("__gk"), col("q_bp"), col("n"),
+          col("w_total"), col("__thresh"))
+        .localCheckpoint(true)
+      r1.join(broadcast(ks), r1("g") === ks("__gk") &&
+          r1("__cumw") >= ks("__thresh") &&
+          r1("__cumw") - r1("w") < ks("__thresh"))
+        .select(col("g"), col("q_bp"), col("n"), col("w_total"),
+          col("v").as("value"))
+    }
   }
 
   /** EXACT Gini concentration per group — "how unequal are the

@@ -162,4 +162,66 @@ class CollocationsSpec extends SparkSpec {
     // minCount = 2 drops "rare" (y_w = 1) but V/totals keep it
     assert(run(2L, 10).forall(_._2 != "rare"))
   }
+
+  test("zipfSlopeBySource == plain-Scala log-log least-squares model; " +
+      "doubling every freq leaves the slope invariant; single-term " +
+      "source signals den 0; natural decay slopes negative") {
+    import spark.implicits._
+    val texts = Map(
+      // zipf-ish: "the" 12, "of" 6, "and" 4, "cat" 3, "dog" 2
+      "a" -> Seq("the the the the of of and cat dog",
+        "the the the the of of and cat dog",
+        "the the the the of of and cat"),
+      // uniform: every term twice -> ranks vary, y constant -> slope 0
+      "b" -> Seq("p q r s", "s r q p"),
+      // single qualifying term (others are hapax, cut by minCount=2)
+      "c" -> Seq("solo solo once1 once2"))
+    val docs = texts.toSeq.flatMap { case (s, ts) => ts.map((s, _)) }
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "src", "text")
+    def model(minCount: Long): Map[String, (Long, Long)] =
+      texts.map { case (s, ts) =>
+        val freqs = ts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          .filter(_._2 >= minCount)
+        val ranked = freqs.toSeq.sortBy { case (w, f) => (-f, w) }
+        val xy = ranked.zipWithIndex.map { case ((_, f), i) =>
+          (BigInt(Dsir.ilog2Fx(i + 1L) >> 10),
+            BigInt(Dsir.ilog2Fx(f) >> 10))
+        }
+        val n = BigInt(xy.size)
+        val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+        val sxy = xy.map(p => p._1 * p._2).sum
+        val sxx = xy.map(p => p._1 * p._1).sum
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        val slope = if (den == 0) BigInt(0) else {
+          val scaled = num * BigInt(1) * (BigInt(1) << 20)
+          val q = scaled / den
+          if (scaled.sign * den.sign < 0 && q * den != scaled) q - 1 else q
+        }
+        s -> (n.toLong, slope.toLong)
+      }
+    def run(df: org.apache.spark.sql.DataFrame, minCount: Long = 2L)
+        : Map[String, (Long, Long)] =
+      Collocations.zipfSlopeBySource(df, col("src"), col("text"), minCount)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run(docs)
+    assert(got == model(2L))
+    assert(got("a")._2 < 0, s"zipf-ish source must slope down: $got")
+    assert(got("b")._2 == 0, s"uniform freqs must slope 0: $got")
+    assert(got("c") == (1L, 0L), s"single-term den-0 signal: $got")
+    // doubling every document doubles every freq: y shifts by a
+    // constant (+1024 on the coarse grid, exact), ranks unchanged,
+    // and the slope is shift-invariant — at minCount=1, where the
+    // qualifying term set is the same on both sides (doubling lifts
+    // hapaxes past any higher threshold)
+    val doubled = docs.unionAll(docs.withColumn("doc_id",
+      col("doc_id") + 1000L))
+    assert(run(doubled, 1L).view.mapValues(_._2).toMap ==
+      run(docs, 1L).view.mapValues(_._2).toMap)
+    intercept[IllegalArgumentException](Collocations.zipfSlopeBySource(
+      docs, col("src"), col("text"), minCount = 0))
+  }
 }

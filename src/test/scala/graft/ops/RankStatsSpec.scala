@@ -170,6 +170,79 @@ class RankStatsSpec extends SparkSpec {
     assert(got("b") == (4L, 5L, 7L, 0L, 0L))
   }
 
+  test("weightedQuantilesByGroup == cumulative-weight crossing model; " +
+      "unit weights reduce to plain quantiles; heavy rows pull the " +
+      "weighted median; guards loud") {
+    import spark.implicits._
+    val wrows = Seq(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L), ("a", 4L, 1L),
+      ("a", 5L, 96L), // one heavy row: 96% of the weight at v=5
+      ("b", 10L, 3L), ("b", 20L, 1L))
+    val qs = Seq(2500, 5000, 7500, 10000)
+    def model: Map[(String, Long), (Long, Long, Long)] =
+      wrows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
+        val n = rs.length.toLong
+        val tw = rs.map(_._3).sum
+        qs.map { q =>
+          val thresh = math.max(1L, (tw * q + 9999L) / 10000L)
+          var cum = 0L
+          val v = sorted.find { case (_, w) =>
+            cum += w; cum >= thresh && cum - w < thresh
+          }.get._1
+          (g, q.toLong) -> (n, tw, v)
+        }
+      }
+    val got = RankStats.weightedQuantilesByGroup(
+        wrows.toDF("g", "v", "w"), col("g"), col("v"), col("w"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == model)
+    // the heavy row owns everything from p5 up: weighted median is 5
+    assert(got(("a", 5000L))._3 == 5L)
+    assert(got(("a", 2500L))._3 == 5L)
+    // unit weights == plain quantiles
+    val unit = RankStats.weightedQuantilesByGroup(
+        rows.toDF("g", "v").withColumn("w", lit(1L)),
+        col("g"), col("v"), col("w"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val plain = RankStats.quantilesByGroup(rows.toDF("g", "v"),
+        col("g"), col("v"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(unit == plain)
+    intercept[Exception](RankStats.weightedQuantilesByGroup(
+      Seq(("x", 1L, 0L)).toDF("g", "v", "w"), col("g"), col("v"),
+      col("w"), Seq(5000)).collect())
+  }
+
+  test("runningTotalsByGroup == per-group window cumsum over two " +
+      "columns, giant groups spanning partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(41)
+    val data = rng.shuffle(
+      (1L to 2000L).map(i => ("g1", i, (i % 7) + 1, i % 3)) ++
+      (1L to 1500L).map(i => ("g2", i, (i % 5) + 1, i % 2)))
+    val df = data.toDF("g", "ord", "a", "b").repartition(13)
+    val got = graft.ops.Prefix.runningTotalsByGroup(df, "g", "ord",
+        Seq("a" -> "ca", "b" -> "cb"))(identity)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+  }
+
   test("rank-stats operators drop their range-exchange persists (the " +
       "bracket contract) — only small checkpointed results remain") {
     import spark.implicits._
