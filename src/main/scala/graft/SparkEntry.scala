@@ -9545,7 +9545,278 @@ object SparkEntry {
              THEN 1 ELSE 0 END) END AS BIGINT) AS slope_fx
        FROM nd"""
 
+  // ------------------------------------------------------------------
+  // q203 — Benford leading-digit profile (extension:
+  // Profile.benfordDigits): per order priority, observed leading-digit
+  // counts of the order total against the Benford expectation, the
+  // deviation as ONE exact integer (n_d·L10 − n·ΔL at 2^20 log scale)
+  // — the fabricated-numbers / broken-extraction detector. The oracle
+  // recomputes the ilog2Fx constants of 1..10 with the same
+  // squaring-loop CTE and replays the spine (absent digits emit 0).
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.benfordDigits(t(s, dir, "orders"),
+        col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+      .withColumnRenamed("g", "o_orderpriority")
+
+  private val q203Sql =
+    """WITH RECURSIVE vals AS (SELECT unnest(range(1, 11)) AS vv),
+       powers AS (SELECT unnest(range(0, 43)) AS e),
+       init AS (SELECT vv, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= vv
+                GROUP BY vv),
+       lg AS (
+         SELECT vv, ((vv << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT vv,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT vv, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.vv, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (vv) WHERE i = 20),
+       base AS (
+         SELECT o_orderpriority AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM orders
+         WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+       pos AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT)
+                 AS d FROM base WHERE v >= 1),
+       counts AS (SELECT g, d, count(*) AS n_d FROM pos GROUP BY 1, 2),
+       tot AS (SELECT g, sum(n_d) AS n FROM counts GROUP BY 1),
+       digits AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS d),
+       spine AS (SELECT g, n, d FROM tot CROSS JOIN digits),
+       l10 AS (SELECT fx FROM lgf WHERE vv = 10),
+       dl AS (SELECT dg.d, f2.fx - f1.fx AS delta FROM digits dg
+              JOIN lgf f1 ON f1.vv = dg.d
+              JOIN lgf f2 ON f2.vv = dg.d + 1)
+       SELECT sp.g AS o_orderpriority, sp.d,
+         CAST(coalesce(c.n_d, 0) AS BIGINT) AS n_d,
+         CAST(sp.n AS BIGINT) AS n,
+         CAST(coalesce(c.n_d, 0) * l10.fx - sp.n * dl.delta AS BIGINT)
+           AS dev_fx
+       FROM spine sp
+       LEFT JOIN counts c ON sp.g = c.g AND sp.d = c.d
+       CROSS JOIN l10
+       JOIN dl ON dl.d = sp.d"""
+
+  // ------------------------------------------------------------------
+  // q204 — Kendall tau-b pair counts (extension: RankStats.kendallTau):
+  // concordant/discordant/tie counts (all DOUBLED — ordered pairs, no
+  // odd halving) between quantity and thousand-dollar price bucket over
+  // lineitem — the ordinal-scale, tie-heavy companion of q142's
+  // Spearman. Cell-based: the distinct (x, y) table with
+  // multiplicities is the only thing past the map-side count, and the
+  // classifier is a broadcast nested-loop self-join over <= 2^13 cells.
+  private def q204(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankStats.kendallTau(t(s, dir, "lineitem"),
+      expr("CAST(l_quantity AS BIGINT)"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 " +
+        "AS BIGINT) div 100000"))
+
+  private val q204Sql =
+    """WITH b AS (
+         SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+             AS BIGINT) // 100000 AS y
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       cells AS (SELECT x, y, count(*) AS c FROM b GROUP BY 1, 2),
+       tot AS (SELECT count(*) AS ncells, sum(c) AS n FROM cells),
+       pr AS (
+         SELECT
+           sum(CASE WHEN sign(a.x - bb.x) * sign(a.y - bb.y) = 1
+             THEN CAST(a.c AS HUGEINT) * bb.c ELSE 0 END) AS conc2,
+           sum(CASE WHEN sign(a.x - bb.x) * sign(a.y - bb.y) = -1
+             THEN CAST(a.c AS HUGEINT) * bb.c ELSE 0 END) AS disc2
+         FROM cells a CROSS JOIN cells bb
+         WHERE a.x != bb.x OR a.y != bb.y),
+       tx AS (SELECT sum(CAST(cx AS HUGEINT) * (cx - 1)) AS tx2
+              FROM (SELECT x, sum(c) AS cx FROM cells GROUP BY 1)),
+       ty AS (SELECT sum(CAST(cy AS HUGEINT) * (cy - 1)) AS ty2
+              FROM (SELECT y, sum(c) AS cy FROM cells GROUP BY 1))
+       SELECT CAST(n AS BIGINT) AS n, CAST(ncells AS BIGINT) AS n_cells,
+         CAST(coalesce(conc2, 0) AS BIGINT) AS conc2,
+         CAST(coalesce(disc2, 0) AS BIGINT) AS disc2,
+         CAST(CAST(n AS HUGEINT) * (n - 1) - coalesce(tx2, 0) AS BIGINT)
+           AS denx2,
+         CAST(CAST(n AS HUGEINT) * (n - 1) - coalesce(ty2, 0) AS BIGINT)
+           AS deny2
+       FROM tot, pr, tx, ty WHERE n > 0"""
+
+  // ------------------------------------------------------------------
+  // q205 — term burstiness (extension: Collocations.termBurstiness):
+  // the Fano factor (variance-to-mean, zeros included) of each term's
+  // per-document count over documents — Church & Gale's content-word
+  // detector; fano_fx ~ 2^20 is Poisson-like boilerplate, far above is
+  // topical. Exact integer fraction in 2^20 fixed point.
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Collocations.termBurstiness(t(s, dir, "documents"),
+      col("doc_id"), col("text"), minTotal = 20L)
+
+  private val q205Sql =
+    """WITH toks AS (
+         SELECT doc_id AS id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS w
+         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       nn AS (SELECT count(*) AS N FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       pd AS (SELECT id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+       pt AS (SELECT w AS term, count(*) AS df_docs, sum(c) AS s,
+                sum(CAST(c AS HUGEINT) * c) AS q
+              FROM pd GROUP BY 1 HAVING sum(c) >= 20)
+       SELECT term, df_docs, CAST(s AS BIGINT) AS total,
+         CAST(((nn.N * q - CAST(s AS HUGEINT) * s) * 1048576)
+           // (nn.N * CAST(s AS HUGEINT)) AS BIGINT) AS fano_fx
+       FROM pt, nn"""
+
+  // ------------------------------------------------------------------
+  // q206 — cross-group quantile mapping (extension:
+  // RankStats.quantileMapByGroup): align each event type's value
+  // distribution onto the pooled distribution — every distinct
+  // (type, value) cell gets its within-type percentile (rank of the
+  // last tie, tie-invariant) and the pooled value at that percentile
+  // (type-1 inverse CDF). Two range exchanges; the pct dictionary is
+  // <= 10^4 rows by construction.
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankStats.quantileMapByGroup(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+      .withColumnRenamed("g", "event_type")
+
+  private val q206Sql =
+    """WITH b AS (
+         SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       cells AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+       cm AS (SELECT g, v, c,
+                sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+              FROM cells),
+       ns AS (SELECT g, sum(c) AS n FROM cells GROUP BY 1),
+       sc AS (SELECT cm.g, cm.v, cm.c, ns.n,
+                (cm.cum * 10000) // ns.n AS pct_bp
+              FROM cm JOIN ns ON cm.g = ns.g),
+       pool AS (SELECT v, sum(c) AS pc FROM cells GROUP BY 1),
+       gcum AS (SELECT v, pc, sum(pc) OVER (ORDER BY v) AS gc FROM pool),
+       nt AS (SELECT sum(pc) AS N FROM pool),
+       pcts AS (SELECT DISTINCT pct_bp,
+                  greatest(1, (nt.N * pct_bp + 9999) // 10000) AS k
+                FROM sc, nt),
+       mp AS (SELECT pcts.pct_bp, gcum.v AS mapped_value
+              FROM pcts JOIN gcum
+                ON gcum.gc >= pcts.k AND gcum.gc - gcum.pc < pcts.k)
+       SELECT sc.g AS event_type, sc.v, CAST(sc.c AS BIGINT) AS c,
+         CAST(sc.n AS BIGINT) AS n, CAST(sc.pct_bp AS BIGINT) AS pct_bp,
+         mp.mapped_value
+       FROM sc JOIN mp ON sc.pct_bp = mp.pct_bp"""
+
+  // ------------------------------------------------------------------
+  // q207 — deterministic bootstrap CI for the mean (extension:
+  // Sampling.hashBootstrapMean): 32 content-addressed half-sample
+  // replicates (md5 membership — reshuffle-proof, engine-replayable),
+  // replicate means in TRUE-FLOOR 2^20 fixed point, CI = ceil-rank
+  // order statistics of the replicate means. The uncertainty companion
+  // of the hash-split family (q36/q45).
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hashBootstrapMean(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"),
+        reps = 32)
+      .withColumnRenamed("g", "event_type")
+
+  private val q207Sql =
+    """WITH b AS (
+         SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+           CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+           AND value IS NOT NULL),
+       f0 AS (SELECT g, count(*) AS n, sum(CAST(v AS HUGEINT)) AS s
+              FROM b GROUP BY 1),
+       fm AS (SELECT g, n,
+                CAST((s * 1048576) // n
+                  - (CASE WHEN s < 0 AND (s * 1048576) % n != 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS mean_fx
+              FROM f0),
+       reps AS (SELECT unnest(range(0, 32)) AS bb),
+       mem AS (SELECT g, v, bb FROM b CROSS JOIN reps
+               WHERE strpos('0123456789abcdef',
+                 substr(md5(id || ':bs:' || CAST(bb AS VARCHAR)), 1, 1))
+                 - 1 < 8),
+       rm AS (SELECT g, bb, count(*) AS nb,
+                sum(CAST(v AS HUGEINT)) AS sb
+              FROM mem GROUP BY 1, 2),
+       rmm AS (SELECT g,
+                 CAST((sb * 1048576) // nb
+                   - (CASE WHEN sb < 0 AND (sb * 1048576) % nb != 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS m
+               FROM rm),
+       rk AS (SELECT g, m,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY m) AS r,
+                count(*) OVER (PARTITION BY g) AS nr
+              FROM rmm),
+       ci AS (SELECT g, CAST(max(nr) AS BIGINT) AS n_reps,
+                max(CASE WHEN r = greatest(1, (nr * 500 + 9999) // 10000)
+                  THEN m END) AS ci_lo_fx,
+                max(CASE WHEN r = greatest(1, (nr * 9500 + 9999) // 10000)
+                  THEN m END) AS ci_hi_fx
+              FROM rk GROUP BY 1)
+       SELECT fm.g AS event_type, fm.n, fm.mean_fx, ci.n_reps,
+         ci.ci_lo_fx, ci.ci_hi_fx
+       FROM fm JOIN ci ON fm.g = ci.g"""
+
+  // ------------------------------------------------------------------
+  // q208 — lead-lag cross-correlation sums (extension:
+  // Anomaly.leadLagCorrelation): daily click counts against purchase
+  // counts shifted by -7..7 days, exact integer regression sums per
+  // lag (consumers form Pearson r(lag) in their own float space — the
+  // kappa precedent); missing days count as zero via the dense spine.
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Anomaly.leadLagCorrelation(t(s, dir, "events"),
+      expr("unix_micros(ts) div 1000000"), col("event_type"),
+      "click", "purchase", maxLag = 7)
+
+  private val q208Sql =
+    """WITH c0 AS (
+         SELECT epoch_us(ts) // 1000000 AS sec, event_type AS t
+         FROM events
+         WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')),
+       cnt AS (
+         SELECT sec // 86400 AS day,
+           sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS b
+         FROM c0 GROUP BY 1),
+       mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM cnt),
+       sp AS (SELECT d0 + unnest(range(0, CAST(d1 - d0 + 1 AS BIGINT)))
+                AS day FROM mm),
+       dense AS (
+         SELECT sp.day, CAST(coalesce(cnt.a, 0) AS BIGINT) AS a,
+           CAST(coalesce(cnt.b, 0) AS BIGINT) AS b
+         FROM sp LEFT JOIN cnt ON sp.day = cnt.day),
+       lags AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lg),
+       sh AS (SELECT lags.lg, x.a, y.b
+              FROM dense x CROSS JOIN lags
+              JOIN dense y ON y.day = x.day + lags.lg)
+       SELECT lg AS lag_buckets, count(*) AS n_days,
+         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+         CAST(sum(CAST(a AS HUGEINT) * b) AS BIGINT) AS sab,
+         CAST(sum(CAST(a AS HUGEINT) * a) AS BIGINT) AS saa,
+         CAST(sum(CAST(b AS HUGEINT) * b) AS BIGINT) AS sbb
+       FROM sh GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_lead_lag" -> (q208 _),
+    "q207_bootstrap_ci" -> (q207 _),
+    "q206_quantile_map" -> (q206 _),
+    "q205_burstiness" -> (q205 _),
+    "q204_kendall_tau" -> (q204 _),
+    "q203_benford" -> (q203 _),
     "q202_zipf_slope" -> (q202 _),
     "q201_weighted_quantiles" -> (q201 _),
     "q200_tukey_outliers" -> (q200 _),
@@ -9838,6 +10109,12 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q208_lead_lag" -> q208Sql,
+    "q207_bootstrap_ci" -> q207Sql,
+    "q206_quantile_map" -> q206Sql,
+    "q205_burstiness" -> q205Sql,
+    "q204_kendall_tau" -> q204Sql,
+    "q203_benford" -> q203Sql,
     "q202_zipf_slope" -> q202Sql,
     "q201_weighted_quantiles" -> q201Sql,
     "q200_tukey_outliers" -> q200Sql,

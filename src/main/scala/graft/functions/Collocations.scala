@@ -327,4 +327,64 @@ object Collocations extends Serializable {
             "THEN 1 ELSE 0 END) AS BIGINT) END").as("slope_fx"))
     }
   }
+
+  /** EXACT term burstiness — the Fano factor (variance-to-mean
+    * ratio) of each term's per-document count over the WHOLE corpus,
+    * zeros included (Church & Gale 1995: content words are bursty —
+    * they arrive in clumps where the document is "about" them —
+    * while function words are near-Poisson): with per-document
+    * counts c_i over all N documents, S = Σc_i, Q = Σc_i²,
+    *
+    *   fano_fx = floor( (N·Q − S²) · 2^20 / (N·S) )
+    *
+    * (Var/Mean in 2^20 fixed point; N·Q − S² ≥ 0 always, so floor =
+    * truncation and every engine agrees). fano_fx ≈ 2^20 is
+    * Poisson-like; far above it marks topical/bursty terms — a
+    * quality-filter feature (boilerplate tokens are uniform, content
+    * is bursty) and a keyword signal that needs no document
+    * frequency heuristics.
+    *
+    * Shape: one tokenize + (doc, term) count, one term-keyed rollup
+    * (vocab-sized), a 1-row N broadcast; all sums DECIMAL(38,0),
+    * loud domains N < 2^31 and S < 2^31. Parallelism source: the
+    * map-side (doc, term) count; the rollup shuffle carries one row
+    * per (doc, distinct-term).
+    *
+    * @param minTotal drop terms with corpus count below this (the
+    *   quantized-noise tail; Fano over 2 occurrences is not a
+    *   statistic)
+    * @return (term, df_docs, total, fano_fx)
+    */
+  def termBurstiness(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      minTotal: Long = 5L): DataFrame = {
+    require(minTotal >= 1L, s"minTotal must be >= 1, got $minTotal")
+    val docs = df.select(idCol.as("id"), textCol.as("tx"))
+      .filter(col("id").isNotNull && col("tx").isNotNull)
+    val nDocs = docs.agg(count(lit(1)).as("N"))
+      .withColumn("N", when(col("N") < lit(1L << 31), col("N"))
+        .otherwise(raise_error(concat(
+          lit("termBurstiness domain is N < 2^31 docs, got "),
+          col("N")))))
+      .localCheckpoint(true)
+    val perDoc = docs
+      .select(col("id"), explode(Text.tokens(col("tx"))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("df_docs"),
+        sum(col("c")).as("s"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+      .filter(col("s") >= minTotal)
+      .withColumn("s", when(col("s") < lit(1L << 31), col("s"))
+        .otherwise(raise_error(concat(
+          lit("termBurstiness domain is term total < 2^31, got "),
+          col("s")))))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df_docs"), col("s").as("total"),
+        expr("CAST(((N * q - CAST(s AS DECIMAL(38,0)) * s) * 1048576)" +
+          " div (N * CAST(s AS DECIMAL(38,0))) AS BIGINT)")
+          .as("fano_fx"))
+  }
 }

@@ -253,4 +253,98 @@ object Anomaly {
       }
     }.toDF("key", "id", "s_alarm", "alarm_seq")
   }
+
+  /** LEAD-LAG cross-correlation sums between two event streams — "do
+    * clicks LEAD purchases, and by how many days": bucket both
+    * series to `bucketSec` windows, align bucket t of series A with
+    * bucket t+lag of series B for every lag in [−maxLag, maxLag],
+    * and emit the EXACT integer regression sums per lag —
+    *
+    *   (lag, n_days, sa, sb, sab, saa, sbb)
+    *
+    * from which Pearson r(lag) = (n·sab − sa·sb) /
+    * √((n·saa − sa²)(n·sbb − sb²)) in the consumer's float space
+    * (the no-division-in-data [[Profile.cohenKappa]] precedent —
+    * signed division is a cross-engine hazard, and the sums are the
+    * reusable artifact anyway). The argmax lag over r(lag) is the
+    * lead time; missing buckets count as ZERO events (a silent day
+    * is data, not absence of data), so both series ride a dense
+    * bucket spine from the observed min to max bucket.
+    *
+    * Loud domains: epoch seconds ≥ 0 (integer div is floor only for
+    * non-negatives), bucket span ≤ 2^20 buckets, per-bucket counts
+    * < 2^20 (keeps every sum ≤ 2^60 — pre-bucket coarser or
+    * pre-aggregate past that).
+    *
+    * Shape: one map-side-combined (bucket, which) count over the
+    * filtered scan; everything after — spine, lag spine, shifted
+    * self-join, per-lag aggregate — is bucket-spine-sized (≤ 2^20
+    * rows × (2·maxLag+1)). Parallelism source: the map-side count;
+    * the bounded tail is broadcast work.
+    *
+    * @return (lag, n_days, sa, sb, sab, saa, sbb), one row per lag,
+    *   lag > 0 meaning A leads B by that many buckets
+    */
+  def leadLagCorrelation(
+      df: DataFrame,
+      tsCol: Column,
+      typeCol: Column,
+      typeA: String,
+      typeB: String,
+      maxLag: Int,
+      bucketSec: Long = 86400L): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 512,
+      s"maxLag must be in [1, 512], got $maxLag")
+    require(bucketSec >= 1L, s"bucketSec must be >= 1, got $bucketSec")
+    require(typeA != typeB, "typeA and typeB must differ")
+    val secs = tsCol.cast("long")
+    val counts = df
+      .select(secs.as("s"), typeCol.as("t"))
+      .filter(col("s").isNotNull &&
+        (col("t") === typeA || col("t") === typeB))
+      .withColumn("s", when(col("s") >= 0L, col("s"))
+        .otherwise(raise_error(concat(lit(
+          "leadLagCorrelation needs epoch >= 0 (floor div), got "),
+          col("s")))))
+      .withColumn("day", expr(s"s div ${bucketSec}L")) // long div; s >= 0 so floor
+      .groupBy("day")
+      .agg(coalesce(sum(when(col("t") === typeA, 1L)), lit(0L)).as("a"),
+        coalesce(sum(when(col("t") === typeB, 1L)), lit(0L)).as("b"))
+      .localCheckpoint(true)
+    val span = counts.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      .filter(col("d0").isNotNull)
+      .withColumn("d1", when(col("d1") - col("d0") < lit(1L << 20),
+          col("d1"))
+        .otherwise(raise_error(concat(lit(
+          "leadLagCorrelation bucket span cap 2^20 exceeded: "),
+          col("d1") - col("d0"), lit(" buckets — coarsen bucketSec")))))
+    val spine = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .withColumn("a", when(col("a") < lit(1L << 20), col("a"))
+        .otherwise(raise_error(concat(lit(
+          "leadLagCorrelation per-bucket cap 2^20 exceeded, got "),
+          col("a")))))
+      .withColumn("b", when(col("b") < lit(1L << 20), col("b"))
+        .otherwise(raise_error(concat(lit(
+          "leadLagCorrelation per-bucket cap 2^20 exceeded, got "),
+          col("b")))))
+      .localCheckpoint(true)
+    val lags = spine.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("long").as("lag"))
+    val shifted = spine.select(col("day"), col("a"))
+      .crossJoin(broadcast(lags))
+      .join(broadcast(spine.select(col("day").as("db"), col("b"))),
+        col("db") === col("day") + col("lag"))
+    shifted.groupBy(col("lag").as("lag_buckets"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+  }
 }

@@ -1144,4 +1144,71 @@ object Profile {
       .toDF("bin", "bin_lo", "n_a", "n_b", "delta", "lr_fx",
         "contrib_fx")
   }
+
+  /** EXACT Benford leading-digit profile per group — the classic
+    * fabricated-numbers / broken-extraction detector: naturally
+    * occurring magnitudes (prices, populations, file sizes) put
+    * leading digit d on a share of log10(1 + 1/d), while generated,
+    * truncated, or unit-mangled columns do not. Per (group, digit
+    * 1..9), observed count n_d against the Benford expectation, the
+    * deviation kept as ONE exact integer:
+    *
+    *   dev_fx = n_d·L(10) − n·(L(d+1) − L(d))       L = ilog2Fx
+    *
+    * — observed-minus-expected scaled by log2(10)·2^20, positive =
+    * over-represented; a group's total-variation distance from
+    * Benford is Σ_d |dev_fx| / (2·n·L(10)) in the consumer's float
+    * space (the no-division-in-data [[cohenKappa]] precedent). The
+    * log constants are [[graft.functions.Dsir.ilog2Fx]] values of
+    * the integers 1..10 — pure driver arithmetic, no Spark job, and
+    * the oracle recomputes them with the same squaring loop. In-data
+    * invariant: Σ_d dev_fx = 0 EXACTLY per group (the deltas
+    * telescope to L(10) − L(1) = L(10)) — a checksum any consumer
+    * can assert.
+    *
+    * Rows with v < 1 are excluded (Benford is about positive
+    * magnitudes; zero/negative have no leading digit). Every (group,
+    * digit) cell is emitted — absent digits appear with n_d = 0 via
+    * the digit spine (a missing digit IS the anomaly). Loud domain:
+    * per-group n < 2^39 keeps n_d·L(10) ≤ 2^39·2^21.8 inside a long.
+    *
+    * Shape: one map-side-combined (g, digit) count, a group-sized
+    * spine cross join, pure column arithmetic — nothing past the
+    * count scales with row volume. Parallelism source: the map-side
+    * count.
+    *
+    * @return (g, d, n_d, n, dev_fx) — 9 rows per group
+    */
+  def benfordDigits(
+      df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column): DataFrame = {
+    val L = (1 to 10).map(d => graft.functions.Dsir.ilog2Fx(d.toLong))
+    val l10 = L(9)
+    // delta(d) = L(d+1) − L(d) for d = 1..9, as a CASE column
+    val deltas = (1 to 9).map(d => (d, L(d) - L(d - 1)))
+    val counts = df
+      .select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull && col("v") >= 1L)
+      .withColumn("d", substring(col("v").cast("string"), 1, 1)
+        .cast("int"))
+      .groupBy("g", "d").agg(count(lit(1)).as("n_d"))
+    val totals = counts.groupBy("g").agg(sum(col("n_d")).as("n"))
+      .withColumn("n", when(col("n") < lit(1L << 39), col("n"))
+        .otherwise(raise_error(concat(
+          lit("benfordDigits domain is n < 2^39 per group, got "),
+          col("n")))))
+    val spine = totals.withColumn("d",
+      explode(array((1 to 9).map(d => lit(d)): _*)))
+    spine.join(counts, Seq("g", "d"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .withColumn("__delta",
+        deltas.tail.foldLeft(when(col("d") === deltas.head._1,
+            lit(deltas.head._2))) { case (acc, (d, dl)) =>
+          acc.when(col("d") === d, lit(dl))
+        })
+      .select(col("g"), col("d"), col("n_d"), col("n"),
+        (col("n_d") * lit(l10) - col("n") * col("__delta"))
+          .as("dev_fx"))
+  }
 }

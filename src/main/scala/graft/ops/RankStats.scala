@@ -359,4 +359,155 @@ object RankStats {
             1L)), lit(0L)).as("n_high"))
     }
   }
+
+  /** EXACT Kendall tau-b pair counts — the concordance companion of
+    * [[Profile.spearman]]: where Spearman correlates RANKS (one
+    * outlying rank distance can dominate), tau counts PAIR
+    * agreements, the statistic of choice for ordinal scales and
+    * heavy ties. Over distinct (x, y) CELLS with multiplicities
+    * (ties are the whole point of the cell form — a corpus of
+    * quantized scores has few cells however many rows):
+    *
+    *   conc2 = Σ_{i≠j, sgn(xi−xj)·sgn(yi−yj) = +1} c_i·c_j   (= 2C)
+    *   disc2 = likewise −1                                    (= 2D)
+    *   denx2 = n(n−1) − Σ_x cx(cx−1),  deny2 = likewise over y
+    *
+    * and tau_b = (C−D)/√((n0−n1)(n0−n2)) = (conc2−disc2) /
+    * √(denx2·deny2) — every count DOUBLED (ordered pairs), so no
+    * halving ever divides an odd number. The division/√ is
+    * deliberately NOT performed (the [[Profile.cohenKappa]]
+    * precedent): consumers divide in their own float space; the four
+    * integer counts replay bit-for-bit in any engine.
+    *
+    * Scale shape: the cell table (≤ `maxCells`, LOUD in-data guard)
+    * is the only thing that grows past the map-side count — the
+    * classifier is a broadcast nested-loop self-join over cells,
+    * O(cells²) with a map-side aggregate, never an all-pairs join
+    * over rows. Callers quantize x/y upstream to bound cells (the
+    * documented knob); n < 2^31 keeps every doubled product inside
+    * DECIMAL(38,0) headroom. Parallelism source: the map-side cell
+    * count; the cell self-join is bounded work by construction.
+    *
+    * @return one row (n, n_cells, conc2, disc2, denx2, deny2); zero
+    *   rows when the input is empty
+    */
+  def kendallTau(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      maxCells: Int = 1 << 13): DataFrame = {
+    require(maxCells >= 1 && maxCells <= (1 << 16),
+      s"maxCells must be in [1, 2^16], got $maxCells")
+    val cells0 = df.select(xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = cells0.agg(count(lit(1)).as("nc"),
+        coalesce(sum(col("c")), lit(0L)).as("n"))
+      .withColumn("nc", when(col("nc") <= maxCells, col("nc"))
+        .otherwise(raise_error(concat(lit(
+          s"kendallTau cell cap $maxCells exceeded (quantize x/y " +
+          "upstream), got "), col("nc")))))
+      .withColumn("n", when(col("n") < lit(1L << 31), col("n"))
+        .otherwise(raise_error(concat(
+          lit("kendallTau domain is n < 2^31, got "), col("n")))))
+      .localCheckpoint(true)
+    val a = cells0.select(col("x").as("xa"), col("y").as("ya"),
+      col("c").as("ca"))
+    val b = cells0.select(col("x").as("xb"), col("y").as("yb"),
+      col("c").as("cb"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("xa") =!= col("xb") || col("ya") =!= col("yb"))
+      .withColumn("__s", signum(col("xa") - col("xb")) *
+        signum(col("ya") - col("yb")))
+      .agg(
+        coalesce(sum(when(col("__s") === 1.0,
+          (col("ca") * col("cb")).cast("decimal(38,0)"))), lit(0L))
+          .cast("decimal(38,0)").as("conc2"),
+        coalesce(sum(when(col("__s") === -1.0,
+          (col("ca") * col("cb")).cast("decimal(38,0)"))), lit(0L))
+          .cast("decimal(38,0)").as("disc2"))
+    val tiesX = cells0.groupBy("x").agg(sum(col("c")).as("cx"))
+      .agg(coalesce(sum((col("cx") * (col("cx") - 1L))
+        .cast("decimal(38,0)")), lit(0L)).cast("decimal(38,0)")
+        .as("tx2"))
+    val tiesY = cells0.groupBy("y").agg(sum(col("c")).as("cy"))
+      .agg(coalesce(sum((col("cy") * (col("cy") - 1L))
+        .cast("decimal(38,0)")), lit(0L)).cast("decimal(38,0)")
+        .as("ty2"))
+    tot.filter(col("n") > 0L)
+      .crossJoin(pairs).crossJoin(tiesX).crossJoin(tiesY)
+      .select(col("n"), col("nc").as("n_cells"),
+        col("conc2").cast("long").as("conc2"),
+        col("disc2").cast("long").as("disc2"),
+        (col("n").cast("decimal(38,0)") * (col("n") - 1L) - col("tx2"))
+          .cast("long").as("denx2"),
+        (col("n").cast("decimal(38,0)") * (col("n") - 1L) - col("ty2"))
+          .cast("long").as("deny2"))
+  }
+
+  /** Cross-group QUANTILE MAPPING — align every group's value
+    * distribution onto the POOLED distribution (the rank-based
+    * "batch-effect correction" / quantile-normalization move): each
+    * distinct (g, v) cell gets its within-group percentile pct_bp =
+    * floor(cum·10⁴ / n) (cum = rank of the LAST tie — tie-invariant
+    * by construction, since ties share one cell), and maps to the
+    * pooled value at rank ceil(N·pct_bp/10⁴) (the type-1 inverse
+    * CDF, [[quantilesByGroup]]'s convention). A downstream selecting
+    * on `mapped_value` instead of `v` compares documents/events
+    * across sources whose raw scales drifted apart.
+    *
+    * Scale shape: one distinct-cell count (map-side combined), cells'
+    * per-group cumulatives through [[Prefix.runningTotalsByGroup]]'s
+    * (g, v) range exchange, the pooled cumulative through ONE
+    * [[Prefix.runningTotal]] range exchange over the value-distinct
+    * table, and the pct → pooled-value dictionary is ≤ 10⁴ rows BY
+    * CONSTRUCTION (percentiles are basis points) — it broadcasts
+    * whatever the corpus size. Parallelism source: the two range
+    * exchanges. Loud domain: pooled N < 2^49 (N·10⁴ in a long).
+    *
+    * @return (g, v, c, n, pct_bp, mapped_value) — one row per
+    *   distinct (group, value) cell
+    */
+  def quantileMapByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = basePairs(df, groupCol, valueCol)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    Prefix.runningTotalsByGroup(cells, "g", "v", Seq("c" -> "__cum")) {
+      withCum =>
+      val ns = withCum.groupBy(col("g"))
+        .agg(sum(col("c")).as("n")).localCheckpoint(true)
+      val scored = withCum.join(broadcast(ns), Seq("g"))
+        .withColumn("pct_bp", expr("(__cum * 10000L) div n"))
+      val pooled0 = withCum.groupBy(col("v"))
+        .agg(sum(col("c")).as("pc"))
+      val pooledN = ns.agg(sum(col("n")).as("N"))
+        .withColumn("N", when(col("N") < lit(1L << 49), col("N"))
+          .otherwise(raise_error(concat(lit(
+            "quantileMapByGroup pooled count must stay under 2^49, " +
+            "got "), col("N")))))
+        .localCheckpoint(true)
+      // the pooled cumulative rides [[Prefix.runningTotal]]'s own
+      // distinct-value-sized persist (the ksStatistic acceptance);
+      // the mapping extracted from it is ≤ 10⁴ rows and checkpointed
+      val gcum = Prefix.runningTotal(pooled0, orderCol = "v",
+        valueCol = "pc", outCol = "__gcum")
+      val pcts = scored.select(col("pct_bp")).distinct()
+        .crossJoin(pooledN)
+        .withColumn("__k", expr(
+          "greatest(1L, (N * pct_bp + 9999L) div 10000L)"))
+        .localCheckpoint(true)
+      val mapping = gcum.join(broadcast(pcts),
+          gcum("__gcum") >= pcts("__k") &&
+          gcum("__gcum") - gcum("pc") < pcts("__k"))
+        .select(col("pct_bp").as("__pb"), col("v").as("mapped_value"))
+        .localCheckpoint(true)
+      scored.join(broadcast(mapping), col("pct_bp") === col("__pb"))
+        .select(col("g"), col("v"), col("c"), col("n"),
+          col("pct_bp"), col("mapped_value"))
+    }
+  }
 }

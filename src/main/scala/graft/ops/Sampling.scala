@@ -661,4 +661,87 @@ object Sampling {
         groupCol <=> col("gk") && idCol === col("gid"))
       .drop("gk", "gid")
   }
+
+  /** DETERMINISTIC bootstrap confidence interval for the per-group
+    * mean — uncertainty quantification with the content-addressed
+    * discipline of [[unitHash]]: replicate b (b = 0..reps−1) is the
+    * half-sample of rows whose first md5 hex digit of
+    * "id:salt:b" is < 8 (an exact integer test — no float
+    * thresholds), each replicate's mean is the 2^20 fixed-point TRUE
+    * FLOOR, and the CI is the [q_lo, q_hi] order statistics of the
+    * replicate means (ceil-rank, [[graft.ops.RankStats
+    * .quantilesByGroup]]'s type-1 convention). Pure function of
+    * (ids, salt, reps): reshuffle-proof, engine-replayable, and
+    * incremental corpora keep prior rows' replicate membership — the
+    * same reasons every sampler here is hash-addressed instead of
+    * RNG-seeded.
+    *
+    * Half-sampling (m = n/2 out of n without replacement) estimates
+    * the sampling distribution's spread like the m-out-of-n
+    * bootstrap — the hash-replayable stand-in for multinomial
+    * resampling, whose per-row draw counts no SQL engine replays
+    * deterministically. Replicates that draw no rows (vanishing
+    * probability past tiny groups) simply contribute no mean.
+    *
+    * Shape: one `reps`-fold row expansion fused into the scan
+    * (explode over the rep spine — the shuffle after the map-side
+    * combine carries only groups × reps rows), one
+    * (group × rep)-sized aggregate, and the CI runs through
+    * quantilesByGroup's range exchange on that tiny table.
+    * Parallelism source: the map-side count. The scan-side compute
+    * is reps × the base scan — the documented price of B replicates.
+    *
+    * @return (g, n, mean_fx, n_reps, ci_lo_fx, ci_hi_fx)
+    */
+  def hashBootstrapMean(
+      df: DataFrame,
+      groupCol: Column,
+      idCol: Column,
+      valueCol: Column,
+      reps: Int = 32,
+      loBp: Int = 500,
+      hiBp: Int = 9500,
+      salt: String = "bs"): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"reps must be in [2, 64], got $reps")
+    require(loBp >= 0 && hiBp <= 10000 && loBp < hiBp,
+      s"CI bounds must satisfy 0 <= loBp < hiBp <= 10000, got $loBp/$hiBp")
+    val base = df.select(groupCol.as("g"), idCol.cast("string").as("id"),
+        valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("id").isNotNull &&
+        col("v").isNotNull)
+    // TRUE-FLOOR 2^20 fixed-point mean (negative sums replay
+    // bit-identically — the trimmedMeanByGroup convention)
+    def meanFx(sumName: String, nName: String): Column =
+      expr(s"CAST(($sumName * 1048576) div $nName - " +
+        s"(CASE WHEN $sumName < 0 AND ($sumName * 1048576) % $nName " +
+        "!= 0 THEN 1 ELSE 0 END) AS BIGINT)")
+    val full = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("__s"))
+      .select(col("g"), col("n"),
+        meanFx("__s", "n").as("mean_fx"))
+      .localCheckpoint(true)
+    val repMeans = base
+      .withColumn("b", explode(array((0 until reps).map(b =>
+        lit(b.toLong)): _*)))
+      .filter(conv(substring(md5(concat(col("id"),
+        lit(":" + salt + ":"), col("b").cast("string"))), 1, 1),
+        16, 10).cast("long") < 8L)
+      .groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("v").cast("decimal(38,0)")).as("__sb"))
+      .select(col("g"), col("b"),
+        meanFx("__sb", "nb").as("rep_mean_fx"))
+    val ci = graft.ops.RankStats.quantilesByGroup(repMeans,
+        col("g"), col("rep_mean_fx"), Seq(loBp, hiBp))
+      .groupBy(col("g").as("__gq"))
+      .agg(max(col("n")).as("n_reps"),
+        max(when(col("q_bp") === loBp.toLong, col("value")))
+          .as("ci_lo_fx"),
+        max(when(col("q_bp") === hiBp.toLong, col("value")))
+          .as("ci_hi_fx"))
+    full.join(ci, col("g") === col("__gq"))
+      .select(col("g"), col("n"), col("mean_fx"), col("n_reps"),
+        col("ci_lo_fx"), col("ci_hi_fx"))
+  }
 }

@@ -224,4 +224,38 @@ class CollocationsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Collocations.zipfSlopeBySource(
       docs, col("src"), col("text"), minCount = 0))
   }
+
+  test("termBurstiness == plain-Scala Fano model; a one-per-doc term " +
+      "is exactly 0 (Poisson floor), an all-in-one-doc clump is " +
+      "k(N-1)/N; zeros count via N; minTotal filters") {
+    import spark.implicits._
+    // N = 4 docs. "flat" appears once in every doc (Fano 0);
+    // "clump" appears 6 times, all in doc 1; "mid" is in between.
+    val docs = Seq(
+      (1L, "flat clump clump clump clump clump clump mid mid"),
+      (2L, "flat mid"),
+      (3L, "flat"),
+      (4L, "flat rare"))
+    def model(counts: Seq[Long], n: Long): Long = {
+      val s = counts.sum
+      val q = counts.map(c => c * c).sum
+      (BigInt(n) * q - BigInt(s) * s) * 1048576 / (BigInt(n) * s)
+    }.toLong
+    val got = Collocations.termBurstiness(docs.toDF("id", "tx"),
+        col("id"), col("tx"), minTotal = 2L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!got.contains("rare")) // total 1 < minTotal
+    assert(got("flat") == (4L, 4L, 0L)) // constant rate: Var = 0
+    assert(got("clump") == (1L, 6L, model(Seq(6L, 0L, 0L, 0L), 4L)))
+    // all-in-one-doc closed form: k(N-1)/N * 2^20
+    assert(got("clump")._3 == 6L * 3L * 1048576L / 4L)
+    assert(got("mid") == (2L, 3L, model(Seq(2L, 1L, 0L, 0L), 4L)))
+    // Fano is monotone in clumpiness here: clump > mid > flat
+    assert(got("clump")._3 > got("mid")._3 &&
+      got("mid")._3 > got("flat")._3)
+    intercept[IllegalArgumentException](Collocations.termBurstiness(
+      docs.toDF("id", "tx"), col("id"), col("tx"), minTotal = 0L))
+  }
 }

@@ -179,4 +179,67 @@ class AnomalySpec extends SparkSpec {
     intercept[IllegalArgumentException](Anomaly.cusumAlarms(
       df, col("k"), col("id"), Seq.empty, col("v"), 0L, 0L, 5L))
   }
+
+  test("leadLagCorrelation == hand model on a shifted pulse; missing " +
+      "buckets count as zero; n_days = span - |lag|; swapping the " +
+      "series mirrors the lag axis") {
+    import spark.implicits._
+    // bucketSec = 10: A pulses at buckets 0 and 3, B pulses at 1 and
+    // 4 (B = A shifted by +1 bucket); bucket 2 has NO events at all
+    // (the dense spine must still count it as (0, 0)).
+    val ev = Seq(
+      (5L, "a"), (8L, "a"),            // bucket 0: a = 2
+      (12L, "b"),                      // bucket 1: b = 1
+      (31L, "a"),                      // bucket 3: a = 1
+      (45L, "b"), (47L, "b"),          // bucket 4: b = 2
+      (46L, "x"))                      // other types are filtered out
+    val got = Anomaly.leadLagCorrelation(ev.toDF("s", "t"),
+        col("s"), col("t"), "a", "b", maxLag = 2, bucketSec = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.size == 5)
+    // span = buckets 0..4 (5 dense buckets), a = [2,0,0,1,0],
+    // b = [0,1,0,0,2]
+    val a = Seq(2L, 0L, 0L, 1L, 0L)
+    val b = Seq(0L, 1L, 0L, 0L, 2L)
+    (-2 to 2).foreach { lg =>
+      val pairs = (0 to 4).flatMap { i =>
+        val j = i + lg
+        if (j >= 0 && j <= 4) Some((a(i), b(j))) else None
+      }
+      val (sa, sb) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sab = pairs.map(p => p._1 * p._2).sum
+      val saa = pairs.map(p => p._1 * p._1).sum
+      val sbb = pairs.map(p => p._2 * p._2).sum
+      assert(got(lg.toLong) ==
+        (pairs.length.toLong, sa, sb, sab, saa, sbb), s"lag $lg")
+      assert(got(lg.toLong)._1 == 5L - math.abs(lg))
+    }
+    // the +1 lag is the perfect alignment: sab = 2*1 + 1*2 = 4,
+    // every other lag pairs a pulse with a zero except -2 (a(3)*b(1))
+    assert(got(1L)._4 == 4L)
+    assert(got(0L)._4 == 0L && got(2L)._4 == 0L && got(-1L)._4 == 0L)
+    // swapping A and B mirrors the lag axis
+    val swapped = Anomaly.leadLagCorrelation(ev.toDF("s", "t"),
+        col("s"), col("t"), "b", "a", maxLag = 2, bucketSec = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    (-2 to 2).foreach { lg =>
+      assert(swapped(lg.toLong) == (got(-lg.toLong)._1, got(-lg.toLong)._4))
+    }
+    // negative epoch raises loudly; bad params raise at build
+    intercept[Exception](Anomaly.leadLagCorrelation(
+      Seq((-5L, "a"), (1L, "b")).toDF("s", "t"),
+      col("s"), col("t"), "a", "b", maxLag = 1, bucketSec = 10L)
+      .collect())
+    intercept[IllegalArgumentException](Anomaly.leadLagCorrelation(
+      ev.toDF("s", "t"), col("s"), col("t"), "a", "a", maxLag = 1))
+    intercept[IllegalArgumentException](Anomaly.leadLagCorrelation(
+      ev.toDF("s", "t"), col("s"), col("t"), "a", "b", maxLag = 0))
+    // empty after filtering -> zero rows
+    assert(Anomaly.leadLagCorrelation(
+      Seq((1L, "x")).toDF("s", "t"),
+      col("s"), col("t"), "a", "b", maxLag = 1).collect().isEmpty)
+  }
 }

@@ -724,4 +724,40 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(grouped == global)
   }
+
+  test("benfordDigits == hand model; every group emits 9 digit rows " +
+      "(absent digits as 0); per-group dev_fx sums to EXACTLY 0 " +
+      "(telescoping deltas); v < 1 excluded; n guard documented") {
+    import spark.implicits._
+    import graft.functions.Dsir
+    val l = (1 to 10).map(d => Dsir.ilog2Fx(d.toLong))
+    val l10 = l(9)
+    // group "a": leading digits of 123, 19, 2000, 95, 1 -> d=1,1,2,9,1
+    // group "b": 7, 70, 0 (dropped), -5 (dropped) -> d=7,7
+    val data = Seq(("a", 123L), ("a", 19L), ("a", 2000L), ("a", 95L),
+      ("a", 1L), ("b", 7L), ("b", 70L), ("b", 0L), ("b", -5L))
+    val got = Profile.benfordDigits(data.toDF("g", "v"),
+        col("g"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 18)
+    def dev(nd: Long, n: Long, d: Int): Long =
+      nd * l10 - n * (l(d) - l(d - 1))
+    assert(got(("a", 1)) == (3L, 5L, dev(3, 5, 1)))
+    assert(got(("a", 2)) == (1L, 5L, dev(1, 5, 2)))
+    assert(got(("a", 9)) == (1L, 5L, dev(1, 5, 9)))
+    assert(got(("a", 5)) == (0L, 5L, dev(0, 5, 5)))
+    assert(got(("b", 7)) == (2L, 2L, dev(2, 2, 7)))
+    assert(got(("b", 1)) == (0L, 2L, dev(0, 2, 1)))
+    // the telescoping checksum: sum of dev_fx per group is exactly 0
+    Seq("a", "b").foreach { g =>
+      val s = (1 to 9).map(d => got((g, d))._3).sum
+      assert(s == 0L, s"group $g dev sum = $s")
+    }
+    // empty input -> zero rows
+    assert(Profile.benfordDigits(
+      Seq.empty[(String, Long)].toDF("g", "v"),
+      col("g"), col("v")).collect().isEmpty)
+  }
 }

@@ -256,4 +256,101 @@ class RankStatsSpec extends SparkSpec {
     assert(after - before <= 5,
       s"rank-stats leaked ranged persists: $before -> $after")
   }
+
+  test("kendallTau == brute-force ordered-pair model; doubled counts " +
+      "obey conc2+disc2 <= denx2 and the perfect-order / reversed " +
+      "pins; cell cap and n guard raise loudly") {
+    import spark.implicits._
+    val xy = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 15L), (4L, 40L),
+      (5L, 5L), (5L, 35L), (6L, 35L))
+    def brute(ps: Seq[(Long, Long)]) = {
+      val n = ps.length.toLong
+      var conc2 = 0L; var disc2 = 0L
+      for (i <- ps.indices; j <- ps.indices if i != j) {
+        val s = math.signum(ps(i)._1 - ps(j)._1) *
+          math.signum(ps(i)._2 - ps(j)._2)
+        if (s > 0) conc2 += 1 else if (s < 0) disc2 += 1
+      }
+      val tx2 = ps.groupBy(_._1).values
+        .map(g => g.size.toLong * (g.size - 1)).sum
+      val ty2 = ps.groupBy(_._2).values
+        .map(g => g.size.toLong * (g.size - 1)).sum
+      (n, conc2, disc2, n * (n - 1) - tx2, n * (n - 1) - ty2)
+    }
+    val r = RankStats.kendallTau(xy.toDF("x", "y"), col("x"), col("y"))
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (n, c2, d2, dx2, dy2) = brute(xy)
+    assert(row.getLong(0) == n)
+    assert(row.getLong(2) == c2 && row.getLong(3) == d2)
+    assert(row.getLong(4) == dx2 && row.getLong(5) == dy2)
+    assert(c2 + d2 <= dx2 && c2 + d2 <= dy2)
+    // perfectly ordered: disc2 = 0, conc2 = denx2 = deny2 (tau = +1)
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+    val p = RankStats.kendallTau(perfect.toDF("x", "y"),
+      col("x"), col("y")).collect()(0)
+    assert(p.getLong(3) == 0L && p.getLong(2) == p.getLong(4) &&
+      p.getLong(2) == p.getLong(5))
+    // reversed: conc2 = 0 (tau = -1)
+    val rev = RankStats.kendallTau(
+      perfect.map { case (x, y) => (x, -y) }.toDF("x", "y"),
+      col("x"), col("y")).collect()(0)
+    assert(rev.getLong(2) == 0L && rev.getLong(3) == rev.getLong(4))
+    // empty input -> zero rows
+    assert(RankStats.kendallTau(Seq.empty[(Long, Long)].toDF("x", "y"),
+      col("x"), col("y")).collect().isEmpty)
+    // cell cap raises loudly
+    val many = (1L to 40L).flatMap(x => (1L to 40L).map(y => (x, y)))
+    intercept[Exception](RankStats.kendallTau(many.toDF("x", "y"),
+      col("x"), col("y"), maxCells = 100).collect())
+    intercept[IllegalArgumentException](RankStats.kendallTau(
+      xy.toDF("x", "y"), col("x"), col("y"), maxCells = 0))
+  }
+
+  test("quantileMapByGroup == plain-Scala model; a lone group maps " +
+      "onto itself when ranks hit the bp grid; mapped values are " +
+      "drawn from the pooled value set") {
+    import spark.implicits._
+    val data = Seq(
+      ("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L),
+      ("b", 100L), ("b", 200L), ("b", 300L), ("b", 400L), ("b", 500L))
+    def model: Set[(String, Long, Long, Long, Long, Long)] = {
+      val cells = data.groupBy(identity).map { case ((g, v), rs) =>
+        (g, v, rs.size.toLong) }.toSeq
+      val ns = cells.groupBy(_._1).map { case (g, cs) =>
+        g -> cs.map(_._3).sum }
+      val pooled = cells.groupBy(_._2).map { case (v, cs) =>
+        (v, cs.map(_._3).sum) }.toSeq.sortBy(_._1)
+      val bigN = pooled.map(_._2).sum
+      val gcum = pooled.scanLeft((0L, 0L, 0L)) {
+        case ((_, _, acc), (v, pc)) => (v, pc, acc + pc) }.tail
+      cells.groupBy(_._1).flatMap { case (g, cs) =>
+        val sorted = cs.sortBy(_._2)
+        val cums = sorted.scanLeft(0L)(_ + _._3).tail
+        sorted.zip(cums).map { case ((_, v, c), cum) =>
+          val pct = cum * 10000L / ns(g)
+          val k = math.max(1L, (bigN * pct + 9999L) / 10000L)
+          val mapped = gcum.find { case (_, pc, gc) =>
+            gc >= k && gc - pc < k }.get._1
+          (g, v, c, ns(g), pct, mapped)
+        }
+      }.toSet
+    }
+    val got = RankStats.quantileMapByGroup(data.toDF("g", "v"),
+        col("g"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == model)
+    // a lone group with n distinct values, n | 10^4: identity map
+    val lone = Seq(("s", 1L), ("s", 2L), ("s", 3L), ("s", 4L))
+    val li = RankStats.quantileMapByGroup(lone.toDF("g", "v"),
+        col("g"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(5))).toSet
+    assert(li == Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    // mapped values come from the pooled distinct-value set
+    val vs = data.map(_._2).toSet
+    assert(got.forall { case (_, _, _, _, _, m) => vs.contains(m) })
+  }
 }

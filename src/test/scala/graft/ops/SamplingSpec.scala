@@ -533,4 +533,56 @@ class SamplingSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Sampling.rendezvousShard(col("id"), 5000, "rdv"))
   }
+
+  test("hashBootstrapMean == plain-Scala md5 replay: replicate " +
+      "membership, true-floor replicate means, ceil-rank CI; the CI " +
+      "brackets hold ci_lo <= ci_hi; pure function of (ids, salt)") {
+    import spark.implicits._
+    val data = (1L to 400L).map(i => ("g" + (i % 2), i, i * 7L % 101L))
+    val reps = 16
+    def md5FirstHex(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (d(0) >> 4) & 0xf
+    }
+    def floorDiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b
+      if (a.sign * b.sign < 0 && q * b != a) q - 1 else q
+    }
+    def meanFx(vs: Seq[Long]): Long =
+      floorDiv(BigInt(vs.sum) * 1048576, BigInt(vs.length)).toLong
+    val model: Map[String, (Long, Long, Long, Long, Long)] =
+      data.groupBy(_._1).map { case (g, rows) =>
+        val full = meanFx(rows.map(_._3))
+        val repMeans = (0 until reps).flatMap { b =>
+          val mem = rows.filter(r =>
+            md5FirstHex(s"${r._2}:bs:$b") < 8).map(_._3)
+          if (mem.nonEmpty) Some(meanFx(mem)) else None
+        }.sorted
+        val nr = repMeans.length.toLong
+        def at(bp: Long) =
+          repMeans((math.max(1L, (nr * bp + 9999L) / 10000L) - 1).toInt)
+        g -> (rows.length.toLong, full, nr, at(500L), at(9500L))
+      }
+    val got = Sampling.hashBootstrapMean(data.toDF("g", "id", "v"),
+        col("g"), col("id"), col("v"), reps = reps)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == model)
+    got.values.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+    // deterministic: a second run is bit-identical
+    val again = Sampling.hashBootstrapMean(data.toDF("g", "id", "v"),
+        col("g"), col("id"), col("v"), reps = reps)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException](Sampling.hashBootstrapMean(
+      data.toDF("g", "id", "v"), col("g"), col("id"), col("v"),
+      reps = 1))
+    intercept[IllegalArgumentException](Sampling.hashBootstrapMean(
+      data.toDF("g", "id", "v"), col("g"), col("id"), col("v"),
+      loBp = 9500, hiBp = 500))
+  }
 }
