@@ -9810,7 +9810,245 @@ object SparkEntry {
          CAST(sum(CAST(b AS HUGEINT) * b) AS BIGINT) AS sbb
        FROM sh GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // q209 — Flesch reading ease (extension: Text.fleschMil): the
+  // readability score in exact milli-points — whitespace words,
+  // [.!?]+ sentence runs (floored at 1), [aeiouy]+ vowel groups as
+  // the syllable proxy, truncating division on non-negative operands
+  // so every engine agrees. Map-only, fused into the scan.
+  private def q209(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).cast("long")
+          .as("n_words"),
+        greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+"))
+          .cast("long")).as("n_sents"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("n_syll"),
+        graft.functions.Text.fleschMil(col("text")).as("flesch_mil"))
+      .filter(col("flesch_mil").isNotNull)
+
+  private val q209Sql =
+    """WITH b AS (
+         SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS w,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+         FROM documents
+         WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+         CAST(s AS BIGINT) AS n_sents, CAST(y AS BIGINT) AS n_syll,
+         CAST(206835 - (1015 * w) // s - (84600 * y) // w AS BIGINT)
+           AS flesch_mil
+       FROM b WHERE w > 0"""
+
+  // ------------------------------------------------------------------
+  // q210 — Fleiss kappa over a 3-judge ensemble (extension:
+  // Profile.fleissKappa): chance-corrected agreement of three
+  // deterministic document judges (length >= 300 chars, token entropy
+  // >= 4500000 fx, token count >= 50) — the multi-rater
+  // generalization of q144's Cohen kappa, the LLM-judge-ensemble
+  // shape. Exact integer numerator/denominator, division to the
+  // consumer.
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("n_chars").isNotNull)
+    val ent = graft.functions.Entropy.tokenEntropy(
+      docs, col("doc_id"), col("text"))
+    val j = docs.join(ent, col("doc_id") === col("id"))
+      .select(col("doc_id"), col("n_chars"),
+        col("entropy_fx"),
+        graft.functions.Text.tokenCount(col("text")).as("tc"))
+    val long3 = j.select(col("doc_id"), lit("len").as("rater"),
+        (col("n_chars") >= 300L).cast("string").as("cat"))
+      .union(j.select(col("doc_id"), lit("ent").as("rater"),
+        (col("entropy_fx") >= 4500000L).cast("string").as("cat")))
+      .union(j.select(col("doc_id"), lit("tok").as("rater"),
+        (col("tc") >= 50).cast("string").as("cat")))
+    graft.ops.Profile.fleissKappa(long3,
+      col("doc_id"), col("rater"), col("cat"))
+  }
+
+  private val q210Sql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS t
+         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+           AND n_chars IS NOT NULL),
+       tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+       nd AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
+       vals(v) AS (
+         SELECT DISTINCT c FROM tc UNION SELECT DISTINCT n FROM nd),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       sc AS (SELECT tc.doc_id, sum(tc.c * lgf.fx) AS s
+              FROM tc JOIN lgf ON lgf.v = tc.c GROUP BY 1),
+       e AS (SELECT nd.doc_id, lgf.fx - (sc.s // nd.n) AS entropy_fx
+             FROM nd JOIN lgf ON lgf.v = nd.n JOIN sc USING (doc_id)),
+       j AS (
+         SELECT d.doc_id,
+           CAST(d.n_chars >= 300 AS VARCHAR) AS ca,
+           CAST(e.entropy_fx >= 4500000 AS VARCHAR) AS cb,
+           CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+             x -> x <> '')) >= 50 AS VARCHAR) AS cc
+         FROM documents d JOIN e ON d.doc_id = e.doc_id
+         WHERE d.n_chars IS NOT NULL),
+       r3 AS (
+         SELECT doc_id, ca AS c FROM j
+         UNION ALL SELECT doc_id, cb FROM j
+         UNION ALL SELECT doc_id, cc FROM j),
+       nij AS (SELECT doc_id, c, count(*) AS m FROM r3 GROUP BY 1, 2),
+       per AS (SELECT doc_id, sum(m) AS ri, sum(m * m) AS s1i
+               FROM nij GROUP BY 1),
+       hd AS (SELECT count(*) AS n_items, min(ri) AS n_raters,
+                sum(s1i) AS s1 FROM per),
+       s2t AS (SELECT sum(CAST(cj AS HUGEINT) * cj) AS s2
+               FROM (SELECT c, sum(m) AS cj FROM nij GROUP BY 1))
+       SELECT CAST(n_items AS BIGINT) AS n_items,
+         CAST(n_raters AS BIGINT) AS n_raters,
+         CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+         CAST((CAST(s1 AS HUGEINT) - n_items * n_raters)
+           * n_items * n_raters - s2 * (n_raters - 1) AS BIGINT)
+           AS kappa_num,
+         CAST((n_raters - 1) * (CAST(n_items AS HUGEINT) * n_items
+           * n_raters * n_raters - s2) AS BIGINT) AS kappa_den
+       FROM hd, s2t"""
+
+  // ------------------------------------------------------------------
+  // q211 — seasonal (hour-of-day) anomaly flags: q101's z-score test
+  // re-keyed on (event_type, hour-of-day) so each hourly bucket is
+  // judged against the SAME HOUR across days — the "is 3am traffic
+  // normal FOR 3am" monitoring question q101's global key cannot ask.
+  // Pure composition of Anomaly.zScoreFlags with a derived seasonal
+  // key; exact decimal comparison, no new operator.
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("bkt"))
+      .agg(count(lit(1)).as("v"))
+      .withColumn("hod", pmod(col("bkt"), lit(24L)))
+    graft.ops.Anomaly.zScoreFlags(
+        hourly, Seq("event_type", "hod"), col("v"), z = 2)
+      .select(col("event_type"), col("hod"), col("bkt"), col("v"),
+        col("n"), col("anomaly"))
+  }
+
+  private val q211Sql =
+    """WITH hourly AS (
+         SELECT event_type, epoch_us(ts) // 3600000000 AS bkt,
+           count(*) AS v
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+       keyed AS (SELECT event_type, bkt, v, bkt % 24 AS hod
+                 FROM hourly),
+       stats AS (
+         SELECT event_type, hod, count(*) AS n, sum(v) AS s,
+           sum(v * v) AS q
+         FROM keyed GROUP BY 1, 2)
+       SELECT h.event_type, h.hod, h.bkt, h.v, s.n,
+         (CAST(s.n AS HUGEINT) * h.v - s.s)
+           * (CAST(s.n AS HUGEINT) * h.v - s.s)
+           > 4 * (CAST(s.n AS HUGEINT) * s.q
+                  - CAST(s.s AS HUGEINT) * s.s) AS anomaly
+       FROM keyed h JOIN stats s
+         ON h.event_type = s.event_type AND h.hod = s.hod"""
+
+  // ------------------------------------------------------------------
+  // q212 — frequency-weighted linkage scores (extension:
+  // Dedup.frequencyWeightedLinkage): Fellegi-Sunter-style evidence
+  // over the part table's sorted neighborhood — agreeing on a RARE
+  // brand/type/size is strong evidence, a common one weak:
+  // w = ilog2Fx(N div f(v)) per agreeing field, summed. The oracle
+  // replays the SNM order, the three frequency dictionaries and the
+  // squaring-loop log.
+  private def q212(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.frequencyWeightedLinkage(t(s, dir, "part"),
+      col("p_partkey"), lower(col("p_name")),
+      Seq("brand" -> col("p_brand"), "type" -> col("p_type"),
+        "size" -> col("p_size")),
+      window = 5, minScoreFx = 1L)
+
+  private val q212Sql =
+    """WITH RECURSIVE d AS (
+         SELECT p_partkey AS id, lower(p_name) AS k, p_brand AS fb,
+           p_type AS ft, CAST(p_size AS VARCHAR) AS fs
+         FROM part WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+       nn AS (SELECT count(*) AS N FROM d),
+       qb AS (SELECT fb AS val, greatest(1, nn.N // count(*)) AS qv
+              FROM d, nn WHERE fb IS NOT NULL GROUP BY fb, nn.N),
+       qt AS (SELECT ft AS val, greatest(1, nn.N // count(*)) AS qv
+              FROM d, nn WHERE ft IS NOT NULL GROUP BY ft, nn.N),
+       qs AS (SELECT fs AS val, greatest(1, nn.N // count(*)) AS qv
+              FROM d, nn WHERE fs IS NOT NULL GROUP BY fs, nn.N),
+       vals(v) AS (
+         SELECT DISTINCT qv FROM qb
+         UNION SELECT DISTINCT qv FROM qt
+         UNION SELECT DISTINCT qv FROM qs),
+       powers AS (SELECT unnest(range(0,43)) AS e),
+       init AS (SELECT v, max(e) AS ipart FROM vals
+                JOIN powers ON (CAST(1 AS BIGINT) << e) <= v GROUP BY v),
+       lg AS (
+         SELECT v, ((v << 20) >> ipart) AS x, CAST(0 AS BIGINT) AS acc,
+           0 AS i FROM init
+         UNION ALL
+         SELECT v,
+           CASE WHEN x2 >= 2097152 THEN x2 >> 1 ELSE x2 END,
+           CASE WHEN x2 >= 2097152 THEN (acc << 1) | 1 ELSE acc << 1 END,
+           i + 1
+         FROM (SELECT v, (x*x) >> 20 AS x2, acc, i FROM lg WHERE i < 20)),
+       lgf AS (SELECT lg.v, init.ipart * 1048576 + lg.acc AS fx
+               FROM lg JOIN init USING (v) WHERE i = 20),
+       wb AS (SELECT qb.val, lgf.fx AS w FROM qb
+              JOIN lgf ON lgf.v = qb.qv),
+       wt AS (SELECT qt.val, lgf.fx AS w FROM qt
+              JOIN lgf ON lgf.v = qt.qv),
+       ws AS (SELECT qs.val, lgf.fx AS w FROM qs
+              JOIN lgf ON lgf.v = qs.qv),
+       r AS (SELECT id, k, fb, ft, fs,
+               ROW_NUMBER() OVER (ORDER BY k, id) AS rnk
+             FROM d),
+       p AS (SELECT a.id AS id1, b.id AS id2, b.rnk - a.rnk AS gap,
+               a.fb AS fb1, b.fb AS fb2, a.ft AS ft1, b.ft AS ft2,
+               a.fs AS fs1, b.fs AS fs2
+             FROM r a JOIN r b
+               ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5),
+       scored AS (
+         SELECT p.id1, p.id2, p.gap,
+           coalesce(wb.w, 0) AS w1, coalesce(wt.w, 0) AS w2,
+           coalesce(ws.w, 0) AS w3,
+           (CASE WHEN wb.w IS NOT NULL THEN 1 ELSE 0 END) AS a1,
+           (CASE WHEN wt.w IS NOT NULL THEN 1 ELSE 0 END) AS a2,
+           (CASE WHEN ws.w IS NOT NULL THEN 1 ELSE 0 END) AS a3
+         FROM p
+         LEFT JOIN wb ON p.fb1 = wb.val AND p.fb2 = wb.val
+         LEFT JOIN wt ON p.ft1 = wt.val AND p.ft2 = wt.val
+         LEFT JOIN ws ON p.fs1 = ws.val AND p.fs2 = ws.val)
+       SELECT id1, id2, CAST(gap AS BIGINT) AS gap,
+         CAST(a1 + a2 + a3 AS BIGINT) AS n_agree,
+         CAST(w1 + w2 + w3 AS BIGINT) AS score_fx
+       FROM scored WHERE w1 + w2 + w3 >= 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_linkage_scores" -> (q212 _),
+    "q211_seasonal_anomaly" -> (q211 _),
+    "q210_fleiss_kappa" -> (q210 _),
+    "q209_flesch" -> (q209 _),
     "q208_lead_lag" -> (q208 _),
     "q207_bootstrap_ci" -> (q207 _),
     "q206_quantile_map" -> (q206 _),
@@ -10109,6 +10347,10 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q212_linkage_scores" -> q212Sql,
+    "q211_seasonal_anomaly" -> q211Sql,
+    "q210_fleiss_kappa" -> q210Sql,
+    "q209_flesch" -> q209Sql,
     "q208_lead_lag" -> q208Sql,
     "q207_bootstrap_ci" -> q207Sql,
     "q206_quantile_map" -> q206Sql,

@@ -2198,4 +2198,105 @@ object Dedup {
       .select(col("id1"), col("id2"), col("key1"), col("key2"),
         col("gap"))
   }
+
+  /** FREQUENCY-WEIGHTED record-linkage scores over the sorted
+    * neighborhood — the Fellegi–Sunter idea with the deterministic,
+    * replayable weight the literature's EM step cannot give:
+    * agreeing on a RARE field value is strong evidence, agreeing on
+    * a common one is weak, so an agreeing field contributes
+    *
+    *   w_fx = ilog2Fx( max(1, N div f(v)) )          (2^20 scale)
+    *
+    * — the self-information of the shared value (N corpus rows,
+    * f(v) the value's frequency; a field where everyone agrees
+    * scores 0 by construction). Candidates come from
+    * [[sortedNeighborhoodPairs]] on the blocking key; the score is
+    * the sum over agreeing fields (NULL never agrees), n_agree
+    * counts them.
+    *
+    * Scale shape: candidate volume is SNM's exact n·window; field
+    * values ride two id-keyed joins onto the pairs; each field's
+    * weight dictionary is its value-distinct count — LOUD ≤ 2^16 cap
+    * per field (linkage fields are categorical; free text belongs in
+    * the key, not here) so every dictionary broadcasts, with the
+    * exact log kernel a typed map over the dictionary only.
+    * Parallelism source: the SNM range exchange and the id-keyed
+    * joins.
+    *
+    * @param fields (name, column) categorical agreement fields
+    * @return (id1, id2, gap, n_agree, score_fx), score_fx >= minScoreFx
+    */
+  def frequencyWeightedLinkage(
+      df: DataFrame,
+      idCol: Column,
+      keyCol: Column,
+      fields: Seq[(String, Column)],
+      window: Int = 5,
+      minScoreFx: Long = 1L,
+      maxDistinct: Int = 1 << 16): DataFrame = {
+    require(fields.nonEmpty, "frequencyWeightedLinkage needs >= 1 field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      s"duplicate field names: ${fields.map(_._1)}")
+    val spark = df.sparkSession
+    val base = df.select((idCol.cast("long").as("id") +:
+        keyCol.cast("string").as("k") +:
+        fields.map { case (n, c) => c.cast("string").as(s"f_$n") }): _*)
+      .filter(col("id").isNotNull && col("k").isNotNull)
+      .localCheckpoint(true)
+    val n1 = base.agg(count(lit(1)).as("N")).localCheckpoint(true)
+    // per-field weight dictionary: (value, w_fx), value-distinct-sized,
+    // loudly capped, exact log kernel over the dictionary only
+    val dicts: Map[String, DataFrame] = fields.map { case (name, _) =>
+      val freq = base.filter(col(s"f_$name").isNotNull)
+        .groupBy(col(s"f_$name").as("v"))
+        .agg(count(lit(1)).as("f"))
+      val capped = freq.crossJoin(broadcast(n1))
+        .withColumn("__nd", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))))
+        .withColumn("__nd", when(col("__nd") <= maxDistinct, col("__nd"))
+          .otherwise(raise_error(concat(lit(
+            s"frequencyWeightedLinkage field $name distinct cap " +
+            s"$maxDistinct exceeded (categorical fields only), got "),
+            col("__nd")))))
+        .withColumn("q", expr("greatest(1L, N div f)"))
+        .select(col("v"), col("q"))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(capped.schema("v"),
+        StructField("w_fx", LongType, false)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      name -> capped.mapPartitions { rows =>
+        rows.map { r =>
+          org.apache.spark.sql.Row(r.getString(0),
+            graft.functions.Dsir.ilog2Fx(r.getLong(1)))
+        }
+      }(enc).localCheckpoint(true)
+    }.toMap
+    val pairs = sortedNeighborhoodPairs(base, col("id"), col("k"), window)
+      .select(col("id1"), col("id2"), col("gap"))
+    val fcols = fields.map { case (n, _) => s"f_$n" }
+    val withF = pairs
+      .join(base.select((col("id").as("id1") +:
+        fcols.map(c => col(c).as(s"${c}_1"))): _*), Seq("id1"))
+      .join(base.select((col("id").as("id2") +:
+        fcols.map(c => col(c).as(s"${c}_2"))): _*), Seq("id2"))
+    val scored = fields.foldLeft(withF) { case (acc, (name, _)) =>
+      val d = dicts(name)
+        .select(col("v").as(s"__v_$name"), col("w_fx").as(s"__w_$name"))
+      acc.join(broadcast(d),
+          acc(s"f_${name}_1") === d(s"__v_$name") &&
+          acc(s"f_${name}_2") === d(s"__v_$name"), "left")
+        .drop(s"__v_$name")
+    }
+    val wCols = fields.map { case (n, _) => coalesce(col(s"__w_$n"), lit(0L)) }
+    val aCols = fields.map { case (n, _) =>
+      when(col(s"__w_$n").isNotNull, 1L).otherwise(0L) }
+    scored
+      .withColumn("score_fx", wCols.reduce(_ + _))
+      .withColumn("n_agree", aCols.reduce(_ + _))
+      .filter(col("score_fx") >= minScoreFx)
+      .select(col("id1"), col("id2"), col("gap"), col("n_agree"),
+        col("score_fx"))
+  }
 }

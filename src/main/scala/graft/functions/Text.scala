@@ -413,4 +413,36 @@ object Text {
         regexp_replace(c, EmailRe, "[EMAIL]"),
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
+
+  /** EXACT Flesch reading ease in milli-points — the readability
+    * score every quality pipeline wants and most implement with
+    * float syllable heuristics that never replay. Integer
+    * formulation (206.835 − 1.015·W/S − 84.6·Y/W, scaled ×1000):
+    *
+    *   flesch_mil = 206835 − (1015·W) div S − (84600·Y) div W
+    *
+    * with W = whitespace tokens, S = sentence-boundary runs
+    * ([.!?]+, floored at 1 — a fragment is one sentence), and Y =
+    * vowel-group count ([aeiouy]+ over the lowercased text — the
+    * classic syllable proxy; vowel groups never span whitespace, so
+    * the whole-text count equals the per-word sum). Both divisions
+    * truncate on non-negative operands — every engine agrees.
+    * Clamped nowhere: genuinely unreadable text goes negative, and
+    * that is signal, not error. Returns NULL when W = 0 (readability
+    * of nothing is undefined) — callers filter or coalesce.
+    *
+    * Map-only column expression: fuses into the scan, no shuffle.
+    */
+  def fleschMil(c: Column): Column = {
+    // exact truncating division on non-negative longs: (a − a mod b)
+    // is a multiple of b, and multiple/b is exact in double for the
+    // word/syllable magnitudes here (< 2^40 product)
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = tokenCount(c).cast("long")
+    val s = greatest(lit(1L), regexp_count(c, lit("[.!?]+")).cast("long"))
+    val y = regexp_count(lower(c), lit("[aeiouy]+")).cast("long")
+    when(w > 0L,
+      lit(206835L) - idiv(lit(1015L) * w, s) - idiv(lit(84600L) * y, w))
+  }
 }

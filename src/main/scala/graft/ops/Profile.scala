@@ -1211,4 +1211,78 @@ object Profile {
         (col("n_d") * lit(l10) - col("n") * col("__delta"))
           .as("dev_fx"))
   }
+
+  /** EXACT Fleiss kappa — [[cohenKappa]]'s multi-rater
+    * generalization: chance-corrected agreement when EVERY item gets
+    * the same number n of categorical judgments (n raters, or n
+    * model/heuristic judges — the LLM-judge ensemble case). With
+    * per-(item, category) counts n_ij, N items, S1 = Σ n_ij²,
+    * category totals C_j and S2 = Σ C_j²:
+    *
+    *   kappa_num = (S1 − N·n)·N·n − S2·(n − 1)
+    *   kappa_den = (n − 1)·(N²·n² − S2)
+    *
+    * (the closed form of (P̄ − P̄e)/(1 − P̄e) with both sides
+    * multiplied through — the division is deliberately NOT performed,
+    * the [[cohenKappa]] precedent; perfect universal agreement on one
+    * category makes den 0, the visible "undefined" signal).
+    *
+    * Loud domains: every item must carry exactly the same judgment
+    * count (a missing judgment silently biases P̄ — raise instead),
+    * and N·n < 2^31 keeps N²n² inside a long. One judgment per
+    * (item, rater) is the caller's contract (duplicates count twice).
+    *
+    * Shape: one (item, category) count (map-side combined), one
+    * item-sized rollup, one category-sized rollup, a 1-row join.
+    * Parallelism source: the counting passes.
+    *
+    * @return one row (n_items, n_raters, s1, s2, kappa_num, kappa_den);
+    *   zero rows on empty input
+    */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: org.apache.spark.sql.Column,
+      raterCol: org.apache.spark.sql.Column,
+      categoryCol: org.apache.spark.sql.Column): DataFrame = {
+    val r = df.select(itemCol.as("i"), raterCol.as("r"),
+        categoryCol.cast("string").as("c"))
+      .filter(col("i").isNotNull && col("r").isNotNull &&
+        col("c").isNotNull)
+    val nij = r.groupBy("i", "c").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val per = nij.groupBy("i")
+      .agg(sum(col("m")).as("ri"),
+        sum(col("m") * col("m")).as("s1i"))
+    val head = per.agg(count(lit(1)).as("n_items"),
+        min(col("ri")).as("__rmin"), max(col("ri")).as("__rmax"),
+        sum(col("s1i")).as("s1"))
+      .filter(col("n_items") > 0L)
+      .withColumn("n_raters",
+        when(col("__rmin") === col("__rmax"), col("__rmin"))
+          .otherwise(raise_error(concat(
+            lit("fleissKappa needs an equal judgment count per item, " +
+              "got min "), col("__rmin"), lit(" max "), col("__rmax")))))
+      .withColumn("n_raters",
+        when(col("n_items") * col("n_raters") < lit(1L << 31),
+          col("n_raters"))
+        .otherwise(raise_error(concat(
+          lit("fleissKappa domain is N*n < 2^31, got "),
+          col("n_items") * col("n_raters")))))
+    val s2 = nij.groupBy("c").agg(sum(col("m")).as("cj"))
+      .agg(coalesce(sum((col("cj") * col("cj")).cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("s2"))
+    // num/den ride DECIMAL(38,0) (N²n³ can pass 2^63 inside the N·n <
+    // 2^31 domain); the final long cast throws loudly on overflow
+    head.crossJoin(s2)
+      .withColumn("__nn",
+        (col("n_items") * col("n_raters")).cast("decimal(38,0)"))
+      .select(col("n_items"), col("n_raters"), col("s1"),
+        col("s2").cast("long").as("s2"),
+        ((col("s1").cast("decimal(38,0)") - col("__nn")) * col("__nn")
+          - col("s2") * (col("n_raters") - 1L))
+          .cast("long").as("kappa_num"),
+        ((col("n_raters") - 1L).cast("decimal(38,0)") *
+          (col("__nn") * col("__nn") - col("s2")))
+          .cast("long").as("kappa_den"))
+  }
 }

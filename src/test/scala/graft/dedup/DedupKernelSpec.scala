@@ -616,4 +616,61 @@ class DedupKernelSpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("recall_bp")))
     assert(r3.isNullAt(r3.fieldIndex("f1_bp")))
   }
+
+  test("frequencyWeightedLinkage == brute SNM + self-information " +
+      "model; a field everyone shares scores 0; rarer agreement " +
+      "outweighs common agreement; NULL never agrees") {
+    import spark.implicits._
+    import graft.functions.Dsir
+    // keys cluster aa*/ab*; fields: brand (rare values), kind
+    // (constant — must contribute 0), size (one NULL)
+    val rows = Seq(
+      (1L, "aaa", "b1", "k", "10"),
+      (2L, "aab", "b1", "k", "10"),
+      (3L, "aac", "b2", "k", null),
+      (4L, "aba", "b2", "k", "20"),
+      (5L, "abb", "b3", "k", "10"))
+    val df = rows.toDF("id", "k", "brand", "kind", "size")
+    val n = rows.length.toLong
+    def weight(vals: Seq[String], v: String): Long =
+      if (v == null) 0L
+      else Dsir.ilog2Fx(math.max(1L,
+        n / vals.count(x => x != null && x == v)))
+    val brands = rows.map(_._3); val kinds = rows.map(_._4)
+    val sizes = rows.map(_._5)
+    def brute(w: Int): Set[(Long, Long, Long, Long, Long)] = {
+      val sorted = rows.sortBy { case (id, k, _, _, _) => (k, id) }
+      (for {
+        i <- sorted.indices
+        j <- (i + 1) to math.min(i + w, sorted.length - 1)
+      } yield {
+        val (a, b) = (sorted(i), sorted(j))
+        val fs = Seq(
+          (brands, a._3, b._3), (kinds, a._4, b._4),
+          (sizes, a._5, b._5))
+        val agree = fs.filter { case (_, x, y) =>
+          x != null && y != null && x == y }
+        val score = agree.map { case (vs, x, _) => weight(vs, x) }.sum
+        (a._1, b._1, (j - i).toLong, agree.size.toLong, score)
+      }).filter(_._5 >= 1L).toSet
+    }
+    val got = Dedup.frequencyWeightedLinkage(df, col("id"), col("k"),
+        Seq("brand" -> col("brand"), "kind" -> col("kind"),
+          "size" -> col("size")), window = 2, minScoreFx = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == brute(2))
+    // the constant field scores 0: every surviving pair's score is
+    // explained by brand/size alone, and ilog2Fx(n/n)=ilog2Fx(1)=0
+    assert(weight(kinds, "k") == 0L)
+    // rarer agreement outweighs common: brand b1 (f=2, w=ilog2(2))
+    // vs size 10 (f=3, w=ilog2(1)=0 since 5 div 3 = 1)
+    assert(weight(brands, "b1") > weight(sizes, "10"))
+    intercept[IllegalArgumentException](Dedup.frequencyWeightedLinkage(
+      df, col("id"), col("k"), Seq.empty))
+    intercept[IllegalArgumentException](Dedup.frequencyWeightedLinkage(
+      df, col("id"), col("k"),
+      Seq("a" -> col("brand"), "a" -> col("kind"))))
+  }
 }

@@ -345,4 +345,35 @@ class FunctionsSpec extends SparkSpec {
     // case-insensitive block tags
     assert(sh("<SCRIPT>var a;</SCRIPT>done<STYLE>b</STYLE>") == "done")
   }
+
+  test("fleschMil == plain-Scala integer model; fragments count one " +
+      "sentence; vowel groups proxy syllables; empty text is NULL") {
+    import spark.implicits._
+    def model(text: String): Option[Long] = {
+      val w = text.split("\\s+").count(_.nonEmpty).toLong
+      if (w == 0) None else {
+        val s = math.max(1L,
+          "[.!?]+".r.findAllIn(text).length.toLong)
+        val y = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+        Some(206835L - (1015L * w) / s - (84600L * y) / w)
+      }
+    }
+    val texts = Seq(
+      "The cat sat on the mat. It was happy!",
+      "no punctuation fragment",
+      "Incomprehensibility notwithstanding, parallelization terminated.",
+      "a e i o u",
+      "    ",
+      "Multi. Sentence? Text! With... runs?!")
+    val got = texts.toDF("tx")
+      .select(col("tx"), graft.functions.Text.fleschMil(col("tx")))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    texts.foreach { t => assert(got(t) == model(t), s"text: '$t'") }
+    // whitespace-only text has no words -> NULL
+    assert(got("    ").isEmpty)
+    // short common words read easier than latinate mouthfuls
+    assert(got(texts.head).get > got(texts(2)).get)
+  }
 }

@@ -760,4 +760,55 @@ class ProfileSpec extends SparkSpec {
       Seq.empty[(String, Long)].toDF("g", "v"),
       col("g"), col("v")).collect().isEmpty)
   }
+
+  test("fleissKappa == hand model; perfect cross-category agreement " +
+      "gives num == den; universal one-category agreement signals " +
+      "den 0; unequal judgment counts raise loudly") {
+    import spark.implicits._
+    // 4 items x 3 raters, 2 categories — the worked-example shape
+    val ratings = Seq(
+      (1L, "r1", "x"), (1L, "r2", "x"), (1L, "r3", "y"),
+      (2L, "r1", "y"), (2L, "r2", "y"), (2L, "r3", "y"),
+      (3L, "r1", "x"), (3L, "r2", "y"), (3L, "r3", "x"),
+      (4L, "r1", "x"), (4L, "r2", "x"), (4L, "r3", "x"))
+    def model(rs: Seq[(Long, String, String)]) = {
+      val nij = rs.groupBy(r => (r._1, r._3)).map(_._2.size.toLong)
+      val items = rs.map(_._1).distinct.size.toLong
+      val n = 3L
+      val s1 = nij.map(m => m * m).sum
+      val s2 = rs.groupBy(_._3).map(_._2.size.toLong)
+        .map(c => c * c).sum
+      ((s1 - items * n) * items * n - s2 * (n - 1),
+        (n - 1) * (items * items * n * n - s2), items, s1, s2)
+    }
+    val (mn, md, mi, ms1, ms2) = model(ratings)
+    val got = Profile.fleissKappa(ratings.toDF("i", "r", "c"),
+      col("i"), col("r"), col("c")).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == mi && r.getLong(1) == 3L)
+    assert(r.getLong(2) == ms1 && r.getLong(3) == ms2)
+    assert(r.getLong(4) == mn && r.getLong(5) == md)
+    // perfect agreement with BOTH categories used: kappa = 1 exactly
+    val perfect = Seq(
+      (1L, "r1", "x"), (1L, "r2", "x"),
+      (2L, "r1", "y"), (2L, "r2", "y"))
+    val p = Profile.fleissKappa(perfect.toDF("i", "r", "c"),
+      col("i"), col("r"), col("c")).collect()(0)
+    assert(p.getLong(4) == p.getLong(5) && p.getLong(5) != 0L)
+    // universal agreement on ONE category: den 0 (undefined, visible)
+    val uni = Seq((1L, "r1", "x"), (1L, "r2", "x"),
+      (2L, "r1", "x"), (2L, "r2", "x"))
+    val u = Profile.fleissKappa(uni.toDF("i", "r", "c"),
+      col("i"), col("r"), col("c")).collect()(0)
+    assert(u.getLong(5) == 0L)
+    // ragged judgment counts raise loudly
+    intercept[Exception](Profile.fleissKappa(
+      (ratings :+ ((4L, "r4", "x"))).toDF("i", "r", "c"),
+      col("i"), col("r"), col("c")).collect())
+    // empty input -> zero rows
+    assert(Profile.fleissKappa(
+      Seq.empty[(Long, String, String)].toDF("i", "r", "c"),
+      col("i"), col("r"), col("c")).collect().isEmpty)
+  }
 }
