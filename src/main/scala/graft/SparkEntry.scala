@@ -10044,7 +10044,88 @@ object SparkEntry {
          CAST(w1 + w2 + w3 AS BIGINT) AS score_fx
        FROM scored WHERE w1 + w2 + w3 >= 1"""
 
+  // ------------------------------------------------------------------
+  // q213 — hashing-trick features (extension: Encoding.hashFeatures):
+  // token -> md5 slot in [0, 512), per-document sparse slot counts —
+  // the no-vocabulary featurizer with fixed output width at any
+  // corpus size. The oracle replays the md5 hex-prefix mod (the q91
+  // DSIR bucket idiom).
+  private def q213(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.hashFeatures(t(s, dir, "documents"),
+      col("doc_id"), col("text"), dim = 512)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q213Sql =
+    """WITH toks AS (
+         SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS t
+         FROM documents WHERE doc_id IS NOT NULL),
+       bt AS (
+         SELECT doc_id,
+           CAST(list_sum([(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1)
+             * CAST(pow(16, 8 - j) AS BIGINT) for j in range(1, 9)])
+             % 512 AS BIGINT) AS slot
+         FROM toks)
+       SELECT doc_id, slot, count(*) AS n FROM bt GROUP BY 1, 2"""
+
+  // ------------------------------------------------------------------
+  // q214 — frequency-ranked vocabulary index (extension:
+  // Encoding.vocabIndex): the deterministic StringIndexer — term ->
+  // 1-based index by (freq DESC, term ASC) through the runningTotal
+  // range exchange (an open vocabulary never meets a one-partition
+  // ROW_NUMBER window), hapax tail cut before ranking so indices
+  // stay dense.
+  private def q214(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.vocabIndex(t(s, dir, "documents"),
+      col("text"), minCount = 5L)
+
+  private val q214Sql =
+    """WITH toks AS (
+         SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS t
+         FROM documents),
+       c AS (SELECT t AS term, count(*) AS freq FROM toks
+             GROUP BY 1 HAVING count(*) >= 5)
+       SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS idx
+       FROM c"""
+
+  // ------------------------------------------------------------------
+  // q215 — leave-one-out target encoding (extension:
+  // Encoding.looTargetEncode): each lineitem row gets the mean price
+  // of the OTHER rows of its return flag — the category feature that
+  // does not leak its own label; singletons emit NULL (impute
+  // deliberately). TRUE-FLOOR 2^20 fixed point.
+  private def q215(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.looTargetEncode(t(s, dir, "lineitem"),
+      expr("l_orderkey * 10 + l_linenumber"), col("l_returnflag"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 " +
+        "AS BIGINT)"))
+      .withColumnRenamed("cat", "l_returnflag")
+
+  private val q215Sql =
+    """WITH b AS (
+         SELECT l_orderkey * 10 + l_linenumber AS id,
+           l_returnflag AS cat,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+             AS BIGINT) AS v
+         FROM lineitem
+         WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+           AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+       s AS (SELECT cat, count(*) AS n, sum(CAST(v AS HUGEINT)) AS sv
+             FROM b GROUP BY 1)
+       SELECT id, b.cat AS l_returnflag, v,
+         CASE WHEN n > 1 THEN CAST(((sv - v) * 1048576) // (n - 1)
+           - (CASE WHEN sv - v < 0 AND
+             ((sv - v) * 1048576) % (n - 1) != 0
+             THEN 1 ELSE 0 END) AS BIGINT) END AS loo_fx
+       FROM b JOIN s ON b.cat = s.cat"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_loo_target_encode" -> (q215 _),
+    "q214_vocab_index" -> (q214 _),
+    "q213_hash_features" -> (q213 _),
     "q212_linkage_scores" -> (q212 _),
     "q211_seasonal_anomaly" -> (q211 _),
     "q210_fleiss_kappa" -> (q210 _),
@@ -10347,6 +10428,9 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q215_loo_target_encode" -> q215Sql,
+    "q214_vocab_index" -> q214Sql,
+    "q213_hash_features" -> q213Sql,
     "q212_linkage_scores" -> q212Sql,
     "q211_seasonal_anomaly" -> q211Sql,
     "q210_fleiss_kappa" -> q210Sql,
