@@ -10122,7 +10122,55 @@ object SparkEntry {
              THEN 1 ELSE 0 END) AS BIGINT) END AS loo_fx
        FROM b JOIN s ON b.cat = s.cat"""
 
+  // ------------------------------------------------------------------
+  // q216 — survivorship (extension: Dedup.survivorship): the
+  // canonical-record election that finishes the entity-resolution
+  // chain — q37's duplicate clusters (minhash LSH -> connected
+  // components) electing, per cluster, the modal lang and source
+  // under the (count DESC, value ASC) tie order, canonical id = the
+  // smallest member. The oracle extends q37's replay with the
+  // count/max/min election CTEs.
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.dedup.Components.connectedComponents(
+      graft.dedup.Dedup.minhashLsh(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 8, numHashes = 12, bands = 3, threshold = 0.3,
+        maxBucketSize = 1000))
+    graft.dedup.Dedup.survivorship(clusters, t(s, dir, "documents"),
+      col("id"), col("component"), col("doc_id"),
+      Seq("lang" -> col("lang"), "source" -> col("source")))
+  }
+
+  private val q216Sql: String = q37Sql.replace(
+    "SELECT id, component FROM comp",
+    """, j AS (
+         SELECT c.component AS cl, c.id, d.lang, d.source
+         FROM comp c JOIN documents d ON d.doc_id = c.id),
+       hd AS (SELECT cl, min(id) AS canonical_id,
+                count(*) AS n_members
+              FROM j GROUP BY 1),
+       m AS (
+         SELECT cl, 'lang' AS fld, lang AS v FROM j
+           WHERE lang IS NOT NULL
+         UNION ALL
+         SELECT cl, 'source', source FROM j WHERE source IS NOT NULL),
+       cnt AS (SELECT cl, fld, v, count(*) AS c FROM m GROUP BY 1, 2, 3),
+       cm AS (SELECT cl, fld, max(c) AS cmax FROM cnt GROUP BY 1, 2),
+       el AS (SELECT cnt.cl, cnt.fld, min(cnt.v) AS win
+              FROM cnt JOIN cm ON cnt.cl = cm.cl AND cnt.fld = cm.fld
+                AND cnt.c = cm.cmax
+              GROUP BY 1, 2),
+       wide AS (
+         SELECT cl,
+           max(CASE WHEN fld = 'lang' THEN win END) AS lang,
+           max(CASE WHEN fld = 'source' THEN win END) AS source
+         FROM el GROUP BY 1)
+       SELECT hd.cl AS cluster, hd.canonical_id, hd.n_members,
+         w.lang, w.source
+       FROM hd LEFT JOIN wide w ON hd.cl = w.cl""")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_survivorship" -> (q216 _),
     "q215_loo_target_encode" -> (q215 _),
     "q214_vocab_index" -> (q214 _),
     "q213_hash_features" -> (q213 _),
@@ -10428,6 +10476,7 @@ object SparkEntry {
     "q116_label_agreement" -> q116Sql,
     "q117_ngram_containment" -> q117Sql,
     "q118_source_boilerplate" -> q118Sql,
+    "q216_survivorship" -> q216Sql,
     "q215_loo_target_encode" -> q215Sql,
     "q214_vocab_index" -> q214Sql,
     "q213_hash_features" -> q213Sql,

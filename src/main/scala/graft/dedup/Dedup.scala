@@ -2299,4 +2299,86 @@ object Dedup {
       .select(col("id1"), col("id2"), col("gap"), col("n_agree"),
         col("score_fx"))
   }
+
+  /** SURVIVORSHIP — the canonical-record election that finishes the
+    * entity-resolution chain (blocking → linkage →
+    * [[Components.connectedComponents]] → THIS): per duplicate
+    * cluster, each field independently takes its MODAL value with a
+    * total tie order (count DESC, value ASC), the master-data
+    * "majority vote" rule — deterministic, so two runs (or two
+    * engines) elect identical masters. NULLs never vote; a field
+    * whose cluster is all-NULL survives as NULL (the honest answer).
+    * The canonical id is the cluster's smallest member id — stable
+    * under member reordering and the convention components already
+    * uses for cluster labels.
+    *
+    * Scale shape: one melt (member × field rows), one
+    * (cluster, field, value) count, the per-(cluster, field) modal
+    * pick through a max_by-style struct aggregate (ordered struct
+    * comparison — no rank window), one pivot-back via conditional
+    * aggregation over the FIXED field list. Every exchange is keyed
+    * by cluster; nothing buffers a cluster in memory beyond its
+    * distinct (field, value) cells. Parallelism source: the
+    * cluster-keyed counts.
+    *
+    * @param clusters (idCol → clusterCol) membership, e.g.
+    *   connectedComponents output
+    * @param records (idCol, fields...) source records
+    * @param fields (name, column) fields to elect
+    * @return (cluster, canonical_id, n_members, <name>... elected
+    *   values as strings)
+    */
+  def survivorship(
+      clusters: DataFrame,
+      records: DataFrame,
+      clusterIdCol: Column,
+      clusterLabelCol: Column,
+      recordIdCol: Column,
+      fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "survivorship needs >= 1 field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      s"duplicate field names: ${fields.map(_._1)}")
+    val mem = clusters.select(clusterIdCol.cast("long").as("id"),
+        clusterLabelCol.cast("long").as("cl"))
+      .filter(col("id").isNotNull && col("cl").isNotNull)
+    val rec = records.select((recordIdCol.cast("long").as("rid") +:
+      fields.map { case (n, c) => c.cast("string").as(s"f_$n") }): _*)
+    val joined = mem.join(rec, col("id") === col("rid"))
+      .localCheckpoint(true)
+    val head = joined.groupBy(col("cl"))
+      .agg(min(col("id")).as("canonical_id"),
+        count(lit(1)).as("n_members"))
+    // melt to (cl, field, value); NULLs never vote
+    val melted = fields.map { case (n, _) =>
+      joined.select(col("cl"), lit(n).as("fld"),
+        col(s"f_$n").as("v")).filter(col("v").isNotNull)
+    }.reduce(_ unionAll _)
+    // modal value per (cl, field) with the (count DESC, value ASC)
+    // tie order, as two cell-sized aggregations — max count, then
+    // min value among the tied — no rank window, no fragile
+    // order-inversion encodings
+    val counted = melted.groupBy("cl", "fld", "v")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val cmax = counted.groupBy(col("cl").as("__cl"), col("fld").as("__fld"))
+      .agg(max(col("c")).as("__cmax"))
+    // (cluster × field)-sized on both sides — a cluster-keyed shuffle
+    // join, deliberately NOT broadcast (clusters scale with the corpus)
+    val elected = counted.join(cmax,
+        col("cl") === col("__cl") && col("fld") === col("__fld") &&
+        col("c") === col("__cmax"))
+      .groupBy("cl", "fld")
+      .agg(min(col("v")).as("win"))
+    // pivot back over the FIXED field list in ONE conditional
+    // aggregation (never a per-field join chain), then a single
+    // cluster-keyed join onto the head
+    val aggs = fields.map { case (n, _) =>
+      max(when(col("fld") === n, col("win"))).as(n) }
+    val wide = elected.groupBy(col("cl").as("__cl"))
+      .agg(aggs.head, aggs.tail: _*)
+    head.join(wide, col("cl") === col("__cl"), "left")
+      .select((col("cl").as("cluster") +:
+        col("canonical_id") +: col("n_members") +:
+        fields.map { case (n, _) => col(n) }): _*)
+  }
 }

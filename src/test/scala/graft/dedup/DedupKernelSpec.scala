@@ -673,4 +673,43 @@ class DedupKernelSpec extends SparkSpec {
       df, col("id"), col("k"),
       Seq("a" -> col("brand"), "a" -> col("kind"))))
   }
+
+  test("survivorship == modal-election model with (count DESC, value " +
+      "ASC) ties; NULLs never vote; all-NULL fields survive NULL; " +
+      "canonical id is the smallest member") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),   // cluster 10: members 1,2,3
+      (5L, 50L), (6L, 50L))              // cluster 50: members 5,6
+    val records = Seq(
+      // cluster 10: lang en,en,de -> en; src a,b,NULL -> tie a/b -> a
+      (1L, "en", "a"), (2L, "en", "b"), (3L, "de", null),
+      // cluster 50: lang NULL,NULL -> NULL; src z,z -> z
+      (5L, null, "z"), (6L, null, "z"),
+      (9L, "xx", "yy"))                  // not in any cluster
+    val got = Dedup.survivorship(
+        clusters.toDF("id", "component"),
+        records.toDF("doc_id", "lang", "source"),
+        col("id"), col("component"), col("doc_id"),
+        Seq("lang" -> col("lang"), "source" -> col("source")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toMap
+    assert(got.size == 2)
+    assert(got(10L) == (1L, 3L, Some("en"), Some("a")))
+    assert(got(50L) == (5L, 2L, None, Some("z")))
+    // a three-way modal tie elects the lexicographically smallest
+    val tieClusters = Seq((1L, 7L), (2L, 7L), (3L, 7L))
+    val tieRecs = Seq((1L, "c"), (2L, "b"), (3L, "d"))
+    val tie = Dedup.survivorship(tieClusters.toDF("id", "component"),
+        tieRecs.toDF("doc_id", "f"),
+        col("id"), col("component"), col("doc_id"),
+        Seq("f" -> col("f")))
+      .collect()(0)
+    assert(tie.getString(3) == "b")
+    intercept[IllegalArgumentException](Dedup.survivorship(
+      clusters.toDF("id", "component"),
+      records.toDF("doc_id", "lang", "source"),
+      col("id"), col("component"), col("doc_id"), Seq.empty))
+  }
 }
