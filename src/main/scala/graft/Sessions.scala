@@ -81,5 +81,15 @@ object Sessions {
       // which is the correct regime for key counts that outgrow memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 18).toString)
+      // A terminated streaming query's state-store providers (and their
+      // in-heap version maps — the stream-stream join holds both sides)
+      // are only unloaded by the maintenance sweep, default every 60 s:
+      // in a session that runs many short streaming queries (the bench
+      // suite, any orchestrated pipeline), up to a minute of DEAD state
+      // stays pinned per query, charged as GC pressure to whatever runs
+      // next. 15 s bounds that lingering 4× tighter; for the queries
+      // themselves the sweep is a no-op (they run seconds, snapshots
+      // barely ever fire mid-run).
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
       .withExtensions(registerExtensions)
 }
