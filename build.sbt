@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // execution-memory grant just builds deeper agg maps before
   // spilling. Do not "upgrade" this without re-running that A/B.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+// measurement hook: extra -D flags for config A/Bs (Spark adopts
+// spark.* system properties as conf defaults) without editing code —
+// e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.join.preferSortMergeJoin=false"
+sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

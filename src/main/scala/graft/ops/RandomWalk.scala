@@ -46,7 +46,9 @@ object RandomWalk {
       .withColumn("rk",
         row_number().over(Window.partitionBy("u").orderBy("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val degs = adj.groupBy("u").agg(max("rk").as("d"))
+    // node-sized, probed once per step: materialized ONCE instead of
+    // re-aggregating the cached adjacency every step
+    val degs = adj.groupBy("u").agg(max("rk").as("d")).localCheckpoint()
     val s0 = starts.select(startCol.as("walk_id"))
       .filter(col("walk_id").isNotNull).distinct()
       .select(col("walk_id"), lit(0L).as("step"),
@@ -65,13 +67,24 @@ object RandomWalk {
             conv(substring(md5(concat(col("walk_id").cast("string"),
               lit("#" + t + ":" + salt))), 1, 13), 16, 10).cast("long"),
             col("d")) + 1L).as("pick"))
+      // EAGER cut per step (walk-count-sized rows): frontier t's
+      // lineage otherwise chains through every earlier step, and the
+      // final union re-executes step 1 `steps` times, step 2
+      // `steps−1` times, … — O(steps²) joins in one plan (the q148
+      // plan carried 83 Exchanges before this). Checkpointing makes
+      // each step run exactly once and the union a plain scan of
+      // `steps`+1 tiny tables.
       frontier = picked
         .join(adj, picked("node") === adj("u") &&
           picked("pick") === adj("rk"))
         .select(col("walk_id"), lit(t.toLong).as("step"),
           col("v").as("node"))
+        .localCheckpoint()
       out = out.union(frontier)
     }
+    // every frontier is materialized — the cached adjacency has no
+    // remaining consumer, so the session carries no cache debt out
+    adj.unpersist(false)
     out
   }
 }
