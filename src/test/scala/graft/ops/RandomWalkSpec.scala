@@ -54,4 +54,19 @@ class RandomWalkSpec extends SparkSpec {
         starts.toDF("w"), col("w"), steps = 0, salt = "rw")
     }
   }
+
+  test("per-step frontier checkpoint: the returned union plans no " +
+      "joins (each step executed exactly once, round-17 shape pin)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L))
+    val out = RandomWalk.walks(
+      edges.toDF("s", "d"), col("s"), col("d"),
+      Seq(1L, 2L).toDF("w"), col("w"), steps = 6, salt = "rw")
+    // Before the round-17 fix the lazily-chained frontiers re-planned
+    // every earlier step per union arm: steps=6 carried O(steps^2)
+    // joins (q148's plan had 83 Exchanges). With the per-step eager
+    // cut, the final plan is s0 ∪ checkpointed scans — join-free.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
 }
