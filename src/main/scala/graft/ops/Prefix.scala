@@ -69,6 +69,8 @@ object Prefix {
       storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
     require(valueCols.nonEmpty, "runningTotals needs >= 1 value column")
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
@@ -77,26 +79,32 @@ object Prefix {
       .sortWithinPartitions(orderCol)
       .persist(storageLevel) // both passes MUST read this same layout
 
-    val vIdxs = valueCols.map { case (v, _) => ranged.schema.fieldIndex(v) }
-    val names = valueCols.map(_._1)
-    def valueOf(r: org.apache.spark.sql.Row, j: Int): Long =
-      r.get(vIdxs(j)) match {
-        case l: Long => l
-        case i: Int => i.toLong
-        case null => 0L
-        case other => throw new IllegalArgumentException(
-          s"${names(j)} must be integral, got $other")
-      }
+    val vIdxs = valueCols.map { case (v, _) =>
+      ranged.schema.fieldIndex(v) }.toArray
+    val isLong = integralFlags(ranged.schema, valueCols.map(_._1))
     val k = vIdxs.length
+
+    // Both passes run on InternalRow (queryExecution.toRdd), NOT
+    // Dataset.rdd: the external hop would re-box EVERY field of EVERY
+    // row twice (toSeq out, CatalystTypeConverters back in) just to
+    // sum longs and append longs. Pass 1 additionally projects to the
+    // value columns only, so the cached columnar layout serves the
+    // narrow read. NULL sums as 0 (the window-cumsum contract).
 
     // pass 1: per-partition totals -> exclusive-scan offsets (driver,
     // O(partitions x columns) longs)
-    val totals = ranged.rdd
+    val totals = ranged
+      .select(valueCols.map { case (v, _) => col(v) }: _*)
+      .queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
         val s = new Array[Long](k)
         rows.foreach { r =>
           var j = 0
-          while (j < k) { s(j) += valueOf(r, j); j += 1 }
+          while (j < k) {
+            if (!r.isNullAt(j))
+              s(j) += (if (isLong(j)) r.getLong(j) else r.getInt(j).toLong)
+            j += 1
+          }
         }
         Iterator((pid, s))
       }
@@ -106,22 +114,49 @@ object Prefix {
       Array.tabulate(k)(j => acc(j) + t(j))
     }
 
-    // pass 2: local prefix + partition offset, same partitioning
+    // pass 2: local prefix + partition offset, same partitioning. Each
+    // output row is the input row (copied out of the scan's reused
+    // buffer) joined to its k running totals; RDDScanExec's
+    // UnsafeProjection flattens the pair downstream.
     val schema = valueCols.foldLeft(ranged.schema) { case (sc, (_, out)) =>
       sc.add(StructField(out, LongType, false))
     }
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    val out = ranged.rdd
+    val out = ranged.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
         val run = offsets(pid).clone()
         rows.map { r =>
           var j = 0
-          while (j < k) { run(j) += valueOf(r, j); j += 1 }
-          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ run.toSeq)
+          while (j < k) {
+            val i = vIdxs(j)
+            if (!r.isNullAt(i))
+              run(j) += (if (isLong(j)) r.getLong(i) else r.getInt(i).toLong)
+            j += 1
+          }
+          val right = new GenericInternalRow(k)
+          j = 0
+          while (j < k) { right.update(j, run(j)); j += 1 }
+          new JoinedRow(r.copy(), right): InternalRow
         }
       }
-    spark.createDataFrame(out, schema)
+    org.apache.spark.sql.GraftRows.internalDataFrame(spark, out, schema)
+  }
+
+  /** Plan-time integral check for the prefix value columns: LongType →
+    * true, IntegerType → false, anything else raises loudly (the same
+    * "must be integral" contract the old per-row check enforced, now
+    * before any job runs). */
+  private def integralFlags(
+      schema: org.apache.spark.sql.types.StructType,
+      names: Seq[String]): Array[Boolean] = {
+    import org.apache.spark.sql.types._
+    names.map { v =>
+      schema(v).dataType match {
+        case LongType => true
+        case IntegerType => false
+        case other => throw new IllegalArgumentException(
+          s"$v must be integral, got type $other")
+      }
+    }.toArray
   }
 
   /** PER-GROUP ranks through a (group, order) RANGE exchange — the
@@ -202,39 +237,51 @@ object Prefix {
       .sortWithinPartitions(groupCol, orderCol)
       .persist(storageLevel) // both passes MUST read this same layout
     try {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
       val gIdx = ranged.schema.fieldIndex(groupCol)
+      val gType = ranged.schema(gIdx).dataType
       val vIdxs = valueCols.map { case (v, _) =>
         ranged.schema.fieldIndex(v) }.toArray
-      val names = valueCols.map(_._1)
+      val isLong = integralFlags(ranged.schema, valueCols.map(_._1))
       val k = vIdxs.length
-      def valueOf(r: org.apache.spark.sql.Row, j: Int): Long =
-        r.get(vIdxs(j)) match {
-          case l: Long => l
-          case i: Int => i.toLong
-          case null => 0L
-          case other => throw new IllegalArgumentException(
-            s"${names(j)} must be integral, got $other")
-        }
+
+      // Both passes on InternalRow, as in [[runningTotals]] — the scan
+      // reuses its row buffer, so any group value RETAINED across rows
+      // (firstG/lastG/prevG) must be copied out (InternalRow.copyValue;
+      // per-row comparisons against the live buffer are fine).
 
       // pass 1: per-partition (first group, last group, last group's
       // in-partition sums) -> driver scan in partition order. Sorted
       // by (g, ord), a group's rows occupy ONE contiguous run across
       // partitions, so the only cross-partition state is "the sums of
-      // the group straddling this boundary so far".
-      val summaries: Array[Option[(Any, Any, Array[Long])]] = ranged.rdd
+      // the group straddling this boundary so far". Projected to
+      // (group, values): the cached columnar layout serves the narrow
+      // read, partition indices unchanged (narrow projection).
+      val summaries: Array[Option[(Any, Any, Array[Long])]] = ranged
+        .select(col(groupCol) +: valueCols.map { case (v, _) => col(v) }: _*)
+        .queryExecution.toRdd
         .mapPartitionsWithIndex { (pid, rows) =>
           var firstG: Any = null
           var lastG: Any = null
           var lastSums = new Array[Long](k)
           var any = false
           rows.foreach { r =>
-            val g = r.get(gIdx)
-            if (!any) { firstG = g; lastG = g; any = true }
-            if (!java.util.Objects.equals(g, lastG)) {
-              lastG = g; lastSums = new Array[Long](k)
+            val g = r.get(0, gType)
+            if (!any) {
+              val gc = InternalRow.copyValue(g)
+              firstG = gc; lastG = gc; any = true
+            } else if (!java.util.Objects.equals(g, lastG)) {
+              lastG = InternalRow.copyValue(g)
+              lastSums = new Array[Long](k)
             }
             var j = 0
-            while (j < k) { lastSums(j) += valueOf(r, j); j += 1 }
+            while (j < k) {
+              if (!r.isNullAt(1 + j))
+                lastSums(j) +=
+                  (if (isLong(j)) r.getLong(1 + j) else r.getInt(1 + j).toLong)
+              j += 1
+            }
           }
           Iterator((pid,
             if (any) Some((firstG, lastG, lastSums)) else None))
@@ -266,25 +313,37 @@ object Prefix {
       val schema = valueCols.foldLeft(ranged.schema) {
         case (sc, (_, out)) => sc.add(StructField(out, LongType, false))
       }
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(schema)
-      val outRdd = ranged.rdd
+      val outRdd = ranged.queryExecution.toRdd
         .mapPartitionsWithIndex { (pid, rows) =>
           var run: Array[Long] = null
           var prevG: Any = null
           var first = true
           rows.map { r =>
-            val g = r.get(gIdx)
-            if (first) { run = offsets(pid).clone(); first = false }
-            else if (!java.util.Objects.equals(g, prevG))
+            val g = r.get(gIdx, gType)
+            if (first) {
+              run = offsets(pid).clone()
+              prevG = InternalRow.copyValue(g)
+              first = false
+            } else if (!java.util.Objects.equals(g, prevG)) {
               run = new Array[Long](k)
-            prevG = g
+              prevG = InternalRow.copyValue(g)
+            }
             var j = 0
-            while (j < k) { run(j) += valueOf(r, j); j += 1 }
-            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ run.toSeq)
+            while (j < k) {
+              val i = vIdxs(j)
+              if (!r.isNullAt(i))
+                run(j) +=
+                  (if (isLong(j)) r.getLong(i) else r.getInt(i).toLong)
+              j += 1
+            }
+            val right = new GenericInternalRow(k)
+            j = 0
+            while (j < k) { right.update(j, run(j)); j += 1 }
+            new JoinedRow(r.copy(), right): InternalRow
           }
         }
-      val out = spark.createDataFrame(outRdd, schema)
+      val out = org.apache.spark.sql.GraftRows
+        .internalDataFrame(spark, outRdd, schema)
       // eager: the persist must outlive every job that reads it
       use(out).localCheckpoint(true)
     } finally ranged.unpersist(false)
