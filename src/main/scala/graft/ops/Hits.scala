@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   * the (N-row) score table into the edge table plus a map-side-combined
   * groupBy, with the same broadcast gate as PageRank — below
   * `broadcastNodesUpTo` nodes the edge table never shuffles. The
-  * normalizing total is a 1-row aggregate cross-joined back via
-  * broadcast (the `Classifier.v1` idiom) — no driver round-trip inside
-  * the loop.
+  * normalizing total rides the half-round's lineage-cut job as an
+  * observed metric (Σraw accumulates during the checkpoint
+  * materialization) and enters the plan as a literal divisor — no
+  * extra aggregation job, no crossJoin; half-rounds between cuts
+  * (cutEveryHalfRounds > 1) fall back to the 1-row-aggregate
+  * broadcast crossJoin, bit-identically.
   */
 object Hits {
 
@@ -88,14 +91,33 @@ object Hits {
       var halfRound = 0
       def normalize(raw0: DataFrame, c: String): DataFrame = {
         halfRound += 1
-        val raw =
-          if (halfRound % cutEveryHalfRounds == 0) raw0.localCheckpoint()
-          else raw0
-        val tot = broadcast(raw.agg(sum(col(c)).as("tot")))
-        raw.crossJoin(tot)
-          .select(col("id"),
-            when(col("tot") > 0, expr(s"($c * ${Scale}L) div tot"))
-              .otherwise(0L).as(c))
+        if (halfRound % cutEveryHalfRounds == 0) {
+          // The cut's eager materialization doubles as the totals
+          // pass: Σc rides the SAME job as an observed metric
+          // (CollectMetrics accumulates during the checkpoint
+          // count), so the normalizing total costs no extra job and
+          // no crossJoin — it lands in the plan as a LITERAL divisor,
+          // the identical integer math (round-17; spec pins the
+          // literal-vs-crossJoin arms bit-equal via k=1 ≡ k=2).
+          val obsName = s"graft.hits_tot_$halfRound"
+          val observed = raw0.observe(obsName, sum(col(c)).as("tot"))
+          val raw = observed.localCheckpoint()
+          val totRow = observed.queryExecution.observedMetrics(obsName)
+          val tot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+          if (tot > 0)
+            raw.select(col("id"),
+              expr(s"($c * ${Scale}L) div ${tot}L").as(c))
+          else raw.select(col("id"), lit(0L).as(c))
+        } else {
+          // un-cut half-rounds have no action to observe on — the
+          // 1-row aggregate broadcast-crossJoins back (Classifier.v1
+          // idiom), no driver round-trip
+          val tot = broadcast(raw0.agg(sum(col(c)).as("tot")))
+          raw0.crossJoin(tot)
+            .select(col("id"),
+              when(col("tot") > 0, expr(s"($c * ${Scale}L) div tot"))
+                .otherwise(0L).as(c))
+        }
       }
 
       // Zero-score nodes are restored ONCE at the end, not per
