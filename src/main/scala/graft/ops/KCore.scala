@@ -83,9 +83,15 @@ object KCore {
       // generateTreeString before any task ran. As a leaf, plan depth
       // grows one join layer per round (and the every-lineageCutEvery
       // edge checkpoint resets even that).
-      val keep = deg.filter(col("d") >= k).select(col("u").as("id"))
-        .localCheckpoint(true)
-      val nKeep = keep.count()
+      // |keep| rides the checkpoint job as an observed metric (the
+      // Hits normalize idiom) instead of a separate count() job —
+      // CollectMetrics accumulates during the eager materialization.
+      val obsName = s"graft.kcore_keep_$round"
+      val observed = deg.filter(col("d") >= k).select(col("u").as("id"))
+        .observe(obsName, count(lit(1)).as("n"))
+      val keep = observed.localCheckpoint(true)
+      val nKeep = observed.queryExecution.observedMetrics(obsName)
+        .getLong(0)
       if (nKeep == prevKeep) {
         // keep ⊆ previous keep and |keep| = |previous keep| ⇒ the sets
         // are equal ⇒ this round's semi-joins would keep every edge —
@@ -104,10 +110,14 @@ object KCore {
         var next = cur
           .join(keepU, col("u") === col("__ku"), "left_semi")
           .join(keepV, col("v") === col("__kv"), "left_semi")
-        if (round % lineageCutEvery == 0)
+        if (round % lineageCutEvery == 0) {
+          // the eager checkpoint IS a materialized stable leaf — a
+          // persist on top would only re-scan it into a second copy
           next = next.localCheckpoint(true)
-        next = next.persist()
-        next.count() // materialize before dropping the parent cache
+        } else {
+          next = next.persist()
+          next.count() // materialize before dropping the parent cache
+        }
         cur.unpersist()
         // keep's checkpoint blocks (≤ N longs per round) are released
         // by the ContextCleaner when the round's plans go out of scope
