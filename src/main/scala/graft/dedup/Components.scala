@@ -156,19 +156,17 @@ object Components {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
-    val outSchema = StructType(Seq(
-      labels.schema("id"), labels.schema("lbl")))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(outSchema)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // One action per round (two with doubling) — the convergence
-      // probe rides the final checkpoint's accumulator instead of its
-      // own job (rounds are job-overhead bound at small label counts).
-      // Only zero-vs-nonzero is read, so task retries inflating the
-      // counter are harmless.
-      val changed = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
+      // probe rides the final checkpoint's job as an OBSERVED metric
+      // (rounds are job-overhead bound at small label counts). The
+      // round-17 form: CollectMetrics in the codegen'd plan replaces
+      // the earlier typed mapPartitions + accumulator, which paid an
+      // external-Row round-trip over every label row per round; the
+      // metric is also exact under task retries (accumulators were
+      // zero-vs-nonzero only).
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
@@ -199,15 +197,14 @@ object Components {
             .select(col("id"),
               coalesce(col("lbl2"), col("lbl")).as("lbl"), col("prev"))
         }
-      val next = jumped
-        .mapPartitions { rows =>
-          rows.map { r =>
-            if (r.get(1) != r.get(2)) changed.add(1L)
-            org.apache.spark.sql.Row(r.get(0), r.get(1))
-          }
-        }(enc)
-        .localCheckpoint(true)
-      converged = changed.value == 0
+      val obsName = s"graft.cc_changed_$iter"
+      val sel = jumped
+        .observe(obsName, // null-safe: exact parity with a Java !=
+          count(when(not(col("lbl") <=> col("prev")), lit(1))).as("n"))
+        .select(col("id"), col("lbl"))
+      val next = sel.localCheckpoint(true)
+      converged =
+        sel.queryExecution.observedMetrics(obsName).getLong(0) == 0L
       labels = next
       iter += 1
     }
