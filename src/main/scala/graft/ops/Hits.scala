@@ -99,6 +99,12 @@ object Hits {
           // no crossJoin — it lands in the plan as a LITERAL divisor,
           // the identical integer math (round-17; spec pins the
           // literal-vs-crossJoin arms bit-equal via k=1 ≡ k=2).
+          // EXACTNESS CAVEAT (round-17 ADVICE): the observed total is
+          // load-bearing (it enters the plan as the literal divisor).
+          // CollectMetrics can over-count under task retries /
+          // speculation — exact only in this engine's local-mode,
+          // maxFailures=1 regime; a cluster port with retries must
+          // fall back to the crossJoin form below unconditionally.
           val obsName = s"graft.hits_tot_$halfRound"
           val observed = raw0.observe(obsName, sum(col(c)).as("tot"))
           val raw = observed.localCheckpoint()

@@ -90,6 +90,14 @@ object KCore {
       val observed = deg.filter(col("d") >= k).select(col("u").as("id"))
         .observe(obsName, count(lit(1)).as("n"))
       val keep = observed.localCheckpoint(true)
+      // EXACTNESS CAVEAT (round-17 ADVICE): this metric's exact value
+      // is load-bearing (the nKeep == prevKeep fixed-point test).
+      // CollectMetrics accumulators below a shuffle boundary can
+      // OVER-count under task retries/speculation; that regime never
+      // happens in this engine's local-mode, maxFailures=1 deployment,
+      // but a cluster port with retries must replace this with a
+      // separate count() (or read only zero-vs-nonzero, the
+      // Components pattern, which stays exact).
       val nKeep = observed.queryExecution.observedMetrics(obsName)
         .getLong(0)
       if (nKeep == prevKeep) {
