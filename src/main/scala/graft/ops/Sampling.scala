@@ -705,10 +705,14 @@ object Sampling {
     require(reps >= 2 && reps <= 64, s"reps must be in [2, 64], got $reps")
     require(loBp >= 0 && hiBp <= 10000 && loBp < hiBp,
       s"CI bounds must satisfy 0 <= loBp < hiBp <= 10000, got $loBp/$hiBp")
+    // one eager narrow materialization feeds the full-mean pass AND
+    // every replicate block (ceil(reps/8)+1 consumers — uncut, each
+    // would re-scan the source)
     val base = df.select(groupCol.as("g"), idCol.cast("string").as("id"),
         valueCol.cast("long").as("v"))
       .filter(col("g").isNotNull && col("id").isNotNull &&
         col("v").isNotNull)
+      .localCheckpoint(true)
     // TRUE-FLOOR 2^20 fixed-point mean (negative sums replay
     // bit-identically — the trimmedMeanByGroup convention)
     def meanFx(sumName: String, nName: String): Column =
@@ -721,15 +725,36 @@ object Sampling {
       .select(col("g"), col("n"),
         meanFx("__s", "n").as("mean_fx"))
       .localCheckpoint(true)
-    val repMeans = base
-      .withColumn("b", explode(array((0 until reps).map(b =>
-        lit(b.toLong)): _*)))
-      .filter(conv(substring(md5(concat(col("id"),
-        lit(":" + salt + ":"), col("b").cast("string"))), 1, 1),
-        16, 10).cast("long") < 8L)
-      .groupBy(col("g"), col("b"))
-      .agg(count(lit(1)).as("nb"),
-        sum(col("v").cast("decimal(38,0)")).as("__sb"))
+    // Replicate pass as ≤8-replicate BLOCKS of conditional aggregates
+    // over the un-exploded base — not explode ×reps + filter + group:
+    // the explode form streams reps× the row count through the
+    // aggregate (32M row-visits at sf0.1) where each pass here visits
+    // the 1M base rows once with 8 membership tests. 16 aggregate
+    // buffer columns per pass stays inside the codegen sweet spot —
+    // the r17 single-pass 64-wide fusion measured SLOWER; the 16-wide
+    // blocks measure 1.9× FASTER (Q207ABProbe, same-JVM interleaved,
+    // arms result-equal: A explode 2.33–4.07 s vs B blocks
+    // 1.17–1.92 s vs C explode+simplified-predicate 1.83–2.30 s).
+    // Membership simplifies to one string compare: md5's lowercase-hex
+    // output < '8' ⇔ first hex digit ∈ 0..7 ('0'..'7' < '8' < 'a'),
+    // the same bit the oracle's strpos form reads, without the
+    // substring+conv+cast chain per (row, replicate). The md5-per-
+    // (row, replicate) count itself is the declared contract, unchanged.
+    val repMeans = (0 until reps).grouped(8).toSeq.map { block =>
+      val aggs = block.toSeq.flatMap { rep =>
+        val member =
+          md5(concat(col("id"), lit(":" + salt + ":" + rep))) < "8"
+        Seq(sum(when(member, 1L).otherwise(0L)).as(s"__nb_$rep"),
+          sum(when(member, col("v").cast("decimal(38,0)")))
+            .as(s"__sb_$rep"))
+      }
+      val wide = base.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      val stackExpr = block.map(rep => s"${rep}L, __nb_$rep, __sb_$rep")
+        .mkString(s"stack(${block.size}, ", ", ", ") as (b, nb, __sb)")
+      // a replicate with no members in a group emits NO row — the
+      // explode form's semantics (its filter dropped those upstream)
+      wide.select(col("g"), expr(stackExpr)).filter(col("nb") > 0)
+    }.reduce(_ unionAll _)
       .select(col("g"), col("b"),
         meanFx("__sb", "nb").as("rep_mean_fx"))
     val ci = graft.ops.RankStats.quantilesByGroup(repMeans,
