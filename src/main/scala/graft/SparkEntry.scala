@@ -3906,6 +3906,18 @@ object SparkEntry {
     * name, so a regenerated lineitem.parquet allocates a fresh tap.
     */
   private def partSuppPairsStaged(s: SparkSession, dir: String)
+      : DataFrame =
+    // per-(session, dir) memo of the RESOLVED tap plan: without it
+    // every consumer RUN re-pays the content fingerprint (a file
+    // listing), the RSSkip staleness check and a fresh relation
+    // resolution — ~30-60 ms × 5 consumers × 4 bench runs. Same
+    // fixtures-immutable-within-a-process argument as `tableMemo`;
+    // the staged parquet itself is still built exactly once per
+    // process and re-read from disk by every job.
+    tableMemo.computeIfAbsent((s, "partsupp:" + dir),
+      { case _ => partSuppPairsBuild(s, dir) })
+
+  private def partSuppPairsBuild(s: SparkSession, dir: String)
       : DataFrame = {
     val tmpRoot =
       procStageRoot + "/partsupp/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -7416,6 +7428,12 @@ object SparkEntry {
     * instead of serving stale edges to a bench-only (oracle-less) run.
     */
   private def coOrderEdgesStaged(s: SparkSession, dir: String)
+      : DataFrame =
+    // resolved-plan memo per (session, dir) — see partSuppPairsStaged
+    tableMemo.computeIfAbsent((s, "coorder:" + dir),
+      { case _ => coOrderEdgesBuild(s, dir) })
+
+  private def coOrderEdgesBuild(s: SparkSession, dir: String)
       : DataFrame = {
     val tmpRoot =
       procStageRoot + "/coorder/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
